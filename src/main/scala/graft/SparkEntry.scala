@@ -14,7 +14,11 @@ object SparkEntry {
 
   /** Every implemented operator from SURVEY.md §2, one Q per name. */
   def catalogue: Seq[Q] =
-    graft.queries.Relational.all
+    graft.queries.Relational.all ++
+      graft.queries.Joins.all ++
+      graft.queries.Windows.all ++
+      graft.queries.Scalars.all ++
+      graft.queries.Football.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

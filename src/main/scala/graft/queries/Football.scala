@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Enforce, Paths, Q, Tables}
+import graft.engine.Enforce.FieldSpec
+
+/** The reference's signature operators exercised through the oracle
+  * harness: schema enforcement with dead-letter routing (SURVEY.md
+  * §2.6 E1/E2) and path-convention pk extraction (§2.3 P1), driven by
+  * a raw view derived from the events table (bad rows induced
+  * deterministically so the split is non-trivial at every sf).
+  */
+object Football {
+
+  /** Raw, stringly-typed view of events with a deliberately corrupt
+    * INTEGER field on every 97th row — the shape records have when
+    * they arrive from staged JSON (ref §1.1). */
+  private def rawEvents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      when(col("event_id") % 97 === 0, lit("not_a_number"))
+        .otherwise(get_json_object(col("props"), "$.k")).as("k"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+
+  private val rawOracle =
+    """SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN 'not_a_number'
+      |         ELSE json_extract_string(props, '$.k') END AS k,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+      |  FROM events""".stripMargin
+
+  private val eventSchema = Seq(
+    FieldSpec("event_id", "INTEGER", required = true),
+    FieldSpec("k", "INTEGER"),
+    FieldSpec("ts_s", "TIMESTAMP"))
+
+  /** q30 — enforcement OK path: validate + cast + prune; clean rows
+    * come out typed (ref `helpers.py:51-101`). */
+  val q30EnforceOk: Q = Q(
+    "q30_enforce_ok",
+    s"""WITH raw AS ($rawOracle)
+       |SELECT CAST(event_id AS BIGINT) AS event_id,
+       |       CAST(k AS BIGINT) AS k,
+       |       CAST(ts_s AS TIMESTAMP) AS ts_s
+       |FROM raw WHERE event_id % 97 <> 0
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val (ok, _) = Enforce.split(rawEvents(s, dir), eventSchema)
+    ok.orderBy(col("event_id"))
+  }
+
+  /** q31 — enforcement dead-letter path: rows with a failed cast are
+    * diverted (never kill the job) with a field-tagged error (ref
+    * `transforms.py:182-184`). */
+  val q31EnforceDead: Q = Q(
+    "q31_enforce_dead",
+    """SELECT event_id, 'cast_failure:k' AS error
+      |FROM events WHERE event_id % 97 = 0
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val (_, dead) = Enforce.split(rawEvents(s, dir), eventSchema)
+    dead.select(col("event_id"), col("error")).orderBy(col("event_id"))
+  }
+
+  /** q34 — dead-letter JSON sink shape (ref `pipeline.py:57-63`): one
+    * `{"PK": ..., "error": ...}` document per diverted row. */
+  val q34DeadLetterJson: Q = Q(
+    "q34_dead_letter_json",
+    """SELECT '{"PK":' || event_id || ',"error":"cast_failure:k"}' AS value
+      |FROM events WHERE event_id % 97 = 0
+      |ORDER BY value""".stripMargin) { (s, dir) =>
+    val (_, dead) = Enforce.split(rawEvents(s, dir), eventSchema)
+    Enforce.deadLetterJson(dead, "event_id").orderBy(col("value"))
+  }
+
+  /** q32 — pk extraction from the staged-file path convention, incl.
+    * the `"unknown"` fallback for malformed paths (ref
+    * `helpers.py:8-27`); grouped to standings-group granularity. */
+  val q32PkExtract: Q = Q(
+    "q32_pk_extract",
+    """WITH paths AS (
+      |  SELECT CASE WHEN event_id % 31 = 0 THEN 'api/malformed/run.json'
+      |              ELSE 'api/season_' || CAST(year(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+      |                   || '/league_' || CAST(user_id % 10 AS VARCHAR) || '/teams/run_1.json' END AS path
+      |  FROM events),
+      |pks AS (
+      |  SELECT CASE WHEN regexp_extract(path, '/?season_([0-9]+)/league_([0-9]+)/', 1) = ''
+      |              THEN 'unknown'
+      |              ELSE regexp_extract(path, '/?season_([0-9]+)/league_([0-9]+)/', 1) || '-'
+      |                   || regexp_extract(path, '/?season_([0-9]+)/league_([0-9]+)/', 2) END AS pk
+      |  FROM paths)
+      |SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_files
+      |FROM pks GROUP BY pk ORDER BY pk""".stripMargin) { (s, dir) =>
+    val paths = Tables.events(s, dir).select(
+      when(col("event_id") % 31 === 0, lit("api/malformed/run.json"))
+        .otherwise(concat(
+          lit("api/season_"), year(col("ts")).cast("string"),
+          lit("/league_"), (col("user_id") % 10).cast("string"),
+          lit("/teams/run_1.json"))).as("path"))
+    paths.select(Paths.extractPk(col("path")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_files"))
+      .orderBy(col("pk"))
+  }
+
+  val all: Seq[Q] = Seq(q30EnforceOk, q31EnforceDead, q34DeadLetterJson, q32PkExtract)
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.{Q, Tables}
+
+/** Window functions, top-k, sorts, rollup/cube/grouping-sets —
+  * SURVEY.md §2.8's biggest gap (the reference has zero window
+  * functions; its `rank` column is ingested data, which the engine
+  * recomputes, see Relational.q08).
+  */
+object Windows {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** q09 — analytic windows: per-customer order timeline with
+    * lag/lead, running total and a 3-row moving average. Scale: one
+    * shuffle on the partition key, sort within partitions; no
+    * unbounded-following frames (those need the whole partition
+    * buffered). Skew on a hot customer is bounded by orders/customer.
+    */
+  val q09WindowAnalytic: Q = Q(
+    "q09_window_analytic",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(dec(col("o_totalprice"))).over(running).cast("double").as("running_total"),
+        (sum(dec(col("o_totalprice"))).over(last3).cast("double") /
+          count(lit(1)).over(last3)).as("moving_avg"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q10 — top-k per group (row_number ≤ k): each customer's 3 most
+    * expensive orders. Scale: rank-filter prunes inside the window
+    * stage; never a global sort of the fact table. */
+  val q10TopKPerGroup: Q = Q(
+    "q10_topk_per_group",
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** q11 — ROLLUP hierarchy totals (nation → segment → grand total).
+    * Scale: rollup expands grouping sets inside one aggregate — a
+    * single shuffle, not one per level. */
+  val q11Rollup: Q = Q(
+    "q11_rollup",
+    """SELECT n_name, c_mktsegment,
+      |  CAST(GROUPING(n_name)*2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** q21 — explicit GROUPING SETS via the SQL surface (the engine's
+    * `spark.sql` entry point; the Dataset API exposes rollup/cube
+    * only). Scale: same single-shuffle expansion as rollup. */
+  val q21GroupingSets: Q = Q(
+    "q21_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** q14 — global sort + limit (top 100 line items by price). Scale:
+    * Spark plans TakeOrderedAndProject — per-partition top-k then a
+    * driver-side merge of k×partitions rows, NOT a global sort. */
+  val q14SortLimit: Q = Q(
+    "q14_sort_limit",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(q09WindowAnalytic, q10TopKPerGroup, q11Rollup, q21GroupingSets, q14SortLimit)
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Enforce
+import graft.engine.Enforce.FieldSpec
+
+/** Mirrors the reference's enforcement cases (helpers.py:79-100):
+  * required-null, bad cast, extra-field pruning, nullable fill,
+  * group-level dead-letter, total-function property. */
+class EnforceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = Seq(
+    FieldSpec("pk", "STRING", required = true),
+    FieldSpec("points", "INTEGER"),
+    FieldSpec("seen", "TIMESTAMP"))
+
+  private def raw = Seq(
+    ("2023-39", "89", "2024-01-01 10:00:00", "extra"),   // clean
+    ("2023-39", "not_int", "2024-01-01 10:00:00", "x"),  // bad cast
+    (null, "10", "2024-01-01 10:00:00", "x"),            // required null
+    ("2022-40", null, null, "x")                          // nullable nulls ok
+  ).toDF("pk", "points", "seen", "junk")
+
+  test("clean rows are cast and extra fields pruned") {
+    val (ok, _) = Enforce.split(raw, schema)
+    assert(ok.columns.toSeq == Seq("pk", "points", "seen"))
+    val rows = ok.orderBy("pk").collect()
+    assert(rows.length == 2)
+    val clean = rows.find(_.getString(0) == "2023-39").get
+    assert(clean.getLong(1) == 89L)
+    assert(clean.getTimestamp(2).toString.startsWith("2024-01-01 10:00:00"))
+  }
+
+  test("nullable missing column is filled with typed nulls") {
+    val df = Seq(("a")).toDF("pk")
+    val (ok, dead) = Enforce.split(df, schema)
+    assert(dead.count() == 0)
+    val r = ok.collect()(0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("bad cast and required-null rows are diverted with tagged errors") {
+    val (_, dead) = Enforce.split(raw, schema)
+    val errs = dead.select("error").as[String].collect().toSet
+    assert(errs == Set("cast_failure:points", "missing_required:pk"))
+  }
+
+  test("missing required column errors every row") {
+    val df = Seq(("1")).toDF("points")
+    val (ok, dead) = Enforce.split(df, schema)
+    assert(ok.count() == 0 && dead.count() == 1)
+  }
+
+  test("every input row lands in exactly one of ok/dead (total function)") {
+    val (ok, dead) = Enforce.split(raw, schema)
+    assert(ok.count() + dead.count() == raw.count())
+  }
+
+  test("group-level split dead-letters the whole group on any error") {
+    val (ok, dead) = Enforce.splitByGroup(raw, schema, "pk")
+    // group "2023-39" has one bad row -> both rows dead; null-pk group dead;
+    // only the clean 2022-40 group survives.
+    assert(ok.count() == 1)
+    assert(dead.count() == 3)
+  }
+
+  test("unsupported schema type fails fast (ref helpers.py:89-90)") {
+    intercept[IllegalArgumentException] { FieldSpec("x", "FLOAT") }
+  }
+
+  test("dead-letter JSON carries PK and error (ref pipeline.py:57-63)") {
+    val (_, dead) = Enforce.split(raw, schema)
+    val docs = Enforce.deadLetterJson(dead, "pk").as[String].collect().sorted
+    assert(docs.exists(_.contains(""""error":"cast_failure:points"""")))
+    assert(docs.forall(_.startsWith("{")))
+  }
+}
