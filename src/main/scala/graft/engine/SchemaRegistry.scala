@@ -1,0 +1,94 @@
+package graft.engine
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.types._
+
+import graft.engine.Enforce.FieldSpec
+
+/** Versioned external schema documents (SURVEY.md §1.3) — the
+  * BigQuery-style JSON spec the reference loads at job start
+  * (`pipeline.py:16-17`, `helpers.py:30-49`, `unified_schemas/v1.json`)
+  * parsed into both the enforcement spec and a Spark `StructType`.
+  *
+  * Design decisions from SURVEY §1.3:
+  *  - default `mode` is NULLABLE (the reference's validator/sink
+  *    disagree; we adopt the sink + SCHEMA.md documented behavior) —
+  *    only explicit REQUIRED is non-null;
+  *  - the type universe is STRING/INTEGER/TIMESTAMP; anything else
+  *    fails fast (ref `helpers.py:89-90`);
+  *  - evolution = bump `version`, register `vN`; every record carries
+  *    a `schema_version` string column.
+  *
+  * The parser is a small regex-based reader for exactly this document
+  * shape (driver-side config parsing, one tiny file per job — not a
+  * data-plane JSON path; data-plane JSON goes through
+  * `spark.read.json`).
+  */
+object SchemaRegistry {
+
+  final case class SchemaDoc(version: Int, fields: Seq[FieldSpec]) {
+    def structType: StructType = StructType(fields.map { f =>
+      val dt: DataType = f.typ match {
+        case "STRING" => StringType
+        case "INTEGER" => LongType
+        case "TIMESTAMP" => TimestampType
+      }
+      StructField(f.name, dt, nullable = !f.required)
+    })
+  }
+
+  private val FieldRe: Regex =
+    """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"([^}]*)\}""".r
+  private val VersionRe: Regex = """"version"\s*:\s*(\d+)""".r
+
+  /** Parse a v1.json-shaped document. Unknown types raise (fail-fast,
+    * ref `helpers.py:89-90`). */
+  def parse(json: String): SchemaDoc = {
+    val version = VersionRe.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException("schema document has no version"))
+    val fields = FieldRe.findAllMatchIn(json).map { m =>
+      val required = m.group(3).contains(""""REQUIRED"""")
+      FieldSpec(m.group(1), m.group(2), required)
+    }.toSeq
+    if (fields.isEmpty)
+      throw new IllegalArgumentException("schema document has no fields")
+    SchemaDoc(version, fields)
+  }
+
+  /** Driver-side file read (ref `gcp.py:8-25` reads the doc from
+    * object storage; locally a filesystem path). */
+  def load(path: String): SchemaDoc =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The unified team-season schema (reference v1) as a built-in, so
+    * the engine works without the external document present. Field
+    * list mirrors `/root/reference/unified_schemas/v1.json:3-25`. */
+  val v1: SchemaDoc = SchemaDoc(1, Seq(
+    FieldSpec("pk", "STRING", required = true),
+    FieldSpec("team_id", "STRING"),
+    FieldSpec("team_name", "STRING"),
+    FieldSpec("team_country", "STRING"),
+    FieldSpec("league_id", "STRING"),
+    FieldSpec("league_name", "STRING"),
+    FieldSpec("season", "INTEGER"),
+    FieldSpec("rank", "INTEGER"),
+    FieldSpec("points", "INTEGER"),
+    FieldSpec("games_played", "INTEGER"),
+    FieldSpec("wins", "INTEGER"),
+    FieldSpec("draws", "INTEGER"),
+    FieldSpec("losses", "INTEGER"),
+    FieldSpec("goals_for", "INTEGER"),
+    FieldSpec("goals_against", "INTEGER"),
+    FieldSpec("goal_difference", "INTEGER"),
+    FieldSpec("form", "STRING"),
+    FieldSpec("venue_name", "STRING"),
+    FieldSpec("venue_city", "STRING"),
+    FieldSpec("update_timestamp", "TIMESTAMP"),
+    FieldSpec("schema_version", "STRING")))
+
+  /** Version registry (SURVEY §1.3: `Map[Int, StructType]`). */
+  val registry: Map[Int, SchemaDoc] = Map(1 -> v1)
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Normalize, SchemaRegistry, Sinks}
+
+/** End-to-end normalizer tests over staged-file fixtures shaped exactly
+  * like the reference's API payloads (FIXTURES.md §1; field reads
+  * traced from reference transforms.py). Covers S3/S4 reading+routing,
+  * P1 path pk, P2-P8 mappings, J1/J2 joins, E1/E2 enforcement and the
+  * K1/K2 sinks.
+  */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private lazy val stagedRoot: String = {
+    val root = Files.createTempDirectory("graft_staged")
+    // API-Football: top-level JSON arrays, string-typed fields.
+    write(root, "apifootball/season_2023/league_153/teams/run_1.json",
+      """[{"team_key": "3081", "team_name": "Arsenal", "team_country": "England",
+        |  "venue": {"venue_name": "Emirates Stadium", "venue_city": "London"}},
+        | {"team_key": "3082", "team_name": "Chelsea", "team_country": "England",
+        |  "venue": {"venue_name": "Stamford Bridge", "venue_city": "London"}}]""".stripMargin)
+    write(root, "apifootball/season_2023/league_153/standings/run_1.json",
+      """[{"team_id": "3081", "team_name": "Arsenal", "league_id": "153",
+        |  "league_name": "Premier League", "overall_league_position": "1",
+        |  "overall_league_PTS": "89", "overall_league_payed": "38",
+        |  "overall_league_W": "28", "overall_league_D": "5", "overall_league_L": "5",
+        |  "overall_league_GF": "91", "overall_league_GA": "29",
+        |  "overall_league_form": "WWLDW"},
+        | {"team_id": "3082", "team_name": "Chelsea", "league_id": "153",
+        |  "league_name": "Premier League", "overall_league_position": "2",
+        |  "overall_league_PTS": "84", "overall_league_payed": "38",
+        |  "overall_league_W": "26", "overall_league_D": "6", "overall_league_L": "6",
+        |  "overall_league_form": "WWWDL"},
+        | {"team_id": "9999", "team_name": "Ghost FC", "league_id": "153",
+        |  "league_name": "Premier League", "overall_league_position": "3",
+        |  "overall_league_PTS": "80", "overall_league_payed": "38",
+        |  "overall_league_W": "24", "overall_league_D": "8", "overall_league_L": "6",
+        |  "overall_league_GF": "70", "overall_league_GA": "30",
+        |  "overall_league_form": "LLWWD"}]""".stripMargin)
+    root.toString
+  }
+
+  private lazy val sportsRoot: String = {
+    val root = Files.createTempDirectory("graft_staged_sports")
+    write(root, "apisports/season_2023/league_39/teams/run_1.json",
+      """{"response": [
+        |  {"team": {"id": 42, "name": "Arsenal", "country": "England"},
+        |   "venue": {"name": "Emirates Stadium", "city": "London"}},
+        |  {"team": {"id": 49, "name": "Chelsea", "country": "England"},
+        |   "venue": {"name": "Stamford Bridge", "city": "London"}}]}""".stripMargin)
+    write(root, "apisports/season_2023/league_39/standings/run_1.json",
+      """{"response": [
+        | {"league": {"id": 39, "name": "Premier League", "season": 2023,
+        |   "standings": [[
+        |     {"rank": 1, "team": {"id": 42, "name": "Arsenal"}, "points": 89,
+        |      "goalsDiff": 62, "form": "WWLDW",
+        |      "all": {"played": 38, "win": 28, "draw": 5, "lose": 5,
+        |              "goals": {"for": 91, "against": 29}}},
+        |     {"rank": 2, "team": {"id": 49, "name": "Chelsea"}, "points": 84,
+        |      "goalsDiff": 30, "form": "WWWDL",
+        |      "all": {"played": 38, "win": 26, "draw": 6, "lose": 6,
+        |              "goals": {"for": 70, "against": 40}}}]]}}]}""".stripMargin)
+    root.toString
+  }
+
+  test("apifootball: staged files → unified rows (P1-P8, J1)") {
+    val (ok, dead) = Normalize.pipeline(spark, s"$stagedRoot/apifootball", "apifootball")
+    val rows = ok.orderBy("rank").collect()
+    assert(rows.length == 2) // Ghost FC dropped: probe miss = inner join (P9)
+    val arsenal = rows(0)
+    assert(arsenal.getAs[String]("pk") == "2023-153-3081")
+    assert(arsenal.getAs[String]("team_country") == "England")
+    assert(arsenal.getAs[Long]("season") == 2023L)
+    assert(arsenal.getAs[Long]("points") == 89L)
+    assert(arsenal.getAs[Long]("games_played") == 38L)
+    assert(arsenal.getAs[Long]("goal_difference") == 62L) // computed GF-GA
+    assert(arsenal.getAs[String]("venue_city") == "London")
+    // Chelsea has no GF/GA in the payload -> defaulted 0 (P4)
+    val chelsea = rows(1)
+    assert(chelsea.getAs[Long]("goals_for") == 0L)
+    assert(chelsea.getAs[Long]("goal_difference") == 0L)
+    assert(dead.count() == 0)
+  }
+
+  test("apisports: nested payload → unified rows (J2 header ride-along)") {
+    val (ok, _) = Normalize.pipeline(spark, s"$sportsRoot/apisports", "apisports")
+    val rows = ok.orderBy("rank").collect()
+    assert(rows.length == 2)
+    val arsenal = rows(0)
+    assert(arsenal.getAs[String]("pk") == "2023-39-42")
+    assert(arsenal.getAs[String]("league_name") == "Premier League")
+    assert(arsenal.getAs[Long]("season") == 2023L)
+    assert(arsenal.getAs[Long]("goals_for") == 91L)
+    assert(arsenal.getAs[Long]("goal_difference") == 62L) // verbatim goalsDiff
+    assert(arsenal.getAs[String]("venue_name") == "Emirates Stadium")
+    // league header applied to every row (implicit cross join J2)
+    assert(rows.forall(_.getAs[String]("league_id") == "39"))
+  }
+
+  test("unified output conforms to the v1 schema document") {
+    val (ok, _) = Normalize.pipeline(spark, s"$stagedRoot/apifootball", "apifootball")
+    assert(ok.columns.toSeq == SchemaRegistry.v1.fields.map(_.name))
+    // nullability is advisory in Spark (enforced by Enforce's REQUIRED
+    // check, not the type system) — compare names + datatypes
+    assert(ok.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      SchemaRegistry.v1.structType.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("unknown api name fails fast (E3, ref transforms.py:129-132)") {
+    intercept[IllegalArgumentException] { Normalize.normalizer("nope") }
+  }
+
+  test("schema document parser round-trips the reference v1.json shape") {
+    val doc = SchemaRegistry.parse(
+      """{"version": 7, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "n", "type": "INTEGER"},
+        |  {"name": "at", "type": "TIMESTAMP", "mode": "NULLABLE"}]}""".stripMargin)
+    assert(doc.version == 7)
+    assert(doc.fields.map(_.name) == Seq("pk", "n", "at"))
+    assert(doc.fields.head.required && !doc.fields(1).required)
+    assert(doc.structType.fields(1).dataType.typeName == "long")
+  }
+
+  test("K1 sink: overwrite is idempotent, update_timestamp defaulted") {
+    val (ok, _) = Normalize.pipeline(spark, s"$stagedRoot/apifootball", "apifootball")
+    val out = Files.createTempDirectory("graft_sink").toString
+    Sinks.writeUnified(ok, out, "apifootball")
+    Sinks.writeUnified(ok, out, "apifootball") // re-run: no pk duplication
+    val back = spark.read.parquet(s"$out/teams_apifootball")
+    assert(back.count() == 2)
+    assert(back.select(countDistinct(col("pk"))).as[Long].head() == 2L)
+    assert(back.filter(col("update_timestamp").isNull).count() == 0)
+  }
+
+  test("K2 sink: dead letters land as single-shard JSON lines") {
+    val dead = Seq(("2023-153", "cast_failure:points")).toDF("pk", "error")
+    val out = Files.createTempDirectory("graft_dl").toString + "/dl"
+    Sinks.writeDeadLetter(dead, "pk", out)
+    val lines = spark.read.text(out).as[String].collect()
+    assert(lines.length == 1)
+    assert(lines(0).contains(""""PK":"2023-153""""))
+  }
+}
