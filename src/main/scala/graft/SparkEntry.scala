@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.Joins.all ++
       graft.queries.Windows.all ++
       graft.queries.Scalars.all ++
-      graft.queries.Football.all
+      graft.queries.Football.all ++
+      graft.queries.Extended.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

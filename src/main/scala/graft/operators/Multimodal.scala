@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract runs batched per partition.
+  *
+  * The actual codec call is STUBBED (`decodeStub`) — this container has
+  * no image/audio libraries — but everything Spark-side is real and
+  * tested: the asset schema, the binary column handling, the
+  * mapPartitions batching shape (one decoder init per partition, the
+  * way a JNI/FFI codec handle would be held), and the typed output.
+  *
+  * Scale: payloads never pass through the driver; a real deployment
+  * keeps assets in parquet binary columns (or object-store pointers
+  * for >~64 MB payloads) partitioned so one partition ≈ one decoder
+  * batch; decode parallelism = partition count, and the metadata-only
+  * projection reads ZERO payload bytes thanks to parquet column
+  * pruning — filters on meta run before any decode.
+  */
+object Multimodal {
+
+  final case class AssetMeta(mime: String, nBytes: Long, sourceId: Long)
+  final case class Asset(id: Long, payload: Array[Byte], meta: AssetMeta)
+  final case class DecodedFeatures(
+      id: Long, nBytes: Long, checksum: Long, feature: Array[Float])
+
+  /** Wrap a (id, payload) frame into the asset schema with populated
+    * metadata — the ingest-side operator. */
+  def toAssets(df: DataFrame, id: String, payload: String, mime: String): DataFrame =
+    df.select(
+      col(id).cast("long").as("id"),
+      col(payload).cast("binary").as("payload"),
+      struct(
+        lit(mime).as("mime"),
+        octet_length(col(payload).cast("binary")).cast("long").as("nBytes"),
+        col(id).cast("long").as("sourceId")).as("meta"))
+
+  /** ??? in spirit — deterministic stand-in for the real codec (e.g.
+    * libjpeg/ffmpeg via FFI). Produces a stable checksum + a tiny fake
+    * feature vector from the payload bytes so the pipeline shape is
+    * testable end-to-end. */
+  private[operators] def decodeStub(payload: Array[Byte]): (Long, Array[Float]) = {
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      h = (h * 31 + (payload(i) & 0xff)) % TextHash.P
+      i += 1
+    }
+    val feat = Array.tabulate(4) { d =>
+      if (payload.length > d) (payload(d) & 0xff) / 255.0f else 0.0f
+    }
+    (h, feat)
+  }
+
+  /** Batched decode: one "decoder" per partition (the expensive init a
+    * real codec needs), rows streamed through it. */
+  def decodeFeatures(spark: SparkSession, assets: DataFrame): Dataset[DecodedFeatures] = {
+    import spark.implicits._
+    assets.select(col("id"), col("payload"), col("meta.nBytes").as("nBytes"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        // real impl: val decoder = Codec.open(...) once per partition
+        rows.map { case (id, payload, nBytes) =>
+          val (checksum, feature) = decodeStub(payload)
+          DecodedFeatures(id, nBytes, checksum, feature)
+        }
+      }
+  }
+}

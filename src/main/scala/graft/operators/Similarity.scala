@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two strategies, same output shape:
+  *  - `bruteForceTopK`: exact — every query against every candidate.
+  *    Correctness baseline; cost O(|Q|·|N|·d). Fine when |Q| is small
+  *    (the query set is broadcast against the corpus, so the corpus is
+  *    scanned once, never shuffled).
+  *  - `ivfTopK`: the scale path — candidates restricted to the query's
+  *    coarse cell (here the `label` column stands in for a k-means
+  *    cell id, which is how a real IVF index is laid out at 100 TB:
+  *    the corpus is hash/range-partitioned BY cell, so a query probes
+  *    one partition instead of the whole corpus; recall trades off
+  *    with the number of probed cells).
+  *
+  * Dot products fold left-to-right in double precision (deterministic,
+  * matches the DuckDB oracle's list_reduce bit-for-bit; embeddings are
+  * L2-normalized so dot = cosine).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<float> columns, in
+    * double. zip_with + a left fold keeps the summation order pinned
+    * (float sums are order-sensitive; an unpinned sum would not be
+    * oracle-comparable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d),
+      (acc, x) => acc + x)
+
+  private def topK(joined: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Exact top-k cosine neighbors of each query vector (self excluded). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("q_emb"), col("c_emb")))
+    topK(joined, k)
+  }
+
+  /** IVF-style top-k: only candidates in the query's coarse cell are
+    * scored. Same contract; recall < 1 when true neighbors live in
+    * other cells — the documented ANN trade-off. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_cell"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), col("label").as("c_cell"))
+    val joined = c.join(broadcast(q), col("c_cell") === col("q_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", dot(col("q_emb"), col("c_emb")))
+    topK(joined, k)
+  }
+
+  /** Embedding near-duplicate pairs: same-cell (a<b) pairs with cosine
+    * above `threshold`. The cell restriction is what keeps this
+    * O(Σ cell²) instead of O(n²) — at 100 TB the corpus is partitioned
+    * by cell so each pair computation is partition-local. */
+  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val l = vectors.select(col("label").as("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val r = vectors.select(col("label").as("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+    l.join(r, "cell")
+      .filter(col("a") < col("b"))
+      .withColumn("score", dot(col("ea"), col("eb")))
+      .filter(col("score") >= threshold)
+      .select(col("a"), col("b"), col("score"))
+  }
+}

