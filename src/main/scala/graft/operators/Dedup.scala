@@ -32,33 +32,68 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash signature: k portable affine hashes over the
-    * distinct n-gram shingle set. Returns array<bigint> of length k. */
-  def minhashSignature(text: Column, n: Int = 3, k: Int = 8): Column = {
-    val sh = shingles(tokens(text), n)
-    val hs = transform(sh, s => polyHash(s))
-    array((0 until k).map { i =>
-      array_min(transform(hs, h => (lit(A(i)) * h + lit(B(i))) % P))
-    }: _*)
-  }
+  /** Per-document MinHash signatures, staged: tokens → shingles →
+    * shingle hashes → k affine minima. Every intermediate array is
+    * materialized as its own projection column (an attribute), never
+    * re-inlined into its consumers — higher-order functions are
+    * interpreted (no codegen CSE), so an unstaged one-expression
+    * version re-tokenizes per shingle access and re-shingles per hash
+    * function: O(k·len²) per doc instead of O(len). Measured 100×+ on
+    * the bench. `hashShingle` is the kernel (portable polyhash for the
+    * oracle-checked path; xxhash64 for the production path).
+    * Output: (doc_id, sig array<bigint>[k]). */
+  /** (doc_id, s): the distinct shingle set per document — the shared
+    * upstream of signatures and Jaccard verification. */
+  def shingleFrame(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(col("doc_id"), shingles(col("t"), n).as("s"))
+
+  private def signatureFromShingles(sh: DataFrame, k: Int,
+      hashShingle: Column => Column): DataFrame =
+    sh.select(col("doc_id"), transform(col("s"), hashShingle).as("h"))
+      .select(col("doc_id"), array((0 until k).map { i =>
+        array_min(transform(col("h"), x => (lit(A(i)) * x + lit(B(i))) % P))
+      }: _*).as("sig"))
+
+  private def stagedSignature(df: DataFrame, id: Column, text: Column,
+      n: Int, k: Int, hashShingle: Column => Column): DataFrame =
+    signatureFromShingles(shingleFrame(df, id, text, n), k, hashShingle)
+
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 8): DataFrame =
+    stagedSignature(df, id, text, n, k, s => polyHash(s))
+
+  /** Production-kernel variant: same operator, Spark's codegen'd
+    * xxhash64 as the shingle hash — not oracle-checkable (DuckDB has
+    * no xxhash64); this is what you'd run at 100 TB. */
+  def minhashSignaturesFast(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 8): DataFrame =
+    stagedSignature(df, id, text, n, k, s => pmod(xxhash64(s), lit(P)))
 
   /** LSH band buckets: signature split into `bands` bands of
     * k/bands rows each; each band folds to one bucket id. Output:
     * one row per (id, band, bucket). Docs sharing any (band, bucket)
     * are near-dup candidates. */
   def lshBuckets(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    bucketsFromSignatures(minhashSignatures(df, id, text, n, k), k, bands)
+
+  /** Band buckets from a (doc_id, sig) frame. */
+  def bucketsFromSignatures(withSig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignature(text, n, k)
-    val withSig = df.select(id.as("doc_id"), sig.as("sig"))
     val bandCols = (0 until bands).map { b =>
       val combined = (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
         (acc * BandMix + element_at(col("sig"), b * rows + r + 1)) % P
       }
       struct(lit(b.toLong).as("band"), combined.as("bucket"))
     }
+    // explode_outer, not explode: the optimizer infers a `size(...) > 0`
+    // filter from a plain Generate and pushes it below the staged
+    // projections, re-inlining the whole signature chain into the
+    // filter (quadratic re-evaluation; HOFs have no codegen CSE). The
+    // band array is never empty, so outer semantics are identical.
     withSig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
@@ -77,8 +112,12 @@ object Dedup {
     * shingle sets back and compute |∩|/|∪| precisely. Only candidates
     * pay the set-intersection cost. */
   def verifyJaccard(docs: DataFrame, id: Column, text: Column,
-      candidates: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(id.as("doc_id"), shingles(tokens(text), n).as("s"))
+      candidates: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
+    verifyJaccardOnShingles(shingleFrame(docs, id, text, n), candidates, threshold)
+
+  /** Same, over a prepared (doc_id, s) shingle frame. */
+  def verifyJaccardOnShingles(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("a"), col("s").as("sa"))
     val sb = sh.select(col("doc_id").as("b"), col("s").as("sb"))
     candidates.join(sa, "a").join(sb, "b")
@@ -90,11 +129,26 @@ object Dedup {
   }
 
   /** End-to-end MinHash near-dup detection: LSH candidates → exact
-    * Jaccard filter. */
+    * Jaccard filter. The shingle frame is computed ONCE and persisted
+    * — it feeds the signature chain (both sides of the bucket
+    * self-join) and the verification join; without the persist each
+    * consumer re-tokenizes the corpus. At warehouse scale the same
+    * role is played by checkpointing signatures to parquet between
+    * stages. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val cands = candidatePairs(lshBuckets(docs, id, text, n, k, bands))
-    verifyJaccard(docs, id, text, cands, n, threshold)
+    // repartition BEFORE the per-char HOF chain: a compact parquet scan
+    // arrives in few partitions and would otherwise pin the hash
+    // computation to those few cores. Persist the SIGNATURE frame (8
+    // longs/doc), not the shingle arrays — both sides of the bucket
+    // self-join read it, and caching the bulky string arrays costs
+    // more in serialization than recomputing them once for the
+    // verification join.
+    val sh = shingleFrame(docs.repartition(id), id, text, n)
+    val sig = signatureFromShingles(sh, k, s => polyHash(s))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = bucketsFromSignatures(sig, k, bands)
+    verifyJaccardOnShingles(sh, candidatePairs(buckets), threshold)
   }
 
   /** 32-bit SimHash: bit b of the fingerprint is the sign of
@@ -114,14 +168,4 @@ object Dedup {
           |  THEN CAST(shiftleft(1, b) AS BIGINT) ELSE 0L END)""".stripMargin)
         .as("simhash"))
 
-  /** Production-kernel MinHash variant: same operator shape with
-    * Spark's codegen'd xxhash64 in place of the portable polynomial
-    * family. Not oracle-checkable (DuckDB has no xxhash64) — exists as
-    * the fast path you'd run at 100 TB. */
-  def minhashSignatureFast(text: Column, n: Int = 3, k: Int = 8): Column = {
-    val sh = shingles(tokens(text), n)
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => pmod(xxhash64(lit(A(i)), s), lit(P))))
-    }: _*)
-  }
 }

@@ -28,15 +28,20 @@ object TextAnalysis {
     * length, stopword ratio, alpha ratio. Formula is fixed and
     * documented so downstream filters are reproducible. */
   def qualityFeatures(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = tokens(text)
-    df.select(
-      id.as("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      length(text).cast("long").as("n_chars_actual"),
-      when(size(toks) > 0,
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-        .otherwise(lit(0.0d)).as("avg_token_len"),
-      ratioIn(toks, Lexicons("en")).as("stopword_ratio"))
+    // token array staged as an attribute: HOFs are interpreted (no
+    // codegen CSE), so inlining `tokens(text)` into its four consumers
+    // would tokenize four times per row
+    val toks = col("t")
+    df.select(id.as("doc_id"), length(text).cast("long").as("n_chars_actual"),
+        tokens(text).as("t"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        col("n_chars_actual"),
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+          .otherwise(lit(0.0d)).as("avg_token_len"),
+        ratioIn(toks, Lexicons("en")).as("stopword_ratio"))
   }
 
   /** Language-ID heuristic: stopword-lexicon hit ratios per language;
@@ -44,12 +49,13 @@ object TextAnalysis {
     * (A production system uses char n-gram profiles — same operator
     * shape: per-row scoring against broadcast profiles.) */
   def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = tokens(text)
-    val scored = df.select(
-      id.as("doc_id"),
-      ratioIn(toks, Lexicons("en")).as("en_score"),
-      ratioIn(toks, Lexicons("de")).as("de_score"),
-      ratioIn(toks, Lexicons("es")).as("es_score"))
+    val toks = col("t")
+    val scored = df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(
+        col("doc_id"),
+        ratioIn(toks, Lexicons("en")).as("en_score"),
+        ratioIn(toks, Lexicons("de")).as("de_score"),
+        ratioIn(toks, Lexicons("es")).as("es_score"))
     scored.withColumn("predicted_lang",
       when(greatest(col("en_score"), col("de_score"), col("es_score")) < 0.02, lit("unknown"))
         .when(col("en_score") >= col("de_score") && col("en_score") >= col("es_score"), lit("en"))

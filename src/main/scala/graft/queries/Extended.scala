@@ -230,10 +230,11 @@ object Extended {
   /** d45 — production-kernel MinHash (xxhash64): not DuckDB-checkable,
     * rows-only gate; exists to show the fast path at 100 TB. */
   val d45MinhashFast: Q = Q.noOracle("d45_minhash_fast") { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    docs.select(col("doc_id"),
-        Dedup.minhashSignatureFast(col("text")).as("sig"))
-      .select(col("doc_id"), posexplode(col("sig")))
+    // posexplode_outer: a plain Generate gets an inferred size()>0
+    // filter pushed below the staged projections (recomputing the
+    // signature chain); sig is always length k so outer is identical
+    Dedup.minhashSignaturesFast(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("doc_id"), posexplode_outer(col("sig")))
       .select(col("doc_id"), col("pos").cast("long").as("hash_idx"), col("col").as("minhash"))
       .orderBy(col("doc_id"), col("hash_idx"))
   }

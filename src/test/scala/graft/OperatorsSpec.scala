@@ -23,7 +23,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("minhash: identical docs get identical signatures; near-dups collide in some band") {
-    val sigs = docs.select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
+    val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(1L) == sigs(4L))
     assert(sigs.values.head.length == 8)
@@ -115,8 +115,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("portable and fast minhash share the operator shape") {
-    val s1 = docs.select(Dedup.minhashSignature(col("text")).as("s")).head().getSeq[Long](0)
-    val s2 = docs.select(Dedup.minhashSignatureFast(col("text")).as("s")).head().getSeq[Long](0)
+    val s1 = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+      .head().getSeq[Long](1)
+    val s2 = Dedup.minhashSignaturesFast(docs, col("doc_id"), col("text"))
+      .head().getSeq[Long](1)
     assert(s1.length == s2.length)
     assert(s2.forall(h => h >= 0 && h < TextHash.P))
   }
