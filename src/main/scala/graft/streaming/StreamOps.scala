@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.8: the reference is
+  * batch-only by declaration — `streaming=False` — but a complete
+  * engine exposes streaming twins of the same transforms).
+  *
+  * Design: every transform here is the SAME logical operation as its
+  * batch counterpart (Scalars.q22TimeWindow etc.) applied to an
+  * unbounded DataFrame — Spark plans it incrementally. Watermarks
+  * bound state; output modes choose replay semantics.
+  *
+  * Scale: windowed aggregation state is per (window × key), pruned by
+  * the watermark; `transformWithState`-style per-key state (here
+  * mapGroupsWithState) shuffles once on the key and holds O(active
+  * keys) state in the state store — at production scale backed by
+  * RocksDB + changelog checkpointing to object storage.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** File stream source over an events-shaped directory (parquet).
+    * `maxFilesPerTrigger` paces re-processing of large backlogs. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "16")
+      .parquet(dir)
+
+  /** Tumbling-window event counts with a watermark — the streaming
+    * twin of the batch hour×type aggregate (Scalars.q22TimeWindow).
+    * Late rows beyond the watermark are dropped; in append mode a
+    * window emits exactly once, when the watermark passes its end. */
+  def windowedCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      window: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** Custom per-key state: running per-user totals via
+    * mapGroupsWithState (update mode). State lives in the state store,
+    * one entry per active user. */
+  def runningUserTotals(spark: SparkSession, events: Dataset[Event]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming frame to completion against a bounded source and
+    * return the in-memory result table (local smoke harness: batch
+    * parquet driving the incremental plan). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, UserRunning}
+
+/** Streaming semantics: windowed aggregation matches the batch twin,
+  * watermark drops late data, stateful per-key totals accumulate. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("file-stream windowed counts match the batch aggregate (complete mode)") {
+    // FileStreamSource wants a directory; stage the events file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    graft.engine.Tables.events(spark, sfDir).write
+      .mode("overwrite").parquet(dir.resolve("events").toString)
+    val stream = StreamOps.readEventStream(spark, dir.resolve("events").toString)
+    val out = StreamOps.runToMemory(
+      StreamOps.windowedCounts(stream), "win_counts", OutputMode.Complete())
+    val batch = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val s = out.select("window_start", "event_type", "n_events")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val b = batch.select("window_start", "event_type", "n_events")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(s == b)
+  }
+
+  test("watermark drops late rows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = StreamOps.windowedCounts(mem.toDF(), watermark = "10 minutes", window = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: establish watermark at 12:30 - 10min = 12:20
+    mem.addData(
+      Event(1, ts("2024-01-01 10:15:00"), 1, "a", 1.0),
+      Event(2, ts("2024-01-01 12:30:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a row at 09:59 is far behind the watermark -> dropped;
+    // advance watermark beyond 11:00 so the 10:00 window finalizes
+    mem.addData(Event(3, ts("2024-01-01 09:59:00"), 1, "a", 1.0),
+      Event(4, ts("2024-01-01 14:00:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: push watermark past 13:00 to flush the 12:00 window
+    mem.addData(Event(5, ts("2024-01-01 15:30:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late_test")
+      .select("window_start", "n_events").as[(Timestamp, Long)].collect().toMap
+    assert(rows(ts("2024-01-01 10:00:00")) == 1L) // late 09:59 row NOT counted
+    assert(rows(ts("2024-01-01 12:00:00")) == 1L)
+  }
+
+  test("stateful per-user running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = StreamOps.runningUserTotals(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("user_totals")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "a", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts("2024-01-01 10:01:00"), 7, "a", 3.0),
+      Event(3, ts("2024-01-01 10:02:00"), 8, "b", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("user_totals").as[UserRunning].collect()
+      .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+    assert(last(7L) == UserRunning(7L, 2L, 5.0))
+    assert(last(8L) == UserRunning(8L, 1L, 5.0))
+  }
+}
