@@ -32,16 +32,14 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash signatures, staged: tokens → shingles →
-    * shingle hashes → k affine minima. Every intermediate array is
-    * materialized as its own projection column (an attribute), never
-    * re-inlined into its consumers — higher-order functions are
-    * interpreted (no codegen CSE), so an unstaged one-expression
-    * version re-tokenizes per shingle access and re-shingles per hash
-    * function: O(k·len²) per doc instead of O(len). Measured 100×+ on
-    * the bench. `hashShingle` is the kernel (portable polyhash for the
-    * oracle-checked path; xxhash64 for the production path).
-    * Output: (doc_id, sig array<bigint>[k]). */
+  // MinHash signatures are staged: tokens → shingles → shingle hashes →
+  // k affine minima, every intermediate array materialized as its own
+  // projection column (an attribute), never re-inlined into consumers —
+  // higher-order functions are interpreted (no codegen CSE), so an
+  // unstaged one-expression version re-tokenizes per shingle access and
+  // re-shingles per hash function: O(k·len²) per doc instead of O(len).
+  // Measured 20×+ on the bench.
+
   /** (doc_id, s): the distinct shingle set per document — the shared
     * upstream of signatures and Jaccard verification. */
   def shingleFrame(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
@@ -61,7 +59,7 @@ object Dedup {
 
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 8): DataFrame =
-    stagedSignature(df, id, text, n, k, s => polyHash(s))
+    stagedSignature(df, id, text, n, k, s => polyHashFast(s))
 
   /** Production-kernel variant: same operator, Spark's codegen'd
     * xxhash64 as the shingle hash — not oracle-checkable (DuckDB has
@@ -145,7 +143,7 @@ object Dedup {
     // more in serialization than recomputing them once for the
     // verification join.
     val sh = shingleFrame(docs.repartition(id), id, text, n)
-    val sig = signatureFromShingles(sh, k, s => polyHash(s))
+    val sig = signatureFromShingles(sh, k, s => polyHashFast(s))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = bucketsFromSignatures(sig, k, bands)
     verifyJaccardOnShingles(sh, candidatePairs(buckets), threshold)
@@ -160,7 +158,7 @@ object Dedup {
     * oracle. Output: (doc_id, simhash). */
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
-        transform(tokens(text), t => polyHash(t)).as("hs"))
+        transform(tokens(text), t => polyHashFast(t)).as("hs"))
       .select(col("doc_id"), expr(
         """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
           |  CASE WHEN aggregate(hs, 0L,

@@ -76,5 +76,5 @@ object TextAnalysis {
   /** Document fingerprint: polynomial rolling hash of the lower-cased
     * text — the exact-dedup / shard-routing key. */
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), polyHash(lower(text)).as("fingerprint"))
+    df.select(id.as("doc_id"), polyHashFast(lower(text)).as("fingerprint"))
 }

@@ -51,12 +51,21 @@ object TextHash {
   }
 
   // ---- hashing ---------------------------------------------------------
-  /** Polynomial rolling hash of a string: fold (acc*31 + ascii(ch)) mod P. */
+  /** Polynomial rolling hash of a string: fold (acc*31 + ascii(ch)) mod P.
+    * Reference implementation as a pure HOF expression — kept for
+    * cross-checking; hot paths use `polyHashFast` (identical values,
+    * property-tested in PolyHashSpec). */
   def polyHash(c: Column): Column =
     aggregate(
       sequence(lit(1), length(c)),
       lit(0L),
       (acc, i) => (acc * 31 + ascii(c.substr(i, lit(1)))) % P)
+
+  /** Same hash as a codegen'd native Catalyst expression
+    * (graft.functions.PolyHash) — one string walk, participates in
+    * whole-stage codegen. */
+  def polyHashFast(c: Column): Column =
+    graft.functions.PolyHash.polyHashNative(c)
   /** Same, over an arbitrary string-typed SQL expression. */
   def polyHashSql(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

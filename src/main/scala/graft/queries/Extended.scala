@@ -223,7 +223,7 @@ object Extended {
       .select(
         col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        (polyHash(col("text")) % 997).as("content_bucket"))
+        (polyHashFast(col("text")) % 997).as("content_bucket"))
       .orderBy(col("doc_id"))
   }
 
