@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Windows.all ++
       graft.queries.Scalars.all ++
       graft.queries.Football.all ++
-      graft.queries.Extended.all
+      graft.queries.Extended.all ++
+      graft.queries.Advanced.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

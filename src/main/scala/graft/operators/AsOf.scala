@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join — an operator Spark lacks natively (SURVEY.md §2.5 note:
+  * the reference has no temporal joins either, but a complete engine
+  * exposes one). For each left row, pick the single right row with the
+  * greatest `rightTime <= leftTime` among rows sharing the key.
+  *
+  * Composition strategy (preference order (a) of the build rules —
+  * compose built-ins): equi-join on the key with the range predicate,
+  * then keep the latest right row per left row via row_number. Correct
+  * for bounded fan-in per key.
+  *
+  * Scale: the equi+range join shuffles both sides on the key once; the
+  * window runs inside the same partitioning. For heavily skewed keys a
+  * production deployment switches to the union-tag trick (interleave
+  * both sides sorted by (key, time), propagate last-seen right values
+  * with a running window — one sort, zero row explosion); that variant
+  * is `asofJoinSorted` below. Both produce identical results; the
+  * choice is a physical one, exactly the kind of decision Catalyst
+  * can't make for a missing logical operator.
+  */
+object AsOf {
+
+  /** Join+window form: good when per-key right-row counts are modest. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val l = left.select(leftKey.as("asof_key") +: leftTime.as("asof_lt") +:
+      leftCols.map(col): _*)
+    val r = right.select(rightKey.as("asof_rkey") +: rightTime.as("asof_rt") +:
+      rightCols.map(col): _*)
+    val joined = l.join(r,
+      col("asof_key") === col("asof_rkey") && col("asof_rt") <= col("asof_lt"),
+      "left")
+    val w = Window
+      .partitionBy(Seq(col("asof_key"), col("asof_lt")) ++ leftCols.map(col): _*)
+      .orderBy(col("asof_rt").desc_nulls_last)
+    joined
+      .withColumn("asof_rn", row_number().over(w))
+      .filter(col("asof_rn") === 1)
+      .select(col("asof_key") +: col("asof_lt") +:
+        (leftCols.map(col) ++ rightCols.map(col)): _*)
+  }
+
+  /** Union-tag form: one sort by (key, time), last-seen right values
+    * carried forward — no join fan-out, skew-safe. Right columns must
+    * be named distinctly from left's. */
+  def asofJoinSorted(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column,
+      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val l = left.select(leftKey.as("asof_key") +: leftTime.as("asof_t") +:
+      lit(1).as("asof_is_left") +:
+      (leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right.select(rightKey.as("asof_key") +: rightTime.as("asof_t") +:
+      lit(0).as("asof_is_left") +:
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col)): _*)
+    // right rows sort before left rows at equal time => "<=" semantics
+    val w = Window.partitionBy(col("asof_key"))
+      .orderBy(col("asof_t"), col("asof_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(col("asof_key") +: col("asof_t") +: col("asof_is_left") +:
+        (leftCols.map(col) ++
+          rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+    carried.filter(col("asof_is_left") === 1)
+      .select(col("asof_key") +: col("asof_t").as("asof_lt") +:
+        (leftCols.map(col) ++ rightCols.map(col)): _*)
+  }
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.{Q, Tables}
+import graft.operators.AsOf
+
+/** Advanced relational surface: cube, exact deterministic statistics,
+  * percentiles, array aggregation, explode/unnest, as-of join, pivot,
+  * approximate sketches. Completes the §2.8 gap-fill beyond the basics
+  * in Windows/Scalars.
+  */
+object Advanced {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** q23 — CUBE over two dimensions (all 4 grouping sets in one
+    * aggregate pass / one shuffle). */
+  val q23Cube: Q = Q(
+    "q23_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** q24 — exact-arithmetic dispersion statistics: variance/stddev via
+    * decimal Σx and Σx² (both engines agree bit-for-bit; the built-in
+    * stddev/var aggregates use engine-specific float accumulation
+    * orders and would NOT hash-match). */
+  val q24Stats: Q = Q(
+    "q24_stats",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q2,
+      |  sqrt(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |       - pow(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)) AS stddev_pop
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val q = dec(col("l_quantity"))
+    val sumQ = sum(q).cast("double")
+    val sumQ2 = sum(q * q).cast("double")
+    val n = count(lit(1))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        n.as("n"),
+        sumQ.as("sum_q"),
+        sumQ2.as("sum_q2"),
+        sqrt(sumQ2 / n - pow(sumQ / n, lit(2))).as("stddev_pop"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q25 — exact percentiles (median / p90) with linear interpolation.
+    * Inputs go through DECIMAL(18,2)→DOUBLE so the sorted values are
+    * identical in both engines; the interpolation formula is the
+    * standard (1−f)·lo + f·hi in both. */
+  val q25Percentile: Q = Q(
+    "q25_percentile",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
+      |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9) AS p90_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val v = dec(col("l_extendedprice")).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(v, lit(0.5)).as("median_price"),
+        percentile(v, lit(0.9)).as("p90_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q26 — array aggregation: per-order sorted line-number array (the
+    * collect_list/array_agg surface; sort_array pins the order so the
+    * result is deterministic under any shuffle schedule). */
+  val q26ArrayAgg: Q = Q(
+    "q26_array_agg",
+    """SELECT l_orderkey,
+      |  list_sort(list(l_linenumber)) AS line_numbers,
+      |  CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_orderkey % 100 = 0
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** q27 — explode/unnest: part-name words → rows → frequency. */
+  val q27Explode: Q = Q(
+    "q27_explode",
+    """SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+      |GROUP BY word
+      |ORDER BY word""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("word"))
+  }
+
+  /** q28 — as-of join (composed operator; Spark has no native as-of):
+    * each error event picks the same user's most recent purchase value
+    * at-or-before it. The DuckDB oracle uses its NATIVE ASOF JOIN — an
+    * independent implementation agreeing with our composition. */
+  val q28AsofJoin: Q = Q(
+    "q28_asof_join",
+    """SELECT l.event_id, l.user_id, l.ts AS error_ts, r.value AS last_purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND r.ts <= l.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .withColumnRenamed("value", "err_value")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("last_purchase_value"))
+    AsOf.asofJoin(
+        errors, purchases,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+        leftCols = Seq("event_id"), rightCols = Seq("last_purchase_value"))
+      .select(col("event_id"), col("asof_key").as("user_id"),
+        col("asof_lt").as("error_ts"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q29 — pivot (dedicated API over conditional aggregation): order
+    * counts per nation × status. */
+  val q29Pivot: Q = Q(
+    "q29_pivot",
+    """SELECT n_name AS nation,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_O,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_F,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_P
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY nation""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .count()
+      .select(col("nation"),
+        coalesce(col("O"), lit(0L)).as("status_O"),
+        coalesce(col("F"), lit(0L)).as("status_F"),
+        coalesce(col("P"), lit(0L)).as("status_P"))
+      .orderBy(col("nation"))
+  }
+
+  /** q36 — approximate sketches (HLL distinct count, approximate
+    * percentile): rows-only gate (sketch internals are engine-specific
+    * so no cross-engine hash-match is possible — which is exactly why
+    * the exact twins q12/q25 exist). */
+  val q36ApproxSketches: Q = Q.noOracle("q36_approx_sketches") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
+    q28AsofJoin, q29Pivot, q36ApproxSketches)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** As-of join semantics + the two physical forms agreeing. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, 7L, ts("2024-01-01 10:00:00")),
+    (2L, 7L, ts("2024-01-01 12:00:00")),
+    (3L, 8L, ts("2024-01-01 09:00:00")),  // before any right row for user 8
+    (4L, 9L, ts("2024-01-01 09:00:00"))   // user with no right rows at all
+  ).toDF("event_id", "user_id", "ts")
+
+  private lazy val right = Seq(
+    (7L, ts("2024-01-01 09:30:00"), 10.0),
+    (7L, ts("2024-01-01 11:00:00"), 20.0),
+    (7L, ts("2024-01-01 12:00:00"), 30.0), // equal timestamp: <= includes it
+    (8L, ts("2024-01-01 10:30:00"), 40.0)
+  ).toDF("p_user", "p_ts", "value")
+
+  private def run(fn: => org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+    fn.select(col("event_id"), col("value"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+  private val expected = Map(
+    1L -> Some(10.0), // latest <= 10:00 is 09:30
+    2L -> Some(30.0), // equal ts 12:00 wins over 11:00
+    3L -> None,       // right rows exist but all later
+    4L -> None)       // no right rows for key
+
+  test("join+window form: latest right row at-or-before each left row") {
+    val out = run(AsOf.asofJoin(left, right,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    assert(out == expected)
+  }
+
+  test("union-sorted form agrees with the join form (skew-safe variant)") {
+    val out = run(AsOf.asofJoinSorted(left, right,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    assert(out == expected)
+  }
+
+  test("both forms agree on real data (events self as-of)") {
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    val a = run(AsOf.asofJoin(errors, purchases,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"), Seq("event_id"), Seq("value")))
+    val b = run(AsOf.asofJoinSorted(errors, purchases,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"), Seq("event_id"), Seq("value")))
+    assert(a == b && a.nonEmpty)
+  }
+}
