@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's custom expressions, so
+  * `SELECT poly_hash(text)` works alongside the Column API.
+  *
+  * Two entry points:
+  *  - `register(spark)`: imperative, for an existing session;
+  *  - `GraftExtensions`: a `SparkSessionExtensions` installer for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` /
+  *    `.withExtensions(new GraftExtensions)` at session build time —
+  *    the deployment path on a shared cluster.
+  */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> (exprs => PolyHash(exprs.head)))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private[functions] def install(e: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[PolyHash].getName, name),
+        builder))
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.install(e)
+}

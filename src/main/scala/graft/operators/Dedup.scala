@@ -95,6 +95,30 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Distinct character n-gram shingles of a string column. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => text.substr(i, lit(n))))
+
+  /** Character-n-gram Jaccard near-dup pairs within `bucketCols`
+    * blocking buckets (blocking bounds the pair count: O(Σ bucket²),
+    * never O(n²); at scale bucket = shard key). */
+  def charNgramNearDups(docs: DataFrame, id: Column, text: Column,
+      bucketCols: Seq[String], n: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(bucketCols.map(col) :+ id.as("doc_id") :+ text.as("txt"): _*)
+      .select(bucketCols.map(col) :+ col("doc_id") :+ charShingles(col("txt"), n).as("s"): _*)
+    val a = sh.select(bucketCols.map(col) :+ col("doc_id").as("a") :+ col("s").as("sa"): _*)
+    val b = sh.select(bucketCols.map(col) :+ col("doc_id").as("b") :+ col("s").as("sb"): _*)
+    a.join(b, bucketCols)
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** Candidate pairs from LSH buckets: distinct (a < b) ids sharing a
     * (band, bucket). The self-join shuffles on (band, bucket) only. */
   def candidatePairs(buckets: DataFrame): DataFrame = {

@@ -68,6 +68,23 @@ object Similarity {
     topK(joined, k)
   }
 
+  /** Fixed pseudo-random hyperplanes for SRP-LSH (sign random
+    * projection): H[j][i] = (((j·2654435761 + i·40503) mod 2001) −
+    * 1000)/1000 — an integer formula reproducible exactly in the
+    * DuckDB oracle, standing in for a seeded Gaussian draw. */
+  def hyperplane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => (((j * 2654435761L + i * 40503L) % 2001) - 1000) / 1000.0)
+
+  /** SRP-LSH sketch: bit j = sign of ⟨v, H_j⟩; near vectors agree on
+    * most bits, so equal sketches (or small hamming distance) bucket
+    * near-duplicate candidates WITHOUT any pairwise work — the
+    * embedding analog of MinHash banding. Returns a `bits`-bit long. */
+  def srpSketch(emb: Column, bits: Int = 16, dim: Int = 64): Column =
+    (0 until bits).map { j =>
+      val h = array(hyperplane(j, dim).map(lit): _*)
+      when(dot(emb, h) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Embedding near-duplicate pairs: same-cell (a<b) pairs with cosine
     * above `threshold`. The cell restriction is what keeps this
     * O(Σ cell²) instead of O(n²) — at 100 TB the corpus is partitioned

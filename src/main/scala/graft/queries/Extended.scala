@@ -239,8 +239,49 @@ object Extended {
       .orderBy(col("doc_id"), col("hash_idx"))
   }
 
+  /** d46 — SRP-LSH sketches: 16 sign-of-projection bits per embedding
+    * against fixed pseudo-random hyperplanes — the bucketing key for
+    * pairwise-free embedding near-dup candidate generation (the
+    * embedding analog of MinHash banding). */
+  val d46SrpSketch: Q = {
+    val bitTerms = (0 until 16).map { j =>
+      val h = graft.operators.Similarity.hyperplane(j, 64)
+        .map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($h)[i])),
+         |  (acc, x) -> acc + x) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString(" + ")
+    Q(
+      "d46_srp_sketch",
+      s"""SELECT vec_id, $bitTerms AS sketch
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          graft.operators.Similarity.srpSketch(col("embedding")).as("sketch"))
+        .orderBy(col("vec_id"))
+    }
+  }
+
+  /** d47 — character-4-gram Jaccard near-dups with (lang, source)
+    * blocking (pair cost bounded by bucket sizes, never O(n²)). */
+  val d47CharNgramDedup: Q = Q(
+    "d47_char_ngram_dedup",
+    """WITH sh AS (SELECT lang, source, doc_id,
+      |  list_distinct(list_transform(range(1, greatest(length(text)-3,0)+1), i -> substring(text, i, 4))) AS s
+      |  FROM documents)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Dedup.charNgramNearDups(Tables.documents(s, dir), col("doc_id"), col("text"),
+        bucketCols = Seq("lang", "source"), n = 4, threshold = 0.8)
+      .orderBy(col("a"), col("b"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
+    d46SrpSketch, d47CharNgramDedup,
     s50KnnBrute, s51KnnIvf,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint,
     m70MultimodalMeta, d45MinhashFast)

@@ -40,6 +40,12 @@ class PolyHashSpec extends SparkSpec {
     assert(r(0).isNullAt(0) && r(1).getLong(0) == 'x'.toLong)
   }
 
+  test("poly_hash is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT poly_hash('abc') AS h").as[Long].head()
+    assert(r == 97L * 961 + 98 * 31 + 99)
+  }
+
   test("whole-stage codegen path produces the same values as interpreted eval") {
     val df = graft.engine.Tables.documents(spark, sfDir)
     val viaExpr = df.select(sum(TextHash.polyHashFast(col("text")))).as[Long].head()
