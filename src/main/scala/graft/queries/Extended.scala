@@ -266,14 +266,16 @@ object Extended {
     * blocking (pair cost bounded by bucket sizes, never O(n²)). */
   val d47CharNgramDedup: Q = Q(
     "d47_char_ngram_dedup",
-    """WITH sh AS (SELECT lang, source, doc_id,
-      |  list_distinct(list_transform(range(1, greatest(length(text)-3,0)+1), i -> substring(text, i, 4))) AS s
-      |  FROM documents)
-      |SELECT a.doc_id AS a, b.doc_id AS b,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-      |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/len(list_distinct(list_concat(a.s, b.s))) >= 0.8
-      |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    s"""WITH sh AS (SELECT lang, source, doc_id,
+       |  list_distinct(list_transform(
+       |    list_transform(range(1, greatest(length(text)-3,0)+1), i -> substring(text, i, 4)),
+       |    sg -> ${polyHashSql("sg")})) AS s
+       |  FROM documents)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+       |FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)/(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
     Dedup.charNgramNearDups(Tables.documents(s, dir), col("doc_id"), col("text"),
         bucketCols = Seq("lang", "source"), n = 4, threshold = 0.8)
       .orderBy(col("a"), col("b"))
