@@ -69,4 +69,42 @@ object Multimodal {
         }
       }
   }
+
+  final case class ResizedAsset(id: Long, width: Int, height: Int, payload: Array[Byte])
+  final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
+
+  /** Resize stub: real impl scales pixels via a codec; the stand-in
+    * deterministically re-buckets bytes to the target size so output
+    * schema, sizing and partition behavior are real. */
+  def resize(spark: SparkSession, assets: DataFrame, w: Int, h: Int): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = Array.tabulate[Byte](math.min(w * h, 1 << 20)) { i =>
+            if (payload.isEmpty) 0 else payload(i % payload.length)
+          }
+          ResizedAsset(id, w, h, out)
+        }
+      }
+  }
+
+  /** Frame sampling stub (video → every k-th frame): a generator-shaped
+    * mapPartitions (1 asset → n frame rows) — the row-explosion pattern
+    * a real ffmpeg-backed sampler has, with deterministic fake frames. */
+  def sampleFrames(spark: SparkSession, assets: DataFrame, everyK: Int,
+      maxFrames: Int = 8): Dataset[Frame] = {
+    import spark.implicits._
+    assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val nFrames = math.min(math.max(payload.length / math.max(everyK, 1), 1), maxFrames)
+          (0 until nFrames).iterator.map { f =>
+            val start = f * everyK
+            val frame = payload.slice(start, math.min(start + everyK, payload.length))
+            Frame(id, f, frame)
+          }
+        }
+      }
+  }
 }

@@ -114,6 +114,17 @@ class OperatorsSpec extends SparkSpec {
     assert(decoded(2L).nBytes == 0L && decoded(2L).checksum == 0L)
   }
 
+  test("multimodal: resize and frame-sampling plumbing (stub codecs)") {
+    val src = Seq((1L, "abcdefghij")).toDF("id", "payload")
+    val assets = Multimodal.toAssets(src, "id", "payload", "video/fake")
+    val resized = Multimodal.resize(spark, assets, 4, 3).collect()
+    assert(resized.head.payload.length == 12 && resized.head.width == 4)
+    val frames = Multimodal.sampleFrames(spark, assets, everyK = 3).collect()
+    assert(frames.length == 3) // 10 bytes / 3 per frame
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 1, 2))
+    assert(new String(frames(0).payload) == "abc")
+  }
+
   test("portable and fast minhash share the operator shape") {
     val s1 = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .head().getSeq[Long](1)
