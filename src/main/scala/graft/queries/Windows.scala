@@ -125,5 +125,81 @@ object Windows {
       .limit(100)
   }
 
-  val all: Seq[Q] = Seq(q09WindowAnalytic, q10TopKPerGroup, q11Rollup, q21GroupingSets, q14SortLimit)
+  /** q37 — RANGE frame (value-based, not row-based): per customer, the
+    * rolling 30-day order total keyed on the order date expressed in
+    * epoch days. Scale: same single shuffle as any window; range
+    * frames matter when multiple rows share an ordering value. */
+  val q37RangeFrame: Q = Q(
+    "q37_range_frame",
+    """SELECT o_custkey, o_orderkey, day_no,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+      |    (PARTITION BY o_custkey ORDER BY day_no RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_30d
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+      |      FROM orders)
+      |ORDER BY o_custkey, day_no, o_orderkey""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      datediff(col("o_orderdate").cast("date"), lit(java.sql.Date.valueOf("1990-01-01")))
+        .cast("long").as("day_no"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+      .rangeBetween(-30, Window.currentRow)
+    base.select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("total_30d"))
+      .orderBy(col("o_custkey"), col("day_no"), col("o_orderkey"))
+  }
+
+  /** q38 — ranking family: rank / dense_rank / percent_rank /
+    * cume_dist / ntile over one partitioning (exact closed-form
+    * fractions, deterministic in both engines). */
+  val q38RankFamily: Q = Q(
+    "q38_rank_family",
+    """SELECT c_nationkey, c_custkey,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir).select(
+        col("c_nationkey"), col("c_custkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+  }
+
+  /** q39 — first/last/nth value with explicit ROWS frames (the
+    * implicit default frame differs by engine, so pin it). */
+  val q39ValueWindows: Q = Q(
+    "q39_value_windows",
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+      |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q09WindowAnalytic, q10TopKPerGroup, q11Rollup, q21GroupingSets, q14SortLimit,
+    q37RangeFrame, q38RankFamily, q39ValueWindows)
 }
