@@ -58,6 +58,22 @@ class EnforceSpec extends SparkSpec {
     assert(ok.count() + dead.count() == raw.count())
   }
 
+  test("total-function property holds on generated rows (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cell = Gen.oneOf(
+      Gen.const(null: String), Gen.numStr.map(_.take(9)),
+      Gen.alphaStr.map(_.take(6)), Gen.const("2024-01-01 10:00:00"),
+      Gen.const(""), Gen.const("-7"))
+    val rows = Gen.listOfN(200, Gen.zip(cell, cell, cell))
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val df = rows.toDF("pk", "points", "seen")
+    val (ok, dead) = Enforce.split(df, schema)
+    assert(ok.count() + dead.count() == df.count())
+    // every surviving row actually cast cleanly
+    assert(ok.filter(col("pk").isNull).count() == 0)
+  }
+
   test("group-level split dead-letters the whole group on any error") {
     val (ok, dead) = Enforce.splitByGroup(raw, schema, "pk")
     // group "2023-39" has one bad row -> both rows dead; null-pk group dead;

@@ -60,6 +60,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows(ts("2024-01-01 12:00:00")) == 1L)
   }
 
+  test("enforcement dead-letter split works unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.engine.Enforce
+    import graft.engine.Enforce.FieldSpec
+    val mem = MemoryStream[(String, String)]
+    val schema = Seq(FieldSpec("pk", "STRING", required = true),
+      FieldSpec("points", "INTEGER"))
+    val annotated = Enforce.withError(
+      mem.toDF().toDF("pk", "points"), schema)
+    val q = annotated.writeStream.format("memory").queryName("enforced_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(("a", "10"), ("b", "bad"), (null, "3"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enforced_stream")
+      .select("pk", "error").collect()
+      .map(r => Option(r.getString(0)) -> Option(r.getString(1))).toMap
+    assert(out(Some("a")) == None)
+    assert(out(Some("b")) == Some("cast_failure:points"))
+    assert(out(None) == Some("missing_required:pk"))
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
