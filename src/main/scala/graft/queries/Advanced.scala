@@ -184,7 +184,41 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q40 — session windows (30-min inactivity gap) per user: Spark's
+    * `session_window` (the same operator runs incrementally on a
+    * stream with a watermark); the DuckDB oracle derives identical
+    * sessions from first principles (lag + cumulative new-session
+    * flags) — an independent formulation agreeing with Spark's
+    * built-in. */
+  val q40SessionWindow: Q = Q(
+    "q40_session_window",
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |d AS (SELECT user_id, ts, value,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+      |SELECT user_id,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
-    q28AsofJoin, q29Pivot, q36ApproxSketches)
+    q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow)
 }

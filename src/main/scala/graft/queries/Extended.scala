@@ -21,11 +21,14 @@ object Extended {
     s"list_min(list_transform(h, x -> ($a*x + $b) % $P))"
   }.mkString("[", ", ", "]")
 
-  private val minhashCtes =
+  private val sigCtes =
     s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM toks),
        |hs AS (SELECT doc_id, list_transform(s, sg -> ${polyHashSql("sg")}) AS h FROM sh),
-       |sig AS (SELECT doc_id, $sigEntries AS sig FROM hs),
+       |sig AS (SELECT doc_id, $sigEntries AS sig FROM hs)""".stripMargin
+
+  private val minhashCtes =
+    s"""$sigCtes,
        |bb AS (SELECT doc_id, CAST(b AS BIGINT) AS band,
        |         (sig[2*b+1]*$BandMix + sig[2*b+2]) % $P AS bucket
        |       FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
@@ -281,9 +284,30 @@ object Extended {
       .orderBy(col("a"), col("b"))
   }
 
+  /** d48 — MinHash via the custom DeclarativeAggregate: shingle hashes
+    * arrive as exploded ROWS and the codegen'd aggregate keeps the k
+    * running minima (map-side partials; the shuffle carries k longs
+    * per doc). The oracle computes signatures through the array-fold
+    * formulation — two independent implementations, same values. */
+  val d48MinhashAgg: Q = Q(
+    "d48_minhash_agg",
+    s"""WITH $sigCtes
+       |SELECT doc_id, CAST(j AS BIGINT) AS hash_idx, sig[j+1] AS minhash
+       |FROM sig CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS j)
+       |ORDER BY doc_id, hash_idx""".stripMargin) { (s, dir) =>
+    val hashes = Dedup.shingleFrame(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("doc_id"), explode_outer(col("s")).as("sg"))
+      .select(col("doc_id"), graft.operators.TextHash.polyHashFast(col("sg")).as("h"))
+    hashes.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("h")).as("sig"))
+      .select(col("doc_id"), posexplode_outer(col("sig")))
+      .select(col("doc_id"), col("pos").cast("long").as("hash_idx"), col("col").as("minhash"))
+      .orderBy(col("doc_id"), col("hash_idx"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
-    d46SrpSketch, d47CharNgramDedup,
+    d46SrpSketch, d47CharNgramDedup, d48MinhashAgg,
     s50KnnBrute, s51KnnIvf,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint,
     m70MultimodalMeta, d45MinhashFast)

@@ -79,6 +79,16 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen,
+    * with state bounded by the watermark (a key older than the
+    * watermark can be forgotten — the streaming twin of
+    * `Dedup.exact`). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run a streaming frame to completion against a bounded source and
     * return the in-memory result table (local smoke harness: batch
     * parquet driving the incremental plan). */

@@ -82,6 +82,25 @@ class StreamingSpec extends SparkSpec {
     assert(out(None) == Some("missing_required:pk"))
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val deduped = StreamOps.dedupStream(mem.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      Event(1, ts("2024-01-01 10:00:01"), 1, "a", 1.0), // dup in same batch
+      Event(2, ts("2024-01-01 10:00:02"), 1, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts("2024-01-01 10:05:00"), 1, "a", 9.9)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
