@@ -95,11 +95,15 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Distinct character n-gram shingles of a string column. */
+  /** Distinct character n-gram shingles of a string column. (Guarded
+    * with `when`, not greatest(): see TextHash.shingles — sequence(1,0)
+    * is descending in Spark.) */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n))))
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct HASHED character n-gram shingles: sets of longs instead
     * of strings — set intersection over 8-byte values is ~an order of
@@ -107,9 +111,7 @@ object Dedup {
     * applies the same hash so results stay bit-identical
     * (Broder-style shingle fingerprints). */
   def charShingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => polyHashFast(text.substr(i, lit(n)))))
+    array_distinct(graft.functions.PolyHashShingles.polyHashShingles(text, n))
 
   /** Character-n-gram Jaccard near-dup pairs within `bucketCols`
     * blocking buckets (blocking bounds the pair count: O(Σ bucket²),

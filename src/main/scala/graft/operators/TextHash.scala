@@ -39,11 +39,19 @@ object TextHash {
   def tokensSql(c: String): String =
     s"list_filter(string_split(lower($c), ' '), x -> x <> '')"
 
-  /** Distinct word n-gram shingles over a token-array column. */
+  /** Distinct word n-gram shingles over a token-array column.
+    * The short-input guard must be a `when`, NOT
+    * `sequence(1, greatest(len-n+1, 0))`: Spark's sequence(1, 0) is
+    * the DESCENDING [1, 0], so the greatest() form fabricates two
+    * bogus windows for inputs shorter than the shingle width (DuckDB's
+    * range(1, 1) is empty — a latent oracle mismatch caught by
+    * property testing). */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
   /** Same over a token-array column named `t` (stage it in a CTE). */
   def shinglesSql(n: Int): String = {
     val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")

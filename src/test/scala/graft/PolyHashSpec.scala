@@ -40,6 +40,25 @@ class PolyHashSpec extends SparkSpec {
     assert(r(0).isNullAt(0) && r(1).getLong(0) == 'x'.toLong)
   }
 
+  test("rolling shingle hashes == per-window poly_hash on generated strings") {
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(30)),
+      Gen.asciiPrintableStr.map(_.take(30)),
+      Gen.const(""), Gen.const("ab"),
+      Gen.nonEmptyListOf(Gen.oneOf('x', ' ', 'é', '中')).map(_.mkString.take(20))))
+    val strings = gen.apply(Gen.Parameters.default, Seed(11L)).get
+    val df = strings.toDF("s")
+    val reference = when(length(col("s")) >= 4, transform(
+        sequence(lit(1), length(col("s")) - 3),
+        i => TextHash.polyHashFast(col("s").substr(i, lit(4)))))
+      .otherwise(array().cast("array<bigint>"))
+    val mismatches = df.select(
+        reference.as("ref"),
+        graft.functions.PolyHashShingles.polyHashShingles(col("s"), 4).as("rolled"))
+      .filter(col("ref") =!= col("rolled"))
+    assert(mismatches.count() == 0L, mismatches.take(1).mkString)
+  }
+
   test("poly_hash is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").as[Long].head()
