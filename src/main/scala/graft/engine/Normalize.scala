@@ -36,12 +36,31 @@ object Normalize {
 
   private def l(c: Column): Column = c.cast("long")
 
+  /** Corrupt or empty staged files infer a schema without the payload
+    * columns; pad the expected columns with typed nulls so the
+    * normalizer plan always resolves and the affected rows flow to the
+    * dead-letter path instead of failing analysis. */
+  private def pad(df: DataFrame, cols: (String, String)*): DataFrame =
+    cols.foldLeft(df) { case (d, (name, typ)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, lit(null).cast(typ))
+    }
+
   /** API-Football (ref `transforms.py:19-72`): flat string-typed
     * payloads; join standings⋈teams on team id within each pk group;
     * rank/points/played/W/D/L renames; GF/GA default 0 on missing
     * (P4); goal_difference computed (P5); season from the path pk
     * (P7). Both inputs must carry a `pk` column (from readStaged). */
-  def apiFootball(teams: DataFrame, standings: DataFrame): DataFrame = {
+  def apiFootball(teamsRaw: DataFrame, standingsRaw: DataFrame): DataFrame = {
+    val teams = pad(teamsRaw,
+      "team_key" -> "string", "team_country" -> "string",
+      "venue" -> "struct<venue_name:string,venue_city:string>")
+    val standings = pad(standingsRaw,
+      "team_id" -> "string", "team_name" -> "string", "league_id" -> "string",
+      "league_name" -> "string", "overall_league_position" -> "string",
+      "overall_league_PTS" -> "string", "overall_league_payed" -> "string",
+      "overall_league_W" -> "string", "overall_league_D" -> "string",
+      "overall_league_L" -> "string", "overall_league_GF" -> "string",
+      "overall_league_GA" -> "string", "overall_league_form" -> "string")
     val t = teams.select(
       col("pk").as("t_pk"), col("team_key"),
       col("team_country").as("t_country"),
@@ -81,7 +100,15 @@ object Normalize {
     * reference's implicit cross-join to the header, §2.5 J2) — here
     * the header fields ride along the exploded rows, no join needed.
     * Teams wrap rows in a `response` array. */
-  def apiSports(teamsRaw: DataFrame, standingsRaw: DataFrame): DataFrame = {
+  def apiSports(teamsRaw0: DataFrame, standingsRaw0: DataFrame): DataFrame = {
+    val teamsRaw = pad(teamsRaw0, "response" ->
+      "array<struct<team:struct<id:bigint,name:string,country:string>,venue:struct<name:string,city:string>>>")
+    val standingsRaw = pad(standingsRaw0, "response" ->
+      ("array<struct<league:struct<id:bigint,name:string,season:bigint," +
+        "standings:array<array<struct<rank:bigint,team:struct<id:bigint,name:string>," +
+        "points:bigint,goalsDiff:bigint,form:string," +
+        "all:struct<played:bigint,win:bigint,draw:bigint,lose:bigint," +
+        "goals:struct<`for`:bigint,against:bigint>>>>>>>>"))
     val t = teamsRaw
       .select(col("pk").as("t_pk"), explode(col("response")).as("r"))
       .select(
@@ -134,12 +161,78 @@ object Normalize {
 
   /** Full staged-dir pipeline for one API: route files by endpoint
     * path substring (S4, ref `transforms.py:163-166`), normalize,
-    * enforce the unified schema, split dead letters (group-level, ref
-    * E1). Returns (ok, dead). */
+    * enforce the unified schema, split dead letters at the
+    * (season, league) GROUP granularity exactly like the reference
+    * (ref `transforms.py:149-184`: any failure inside a group diverts
+    * the whole group):
+    *  - unparseable staged document → its group dead-letters
+    *    (`error=corrupt_input`, ref `transforms.py:167-169`);
+    *  - any enforcement failure → the row's whole group dead-letters;
+    *  - a group present in the inputs that produces NO unified rows
+    *    (empty payload / nothing joinable) → dead-letters
+    *    (`error=empty_or_unjoinable_group`, ref `transforms.py:26-27,
+    *    78-87` P10 presence checks).
+    *
+    * Returns (ok, dead): `dead` has one (pk, error) row per failed
+    * group, feedable to `Sinks.writeDeadLetter`. Scale: the group
+    * verdicts are distinct-sets of group keys (tiny), combined with
+    * semi/anti joins — no driver collection. */
   def pipeline(spark: SparkSession, root: String, apiName: String): (DataFrame, DataFrame) = {
-    val teams = readStaged(spark, s"$root/*/*/teams/*.json")
-    val standings = readStaged(spark, s"$root/*/*/standings/*.json")
+    import org.apache.spark.sql.DataFrame
+    // cache: multiple consumers each (normalize + expected-pk audit).
+    // `_corrupt_record` must be dropped BEFORE caching: materializing a
+    // cache selects every column, and for a fully-corrupt file that is
+    // only the corrupt-record column, which Spark refuses to query off
+    // a JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Whole-file
+    // corruption is detected by the text parse probe below instead.
+    def staged(glob: String): DataFrame = {
+      val df = readStaged(spark, glob)
+      (if (df.columns.contains("_corrupt_record")) df.drop("_corrupt_record") else df).cache()
+    }
+    val teams = staged(s"$root/*/*/teams/*.json")
+    val standings = staged(s"$root/*/*/standings/*.json")
+
+    // corrupt-document detection: whole-file text read + parse probe
+    // (get_json_object of the root returns null for unparseable docs).
+    // Spark disallows querying only `_corrupt_record` off a JSON scan,
+    // and a per-file verdict is what the reference's per-group read
+    // failure maps to anyway (ref transforms.py:158-169).
+    def corruptPks(glob: String): DataFrame =
+      spark.read.option("wholetext", "true").text(glob)
+        .select(Paths.extractPk(input_file_name()).as("pk"), col("value"))
+        .filter(get_json_object(col("value"), "$").isNull)
+        .select(col("pk")).distinct()
+    val corrupt = corruptPks(s"$root/*/*/teams/*.json")
+      .unionByName(corruptPks(s"$root/*/*/standings/*.json")).distinct()
+
+    // every group the staged inputs mention — the universe that must be
+    // accounted for between ok and dead
+    val expected = teams.select(col("pk")).unionByName(standings.select(col("pk"))).distinct()
+
     val unified = normalizer(apiName)(teams, standings)
-    Enforce.splitByGroup(unified, SchemaRegistry.v1.fields, "pk")
+      .withColumn("group_pk", concat_ws("-",
+        element_at(split(col("pk"), "-"), 1), element_at(split(col("pk"), "-"), 2)))
+    val (ok0, deadRows) = Enforce.splitByGroup(unified, SchemaRegistry.v1.fields, "group_pk")
+
+    val enforceDead = deadRows.select(col("group_pk").as("pk")).distinct()
+      .withColumn("error", lit("enforcement_failure"))
+    val corruptDead = corrupt.withColumn("error", lit("corrupt_input"))
+    val okGroups = ok0.select(concat_ws("-",
+      element_at(split(col("pk"), "-"), 1), element_at(split(col("pk"), "-"), 2)).as("pk"))
+      .distinct()
+    val vanished = expected
+      .join(okGroups, Seq("pk"), "left_anti")
+      .join(enforceDead.select("pk"), Seq("pk"), "left_anti")
+      .join(corruptDead.select("pk"), Seq("pk"), "left_anti")
+      .withColumn("error", lit("empty_or_unjoinable_group"))
+
+    val dead = corruptDead.unionByName(enforceDead).unionByName(vanished)
+    // rows of a corrupt group are not trustworthy either — remove them
+    val ok = ok0.join(
+      corrupt.select(col("pk").as("bad_group")),
+      concat_ws("-", element_at(split(col("pk"), "-"), 1),
+        element_at(split(col("pk"), "-"), 2)) === col("bad_group"),
+      "left_anti")
+    (ok, dead)
   }
 }

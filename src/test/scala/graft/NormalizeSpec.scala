@@ -116,6 +116,31 @@ class NormalizeSpec extends SparkSpec {
       SchemaRegistry.v1.structType.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("corrupt staged document dead-letters its whole group (S3/E1)") {
+    val root = Files.createTempDirectory("graft_corrupt")
+    write(root, "api/season_2023/league_1/teams/run_1.json",
+      """[{"team_key": "1", "team_name": "A", "team_country": "X",
+        |  "venue": {"venue_name": "V", "venue_city": "C"}}]""".stripMargin)
+    write(root, "api/season_2023/league_1/standings/run_1.json",
+      """{{{ this is not json""")
+    val (ok, dead) = Normalize.pipeline(spark, s"$root/api", "apifootball")
+    assert(ok.count() == 0)
+    val d = dead.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("2023-1") == "corrupt_input")
+  }
+
+  test("empty/unjoinable group dead-letters instead of vanishing (P10/E1)") {
+    val root = Files.createTempDirectory("graft_empty")
+    write(root, "api/season_2023/league_2/teams/run_1.json",
+      """[{"team_key": "1", "team_name": "A", "team_country": "X",
+        |  "venue": {"venue_name": "V", "venue_city": "C"}}]""".stripMargin)
+    write(root, "api/season_2023/league_2/standings/run_1.json", "[]")
+    val (ok, dead) = Normalize.pipeline(spark, s"$root/api", "apifootball")
+    assert(ok.count() == 0)
+    val d = dead.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("2023-2") == "empty_or_unjoinable_group")
+  }
+
   test("unknown api name fails fast (E3, ref transforms.py:129-132)") {
     intercept[IllegalArgumentException] { Normalize.normalizer("nope") }
   }
