@@ -34,7 +34,11 @@ object Normalize {
       .withColumn("src_path", input_file_name())
       .withColumn("pk", Paths.extractPk(input_file_name()))
 
-  private def l(c: Column): Column = c.cast("long")
+  // try_cast, not cast: Spark 4 defaults ANSI on, where a plain cast of
+  // a malformed numeric string throws and kills the stage — the
+  // reference diverts the group instead (dead-letter). try_cast nulls,
+  // and Enforce routes the null/required/cast checks to the dead side.
+  private def l(c: Column): Column = c.try_cast("long")
 
   /** Corrupt or empty staged files infer a schema without the payload
     * columns; pad the expected columns with typed nulls so the
@@ -83,8 +87,13 @@ object Normalize {
         l(col("overall_league_W")).as("wins"),
         l(col("overall_league_D")).as("draws"),
         l(col("overall_league_L")).as("losses"),
-        coalesce(l(col("overall_league_GF")), lit(0L)).as("goals_for"),
-        coalesce(l(col("overall_league_GA")), lit(0L)).as("goals_against"),
+        // ABSENT GF/GA defaults to 0 (ref .get(field, 0)), but a
+        // PRESENT-yet-non-numeric value must dead-letter the group
+        // (ref transforms.py:41-42 int() raises → ValueError path), so
+        // the raw string rides through to Enforce, whose try_cast flags
+        // 'abc' as cast_failure:goals_for instead of coercing it to 0.
+        coalesce(col("overall_league_GF").cast("string"), lit("0")).as("goals_for"),
+        coalesce(col("overall_league_GA").cast("string"), lit("0")).as("goals_against"),
         (coalesce(l(col("overall_league_GF")), lit(0L)) -
           coalesce(l(col("overall_league_GA")), lit(0L))).as("goal_difference"),
         col("overall_league_form").cast("string").as("form"),

@@ -43,13 +43,24 @@ object SchemaRegistry {
   private val VersionRe: Regex = """"version"\s*:\s*(\d+)""".r
 
   /** Parse a v1.json-shaped document. Unknown types raise (fail-fast,
-    * ref `helpers.py:89-90`). */
-  def parse(json: String): SchemaDoc = {
+    * ref `helpers.py:89-90`).
+    *
+    * Mode-default deviation, made explicit: the reference's VALIDATOR
+    * defaults a missing `mode` to REQUIRED (`helpers.py:43`) while its
+    * sink DDL defaults to NULLABLE (`helpers.py:112`); most v1.json
+    * fields omit mode, so the running reference dead-letters groups on
+    * null team_id/season/points while this engine (default
+    * `strict=false`, the sink/SCHEMA.md behavior) passes them through.
+    * `strict=true` mirrors the executing validator: every field
+    * without an explicit "NULLABLE" mode is validated as REQUIRED. */
+  def parse(json: String, strict: Boolean = false): SchemaDoc = {
     val version = VersionRe.findFirstMatchIn(json)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException("schema document has no version"))
     val fields = FieldRe.findAllMatchIn(json).map { m =>
-      val required = m.group(3).contains(""""REQUIRED"""")
+      val required =
+        if (strict) !m.group(3).contains(""""NULLABLE"""")
+        else m.group(3).contains(""""REQUIRED"""")
       FieldSpec(m.group(1), m.group(2), required)
     }.toSeq
     if (fields.isEmpty)

@@ -28,17 +28,24 @@ case class MinHashAgg(child: Expression, k: Int = 8)
     extends DeclarativeAggregate
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = false
   override def prettyName: String = "minhash_agg"
 
+  // Nullable minima initialized to null: a group with no non-null input
+  // (a doc shorter than the shingle width explode_outer'd to one null
+  // row) evaluates to [null, ...] — exactly what the array-fold form
+  // (array_min over an empty array) and the DuckDB oracle's
+  // list_min([]) produce. `Least` skips nulls, so the first non-null
+  // input replaces the null minimum and merging partial states is
+  // null-safe for free.
   private lazy val mins: Seq[AttributeReference] =
-    (0 until k).map(i => AttributeReference(s"min$i", LongType, nullable = false)())
+    (0 until k).map(i => AttributeReference(s"min$i", LongType, nullable = true)())
 
   override lazy val aggBufferAttributes: Seq[AttributeReference] = mins
 
   override lazy val initialValues: Seq[Expression] =
-    Seq.fill(k)(Literal(P, LongType))
+    Seq.fill(k)(Literal(null, LongType))
 
   override lazy val updateExpressions: Seq[Expression] =
     (0 until k).map { i =>

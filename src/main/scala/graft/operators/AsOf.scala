@@ -25,21 +25,36 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOf {
 
-  /** Join+window form: good when per-key right-row counts are modest. */
+  /** Join+window form: good when per-key right-row counts are modest.
+    *
+    * Determinism contract (both forms agree):
+    *  - every LEFT ROW emits exactly one output row — a per-row unique
+    *    id is the window partition key, so two fully identical left
+    *    rows both survive (a value-based partition key would collapse
+    *    them, deviating from left-join semantics);
+    *  - ties on rightTime within a key are broken by the greatest
+    *    `rightCols` tuple (lexicographic in the given order), so the
+    *    picked right row is a pure function of the data, not of the
+    *    shuffle schedule.
+    */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    // the id never reaches the output — it only keys the window, so
+    // its run-to-run instability is invisible
     val l = left.select(leftKey.as("asof_key") +: leftTime.as("asof_lt") +:
       leftCols.map(col): _*)
+      .withColumn("asof_lid", monotonically_increasing_id())
     val r = right.select(rightKey.as("asof_rkey") +: rightTime.as("asof_rt") +:
       rightCols.map(col): _*)
     val joined = l.join(r,
       col("asof_key") === col("asof_rkey") && col("asof_rt") <= col("asof_lt"),
       "left")
     val w = Window
-      .partitionBy(Seq(col("asof_key"), col("asof_lt")) ++ leftCols.map(col): _*)
-      .orderBy(col("asof_rt").desc_nulls_last)
+      .partitionBy(col("asof_lid"))
+      .orderBy(col("asof_rt").desc_nulls_last +:
+        rightCols.map(c => col(c).desc_nulls_last): _*)
     joined
       .withColumn("asof_rn", row_number().over(w))
       .filter(col("asof_rn") === 1)
@@ -60,9 +75,12 @@ object AsOf {
     val r = right.select(rightKey.as("asof_key") +: rightTime.as("asof_t") +:
       lit(0).as("asof_is_left") +:
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col)): _*)
-    // right rows sort before left rows at equal time => "<=" semantics
+    // right rows sort before left rows at equal time => "<=" semantics;
+    // rightCols ascending pins which right row is "last seen" among
+    // equal timestamps (greatest tuple — same tie rule as asofJoin)
     val w = Window.partitionBy(col("asof_key"))
-      .orderBy(col("asof_t"), col("asof_is_left"))
+      .orderBy(col("asof_t") +: col("asof_is_left") +:
+        rightCols.map(c => col(c).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(col("asof_key") +: col("asof_t") +: col("asof_is_left") +:

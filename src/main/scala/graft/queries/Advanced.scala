@@ -85,11 +85,15 @@ object Advanced {
 
   /** q26 — array aggregation: per-order sorted line-number array (the
     * collect_list/array_agg surface; sort_array pins the order so the
-    * result is deterministic under any shuffle schedule). */
+    * result is deterministic under any shuffle schedule). The array is
+    * serialized to a '-'-joined string for the gate: the external
+    * comparator sorts result rows with pandas, which cannot hash
+    * ndarray cells (round-1 q26 was the one unverifiable entry). Sort
+    * happens NUMERICALLY before stringification on both sides. */
   val q26ArrayAgg: Q = Q(
     "q26_array_agg",
     """SELECT l_orderkey,
-      |  list_sort(list(l_linenumber)) AS line_numbers,
+      |  array_to_string(list_sort(list(l_linenumber)), '-') AS line_numbers,
       |  CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines
       |FROM lineitem
       |WHERE l_orderkey % 100 = 0
@@ -99,7 +103,8 @@ object Advanced {
       .filter(col("l_orderkey") % 100 === 0)
       .groupBy(col("l_orderkey"))
       .agg(
-        sort_array(collect_list(col("l_linenumber"))).as("line_numbers"),
+        array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+          x => x.cast("string")), "-").as("line_numbers"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_orderkey"))
   }

@@ -52,6 +52,30 @@ class AsOfSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("duplicate left rows each emit a row; right-time ties break deterministically") {
+    // two FULLY identical left rows: left-join semantics emit both
+    // (round-1 defect: a value-keyed window collapsed them)
+    val dupLeft = Seq(
+      (5L, 7L, ts("2024-01-01 12:00:00")),
+      (5L, 7L, ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    // two right rows with the SAME key+timestamp: greatest value wins
+    val tieRight = Seq(
+      (7L, ts("2024-01-01 11:00:00"), 111.0),
+      (7L, ts("2024-01-01 11:00:00"), 222.0)
+    ).toDF("p_user", "p_ts", "value")
+    def vals(fn: => org.apache.spark.sql.DataFrame): Seq[Double] =
+      fn.select(col("value")).collect().map(_.getDouble(0)).toSeq
+    val a = vals(AsOf.asofJoin(dupLeft, tieRight,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    val b = vals(AsOf.asofJoinSorted(dupLeft, tieRight,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    assert(a == Seq(222.0, 222.0), s"join form: $a")
+    assert(b == Seq(222.0, 222.0), s"sorted form: $b")
+  }
+
   test("both forms agree on real data (events self as-of)") {
     val ev = graft.engine.Tables.events(spark, sfDir)
     val errors = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("ts"))

@@ -141,6 +141,38 @@ class NormalizeSpec extends SparkSpec {
     assert(d("2023-2") == "empty_or_unjoinable_group")
   }
 
+  test("present-but-non-numeric GF dead-letters the group; absent GF still defaults 0") {
+    // ref transforms.py:41-42: int(standing.get('overall_league_GF', 0))
+    // — ABSENT → 0, present 'abc' → ValueError → whole group diverted
+    val root = Files.createTempDirectory("graft_badgf")
+    write(root, "api/season_2023/league_5/teams/run_1.json",
+      """[{"team_key": "1", "team_name": "A", "team_country": "X",
+        |  "venue": {"venue_name": "V", "venue_city": "C"}}]""".stripMargin)
+    write(root, "api/season_2023/league_5/standings/run_1.json",
+      """[{"team_id": "1", "team_name": "A", "league_id": "5",
+        |  "league_name": "L", "overall_league_position": "1",
+        |  "overall_league_PTS": "10", "overall_league_payed": "4",
+        |  "overall_league_W": "3", "overall_league_D": "1", "overall_league_L": "0",
+        |  "overall_league_GF": "abc", "overall_league_GA": "2",
+        |  "overall_league_form": "WWWD"}]""".stripMargin)
+    val (ok, dead) = Normalize.pipeline(spark, s"$root/api", "apifootball")
+    assert(ok.count() == 0)
+    val d = dead.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("2023-5") == "enforcement_failure")
+  }
+
+  test("strict parse mirrors the reference validator's REQUIRED default (helpers.py:43)") {
+    val json =
+      """{"version": 1, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "team_id", "type": "STRING"},
+        |  {"name": "form", "type": "STRING", "mode": "NULLABLE"}]}""".stripMargin
+    val lax = SchemaRegistry.parse(json)
+    val strict = SchemaRegistry.parse(json, strict = true)
+    assert(lax.fields.map(_.required) == Seq(true, false, false))
+    assert(strict.fields.map(_.required) == Seq(true, true, false))
+  }
+
   test("unknown api name fails fast (E3, ref transforms.py:129-132)") {
     intercept[IllegalArgumentException] { Normalize.normalizer("nope") }
   }

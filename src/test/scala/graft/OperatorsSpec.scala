@@ -41,6 +41,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhash agg: short docs (no shingles) evaluate to null minima, matching the array-fold form") {
+    // a 2-token doc has no 3-shingles: explode_outer yields one null
+    // hash row; the aggregate must produce [null×8] exactly like
+    // array_min over an empty array (and DuckDB's list_min([]))
+    val shortDocs = Seq((1L, "too short"), (2L, "long enough text to have shingles here"))
+      .toDF("doc_id", "text")
+    val hashes = Dedup.shingleFrame(shortDocs, col("doc_id"), col("text"))
+      .select(col("doc_id"), explode_outer(col("s")).as("sg"))
+      .select(col("doc_id"), TextHash.polyHashFast(col("sg")).as("h"))
+    val agg = hashes.groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashAgg(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(agg(1L).forall(_ == null), s"short doc signature: ${agg(1L)}")
+    assert(agg(2L).forall(_ != null))
+    // array-fold form agrees element-for-element (incl. the nulls)
+    val fold = Dedup.minhashSignatures(shortDocs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(agg == fold)
+  }
+
   test("simhash: exact dups equal; near-dups within small hamming distance") {
     val sh = Dedup.simhash32(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
