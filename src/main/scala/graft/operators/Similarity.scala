@@ -25,11 +25,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<float> columns, in
-    * double. zip_with + a left fold keeps the summation order pinned
-    * (float sums are order-sensitive; an unpinned sum would not be
-    * oracle-comparable). */
+  /** Sequential-fold dot product of two array<float|double> columns,
+    * in double — the summation order is pinned left-to-right (float
+    * sums are order-sensitive; an unpinned sum would not be
+    * oracle-comparable). Runs as the codegen'd native kernel; `dotHof`
+    * is the reference HOF formulation it is property-tested against. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotNative(a, b)
+
+  /** Reference HOF form of `dot` (interpreted; kept for cross-checking
+    * the native kernel — identical values by construction). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d),

@@ -59,6 +59,32 @@ class PolyHashSpec extends SparkSpec {
     assert(mismatches.count() == 0L, mismatches.take(1).mkString)
   }
 
+  test("native dot product == HOF fold bit-for-bit on real embeddings + null/length edges") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir).limit(200)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+      .filter(col("a_id") % 7 === 0 && col("b_id") % 11 === 0)
+    val mism = pairs.select(
+        graft.operators.Similarity.dot(col("ea"), col("eb")).as("native"),
+        graft.operators.Similarity.dotHof(col("ea"), col("eb")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+    assert(mism.count() == 0L, mism.take(1).mkString)
+    // null semantics: null array, null element, unequal lengths → null
+    val edges = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),   // 11.0
+      (None, Some(Seq(1.0f))),                          // null array
+      (Some(Seq(1.0f)), Some(Seq(1.0f, 2.0f))),         // length mismatch
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float]))  // empty → 0.0
+    ).toDF("a", "b")
+    val out = edges.select(
+      graft.operators.Similarity.dot(col("a"), col("b")).as("native"),
+      graft.operators.Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    assert(out(0).getDouble(0) == 11.0 && out(0).getDouble(1) == 11.0)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
+    assert(out(3).getDouble(0) == 0.0 && out(3).getDouble(1) == 0.0)
+  }
+
   test("poly_hash is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("SELECT poly_hash('abc') AS h").as[Long].head()
