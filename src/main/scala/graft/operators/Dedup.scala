@@ -32,19 +32,29 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  // MinHash signatures are staged: tokens → shingles → shingle hashes →
-  // k affine minima, every intermediate array materialized as its own
-  // projection column (an attribute), never re-inlined into consumers —
-  // higher-order functions are interpreted (no codegen CSE), so an
-  // unstaged one-expression version re-tokenizes per shingle access and
-  // re-shingles per hash function: O(k·len²) per doc instead of O(len).
-  // Measured 20×+ on the bench.
+  // Two formulations of the MinHash signature chain, identical values:
+  //  - NATIVE (the hot path): TokenShingleHashes fuses tokens →
+  //    shingles → poly_hash into one codegen'd string walk, MinHashSig
+  //    folds the k affine minima in one array pass;
+  //  - HOF (the cross-check): every intermediate array staged as its
+  //    own projection column — HOFs are interpreted (no codegen CSE),
+  //    so even staged it is ~10× the native kernel, and an UNstaged
+  //    one-expression version is O(k·len²) per doc (measured 20×+
+  //    worse again). Property tests pin native == HOF == oracle.
 
   /** (doc_id, s): the distinct shingle set per document — the shared
-    * upstream of signatures and Jaccard verification. */
+    * upstream of signatures and Jaccard verification (string form;
+    * hashed-set pipelines use `shingleHashFrame`). */
   def shingleFrame(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
     df.select(id.as("doc_id"), tokens(text).as("t"))
       .select(col("doc_id"), shingles(col("t"), n).as("s"))
+
+  /** (doc_id, h): ALL word-n-gram window hashes per document — native
+    * one-pass kernel; apply array_distinct for set semantics (min-based
+    * signatures don't need it). */
+  def shingleHashFrame(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.functions.TokenShingleHashes.tokenShingleHashes(text, n).as("h"))
 
   private def signatureFromShingles(sh: DataFrame, k: Int,
       hashShingle: Column => Column): DataFrame =
@@ -59,14 +69,29 @@ object Dedup {
 
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 8): DataFrame =
+    shingleHashFrame(df, id, text, n)
+      .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(col("h"), k).as("sig"))
+
+  /** Staged-HOF reference formulation of `minhashSignatures` —
+    * identical values (property-tested); kept as the independent
+    * implementation the native kernels are checked against. */
+  def minhashSignaturesHof(df: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 8): DataFrame =
     stagedSignature(df, id, text, n, k, s => polyHashFast(s))
 
-  /** Production-kernel variant: same operator, Spark's codegen'd
-    * xxhash64 as the shingle hash — not oracle-checkable (DuckDB has
-    * no xxhash64); this is what you'd run at 100 TB. */
+  /** Production-kernel variant: same operator, Spark's xxhash64 as the
+    * shingle hash — not oracle-checkable (DuckDB has no xxhash64);
+    * demonstrates the pluggable-hash path you'd run at 100 TB. Shingle
+    * strings come from the native WordShingles kernel; only the
+    * per-shingle hash swap stays a HOF. */
   def minhashSignaturesFast(df: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 8): DataFrame =
-    stagedSignature(df, id, text, n, k, s => pmod(xxhash64(s), lit(P)))
+    df.select(id.as("doc_id"),
+        graft.functions.WordShingles.wordShingles(text, n).as("s"))
+      .select(col("doc_id"),
+        transform(col("s"), s => pmod(xxhash64(s), lit(P))).as("h"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("h"), k).as("sig"))
 
   /** LSH band buckets: signature split into `bands` bands of
     * k/bands rows each; each band folds to one bucket id. Output:
@@ -116,7 +141,8 @@ object Dedup {
   /** Character-n-gram Jaccard near-dup pairs within `bucketCols`
     * blocking buckets (blocking bounds the pair count: O(Σ bucket²),
     * never O(n²); at scale bucket = shard key). Jaccard is computed
-    * over hashed shingle sets (see charShingleHashes). */
+    * over hashed shingle sets (see charShingleHashes), stored SORTED
+    * so per-pair intersection is a native merge scan. */
   def charNgramNearDups(docs: DataFrame, id: Column, text: Column,
       bucketCols: Seq[String], n: Int = 4, threshold: Double = 0.8): DataFrame = {
     // Phase 1 — candidate pairs over a LIGHT (bucket, id, set-size)
@@ -126,7 +152,8 @@ object Dedup {
     // Phase 2 — only surviving pairs join the (persisted) hashed
     // shingle sets back and pay the intersection.
     val sh = docs.select(bucketCols.map(col) :+ id.as("doc_id") :+ text.as("txt"): _*)
-      .select(bucketCols.map(col) :+ col("doc_id") :+ charShingleHashes(col("txt"), n).as("s"): _*)
+      .select(bucketCols.map(col) :+ col("doc_id") :+
+        array_sort(charShingleHashes(col("txt"), n)).as("s"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val light = sh.select(bucketCols.map(col) :+ col("doc_id") :+ size(col("s")).as("ns"): _*)
     val a = light.select(bucketCols.map(col) :+ col("doc_id").as("a") :+ col("ns").as("na"): _*)
@@ -136,7 +163,7 @@ object Dedup {
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("nb")))
       .select(col("a"), col("b"))
-    verifyJaccardOnShingles(sh.select(col("doc_id"), col("s")), candidates, threshold)
+    verifyJaccardOnSortedHashes(sh.select(col("doc_id"), col("s")), candidates, threshold)
   }
 
   /** Candidate pairs from LSH buckets: distinct (a < b) ids sharing a
@@ -169,13 +196,29 @@ object Dedup {
     *    pair instead of intersect + union (halves the dominant cost).
     */
   def verifyJaccardOnShingles(sh: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    verifyJaccardWith(sh, candidates, threshold,
+      (x, y) => size(array_intersect(x, y)).cast("long"))
+
+  /** Same contract over SORTED DISTINCT hashed shingle sets: the
+    * per-pair intersection is the allocation-free native merge scan
+    * (SortedIntersectCount) instead of ArrayIntersect's per-pair hash
+    * set — the difference between O(pairs·set) with and without a
+    * per-pair allocation+hashing constant. Inputs MUST be
+    * array_sort(array_distinct(...))-shaped. */
+  def verifyJaccardOnSortedHashes(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
+    verifyJaccardWith(sh, candidates, threshold,
+      graft.functions.SortedIntersectCount.sortedIntersectCount)
+
+  private def verifyJaccardWith(sh: DataFrame, candidates: DataFrame,
+      threshold: Double, intersectCount: (Column, Column) => Column): DataFrame = {
     val sa = sh.select(col("doc_id").as("a"), col("s").as("sa"), size(col("s")).as("na"))
     val sb = sh.select(col("doc_id").as("b"), col("s").as("sb"), size(col("s")).as("nb"))
     candidates.join(sa, "a").join(sb, "b")
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("nb")))
-      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("ni", intersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
@@ -183,26 +226,26 @@ object Dedup {
   }
 
   /** End-to-end MinHash near-dup detection: LSH candidates → exact
-    * Jaccard filter. The shingle frame is computed ONCE and persisted
-    * — it feeds the signature chain (both sides of the bucket
-    * self-join) and the verification join; without the persist each
-    * consumer re-tokenizes the corpus. At warehouse scale the same
-    * role is played by checkpointing signatures to parquet between
-    * stages. */
+    * Jaccard filter, everything over HASHED shingle sets (8-byte
+    * values, not UTF8 strings — Broder-style shingle fingerprints; the
+    * oracle applies the same hash so results stay bit-identical). The
+    * sorted-distinct hash frame is computed ONCE and persisted — it
+    * feeds the signature chain and the verification join; without the
+    * persist each consumer re-hashes the corpus. At warehouse scale
+    * the same role is played by checkpointing signatures to parquet
+    * between stages. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
-    // repartition BEFORE the per-char HOF chain: a compact parquet scan
+    // repartition BEFORE the per-char kernel: a compact parquet scan
     // arrives in few partitions and would otherwise pin the hash
-    // computation to those few cores. Persist the SIGNATURE frame (8
-    // longs/doc), not the shingle arrays — both sides of the bucket
-    // self-join read it, and caching the bulky string arrays costs
-    // more in serialization than recomputing them once for the
-    // verification join.
-    val sh = shingleFrame(docs.repartition(id), id, text, n)
-    val sig = signatureFromShingles(sh, k, s => polyHashFast(s))
+    // computation to those few cores
+    val sh = shingleHashFrame(docs.repartition(id), id, text, n)
+      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
     val buckets = bucketsFromSignatures(sig, k, bands)
-    verifyJaccardOnShingles(sh, candidatePairs(buckets), threshold)
+    verifyJaccardOnSortedHashes(sh, candidatePairs(buckets), threshold)
   }
 
   /** 32-bit SimHash: bit b of the fingerprint is the sign of

@@ -66,17 +66,20 @@ object Extended {
   }
 
   /** d42 — near-duplicate pairs: LSH candidates verified by exact
-    * 3-gram Jaccard ≥ 0.8. Cost is O(candidates), never O(n²). */
+    * 3-gram Jaccard ≥ 0.8 over HASHED shingle sets (both engines
+    * intersect the same distinct-hash sets, so collision behavior is
+    * identical by construction). Cost is O(candidates), never O(n²). */
   val d42NearDupPairs: Q = Q(
     "d42_neardup_pairs",
     s"""WITH $minhashCtes,
+       |hd AS (SELECT doc_id, list_distinct(h) AS s FROM hs),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
        |SELECT a, b,
-       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-       |FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+       |FROM cand JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     Dedup.nearDuplicates(Tables.documents(s, dir), col("doc_id"), col("text"), threshold = 0.8)
       .orderBy(col("a"), col("b"))
@@ -295,9 +298,11 @@ object Extended {
        |SELECT doc_id, CAST(j AS BIGINT) AS hash_idx, sig[j+1] AS minhash
        |FROM sig CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS j)
        |ORDER BY doc_id, hash_idx""".stripMargin) { (s, dir) =>
-    val hashes = Dedup.shingleFrame(Tables.documents(s, dir), col("doc_id"), col("text"))
-      .select(col("doc_id"), explode_outer(col("s")).as("sg"))
-      .select(col("doc_id"), graft.operators.TextHash.polyHashFast(col("sg")).as("h"))
+    // explode_outer keeps docs shorter than the shingle width as one
+    // null-hash row, so their aggregate evaluates to null minima
+    // (matching the oracle's list_min([]) = NULL)
+    val hashes = Dedup.shingleHashFrame(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("doc_id"), explode_outer(col("h")).as("h"))
     hashes.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhashAgg(col("h")).as("sig"))
       .select(col("doc_id"), posexplode_outer(col("sig")))

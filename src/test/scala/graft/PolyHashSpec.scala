@@ -59,6 +59,59 @@ class PolyHashSpec extends SparkSpec {
     assert(mismatches.count() == 0L, mismatches.take(1).mkString)
   }
 
+  test("fused token-shingle hashes == staged HOF chain on generated + real text") {
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(60)),
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.const(""), Gen.const("one two"), Gen.const("  padded   spaces  "),
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'B', ' ', ' ', 'é', '中')).map(_.mkString.take(40))))
+    val strings = gen.apply(Gen.Parameters.default, Seed(7L)).get
+    val df = strings.toDF("text") // generated strings
+      .unionByName(graft.engine.Tables.documents(spark, sfDir)
+        .select(col("text")).limit(100)) // real corpus text
+    // staged HOF reference: tokens -> 3-shingles (NON-distinct to match
+    // the all-windows kernel) -> poly_hash per shingle
+    val toks = TextHash.tokens(col("text"))
+    val hofShingles = when(size(toks) >= 3, transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val mism = df.select(
+        transform(hofShingles, s => TextHash.polyHashFast(s)).as("hof"),
+        graft.functions.TokenShingleHashes.tokenShingleHashes(col("text"), 3).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(mism.count() == 0L, mism.take(1).mkString)
+  }
+
+  test("native minhash signature == array-fold form (incl. empty -> nulls)") {
+    val docs = graft.engine.Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((900001L, "too short"), (900002L, "")).toDF("doc_id", "text"))
+    val native = graft.operators.Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
+    val hof = graft.operators.Dedup.minhashSignaturesHof(docs, col("doc_id"), col("text"))
+    val joined = native.withColumnRenamed("sig", "sn")
+      .join(hof.withColumnRenamed("sig", "sh"), "doc_id")
+    assert(joined.filter(not(col("sn") <=> col("sh"))).count() == 0L)
+    val shortSig = native.filter(col("doc_id") === 900001L)
+      .select(col("sig")).head().getSeq[Any](0)
+    assert(shortSig.length == 8 && shortSig.forall(_ == null))
+  }
+
+  test("sorted intersect count == size(array_intersect) on sorted distinct sets") {
+    val docs = graft.engine.Tables.documents(spark, sfDir).limit(120)
+    val sh = docs.select(col("doc_id"),
+      array_sort(array_distinct(
+        graft.functions.TokenShingleHashes.tokenShingleHashes(col("text"), 3))).as("s"))
+    val pairs = sh.select(col("doc_id").as("a"), col("s").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("s").as("sb")))
+      .filter(col("a") % 5 === 0 && col("b") % 7 === 0)
+    val mism = pairs.select(
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("builtin"),
+        graft.functions.SortedIntersectCount.sortedIntersectCount(col("sa"), col("sb")).as("native"))
+      .filter(col("builtin") =!= col("native"))
+    assert(mism.count() == 0L, mism.take(1).mkString)
+  }
+
   test("native dot product == HOF fold bit-for-bit on real embeddings + null/length edges") {
     val emb = graft.engine.Tables.embeddings(spark, sfDir).limit(200)
     val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
