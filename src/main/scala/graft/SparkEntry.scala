@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Scalars.all ++
       graft.queries.Football.all ++
       graft.queries.Extended.all ++
-      graft.queries.Advanced.all
+      graft.queries.Advanced.all ++
+      graft.queries.Scale.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

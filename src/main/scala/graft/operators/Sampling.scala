@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextHash.polyHashFast
+
+/** Deterministic sampling operators. `df.sample()` is seeded per
+  * partition-split and NOT reproducible across partitionings — useless
+  * for an oracle-checked engine and dangerous at 100 TB where a
+  * re-run must select the same rows. Both operators here are pure
+  * functions of row VALUES.
+  */
+object Sampling {
+
+  /** Hash-Bernoulli sample: keep rows whose portable hash of `key`
+    * lands below `pct` of the hash space. Deterministic, stable under
+    * repartitioning/re-runs, and independently computable by any
+    * engine with the same hash (the DuckDB oracle uses the emitted
+    * twin formula). Sampling unit = the key, so all rows of one key
+    * stay in or out together (choose the row id as key for row-level
+    * sampling). */
+  def hashBernoulli(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(pmod(polyHashFast(key.cast("string")), lit(100)) < pct)
+
+  /** Systematic (every k-th) sample per stratum under a total order —
+    * the classic stratified design: deterministic, and each stratum is
+    * represented proportionally. One shuffle on the stratum key. */
+  def systematic(df: DataFrame, strata: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(strata: _*).orderBy(order: _*)
+    df.withColumn("graft_rn", row_number().over(w))
+      .filter((col("graft_rn") - 1) % k === 0)
+      .drop("graft_rn")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine.{Q, Tables}
+import graft.operators.{BloomPrune, Interval, Sampling}
+import graft.operators.TextHash.polyHashSql
+
+/** Scale-technique operators as oracle-checked queries: bucketized
+  * interval join, bloom-pruned join, deterministic sampling. Each
+  * exists because the naive formulation stops working at 100 TB (per-
+  * key cross products, full-fact shuffles, partition-seeded sampling);
+  * the oracle proves the scalable formulation computes the SAME
+  * answer as the naive SQL.
+  */
+object Scale {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** q41 — interval (range) join: purchases within the 30 minutes
+    * before each error, per user. The DuckDB oracle is the naive
+    * BETWEEN join; the engine runs the time-bucketized form whose
+    * shuffle key is (user, bucket) — no per-key cross product. */
+  val q41IntervalJoin: Q = Q(
+    "q41_interval_join",
+    """SELECT l.user_id, l.event_id AS error_id, r.event_id AS purchase_id,
+      |  epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP)) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'error') l
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id
+      | AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+      |ORDER BY error_id, purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    Interval.joinLookback(errors, purchases,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+        leftCols = Seq("error_id"), rightCols = Seq("purchase_id"), w = 1800L)
+      .select(col("iv_key").as("user_id"), col("error_id"),
+        col("purchase_id"), col("lag_us"))
+      .orderBy(col("error_id"), col("purchase_id"))
+  }
+
+  /** q42 — deterministic hash-Bernoulli sample (~10% of line items by
+    * portable hash of the composite row key), aggregated. Stable under
+    * repartitioning and re-runs — `df.sample()` is neither — and the
+    * oracle draws the SAME sample from the same hash formula. */
+  val q42HashSample: Q = Q(
+    "q42_hash_sample",
+    s"""SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM lineitem
+       |WHERE ${polyHashSql("l_orderkey || '-' || l_linenumber")} % 100 < 10
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val sampled = Sampling.hashBernoulli(Tables.lineitem(s, dir),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")), 10)
+    sampled.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q43 — bloom-pruned join: lineitem probe side pre-filtered by a
+    * bloom sketch of the selective orders build side before the
+    * shuffle. The oracle is the plain join — bloom false positives
+    * must not change the answer, only the work. */
+  val q43BloomJoin: Q = Q(
+    "q43_bloom_join",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val hot = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("dim_key"))
+    BloomPrune.prunedJoin(Tables.lineitem(s, dir), hot,
+        col("l_orderkey"), col("dim_key"), expectedDimKeys = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q44 — systematic (every-100th) sample per return-flag stratum
+    * under a total order: proportional stratified representation,
+    * fully deterministic. */
+  val q44SystematicSample: Q = Q(
+    "q44_systematic_sample",
+    """WITH rn AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_orderkey, l_linenumber) AS r
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_returnflag
+      |FROM rn WHERE (r - 1) % 100 = 0
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Sampling.systematic(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+        strata = Seq(col("l_returnflag")),
+        order = Seq(col("l_orderkey"), col("l_linenumber")),
+        k = 100)
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin, q44SystematicSample)
+}

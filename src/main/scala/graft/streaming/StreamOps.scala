@@ -79,6 +79,71 @@ object StreamOps {
       }
   }
 
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Event-time sessionization with a custom state machine —
+    * flatMapGroupsWithState + EventTimeTimeout, the fully-controlled
+    * sibling of the built-in `session_window` aggregate (q40's batch
+    * twin; same boundary rule: an event at `last + gap` starts a NEW
+    * session, `session_end = last + gap`).
+    *
+    * A session is emitted when the watermark passes its close (the
+    * state times out) — exactly-once per session in append mode, which
+    * is what a downstream training-data pipeline wants (no partial
+    * session ever lands twice). State per key = ONE open session
+    * (start, last, n, Σvalue); the shuffle is one exchange on user_id
+    * and the state store holds O(active users), RocksDB-backed in
+    * production.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMinutes: Int = 30, watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    def emit(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last + gapMs), s.n, s.total)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s))
+          } else {
+            // events within one micro-batch arrive unordered
+            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[SessionState]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t < s.last + gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires when the watermark passes session close;
+              // clamp above the current watermark (required by Spark)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map(emit(userId, _))
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen,
     * with state bounded by the watermark (a key older than the
     * watermark can be forgotten — the streaming twin of

@@ -101,6 +101,40 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L))
   }
 
+  test("event-time sessionization matches the batch session_window on flushed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = StreamOps.sessionize(spark, mem.toDS(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    val evs = Seq(
+      // user 1: two sessions (gap 09:00->11:00), user 2: one session
+      Event(1, ts("2024-01-01 09:00:00"), 1, "a", 1.0),
+      Event(2, ts("2024-01-01 09:10:00"), 1, "a", 2.0),
+      Event(3, ts("2024-01-01 11:00:00"), 1, "a", 3.0),
+      Event(4, ts("2024-01-01 09:05:00"), 2, "b", 4.0))
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    // push the watermark far past every session close so all flush
+    mem.addData(Event(99, ts("2024-01-02 00:00:00"), 99, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(100, ts("2024-01-03 00:00:00"), 99, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions")
+      .filter(col("user_id") =!= 99)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    // batch twin over the same events
+    val batch = evs.toDS()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"), col("session_window.start"), col("session_window.end"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
