@@ -24,6 +24,43 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("interval join never plans a cartesian/broadcast-nested-loop product") {
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined = graft.operators.Interval.joinLookback(errors, purchases,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("error_id"), Seq("purchase_id"), w = 1800L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must stay an equi-join on (key, bucket):\n$plan")
+    // the naive BETWEEN formulation, by contrast, has no equi-keys
+    val naive = errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES") && col("p_ts") <= col("ts"))
+    assert(naive.count() == joined.count())
+  }
+
+  test("bloom prune filters fact rows before the shuffle, result exact") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    val hot = graft.engine.Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("dim_key"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pruned = graft.operators.BloomPrune.prunedJoin(
+        li, hot, col("l_orderkey"), col("dim_key"), expectedDimKeys = 100000L)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_might_contain"),
+        s"expected the bloom pre-filter in the plan:\n$plan")
+      val exact = li.join(hot, col("l_orderkey") === col("dim_key")).count()
+      assert(pruned.count() == exact)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

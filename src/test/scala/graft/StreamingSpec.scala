@@ -135,6 +135,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("end-to-end normalize runs per micro-batch of staged roots (foreachBatch)") {
+    // the reference's trigger model: each ingestion run hands the
+    // pipeline a fresh batch of staged files (pipeline.py:14,37); the
+    // streaming twin consumes staged ROOTS as an unbounded source and
+    // runs the identical batch normalize+enforce per micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_norm")
+    def write(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    write("api/season_2023/league_8/teams/run_1.json",
+      """[{"team_key": "1", "team_name": "A", "team_country": "X",
+        |  "venue": {"venue_name": "V", "venue_city": "C"}}]""".stripMargin)
+    write("api/season_2023/league_8/standings/run_1.json",
+      """[{"team_id": "1", "team_name": "A", "league_id": "8",
+        |  "league_name": "L", "overall_league_position": "1",
+        |  "overall_league_PTS": "10", "overall_league_payed": "4",
+        |  "overall_league_W": "3", "overall_league_D": "1", "overall_league_L": "0",
+        |  "overall_league_GF": "9", "overall_league_GA": "2",
+        |  "overall_league_form": "WWWD"}]""".stripMargin)
+    val okRows = new java.util.concurrent.atomic.AtomicLong(-1)
+    val mem = MemoryStream[String]
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        batch.collect().foreach { stagedRoot =>
+          val (ok, dead) = graft.engine.Normalize.pipeline(spark, stagedRoot, "apifootball")
+          okRows.set(ok.count())
+          assert(dead.count() == 0)
+        }
+      }
+      .start()
+    mem.addData(s"$root/api")
+    q.processAllAvailable()
+    q.stop()
+    assert(okRows.get() == 1L)
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
