@@ -17,8 +17,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "poly_hash" -> (exprs => PolyHash(exprs.head)))
+    "poly_hash" -> (exprs => PolyHash(exprs.head)),
+    "poly_hash_shingles" -> (exprs =>
+      PolyHashShingles(exprs.head, intArg(exprs(1), "shingle width"))),
+    "token_shingle_hashes" -> (exprs =>
+      TokenShingleHashes(exprs.head, intArg(exprs(1), "shingle width"))),
+    "word_shingles" -> (exprs =>
+      WordShingles(exprs.head, intArg(exprs(1), "shingle width"))),
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head)),
+    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
+    "sorted_intersect_count" -> (exprs =>
+      SortedIntersectCount(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -144,6 +144,20 @@ class PolyHashSpec extends SparkSpec {
     assert(r == 97L * 961 + 98 * 31 + 99)
   }
 
+  test("full custom-expression surface is SQL-callable") {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  size(token_shingle_hashes('a b c d', 3)) AS n_sh,
+        |  size(word_shingles('a b c d', 3)) AS n_ws,
+        |  size(minhash_sig(token_shingle_hashes('a b c d', 3))) AS n_sig,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
+        |  size(poly_hash_shingles('abcd', 2)) AS n_cs""".stripMargin).head()
+    assert(row.getInt(0) == 2 && row.getInt(1) == 2 && row.getInt(2) == 8)
+    assert(row.getDouble(3) == 11.0 && row.getLong(4) == 2L && row.getInt(5) == 3)
+  }
+
   test("whole-stage codegen path produces the same values as interpreted eval") {
     val df = graft.engine.Tables.documents(spark, sfDir)
     val viaExpr = df.select(sum(TextHash.polyHashFast(col("text")))).as[Long].head()
