@@ -42,13 +42,17 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  private[functions] def install(e: SparkSessionExtensions): Unit =
+  private[functions] def install(e: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[PolyHash].getName, name),
         builder))
     }
+    // whole-operator extension: lower graft's AsOfJoinPlan logical
+    // node to ordinary relational operators during resolution
+    e.injectResolutionRule(_ => graft.plans.AsOfJoinRewrite)
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -76,6 +76,32 @@ class AsOfSpec extends SparkSpec {
     assert(b == Seq(222.0, 222.0), s"sorted form: $b")
   }
 
+  test("logical-plan operator form (Catalyst node + rewrite rule) agrees with the composed form") {
+    val out = AsOf.asofJoin(left, right,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value"))
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val viaPlan = graft.plans.AsOfJoinPlan.asofJoin(left, right,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"))
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(viaPlan == expected)
+    assert(viaPlan == out)
+    // the node also resolves through a session built with the
+    // extensions installer (the shared-cluster deployment path)
+    val raw = graft.plans.AsOfJoinPlan(
+      org.apache.spark.sql.GraftExpressionBridge.logicalPlan(left),
+      org.apache.spark.sql.GraftExpressionBridge.logicalPlan(right),
+      org.apache.spark.sql.GraftExpressionBridge.expressionEager(left("user_id")),
+      org.apache.spark.sql.GraftExpressionBridge.expressionEager(right("p_user")),
+      org.apache.spark.sql.GraftExpressionBridge.expressionEager(left("ts")),
+      org.apache.spark.sql.GraftExpressionBridge.expressionEager(right("p_ts")))
+    val lowered = graft.plans.AsOfJoinRewrite(raw)
+    assert(!lowered.exists(_.isInstanceOf[graft.plans.AsOfJoinPlan]),
+      "rewrite must eliminate the custom node")
+  }
+
   test("both forms agree on real data (events self as-of)") {
     val ev = graft.engine.Tables.events(spark, sfDir)
     val errors = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("ts"))
