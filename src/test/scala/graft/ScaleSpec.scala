@@ -61,6 +61,33 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("AQE splits a skewed join partition at runtime (the automatic sibling of salting)") {
+    import spark.implicits._
+    // one hot key carrying ~all rows + a long tail
+    val hot = (1 to 200000).map(i => (7L, i.toLong)) ++ (1 to 200).map(i => (i.toLong + 100, i.toLong))
+    val big = hot.toDF("k", "v").repartition(8)
+    val small = (1 to 300).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    val saved = Map(
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ so skew handling engages
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val joined = big.join(small, "k")
+      // collect() executes THIS QueryExecution, so the adaptive plan
+      // below is the final (re-optimized) one — count() would execute
+      // a separate plan and leave this one unfinalized
+      assert(joined.collect().length == 200000 + 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

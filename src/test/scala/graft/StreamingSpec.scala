@@ -135,6 +135,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("sessionization runs unchanged on the RocksDB state store (production path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = StreamOps.sessionize(spark, mem.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode(OutputMode.Append()).start()
+      mem.addData(
+        Event(1, ts("2024-01-01 09:00:00"), 1, "a", 1.0),
+        Event(2, ts("2024-01-01 09:10:00"), 1, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts("2024-01-02 00:00:00"), 99, "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts("2024-01-03 00:00:00"), 99, "x", 0.0))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("rocks_sessions").filter(col("user_id") === 1)
+        .select("n_events", "total_value").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((2L, 3.0)), s"rocksdb sessions: $got")
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("end-to-end normalize runs per micro-batch of staged roots (foreachBatch)") {
     // the reference's trigger model: each ingestion run hands the
     // pipeline a fresh batch of staged files (pipeline.py:14,37); the
