@@ -35,13 +35,15 @@ object Interval {
     // left probes its own bucket and the previous one (a right row at
     // most w seconds earlier lives in floor(lt/w) or floor(lt/w)-1);
     // a right row has exactly one bucket, so no pair is emitted twice
+    // integer `div`, not floor(double /): epoch-micros near 2^53 would
+    // round in double division and misassign boundary buckets
     val l = left.select(leftKey.as("iv_key") +: unix_micros(leftTime).as("iv_lt") +:
         leftCols.map(col): _*)
       .withColumn("iv_bucket",
-        explode(array(floor(col("iv_lt") / wUs), floor(col("iv_lt") / wUs) - 1)))
+        explode(array(expr(s"iv_lt div $wUs"), expr(s"iv_lt div $wUs") - 1)))
     val r = right.select(rightKey.as("iv_rkey") +: unix_micros(rightTime).as("iv_rt") +:
         rightCols.map(col): _*)
-      .withColumn("iv_bucket", floor(col("iv_rt") / wUs))
+      .withColumn("iv_bucket", expr(s"iv_rt div $wUs"))
     l.join(r,
         col("iv_key") === col("iv_rkey") && l("iv_bucket") === r("iv_bucket") &&
           col("iv_rt") >= col("iv_lt") - wUs && col("iv_rt") <= col("iv_lt"))

@@ -26,7 +26,14 @@ object Sampling {
 
   /** Systematic (every k-th) sample per stratum under a total order —
     * the classic stratified design: deterministic, and each stratum is
-    * represented proportionally. One shuffle on the stratum key. */
+    * represented proportionally. One shuffle on the stratum key.
+    *
+    * Scale note: the per-stratum row_number needs a per-stratum sort,
+    * so parallelism is bounded by the stratum count (a 3-stratum
+    * corpus sorts on 3 tasks no matter the cluster). At 100 TB prefer
+    * `hashBernoulli` (embarrassingly parallel, no order) unless the
+    * design truly requires systematic spacing — then range-partition
+    * within strata and offset ranks per range. */
   def systematic(df: DataFrame, strata: Seq[Column], order: Seq[Column],
       k: Int): DataFrame = {
     val w = Window.partitionBy(strata: _*).orderBy(order: _*)
