@@ -63,17 +63,39 @@ object StagedJson {
     * most recent scan in this JVM (observes pruning). */
   val lastPlannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
 
-  private[sources] def listFiles(root: String): Seq[String] = {
+  /** Directory-pruned listing: pushed equality filters cut the walk at
+    * each level (season dirs, league dirs, endpoint dirs), so a
+    * one-league query never even LISTS other leagues — at object-store
+    * scale the
+    * listing itself is the dominant cost of a scan over many
+    * partitions. `dirOk(level, name)` vets each directory name before
+    * descent; files under non-conforming directories are returned only
+    * when nothing was pushed (the "unknown"-pk fallback). */
+  private[graft] def listFiles(root: String,
+      dirOk: (Int, String) => Boolean = (_, _) => true,
+      keepNonConforming: Boolean = true): Seq[String] = {
     val base = java.nio.file.Paths.get(root)
     if (!java.nio.file.Files.isDirectory(base)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    val stream = java.nio.file.Files.walk(base)
-    try {
-      stream.iterator().asScala.foreach { p =>
-        val s = p.toString
-        if (s.endsWith(".json") && java.nio.file.Files.isRegularFile(p)) out += s
+    def ls(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    def walk(dir: java.nio.file.Path, level: Int): Unit =
+      ls(dir).sortBy(_.toString).foreach { p =>
+        if (java.nio.file.Files.isDirectory(p)) {
+          val conforming = level match {
+            case 0 => p.getFileName.toString.startsWith("season_")
+            case 1 => p.getFileName.toString.startsWith("league_")
+            case _ => true
+          }
+          if (conforming && level <= 2) {
+            if (dirOk(level, p.getFileName.toString)) walk(p, level + 1)
+          } else if (keepNonConforming) walk(p, level + 1)
+        } else if (p.toString.endsWith(".json") &&
+            (level >= 3 || keepNonConforming)) out += p.toString
       }
-    } finally stream.close()
+    walk(base, 0)
     out.toSeq.sorted
   }
 }
@@ -128,8 +150,19 @@ final class StagedJsonScan(root: String, pushed: Array[Filter],
       case _ => true
     }
 
+  /** Pushed equality → directory-name predicate per walk level. */
+  private def dirOk(level: Int, name: String): Boolean = level match {
+    case 0 => pushed.collectFirst { case EqualTo("season", v) =>
+      name == s"season_$v" }.getOrElse(true)
+    case 1 => pushed.collectFirst { case EqualTo("league", v) =>
+      name == s"league_$v" }.getOrElse(true)
+    case _ => pushed.collectFirst { case EqualTo("endpoint", v) =>
+      name == v.toString }.getOrElse(true)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val parts: Array[InputPartition] = StagedJson.listFiles(root).flatMap { path =>
+    val files = StagedJson.listFiles(root, dirOk, keepNonConforming = pushed.isEmpty)
+    val parts: Array[InputPartition] = files.flatMap { path =>
       path match {
         case StagedJson.PathRe(season, league, endpoint)
             if matches(season.toLong, league.toLong, endpoint) =>

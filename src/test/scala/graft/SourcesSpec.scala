@@ -46,6 +46,16 @@ class SourcesSpec extends SparkSpec {
       s"planned ${StagedJson.lastPlannedPartitions.get()} partitions")
   }
 
+  test("the directory WALK itself is pruned, not just the file list") {
+    // level-1 predicate admits only league_153: league_39's directory
+    // is never descended into (object-store listing is the real cost)
+    val files = StagedJson.listFiles(root,
+      dirOk = (level, name) => level != 1 || name == "league_153",
+      keepNonConforming = false)
+    assert(files.size == 3)
+    assert(files.forall(_.contains("/league_153/")), files.mkString(","))
+  }
+
   test("content is read only when required; payload reaches spark.read.json downstream") {
     // metadata-only projection: file bytes never read (content pruned)
     val meta = spark.read.format("staged-json").load(root)
