@@ -111,5 +111,37 @@ object Scale {
       .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
   }
 
-  val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin, q44SystematicSample)
+  /** q48 — bounded top-k per group via the typed Aggregator: each
+    * nation's 3 highest-value orders. Same answer as the window
+    * formulation (the oracle), but the exchange carries ≤ k rows per
+    * (partition, group) thanks to map-side partial aggregation —
+    * the 100 TB form of q10/q46. */
+  val q48TopkAgg: Q = Q(
+    "q48_topk_agg",
+    """WITH ranked AS (
+      |  SELECT n_name, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY n_name
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS r
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |SELECT n_name, CAST(r AS BIGINT) AS rank, o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM ranked WHERE r <= 3
+      |ORDER BY n_name, rank""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    joined.groupBy(col("n_name"))
+      .agg(graft.functions.TopKAgg.topK(3)(
+        col("o_totalprice").cast("double"), col("o_orderkey")).as("top"))
+      .select(col("n_name"), posexplode_outer(col("top")))
+      .select(col("n_name"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+      .orderBy(col("n_name"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
+    q44SystematicSample, q48TopkAgg)
 }

@@ -61,6 +61,32 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("typed top-k aggregator runs map-side partials (exchange carries k rows/group)") {
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    val agg = li.groupBy(col("l_returnflag"))
+      .agg(graft.functions.TopKAgg.topK(3)(
+        col("l_extendedprice").cast("double"), col("l_orderkey")).as("top"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // partial aggregation below the exchange is the whole point:
+    // each map task contributes <= k rows per group to the shuffle
+    // (plan prints top-down, so the partial appears after the Exchange)
+    val partialIdx = plan.toLowerCase.indexOf("partial_topkbyvalue")
+    assert(partialIdx > plan.indexOf("Exchange") && plan.indexOf("Exchange") > 0,
+      s"expected a partial top-k below the exchange:\n$plan")
+    // and the aggregator agrees with the window formulation
+    val viaWindow = li
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").cast("double").desc, col("l_orderkey"))))
+      .filter(col("r") <= 3)
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaAgg = agg.select(col("l_returnflag"), explode(col("top")).as("t"))
+      .select(col("l_returnflag"), col("t._2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("AQE splits a skewed join partition at runtime (the automatic sibling of salting)") {
     import spark.implicits._
     // one hot key carrying ~all rows + a long tail
