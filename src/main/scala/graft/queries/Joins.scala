@@ -137,5 +137,40 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
-  val all: Seq[Q] = Seq(q04LeftJoin, q07BroadcastJoin, q12DistinctAgg, q13SetOps, q20ScalarSubquery)
+  /** q33 — five-table star chain (region ⋈ nation ⋈ customer ⋈ orders
+    * ⋈ lineitem): the join-REORDER surface — Catalyst/CBO pick build
+    * sides and ordering; the two dimension legs broadcast, the two
+    * fact legs shuffle on their keys once each. TPC-H Q5-shaped
+    * revenue per region. */
+  val q33MultiwayJoin: Q = Q(
+    "q33_multiway_join",
+    """SELECT r_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin) { (s, dir) =>
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val l = Tables.lineitem(s, dir)
+    r.join(n, col("n_regionkey") === col("r_regionkey"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  val all: Seq[Q] = Seq(q04LeftJoin, q07BroadcastJoin, q12DistinctAgg, q13SetOps,
+    q20ScalarSubquery, q33MultiwayJoin)
 }

@@ -135,5 +135,33 @@ object Scalars {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q15StringFuncs, q16DateFuncs, q18ConditionalAgg, q19Having, q22TimeWindow)
+  /** q35 — regex/string-transform battery beyond q15: global
+    * regexp_replace (DuckDB needs the 'g' flag for Spark's
+    * replace-all semantics), match counting, boolean regex predicate,
+    * translate, zero-padding. */
+  val q35RegexFuncs: Q = Q(
+    "q35_regex_funcs",
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+      |  CASE WHEN regexp_matches(p_type, '^PROMO') THEN 1 ELSE 0 END AS is_promo,
+      |  translate(p_brand, '#', '-') AS brand_dashed,
+      |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key
+      |FROM part
+      |WHERE p_partkey % 10 = 0
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_partkey") % 10 === 0)
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        regexp_count(col("p_name"), lit("[a-z]+")).cast("long").as("n_words"),
+        when(col("p_type").rlike("^PROMO"), 1).otherwise(0).as("is_promo"),
+        translate(col("p_brand"), "#", "-").as("brand_dashed"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val all: Seq[Q] = Seq(q15StringFuncs, q16DateFuncs, q18ConditionalAgg, q19Having,
+    q22TimeWindow, q35RegexFuncs)
 }
