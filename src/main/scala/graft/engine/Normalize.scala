@@ -81,17 +81,23 @@ object Normalize {
         col("league_id").cast("string").as("league_id"),
         col("league_name").cast("string").as("league_name"),
         l(element_at(split(col("pk"), "-"), 1)).as("season"),
-        l(col("overall_league_position")).as("rank"),
-        l(col("overall_league_PTS")).as("points"),
-        l(col("overall_league_payed")).as("games_played"), // [sic] upstream field name
-        l(col("overall_league_W")).as("wins"),
-        l(col("overall_league_D")).as("draws"),
-        l(col("overall_league_L")).as("losses"),
-        // ABSENT GF/GA defaults to 0 (ref .get(field, 0)), but a
-        // PRESENT-yet-non-numeric value must dead-letter the group
-        // (ref transforms.py:41-42 int() raises → ValueError path), so
-        // the raw string rides through to Enforce, whose try_cast flags
-        // 'abc' as cast_failure:goals_for instead of coercing it to 0.
+        // Every API-Football numeric arrives as a STRING and the
+        // reference int()s it (raising on non-numeric → the whole
+        // group dead-letters, transforms.py:48-64 + 182-184). The raw
+        // strings therefore ride through to Enforce, whose try_cast
+        // flags 'abc' as cast_failure:<field>; an l() here would
+        // silently null the evidence and the row would pass clean.
+        // ABSENT values: GF/GA default "0" (ref .get(field, 0));
+        // the rest stay null — reference raises KeyError there, but
+        // this engine's documented NULLABLE default admits them
+        // (SchemaRegistry strict mode restores the reference's
+        // behavior).
+        col("overall_league_position").cast("string").as("rank"),
+        col("overall_league_PTS").cast("string").as("points"),
+        col("overall_league_payed").cast("string").as("games_played"), // [sic] upstream field name
+        col("overall_league_W").cast("string").as("wins"),
+        col("overall_league_D").cast("string").as("draws"),
+        col("overall_league_L").cast("string").as("losses"),
         coalesce(col("overall_league_GF").cast("string"), lit("0")).as("goals_for"),
         coalesce(col("overall_league_GA").cast("string"), lit("0")).as("goals_against"),
         (coalesce(l(col("overall_league_GF")), lit(0L)) -

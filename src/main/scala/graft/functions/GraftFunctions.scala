@@ -23,17 +23,31 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Exact-arity guard: surplus arguments must error, not be silently
+    * ignored (minhash_sig(h, 16) returning an 8-element signature
+    * would corrupt downstream banding without a trace). */
+  private def arity(name: String, ns: Set[Int])(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (!ns.contains(exprs.size)) throw new IllegalArgumentException(
+        s"$name expects ${ns.toSeq.sorted.mkString(" or ")} argument(s), got ${exprs.size}")
+      build(exprs)
+    }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "poly_hash" -> (exprs => PolyHash(exprs.head)),
-    "poly_hash_shingles" -> (exprs =>
+    "poly_hash" -> arity("poly_hash", Set(1))(exprs => PolyHash(exprs.head)),
+    "poly_hash_shingles" -> arity("poly_hash_shingles", Set(2))(exprs =>
       PolyHashShingles(exprs.head, intArg(exprs(1), "shingle width"))),
-    "token_shingle_hashes" -> (exprs =>
+    "token_shingle_hashes" -> arity("token_shingle_hashes", Set(2))(exprs =>
       TokenShingleHashes(exprs.head, intArg(exprs(1), "shingle width"))),
-    "word_shingles" -> (exprs =>
+    "word_shingles" -> arity("word_shingles", Set(2))(exprs =>
       WordShingles(exprs.head, intArg(exprs(1), "shingle width"))),
-    "minhash_sig" -> (exprs => MinHashSig(exprs.head)),
-    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
-    "sorted_intersect_count" -> (exprs =>
+    "minhash_sig" -> arity("minhash_sig", Set(1, 2))(exprs =>
+      if (exprs.size == 2) MinHashSig(exprs.head, intArg(exprs(1), "k"))
+      else MinHashSig(exprs.head)),
+    "dot_product" -> arity("dot_product", Set(2))(exprs =>
+      DotProduct(exprs.head, exprs(1))),
+    "sorted_intersect_count" -> arity("sorted_intersect_count", Set(2))(exprs =>
       SortedIntersectCount(exprs.head, exprs(1))))
 
   def register(spark: SparkSession): Unit =

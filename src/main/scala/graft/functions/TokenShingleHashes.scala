@@ -50,14 +50,15 @@ case class TokenShingleHashes(child: Expression, n: Int) extends UnaryExpression
   override def prettyName: String = "token_shingle_hashes"
 }
 
-object TokenShingleHashes {
-  private final val P = PolyHash.P
+/** Shared whitespace tokenizer for the shingle kernels: token
+  * boundaries as (startChar, endChar) index pairs — split on U+0020,
+  * empties dropped, identical to `filter(split(s, " "), t -> t <> "")`.
+  * ONE implementation so the tokenization contract cannot diverge
+  * between the hash and string kernels. */
+private[functions] object TokenBounds {
+  final class Bounds(var starts: Array[Int], var ends: Array[Int], var n: Int)
 
-  /** One hash per n-token window; empty when the string has fewer than
-    * n tokens. Tokens are runs of non-space chars (split on U+0020,
-    * empties dropped — identical to split(s, " ") + filter). */
-  def hashes(s: String, n: Int): ArrayData = {
-    // token boundaries as (startChar, endChar) pairs
+  def scan(s: String): Bounds = {
     var nTok = 0
     var starts = new Array[Int](8)
     var ends = new Array[Int](8)
@@ -77,6 +78,20 @@ object TokenShingleHashes {
         nTok += 1
       }
     }
+    new Bounds(starts, ends, nTok)
+  }
+}
+
+object TokenShingleHashes {
+  private final val P = PolyHash.P
+
+  /** One hash per n-token window; empty when the string has fewer than
+    * n tokens. */
+  def hashes(s: String, n: Int): ArrayData = {
+    val b = TokenBounds.scan(s)
+    val nTok = b.n
+    val starts = b.starts
+    val ends = b.ends
     if (nTok < n) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](nTok - n + 1)
     var w = 0

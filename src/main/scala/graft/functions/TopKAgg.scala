@@ -20,18 +20,35 @@ final class TopKByValue(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k >= 1)
 
-  private def ord: Ordering[(Double, Long)] =
+  // (value desc, id asc); a val — reduce() runs once per input row and
+  // must not allocate an Ordering each call
+  private val ord: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
 
   override def zero: Seq[(Double, Long)] = Nil
 
-  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-    ((a +: b).sorted(ord)).take(k)
+  // invariant: buffers are always sorted by `ord` — reduce is a single
+  // ordered insertion (drop the overflow), merge is a linear merge;
+  // finish has nothing left to do. No per-row sort on the map side.
+  override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+    if (b.size == k && ord.lteq(b.last, a)) b
+    else {
+      val (before, after) = b.span(ord.lteq(_, a))
+      (before ++ (a +: after)).take(k)
+    }
+  }
 
-  override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    (x ++ y).sorted(ord).take(k)
+  override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
+    var (i, j) = (0, 0)
+    while (out.size < k && (i < x.size || j < y.size)) {
+      if (j >= y.size || (i < x.size && ord.lteq(x(i), y(j)))) { out += x(i); i += 1 }
+      else { out += y(j); j += 1 }
+    }
+    out.toSeq
+  }
 
-  override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b.sorted(ord)
+  override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()

@@ -41,25 +41,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object WordShingles {
 
   def shingles(s: String, n: Int): ArrayData = {
-    var nTok = 0
-    var starts = new Array[Int](8)
-    var ends = new Array[Int](8)
-    val len = s.length
-    var i = 0
-    while (i < len) {
-      while (i < len && s.charAt(i) == ' ') i += 1
-      if (i < len) {
-        val st = i
-        while (i < len && s.charAt(i) != ' ') i += 1
-        if (nTok == starts.length) {
-          starts = java.util.Arrays.copyOf(starts, nTok * 2)
-          ends = java.util.Arrays.copyOf(ends, nTok * 2)
-        }
-        starts(nTok) = st
-        ends(nTok) = i
-        nTok += 1
-      }
-    }
+    val b = TokenBounds.scan(s) // shared tokenizer — see TokenBounds
+    val nTok = b.n
+    val starts = b.starts
+    val ends = b.ends
     if (nTok < n) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](nTok - n + 1)
     val sb = new java.lang.StringBuilder

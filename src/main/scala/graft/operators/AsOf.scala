@@ -62,32 +62,41 @@ object AsOf {
         (leftCols.map(col) ++ rightCols.map(col)): _*)
   }
 
-  /** Union-tag form: one sort by (key, time), last-seen right values
+  /** Union-tag form: one sort by (key, time), the last-seen right ROW
     * carried forward — no join fan-out, skew-safe. Right columns must
-    * be named distinctly from left's. */
+    * be named distinctly from left's.
+    *
+    * The carry is one STRUCT of all right columns, not per-column
+    * `last(ignoreNulls)` carries: a right row with a null payload
+    * column must be picked atomically (per-column carries would stitch
+    * together values from different right rows — a tuple that never
+    * existed — whenever the latest row has a null field). */
   def asofJoinSorted(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val rStructType = "struct<" +
+      rightCols.map(c => s"`$c`:${right.schema(c).dataType.sql}").mkString(",") + ">"
     val l = left.select(leftKey.as("asof_key") +: leftTime.as("asof_t") +:
       lit(1).as("asof_is_left") +:
-      (leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      (leftCols.map(col) :+ lit(null).cast(rStructType).as("asof_r")): _*)
     val r = right.select(rightKey.as("asof_key") +: rightTime.as("asof_t") +:
       lit(0).as("asof_is_left") +:
-      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col)): _*)
+      (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as("asof_r")): _*)
     // right rows sort before left rows at equal time => "<=" semantics;
-    // rightCols ascending pins which right row is "last seen" among
-    // equal timestamps (greatest tuple — same tie rule as asofJoin)
+    // the right struct ascending pins which right row is "last seen"
+    // among equal timestamps (greatest tuple — same tie rule as
+    // asofJoin)
     val w = Window.partitionBy(col("asof_key"))
-      .orderBy(col("asof_t") +: col("asof_is_left") +:
-        rightCols.map(c => col(c).asc_nulls_first): _*)
+      .orderBy(col("asof_t"), col("asof_is_left"), col("asof_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select(col("asof_key") +: col("asof_t") +: col("asof_is_left") +:
-        (leftCols.map(col) ++
-          rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+        (leftCols.map(col) :+
+          last(col("asof_r"), ignoreNulls = true).over(w).as("asof_r")): _*)
     carried.filter(col("asof_is_left") === 1)
       .select(col("asof_key") +: col("asof_t").as("asof_lt") +:
-        (leftCols.map(col) ++ rightCols.map(col)): _*)
+        (leftCols.map(col) ++ rightCols.map(c => col(s"asof_r.`$c`").as(c))): _*)
   }
 }

@@ -79,7 +79,11 @@ object StreamOps {
       }
   }
 
+  /** One session, times in event-time MICROS (java.sql.Timestamp's
+    * getTime is ms-truncated; micros preserve Spark timestamp
+    * precision so the batch session_window twin agrees exactly). */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionList(open: Seq[SessionState])
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
 
@@ -89,58 +93,66 @@ object StreamOps {
     * twin; same boundary rule: an event at `last + gap` starts a NEW
     * session, `session_end = last + gap`).
     *
-    * A session is emitted when the watermark passes its close (the
-    * state times out) — exactly-once per session in append mode, which
-    * is what a downstream training-data pipeline wants (no partial
-    * session ever lands twice). State per key = ONE open session
-    * (start, last, n, Σvalue); the shuffle is one exchange on user_id
-    * and the state store holds O(active users), RocksDB-backed in
-    * production.
+    * State per key is the LIST of not-yet-expired sessions, not just
+    * the latest: an out-of-order event that is above the watermark but
+    * older than the newest session must be able to extend an earlier
+    * session backwards, merge two sessions it bridges, or open its own
+    * — exactly what batch session_window computes. A session is
+    * emitted when the watermark passes its close (event-time timeout)
+    * — exactly-once per session in append mode, which is what a
+    * downstream training-data pipeline wants. State is O(sessions
+    * inside the watermark horizon) per active key; the shuffle is one
+    * exchange on user_id, RocksDB-backed in production.
     */
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapMinutes: Int = 30, watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    // local helpers: the state closure must not capture the StreamOps
+    // module (not Serializable); Timestamp getTime is ms-truncated so
+    // times are tracked in event-time micros
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def emit(userId: Long, s: SessionState): SessionOut =
-      SessionOut(userId, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.last + gapMs), s.n, s.total)
+      SessionOut(userId, fromMicros(s.start), fromMicros(s.last + gapUs), s.n, s.total)
+    // insert an event and re-merge: sessions are kept sorted by start;
+    // adjacent sessions closer than the gap collapse into one
+    def insert(open: Seq[SessionState], t: Long, v: Double): Seq[SessionState] = {
+      val sorted = (open :+ SessionState(t, t, 1L, v)).sortBy(s => (s.start, s.last))
+      sorted.tail.foldLeft(List(sorted.head)) { (acc, s) =>
+        val h = acc.head
+        if (s.start < h.last + gapUs)
+          SessionState(h.start, math.max(h.last, s.last),
+            h.n + s.n, h.total + s.total) :: acc.tail
+        else s :: acc
+      }.reverse
+    }
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionList, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(emit(userId, s))
-          } else {
-            // events within one micro-batch arrive unordered
-            val sorted = batch.toArray.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer[SessionState]()
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t < s.last + gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed += s
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // timeout fires when the watermark passes session close;
-              // clamp above the current watermark (required by Spark)
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator.map(emit(userId, _))
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionList]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val open = state.getOption.map(_.open).getOrElse(Nil)
+          val merged = batch.foldLeft(open)((acc, e) => insert(acc, micros(e.ts), e.value))
+          // a session whose close the watermark has passed can never be
+          // extended again (admitted events have ts >= watermark)
+          val (expired, live) = merged.partition(_.last + gapUs <= wmUs)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionList(live))
+            // fire when the earliest live session expires; clamp above
+            // the current watermark (required by Spark)
+            state.setTimeoutTimestamp(math.max(
+              live.map(_.last + gapUs).min / 1000L, state.getCurrentWatermarkMs() + 1))
           }
+          expired.sortBy(_.start).iterator.map(emit(userId, _))
       }
   }
 

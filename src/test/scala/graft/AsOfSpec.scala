@@ -76,6 +76,27 @@ class AsOfSpec extends SparkSpec {
     assert(b == Seq(222.0, 222.0), s"sorted form: $b")
   }
 
+  test("latest right row is picked ATOMICALLY even when its payload columns are null") {
+    // right row at t=2 has y=null; a per-column carry would stitch
+    // y=9.0 from the older row onto x=2 — a tuple that never existed
+    val l2 = Seq((1L, 7L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val r2 = Seq(
+      (7L, ts("2024-01-01 10:00:00"), Some(1.0), Some(9.0)),
+      (7L, ts("2024-01-01 11:00:00"), Some(2.0), Option.empty[Double])
+    ).toDF("p_user", "p_ts", "x", "y")
+    def row(fn: => org.apache.spark.sql.DataFrame): (Option[Double], Option[Double]) = {
+      val r = fn.select(col("x"), col("y")).head()
+      (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
+    val a = row(AsOf.asofJoin(l2, r2, col("user_id"), col("p_user"),
+      col("ts"), col("p_ts"), Seq("event_id"), Seq("x", "y")))
+    val b = row(AsOf.asofJoinSorted(l2, r2, col("user_id"), col("p_user"),
+      col("ts"), col("p_ts"), Seq("event_id"), Seq("x", "y")))
+    assert(a == (Some(2.0), None), s"join form: $a")
+    assert(b == (Some(2.0), None), s"sorted form: $b")
+  }
+
   test("logical-plan operator form (Catalyst node + rewrite rule) agrees with the composed form") {
     val out = AsOf.asofJoin(left, right,
       col("user_id"), col("p_user"), col("ts"), col("p_ts"),

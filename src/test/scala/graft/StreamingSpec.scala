@@ -135,6 +135,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("out-of-order events above the watermark extend sessions backwards and bridge them") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = StreamOps.sessionize(spark, mem.toDS(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("ooo_sessions")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two sessions for user 6 (09:30 and 10:05, 35 min apart)
+    val b1 = Seq(
+      Event(1, ts("2024-01-01 09:30:00"), 6, "a", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 6, "a", 2.0))
+    mem.addData(b1: _*)
+    q.processAllAvailable() // watermark -> 09:55
+    // batch 2: 09:56 is BEHIND the newest session but above the
+    // watermark — it bridges the two open sessions into one
+    val b2 = Seq(Event(3, ts("2024-01-01 09:56:00"), 6, "a", 4.0))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    // flush everything
+    mem.addData(Event(99, ts("2024-01-02 00:00:00"), 99, "x", 0.0))
+    q.processAllAvailable()
+    mem.addData(Event(100, ts("2024-01-03 00:00:00"), 99, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ooo_sessions").filter(col("user_id") === 6)
+      .select("session_start", "session_end", "n_events", "total_value")
+      .as[(Timestamp, Timestamp, Long, Double)].collect().toSet
+    val batch = (b1 ++ b2).toDS()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start"), col("session_window.end"),
+        col("n_events"), col("total_value"))
+      .as[(Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.size == 1 && got.head._3 == 3L) // bridged into ONE session
+  }
+
   test("sessionization runs unchanged on the RocksDB state store (production path)") {
     implicit val sqlCtx = spark.sqlContext
     val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
