@@ -82,6 +82,27 @@ class EnforceSpec extends SparkSpec {
     assert(dead.count() == 3)
   }
 
+  test("observed metrics emit one JSON line per action with zero extra scans (O5 analog)") {
+    val collector = new graft.engine.Metrics.Collector
+    val listener = collector.listener
+    spark.listenerManager.register(listener)
+    try {
+      val annotated = Enforce.withError(raw, schema)
+      val observed = graft.engine.Metrics.observed(annotated, "enforce_metrics",
+        count(lit(1)).as("n_rows"),
+        count(col("error")).as("n_dead"))
+      observed.collect()
+      // listener bus is async — poll briefly
+      val deadline = System.nanoTime() + 10000000000L
+      while (collector.lines.forall(!_.contains("enforce_metrics")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      val lines = collector.lines.filter(_.contains("enforce_metrics"))
+      assert(lines.nonEmpty, s"captured: ${collector.lines}")
+      assert(lines.last.contains("\"n_rows\": 4") && lines.last.contains("\"n_dead\": 2"),
+        lines.last)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("unsupported schema type fails fast (ref helpers.py:89-90)") {
     intercept[IllegalArgumentException] { FieldSpec("x", "FLOAT") }
   }
