@@ -200,6 +200,27 @@ class NormalizeSpec extends SparkSpec {
     assert(back.filter(col("update_timestamp").isNull).count() == 0)
   }
 
+  test("K3/K4: staging writes the path convention; failure rolls back every staged file") {
+    val root = Files.createTempDirectory("graft_staging").toString
+    // success path: files land where the readers expect them
+    val paths = graft.engine.Staging.stageAll(root, "run_7", Seq(
+      (2023, 153, "teams", () => """[{"team_key": "1"}]"""),
+      (2023, 153, "standings", () => """[{"team_id": "1"}]""")))
+    assert(paths.map(_.toString).forall(_.contains("season_2023/league_153")))
+    assert(paths.forall(Files.exists(_)))
+    // failure path: the intended reference semantics (its literal code
+    // NameErrors, SURVEY appendix) — everything staged so far is gone
+    val root2 = Files.createTempDirectory("graft_staging2").toString
+    intercept[RuntimeException] {
+      graft.engine.Staging.stageAll(root2, "run_8", Seq(
+        (2023, 39, "teams", () => """{"response": []}"""),
+        (2023, 39, "standings", () => throw new RuntimeException("api 500"))))
+    }
+    val leftover = java.nio.file.Files.walk(java.nio.file.Paths.get(root2))
+      .filter(Files.isRegularFile(_)).count()
+    assert(leftover == 0L, s"rollback left $leftover files")
+  }
+
   test("K2 sink: dead letters land as single-shard JSON lines") {
     val dead = Seq(("2023-153", "cast_failure:points")).toDF("pk", "error")
     val out = Files.createTempDirectory("graft_dl").toString + "/dl"
