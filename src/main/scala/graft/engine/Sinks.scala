@@ -37,4 +37,46 @@ object Sinks {
       .coalesce(1)
       .write.mode("overwrite")
       .text(deadLetterDir)
+
+  /** K1, repaired: per-GROUP truncate instead of per-TABLE. The
+    * reference's WRITE_TRUNCATE replaces the WHOLE table each run, so
+    * a run for league A erases league B's rows (SURVEY.md appendix,
+    * `pipeline.py:53` — idempotency was the goal, cross-run
+    * accumulation was never solved). Dynamic partition overwrite
+    * rewrites exactly the (season, league_id) partitions present in
+    * THIS run's data and leaves every other partition in place:
+    * re-running a league is idempotent AND other leagues survive.
+    * At 100 TB this is also the only affordable write — a run
+    * touches its partitions, never the table. */
+  def writeUnifiedUpsert(df: DataFrame, outDir: String, apiName: String): Unit = {
+    val spark = df.sparkSession
+    val saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      df.withColumn("update_timestamp",
+          coalesce(col("update_timestamp"), current_timestamp()))
+        .write.mode("overwrite")
+        .partitionBy("season", "league_id")
+        .parquet(s"$outDir/teams_$apiName")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+  }
+
+  /** Small-files compaction: rewrite a parquet dir to ~`targetFiles`
+    * files. Streaming/micro-batched sinks accrete tiny files whose
+    * per-file open cost eventually dominates scans; periodic
+    * compaction is table maintenance 101 at scale. Writes to a temp
+    * sibling then swaps, so a failed compaction never loses data. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFiles: Int): Unit = {
+    val tmp = dir + "__compacting"
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val bak = new org.apache.hadoop.fs.Path(dir + "__old")
+    fs.rename(dst, bak)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(bak, true)
+  }
 }

@@ -200,6 +200,35 @@ class NormalizeSpec extends SparkSpec {
     assert(back.filter(col("update_timestamp").isNull).count() == 0)
   }
 
+  test("upsert sink: re-running one league never erases another (repaired WRITE_TRUNCATE)") {
+    val out = Files.createTempDirectory("graft_upsert").toString
+    val (okA, _) = Normalize.pipeline(spark, s"$stagedRoot/apifootball", "apifootball")
+    Sinks.writeUnifiedUpsert(okA, out, "apifootball")
+    // a different league's run: same table, disjoint partition
+    val okB = okA
+      .withColumn("league_id", lit("954"))
+      .withColumn("pk", concat_ws("-",
+        col("season"), lit("954"), col("team_id")))
+    Sinks.writeUnifiedUpsert(okB, out, "apifootball")
+    // re-run league A (idempotent for A, invisible to B)
+    Sinks.writeUnifiedUpsert(okA, out, "apifootball")
+    val back = spark.read.parquet(s"$out/teams_apifootball")
+    assert(back.count() == 4) // 2 teams x 2 leagues — nothing erased
+    assert(back.select(countDistinct(col("pk"))).as[Long].head() == 4L)
+    assert(back.filter(col("league_id") === "954").count() == 2)
+  }
+
+  test("compaction halves file count without changing rows") {
+    val out = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(0, 1000).toDF("id")
+    df.repartition(16).write.parquet(out)
+    val before = spark.read.parquet(out).inputFiles.length
+    graft.engine.Sinks.compact(spark, out, 2)
+    val after = spark.read.parquet(out)
+    assert(after.inputFiles.length <= 2 && after.inputFiles.length < before)
+    assert(after.count() == 1000L)
+  }
+
   test("K3/K4: staging writes the path convention; failure rolls back every staged file") {
     val root = Files.createTempDirectory("graft_staging").toString
     // success path: files land where the readers expect them
