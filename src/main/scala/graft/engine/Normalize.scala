@@ -224,17 +224,24 @@ object Normalize {
     // accounted for between ok and dead
     val expected = teams.select(col("pk")).unionByName(standings.select(col("pk"))).distinct()
 
+    // group key = the row pk minus its trailing -team_id segment. NOT
+    // "first two '-'-segments": the path-pk fallback is the single
+    // token "unknown" (Paths.extractPk), whose row pks look like
+    // "unknown-<team>" — a two-segment split would yield a group
+    // "unknown-<team>" that never matches the expected/corrupt
+    // universes (groups double-counted ok+dead, corrupt rows never
+    // quarantined).
+    def groupOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(c, "-[^-]*$", "")
+
     val unified = normalizer(apiName)(teams, standings)
-      .withColumn("group_pk", concat_ws("-",
-        element_at(split(col("pk"), "-"), 1), element_at(split(col("pk"), "-"), 2)))
+      .withColumn("group_pk", groupOf(col("pk")))
     val (ok0, deadRows) = Enforce.splitByGroup(unified, SchemaRegistry.v1.fields, "group_pk")
 
     val enforceDead = deadRows.select(col("group_pk").as("pk")).distinct()
       .withColumn("error", lit("enforcement_failure"))
     val corruptDead = corrupt.withColumn("error", lit("corrupt_input"))
-    val okGroups = ok0.select(concat_ws("-",
-      element_at(split(col("pk"), "-"), 1), element_at(split(col("pk"), "-"), 2)).as("pk"))
-      .distinct()
+    val okGroups = ok0.select(groupOf(col("pk")).as("pk")).distinct()
     val vanished = expected
       .join(okGroups, Seq("pk"), "left_anti")
       .join(enforceDead.select("pk"), Seq("pk"), "left_anti")
@@ -245,8 +252,7 @@ object Normalize {
     // rows of a corrupt group are not trustworthy either — remove them
     val ok = ok0.join(
       corrupt.select(col("pk").as("bad_group")),
-      concat_ws("-", element_at(split(col("pk"), "-"), 1),
-        element_at(split(col("pk"), "-"), 2)) === col("bad_group"),
+      groupOf(col("pk")) === col("bad_group"),
       "left_anti")
     (ok, dead)
   }

@@ -69,14 +69,26 @@ object Sinks {
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFiles: Int): Unit = {
     val tmp = dir + "__compacting"
-    spark.read.parquet(dir).repartition(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
     val bak = new org.apache.hadoop.fs.Path(dir + "__old")
-    fs.rename(dst, bak)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    // clear leftovers of a prior crashed compaction FIRST — a stale
+    // __old would make rename(dst, bak) return false and turn the
+    // swap into a silent no-op
+    if (fs.exists(bak)) fs.delete(bak, true)
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    // Hadoop rename signals failure by RETURNING FALSE, not throwing;
+    // every step must be checked or a half-failed swap would reach the
+    // delete below and destroy the only remaining copy
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compact: could not move $dst aside")
+    if (!fs.rename(tmpP, dst)) {
+      fs.rename(bak, dst) // restore; data was never at risk
+      throw new java.io.IOException(s"compact: could not promote $tmp")
+    }
     fs.delete(bak, true)
   }
 }

@@ -27,6 +27,8 @@ import graft.operators.TextHash.{A, B, P}
 case class MinHashAgg(child: Expression, k: Int = 8)
     extends DeclarativeAggregate
     with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(k >= 1 && k <= A.length,
+    s"k must be in [1, ${A.length}] (the affine-mixer family size), got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = false

@@ -25,6 +25,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOf {
 
+  /** Both physical forms reference payload columns by bare name after
+    * combining the two sides, so left/right payload names must be
+    * disjoint and must not collide with the internal asof_* columns —
+    * checked here so misuse errors clearly at construction instead of
+    * as an AMBIGUOUS_REFERENCE at runtime. */
+  private def requireDistinctCols(leftCols: Seq[String], rightCols: Seq[String]): Unit = {
+    val overlap = leftCols.intersect(rightCols)
+    require(overlap.isEmpty,
+      s"left and right payload column names must be disjoint; shared: ${overlap.mkString(",")}")
+    val reserved = (leftCols ++ rightCols).filter(_.startsWith("asof_"))
+    require(reserved.isEmpty,
+      s"payload columns must not use the reserved asof_ prefix: ${reserved.mkString(",")}")
+  }
+
   /** Join+window form: good when per-key right-row counts are modest.
     *
     * Determinism contract (both forms agree):
@@ -41,6 +55,7 @@ object AsOf {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    requireDistinctCols(leftCols, rightCols)
     // the id never reaches the output — it only keys the window, so
     // its run-to-run instability is invisible
     val l = left.select(leftKey.as("asof_key") +: leftTime.as("asof_lt") +:
@@ -75,6 +90,7 @@ object AsOf {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
       leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    requireDistinctCols(leftCols, rightCols)
     val rStructType = "struct<" +
       rightCols.map(c => s"`$c`:${right.schema(c).dataType.sql}").mkString(",") + ">"
     val l = left.select(leftKey.as("asof_key") +: leftTime.as("asof_t") +:

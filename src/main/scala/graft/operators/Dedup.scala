@@ -103,6 +103,11 @@ object Dedup {
 
   /** Band buckets from a (doc_id, sig) frame. */
   def bucketsFromSignatures(withSig: DataFrame, k: Int, bands: Int): DataFrame = {
+    // bands > k would give 0 rows/band → every band folds to bucket 0
+    // → candidatePairs degenerates to an O(n²) cross product; a
+    // non-divisible k would silently ignore the signature tail
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"bands ($bands) must divide the signature width k ($k)")
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       val combined = (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
@@ -231,9 +236,11 @@ object Dedup {
     * oracle applies the same hash so results stay bit-identical). The
     * sorted-distinct hash frame is computed ONCE and persisted — it
     * feeds the signature chain and the verification join; without the
-    * persist each consumer re-hashes the corpus. At warehouse scale
-    * the same role is played by checkpointing signatures to parquet
-    * between stages. */
+    * persist each consumer re-hashes the corpus. The cache lives until
+    * the session evicts it (callers running many dedup passes in one
+    * session should `spark.catalog.clearCache()` between passes). At
+    * warehouse scale the same role is played by checkpointing
+    * signatures to parquet between stages. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     // repartition BEFORE the per-char kernel: a compact parquet scan
@@ -254,7 +261,10 @@ object Dedup {
     * the Column DSL, then the bit-fold runs as a SQL-text HOF (dynamic
     * bit shifts aren't expressible in the DSL — still a Catalyst
     * expression plan, not a UDF), mirrored verbatim by the DuckDB
-    * oracle. Output: (doc_id, simhash). */
+    * oracle. The bit weight shifts a BIGINT one: an INT shiftleft
+    * would wrap bit 31 to −2^31, sign-flipping fingerprints whenever
+    * the hash kernel sets high bits (poly_hash never does; xxhash64
+    * would). Output: (doc_id, simhash). */
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
         transform(tokens(text), t => polyHashFast(t)).as("hs"))
@@ -262,7 +272,7 @@ object Dedup {
         """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
           |  CASE WHEN aggregate(hs, 0L,
           |    (a2, h) -> a2 + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN CAST(shiftleft(1, b) AS BIGINT) ELSE 0L END)""".stripMargin)
+          |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""".stripMargin)
         .as("simhash"))
 
 }

@@ -31,6 +31,9 @@ object Interval {
       leftTime: Column, rightTime: Column,
       leftCols: Seq[String], rightCols: Seq[String],
       w: Long): DataFrame = {
+    // w = 0 would make `div 0` null on both sides → silently empty
+    // result instead of the rt == lt rows the caller meant
+    require(w > 0, s"window must be positive seconds, got $w")
     val wUs = w * 1000000L
     // left probes its own bucket and the previous one (a right row at
     // most w seconds earlier lives in floor(lt/w) or floor(lt/w)-1);

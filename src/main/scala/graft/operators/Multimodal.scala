@@ -81,7 +81,9 @@ object Multimodal {
     assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val out = Array.tabulate[Byte](math.min(w * h, 1 << 20)) { i =>
+          // long multiply: 65536×65536 in Int wraps to 0 (and larger
+          // to negative), bypassing the 1 MB cap it exists for
+          val out = Array.tabulate[Byte](math.min(w.toLong * h, 1L << 20).toInt) { i =>
             if (payload.isEmpty) 0 else payload(i % payload.length)
           }
           ResizedAsset(id, w, h, out)

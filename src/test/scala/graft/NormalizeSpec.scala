@@ -141,6 +141,25 @@ class NormalizeSpec extends SparkSpec {
     assert(d("2023-2") == "empty_or_unjoinable_group")
   }
 
+  test("non-conforming path ('unknown' pk fallback) is accounted once — ok, not double-counted dead") {
+    val root = Files.createTempDirectory("graft_unknown")
+    // path matches the endpoint globs but not the season/league regex
+    write(root, "api/misc/batch1/teams/run_1.json",
+      """[{"team_key": "1", "team_name": "A", "team_country": "X",
+        |  "venue": {"venue_name": "V", "venue_city": "C"}}]""".stripMargin)
+    write(root, "api/misc/batch1/standings/run_1.json",
+      """[{"team_id": "1", "team_name": "A", "league_id": "9",
+        |  "league_name": "L", "overall_league_position": "1",
+        |  "overall_league_PTS": "10", "overall_league_payed": "4",
+        |  "overall_league_W": "3", "overall_league_D": "1", "overall_league_L": "0",
+        |  "overall_league_GF": "9", "overall_league_GA": "2",
+        |  "overall_league_form": "WWWD"}]""".stripMargin)
+    val (ok, dead) = Normalize.pipeline(spark, s"$root/api", "apifootball")
+    assert(ok.count() == 1) // the reference KEEPS unknown groups (helpers.py:21-23)
+    assert(ok.head().getAs[String]("pk") == "unknown-1")
+    assert(dead.count() == 0, dead.collect().mkString(","))
+  }
+
   test("present-but-non-numeric GF dead-letters the group; absent GF still defaults 0") {
     // ref transforms.py:41-42: int(standing.get('overall_league_GF', 0))
     // — ABSENT → 0, present 'abc' → ValueError → whole group diverted
