@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan audits: the catalogue's plans must be the plans we'd
+  * WANT on a 1000-executor cluster, not just plans that pass — filters
+  * reaching the parquet scan, projections pruning the read schema,
+  * dimension joins broadcasting, aggregates running map-side partials,
+  * and no accidental cartesian products anywhere in the catalogue.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: filter is pushed into the parquet scan; read schema is pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"expected pushed filters in:\n$p")
+    // the query projects a handful of columns — the 16-column lineitem
+    // schema must not be read wholesale
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("m70: metadata projection reads only the projected columns") {
+    val readSchema = plan("m70_multimodal_meta")
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q07/q33: dimension joins broadcast") {
+    assert(plan("q07_broadcast_join").contains("BroadcastHashJoin"))
+    assert(plan("q33_multiway_join").contains("BroadcastHashJoin"),
+      "region/nation legs of the 5-table chain should broadcast")
+  }
+
+  test("q01: aggregation runs map-side partials") {
+    val p = plan("q01_pricing_summary")
+    assert(p.toLowerCase.contains("partial_"),
+      s"expected partial aggregation below the exchange:\n$p")
+  }
+
+  test("no query in the catalogue plans a cartesian product (except the intentional brute-force knn)") {
+    val intentional = Set("s50_knn_brute") // broadcast-queries exhaustive baseline
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intentional)
+      .filter { name =>
+        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+        p.contains("CartesianProduct")
+      }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+}
