@@ -115,11 +115,11 @@ object TokenShingleHashes {
     new GenericArrayData(out)
   }
 
-  /** Column-API entry: window hashes of `lower(c)` — lowercasing stays
-    * a codegen'd built-in outside the kernel so its Unicode behavior
-    * is exactly Spark's `lower()`. */
+  /** Column-API entry: window hashes of the ASCII-case-folded input —
+    * folding stays a codegen'd built-in (translate) outside the kernel
+    * and is cross-engine stable (see TextHash.asciiLower). */
   def tokenShingleHashes(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       TokenShingleHashes(org.apache.spark.sql.GraftExpressionBridge.expression(
-        org.apache.spark.sql.functions.lower(c)), n))
+        graft.operators.TextHash.asciiLower(c)), n))
 }

@@ -63,9 +63,10 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  /** Column-API entry over `lower(c)` (Spark's own lowercasing). */
+  /** Column-API entry over the ASCII-case-folded input (see
+    * TextHash.asciiLower — cross-engine-stable folding). */
   def wordShingles(c: Column, n: Int): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       WordShingles(org.apache.spark.sql.GraftExpressionBridge.expression(
-        org.apache.spark.sql.functions.lower(c)), n))
+        graft.operators.TextHash.asciiLower(c)), n))
 }

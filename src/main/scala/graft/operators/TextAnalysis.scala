@@ -70,11 +70,14 @@ object TextAnalysis {
     df.select(
       id.as("doc_id"),
       size(tokens(text)).cast("long").as("ws_tokens"),
-      regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_ish_tokens"),
+      regexp_count(graft.operators.TextHash.asciiLower(text),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_ish_tokens"),
       ceil(length(text).cast("double") / 4).cast("long").as("subword_est"))
 
-  /** Document fingerprint: polynomial rolling hash of the lower-cased
-    * text — the exact-dedup / shard-routing key. */
+  /** Document fingerprint: polynomial rolling hash of the
+    * ASCII-case-folded text — the exact-dedup / shard-routing key
+    * (asciiLower, not lower(): cross-engine-stable folding). */
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), polyHashFast(lower(text)).as("fingerprint"))
+    df.select(id.as("doc_id"),
+      polyHashFast(graft.operators.TextHash.asciiLower(text)).as("fingerprint"))
 }

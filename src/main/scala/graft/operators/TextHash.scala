@@ -33,11 +33,24 @@ object TextHash {
   val BandMix = 1315423911L
 
   // ---- tokenization ----------------------------------------------------
-  /** Lower-cased whitespace tokens, empties dropped. */
+  private val UpperAz = ('A' to 'Z').mkString
+  private val LowerAz = ('a' to 'z').mkString
+
+  /** Portable ASCII case folding: `translate` A–Z → a–z, identical in
+    * every engine. Full `lower()` is NOT cross-engine stable — Spark
+    * applies Java's full Unicode mappings while DuckDB applies
+    * utf8proc's simple per-codepoint mappings (e.g. 'İ' U+0130 folds
+    * to "i"+U+0307 vs "i"), which would silently diverge every
+    * hash-based operator on a non-ASCII corpus. Non-ASCII characters
+    * pass through untouched on both sides. */
+  def asciiLower(c: Column): Column = translate(c, UpperAz, LowerAz)
+  def asciiLowerSql(c: String): String = s"translate($c, '$UpperAz', '$LowerAz')"
+
+  /** Case-folded whitespace tokens, empties dropped. */
   def tokens(c: Column): Column =
-    filter(split(lower(c), " "), t => t =!= "")
+    filter(split(asciiLower(c), " "), t => t =!= "")
   def tokensSql(c: String): String =
-    s"list_filter(string_split(lower($c), ' '), x -> x <> '')"
+    s"list_filter(string_split(${asciiLowerSql(c)}, ' '), x -> x <> '')"
 
   /** Distinct word n-gram shingles over a token-array column.
     * The short-input guard must be a `when`, NOT

@@ -43,8 +43,11 @@ object Advanced {
       |  CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q2,
-      |  sqrt(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-      |       - pow(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)) AS stddev_pop
+      |  sqrt(greatest(
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |      - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      |        * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)),
+      |    CAST(0 AS DOUBLE))) AS stddev_pop
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -52,13 +55,19 @@ object Advanced {
     val sumQ = sum(q).cast("double")
     val sumQ2 = sum(q * q).cast("double")
     val n = count(lit(1))
+    // m*m not pow(m, 2): IEEE multiply rounds identically in every
+    // engine while pow is libm-dependent (Java 1-ulp vs glibc exact);
+    // greatest(·, 0) both sides: the variance can dip one ulp below
+    // zero on constant groups — Spark's sqrt would yield NaN while
+    // DuckDB's ABORTS the query
+    val mean = sumQ / n
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         n.as("n"),
         sumQ.as("sum_q"),
         sumQ2.as("sum_q2"),
-        sqrt(sumQ2 / n - pow(sumQ / n, lit(2))).as("stddev_pop"))
+        sqrt(greatest(sumQ2 / n - mean * mean, lit(0.0d))).as("stddev_pop"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -69,17 +78,21 @@ object Advanced {
   val q25Percentile: Q = Q(
     "q25_percentile",
     """SELECT l_returnflag,
-      |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5) AS median_price,
-      |  quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9) AS p90_price
+      |  round(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.5), 6) AS median_price,
+      |  round(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 0.9), 6) AS p90_price
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // round(·, 6) on BOTH sides: the two engines' linear-interpolation
+    // formulas (lo·(1−δ)+hi·δ vs lo·(⌈p⌉−p)+hi·(p−⌊p⌋)) can differ in
+    // the last ulp; six decimals is far beyond the data's 2-decimal
+    // precision and far above one ulp
     val v = dec(col("l_extendedprice")).cast("double")
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile(v, lit(0.5)).as("median_price"),
-        percentile(v, lit(0.9)).as("p90_price"))
+        round(percentile(v, lit(0.5)), 6).as("median_price"),
+        round(percentile(v, lit(0.9)), 6).as("p90_price"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -128,17 +141,26 @@ object Advanced {
     * independent implementation agreeing with our composition. */
   val q28AsofJoin: Q = Q(
     "q28_asof_join",
-    """SELECT l.event_id, l.user_id, l.ts AS error_ts, r.value AS last_purchase_value
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, ts)
+      |SELECT l.event_id, l.user_id, l.ts AS error_ts, r.value AS last_purchase_value
       |FROM (SELECT * FROM events WHERE event_type = 'error') l
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |ASOF LEFT JOIN p r
       |  ON l.user_id = r.user_id AND r.ts <= l.ts
       |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    // the right side is pre-deduplicated to one row per (user, ts) —
+    // identically on both engines — because DuckDB's native ASOF JOIN
+    // leaves the winner UNSPECIFIED when several right rows share the
+    // maximal timestamp, while our operator deterministically takes
+    // the greatest payload tuple; max(value) makes ties impossible
     val ev = Tables.events(s, dir)
     val errors = ev.filter(col("event_type") === "error")
       .withColumnRenamed("value", "err_value")
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("value").as("last_purchase_value"))
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("last_purchase_value"))
     AsOf.asofJoin(
         errors, purchases,
         col("user_id"), col("p_user"), col("ts"), col("p_ts"),

@@ -200,7 +200,7 @@ object Extended {
     "t62_token_stats",
     s"""SELECT doc_id,
        |  CAST(len(${tokensSql("text")}) AS BIGINT) AS ws_tokens,
-       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+       |  CAST(len(regexp_extract_all(${graft.operators.TextHash.asciiLowerSql("text")}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS subword_est
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.tokenStats(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -210,7 +210,7 @@ object Extended {
   /** t63 — document fingerprint (rolling hash of normalized text). */
   val t63Fingerprint: Q = Q(
     "t63_fingerprint",
-    s"""SELECT doc_id, ${polyHashSql("lower(text)")} AS fingerprint
+    s"""SELECT doc_id, ${polyHashSql(graft.operators.TextHash.asciiLowerSql("text"))} AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
@@ -261,9 +261,13 @@ object Extended {
       "d46_srp_sketch",
       s"""SELECT vec_id, $bitTerms AS sketch
          |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      // slice to the hyperplane dim like the oracle's range(1, 65)
+      // truncates: a longer embedding would otherwise null the native
+      // dot (length mismatch) and zero the sketch on one side only
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
-          graft.operators.Similarity.srpSketch(col("embedding")).as("sketch"))
+          graft.operators.Similarity.srpSketch(
+            slice(col("embedding"), 1, 64)).as("sketch"))
         .orderBy(col("vec_id"))
     }
   }

@@ -30,6 +30,19 @@ object Football {
       |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
       |  FROM events""".stripMargin
 
+  /** Oracle twin of Enforce.withError for the event schema —
+    * STRUCTURAL (TRY_CAST per field, tags joined in schema order),
+    * not a hardcoded replay of the %97 corruption rule, so the
+    * Spark/DuckDB comparison stays valid on data where OTHER fields
+    * fail too (a naturally non-integer props.k, a null event_id).
+    * DuckDB's concat_ws skips NULLs exactly like Spark's. */
+  private val errOracle =
+    """concat_ws(',',
+      |  CASE WHEN event_id IS NULL THEN 'missing_required:event_id'
+      |       WHEN TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) IS NULL THEN 'cast_failure:event_id' END,
+      |  CASE WHEN k IS NOT NULL AND TRY_CAST(k AS BIGINT) IS NULL THEN 'cast_failure:k' END,
+      |  CASE WHEN ts_s IS NOT NULL AND TRY_CAST(ts_s AS TIMESTAMP) IS NULL THEN 'cast_failure:ts_s' END)""".stripMargin
+
   private val eventSchema = Seq(
     FieldSpec("event_id", "INTEGER", required = true),
     FieldSpec("k", "INTEGER"),
@@ -39,11 +52,12 @@ object Football {
     * come out typed (ref `helpers.py:51-101`). */
   val q30EnforceOk: Q = Q(
     "q30_enforce_ok",
-    s"""WITH raw AS ($rawOracle)
-       |SELECT CAST(event_id AS BIGINT) AS event_id,
-       |       CAST(k AS BIGINT) AS k,
-       |       CAST(ts_s AS TIMESTAMP) AS ts_s
-       |FROM raw WHERE event_id % 97 <> 0
+    s"""WITH raw AS ($rawOracle),
+       |flagged AS (SELECT *, $errOracle AS err FROM raw)
+       |SELECT TRY_CAST(event_id AS BIGINT) AS event_id,
+       |       TRY_CAST(k AS BIGINT) AS k,
+       |       TRY_CAST(ts_s AS TIMESTAMP) AS ts_s
+       |FROM flagged WHERE err = ''
        |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val (ok, _) = Enforce.split(rawEvents(s, dir), eventSchema)
     ok.orderBy(col("event_id"))
@@ -54,9 +68,11 @@ object Football {
     * `transforms.py:182-184`). */
   val q31EnforceDead: Q = Q(
     "q31_enforce_dead",
-    """SELECT event_id, 'cast_failure:k' AS error
-      |FROM events WHERE event_id % 97 = 0
-      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    s"""WITH raw AS ($rawOracle),
+       |flagged AS (SELECT *, $errOracle AS err FROM raw)
+       |SELECT event_id, err AS error
+       |FROM flagged WHERE err <> ''
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val (_, dead) = Enforce.split(rawEvents(s, dir), eventSchema)
     dead.select(col("event_id"), col("error")).orderBy(col("event_id"))
   }
@@ -65,9 +81,11 @@ object Football {
     * `{"PK": ..., "error": ...}` document per diverted row. */
   val q34DeadLetterJson: Q = Q(
     "q34_dead_letter_json",
-    """SELECT '{"PK":' || event_id || ',"error":"cast_failure:k"}' AS value
-      |FROM events WHERE event_id % 97 = 0
-      |ORDER BY value""".stripMargin) { (s, dir) =>
+    s"""WITH raw AS ($rawOracle),
+       |flagged AS (SELECT *, $errOracle AS err FROM raw)
+       |SELECT '{"PK":' || event_id || ',"error":"' || err || '"}' AS value
+       |FROM flagged WHERE err <> ''
+       |ORDER BY value""".stripMargin) { (s, dir) =>
     val (_, dead) = Enforce.split(rawEvents(s, dir), eventSchema)
     Enforce.deadLetterJson(dead, "event_id").orderBy(col("value"))
   }

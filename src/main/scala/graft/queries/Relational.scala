@@ -180,15 +180,19 @@ object Relational {
   val q17JsonExtract: Q = Q(
     "q17_json_extract",
     """SELECT event_type,
-      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    // try_cast on BOTH sides: Spark's get_json_object+cast nulls a
+    // non-integer '$.k' while a strict DuckDB CAST would abort the
+    // whole oracle — TRY_CAST keeps the engines' lenient semantics
+    // aligned for arbitrary props payloads
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        sum(get_json_object(col("props"), "$.k").try_cast("long")).as("sum_k"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }

@@ -22,7 +22,7 @@ object Scalars {
     "q15_string_funcs",
     """SELECT p_partkey,
       |  split_part(p_name, ' ', 1) AS first_word,
-      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  regexp_extract(p_name, '([a-z]+)\z', 1) AS last_word,
       |  CAST(length(p_name) AS BIGINT) AS name_len,
       |  upper(p_brand) AS brand_upper,
       |  p_brand || '-' || p_type AS brand_type
@@ -32,7 +32,9 @@ object Scalars {
       .select(
         col("p_partkey"),
         element_at(split(col("p_name"), " "), 1).as("first_word"),
-        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        // \z (end of TEXT) in both dialects: Java's $ also matches
+        // before a final line terminator, RE2's $ does not
+        regexp_extract(col("p_name"), "([a-z]+)\\z", 1).as("last_word"),
         length(col("p_name")).cast("long").as("name_len"),
         upper(col("p_brand")).as("brand_upper"),
         concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"))

@@ -59,8 +59,12 @@ object Scale {
        |WHERE ${polyHashSql("l_orderkey || '-' || l_linenumber")} % 100 < 10
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // concat, NOT concat_ws: the oracle's `a || '-' || b` propagates
+    // NULL while concat_ws skips null parts — a row with a null key
+    // component must fall out of the sample on BOTH engines
     val sampled = Sampling.hashBernoulli(Tables.lineitem(s, dir),
-      concat_ws("-", col("l_orderkey"), col("l_linenumber")), 10)
+      concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")), 10)
     sampled.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag"))
