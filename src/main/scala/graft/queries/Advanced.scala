@@ -245,7 +245,68 @@ object Advanced {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** q49 — map-typed column surface: construction, key listing,
+    * value extraction, cardinality. (DuckDB's `m[key]` yields a LIST —
+    * indexed [1] for the scalar; Spark's element_at is scalar.) */
+  val q49MapFuncs: Q = Q(
+    "q49_map_funcs",
+    """SELECT event_id,
+      |  array_to_string(list_sort(map_keys(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)})), '-') AS m_keys,
+      |  MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}['type'][1] AS type_val,
+      |  CAST(cardinality(MAP {'type': event_type, 'uid': CAST(user_id AS VARCHAR)}) AS BIGINT) AS n_entries
+      |FROM events
+      |WHERE event_id % 50 = 0
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val m = map(lit("type"), col("event_type"), lit("uid"), col("user_id").cast("string"))
+    Tables.events(s, dir)
+      .filter(col("event_id") % 50 === 0)
+      .select(
+        col("event_id"),
+        array_join(array_sort(map_keys(m)), "-").as("m_keys"),
+        element_at(m, "type").as("type_val"),
+        size(m).cast("long").as("n_entries"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q50 — exact-arithmetic Pearson correlation (quantity vs discount
+    * per return flag) from decimal power sums: the built-in corr()
+    * accumulates in engine-specific float order and would not
+    * hash-match; the decimal Σx/Σy/Σxx/Σyy/Σxy route is exact in both
+    * engines, with m·m instead of pow (libm-free) throughout. */
+  val q50Corr: Q = Q(
+    "q50_corr",
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
+      |  / sqrt(
+      |      (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+      |      * (COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+      |         - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)))
+      |  AS corr_qd
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_discount"))
+    val n = count(lit(1))
+    val sx = sum(x).cast("double")
+    val sy = sum(y).cast("double")
+    val sxx = sum(x * x).cast("double")
+    val syy = sum(y * y).cast("double")
+    val sxy = sum(x * y).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        n.as("n"),
+        ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+          .as("corr_qd"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
-    q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow)
+    q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow,
+    q49MapFuncs, q50Corr)
 }
