@@ -37,11 +37,16 @@ class ScaleSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"range join must stay an equi-join on (key, bucket):\n$plan")
-    // the naive BETWEEN formulation, by contrast, has no equi-keys
+    // the naive BETWEEN formulation, by contrast, has no equi-keys;
+    // full result-set equality, not just counts
     val naive = errors.join(purchases,
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("ts") - expr("INTERVAL 30 MINUTES") && col("p_ts") <= col("ts"))
-    assert(naive.count() == joined.count())
+      .select(col("error_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketized = joined.select(col("error_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketized == naive && naive.nonEmpty)
   }
 
   test("bloom prune filters fact rows before the shuffle, result exact") {
