@@ -44,6 +44,19 @@ object Enforce {
     }
   }
 
+  /** Can the source type reach the target via try_cast at all?
+    * Complex sources (struct/array/map) cast to STRING but are
+    * unconditional cast failures for INTEGER/TIMESTAMP — a direct
+    * try_cast there would be an ANALYSIS error (killing the job)
+    * instead of the reference's per-record int() ValueError. */
+  private def castable(df: DataFrame, f: FieldSpec): Boolean =
+    df.schema(f.name).dataType match {
+      case _: org.apache.spark.sql.types.StructType |
+           _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType => f.typ == "STRING"
+      case _ => true
+    }
+
   /** Per-field validation error, or null when the field is clean. */
   private def fieldError(df: DataFrame, f: FieldSpec): Column = {
     val present = df.columns.contains(f.name)
@@ -51,8 +64,14 @@ object Enforce {
       if (f.required) lit(s"missing_required:${f.name}") else lit(null: String)
     } else {
       val src = col(f.name)
-      val casted = src.cast("string").try_cast(f.sparkType)
-      val castFail = src.isNotNull && casted.isNull
+      // try_cast from the SOURCE type, never via an intermediate
+      // string: a numeric 9.0 must truncate to 9 like the reference's
+      // int(9.0) (helpers.py:92-94) — routing through "9.0" would flag
+      // it as a cast failure; a string "9.0" still fails, exactly like
+      // Python's int("9.0")
+      val castFail =
+        if (castable(df, f)) src.isNotNull && src.try_cast(f.sparkType).isNull
+        else src.isNotNull // complex value in a scalar field: int({...}) raises
       if (f.required)
         when(src.isNull, lit(s"missing_required:${f.name}"))
           .when(castFail, lit(s"cast_failure:${f.name}"))
@@ -63,8 +82,8 @@ object Enforce {
 
   /** The enforced (cast + pruned + null-filled) projection of one field. */
   private def fieldValue(df: DataFrame, f: FieldSpec): Column = {
-    if (df.columns.contains(f.name))
-      col(f.name).cast("string").try_cast(f.sparkType).as(f.name)
+    if (df.columns.contains(f.name) && castable(df, f))
+      col(f.name).try_cast(f.sparkType).as(f.name)
     else lit(null).cast(f.sparkType).as(f.name)
   }
 

@@ -40,14 +40,41 @@ object Normalize {
   // and Enforce routes the null/required/cast checks to the dead side.
   private def l(c: Column): Column = c.try_cast("long")
 
-  /** Corrupt or empty staged files infer a schema without the payload
-    * columns; pad the expected columns with typed nulls so the
-    * normalizer plan always resolves and the affected rows flow to the
-    * dead-letter path instead of failing analysis. */
-  private def pad(df: DataFrame, cols: (String, String)*): DataFrame =
-    cols.foldLeft(df) { case (d, (name, typ)) =>
-      if (d.columns.contains(name)) d else d.withColumn(name, lit(null).cast(typ))
+  /** Reconcile inferred payload columns with the expected shape so the
+    * normalizer plan ALWAYS resolves and bad payloads flow to the
+    * dead-letter path instead of failing analysis:
+    *  - column missing entirely (corrupt/empty file) → typed nulls;
+    *  - column present with a DIFFERENT inferred type (an empty
+    *    `"response": []` infers array<string>; a sparse payload infers
+    *    a subset struct) → re-read through from_json(to_json(...)),
+    *    which null-fills absent nested fields exactly like the
+    *    reference's dict .get chains and empties mistyped payloads;
+    *  - scalar-typed where a scalar is expected → try_cast. */
+  private def pad(df: DataFrame, cols: (String, String)*): DataFrame = {
+    import org.apache.spark.sql.types._
+    def complex(t: DataType): Boolean = t match {
+      case _: StructType | _: ArrayType | _: MapType => true
+      case _ => false
     }
+    cols.foldLeft(df) { case (d, (name, typ)) =>
+      val target = DataType.fromDDL(typ)
+      if (!d.columns.contains(name)) d.withColumn(name, lit(null).cast(typ))
+      else {
+        val actual = d.schema(name).dataType
+        if (actual == target) d
+        else (actual, target) match {
+          case (StringType, t) if complex(t) =>
+            d.withColumn(name, from_json(col(name), t))
+          case (a, t) if complex(a) && complex(t) =>
+            d.withColumn(name, from_json(to_json(col(name)), t))
+          case (_, t) if complex(t) =>
+            d.withColumn(name, lit(null).cast(typ))
+          case _ =>
+            d.withColumn(name, col(name).try_cast(typ))
+        }
+      }
+    }
+  }
 
   /** API-Football (ref `transforms.py:19-72`): flat string-typed
     * payloads; join standings⋈teams on team id within each pk group;
@@ -74,13 +101,22 @@ object Normalize {
     s.join(broadcast(t),
         s("pk") === t("t_pk") && s("team_id") === t("team_key"), "inner")
       .select(
+        // the TRUE group key rides along (pruned by enforcement):
+        // re-deriving it from the row pk is lossy when team_id itself
+        // contains a '-'
+        col("pk").as("_group_pk"),
         concat_ws("-", col("pk"), col("team_id")).as("pk"),
         col("team_id").cast("string").as("team_id"),
         col("team_name").cast("string").as("team_name"),
         col("t_country").cast("string").as("team_country"),
         col("league_id").cast("string").as("league_id"),
         col("league_name").cast("string").as("league_name"),
-        l(element_at(split(col("pk"), "-"), 1)).as("season"),
+        // season stays a STRING here for the same reason as the other
+        // numerics below: the running reference int()s it
+        // (transforms.py:55 + helpers.py:92-100), so the 'unknown'
+        // path-pk fallback must FAIL enforcement and dead-letter its
+        // group — an l() would silently null it past the NULLABLE check
+        element_at(split(col("pk"), "-"), 1).as("season"),
         // Every API-Football numeric arrives as a STRING and the
         // reference int()s it (raising on non-numeric → the whole
         // group dead-letters, transforms.py:48-64 + 182-184). The raw
@@ -132,17 +168,24 @@ object Normalize {
         col("r.team.country").as("t_country"),
         col("r.venue.name").as("t_venue_name"),
         col("r.venue.city").as("t_venue_city"))
+    // try_element_at, NOT element_at: Spark 4 defaults ANSI on, where
+    // element_at on an EMPTY response array throws and kills the whole
+    // job — the reference raises ValueError and diverts only that
+    // group (transforms.py:83-87); with try_element_at the empty
+    // payload yields no rows and the group dead-letters as
+    // empty_or_unjoinable downstream
     val header = standingsRaw.select(
-      col("pk"), element_at(col("response"), 1).getField("league").as("league"))
+      col("pk"), try_element_at(col("response"), lit(1)).getField("league").as("league"))
     val rows = header.select(
       col("pk"),
       col("league.id").cast("string").as("league_id"),
       col("league.name").cast("string").as("league_name"),
       col("league.season").cast("long").as("season"),
-      explode(element_at(col("league.standings"), 1)).as("standing"))
+      explode(try_element_at(col("league.standings"), lit(1))).as("standing"))
     rows.join(broadcast(t),
         rows("pk") === t("t_pk") && rows("standing.team.id") === t("t_team_id"), "inner")
       .select(
+        col("pk").as("_group_pk"),
         concat_ws("-", col("pk"), col("standing.team.id")).as("pk"),
         col("standing.team.id").cast("string").as("team_id"),
         col("standing.team.name").cast("string").as("team_name"),
@@ -194,16 +237,42 @@ object Normalize {
     * semi/anti joins — no driver collection. */
   def pipeline(spark: SparkSession, root: String, apiName: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.DataFrame
-    // cache: multiple consumers each (normalize + expected-pk audit).
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+    def emptyPks(cols: String*): DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(cols.map(StructField(_, StringType))))
+
+    // the reference's unit of input is ONE document per (group,
+    // endpoint) per run (its per-group loop overwrites teams_data /
+    // standings_data per file, transforms.py:158-166); a staged root
+    // accumulates files across runs, so only the latest run file per
+    // endpoint directory participates — otherwise two runs would join
+    // 2x teams against 2x standings and emit every row 4 times
+    def latestOnly(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(regexp_replace(col("src_path"), "/[^/]*$", ""))
+      df.withColumn("_last", max(col("src_path")).over(w))
+        .filter(col("src_path") === col("_last")).drop("_last")
+    }
+
+    // cache: multiple consumers each (normalize + group audits).
     // `_corrupt_record` must be dropped BEFORE caching: materializing a
     // cache selects every column, and for a fully-corrupt file that is
     // only the corrupt-record column, which Spark refuses to query off
     // a JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Whole-file
     // corruption is detected by the text parse probe below instead.
-    def staged(glob: String): DataFrame = {
-      val df = readStaged(spark, glob)
-      (if (df.columns.contains("_corrupt_record")) df.drop("_corrupt_record") else df).cache()
-    }
+    // A glob matching NO files must behave as an empty input, not a
+    // PATH_NOT_FOUND job failure.
+    def staged(glob: String): DataFrame =
+      try {
+        val df = readStaged(spark, glob)
+        latestOnly(
+          if (df.columns.contains("_corrupt_record")) df.drop("_corrupt_record") else df)
+          .cache()
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => emptyPks("src_path", "pk")
+      }
     val teams = staged(s"$root/*/*/teams/*.json")
     val standings = staged(s"$root/*/*/standings/*.json")
 
@@ -213,47 +282,45 @@ object Normalize {
     // and a per-file verdict is what the reference's per-group read
     // failure maps to anyway (ref transforms.py:158-169).
     def corruptPks(glob: String): DataFrame =
-      spark.read.option("wholetext", "true").text(glob)
+      try spark.read.option("wholetext", "true").text(glob)
         .select(Paths.extractPk(input_file_name()).as("pk"), col("value"))
         .filter(get_json_object(col("value"), "$").isNull)
         .select(col("pk")).distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyPks("pk") }
     val corrupt = corruptPks(s"$root/*/*/teams/*.json")
       .unionByName(corruptPks(s"$root/*/*/standings/*.json")).distinct()
 
-    // every group the staged inputs mention — the universe that must be
-    // accounted for between ok and dead
-    val expected = teams.select(col("pk")).unionByName(standings.select(col("pk"))).distinct()
+    // every group the staged FILES mention — derived from the file
+    // listing, not from parsed rows: a file whose payload parses to
+    // zero rows (an empty API response staged verbatim) must still be
+    // accounted between ok and dead, exactly like the reference keys
+    // groups from paths before reading them (pipeline.py:38-39)
+    def filePks(glob: String): DataFrame =
+      try spark.read.format("binaryFile").load(glob)
+        .select(Paths.extractPk(col("path")).as("pk")).distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException => emptyPks("pk") }
+    val expected = filePks(s"$root/*/*/teams/*.json")
+      .unionByName(filePks(s"$root/*/*/standings/*.json")).distinct()
 
-    // group key = the row pk minus its trailing -team_id segment. NOT
-    // "first two '-'-segments": the path-pk fallback is the single
-    // token "unknown" (Paths.extractPk), whose row pks look like
-    // "unknown-<team>" — a two-segment split would yield a group
-    // "unknown-<team>" that never matches the expected/corrupt
-    // universes (groups double-counted ok+dead, corrupt rows never
-    // quarantined).
-    def groupOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      regexp_replace(c, "-[^-]*$", "")
-
+    // normalizers carry the TRUE group key through as _group_pk
+    // (enforcement prunes it from ok); corrupt groups are quarantined
+    // BEFORE enforcement so their rows reach neither output
     val unified = normalizer(apiName)(teams, standings)
-      .withColumn("group_pk", groupOf(col("pk")))
-    val (ok0, deadRows) = Enforce.splitByGroup(unified, SchemaRegistry.v1.fields, "group_pk")
+    val clean = unified.join(
+      corrupt.select(col("pk").as("_bad")),
+      col("_group_pk") === col("_bad"), "left_anti")
+    val (ok, deadRows) = Enforce.splitByGroup(clean, SchemaRegistry.v1.fields, "_group_pk")
 
-    val enforceDead = deadRows.select(col("group_pk").as("pk")).distinct()
+    val enforceDead = deadRows.select(col("_group_pk").as("pk")).distinct()
       .withColumn("error", lit("enforcement_failure"))
     val corruptDead = corrupt.withColumn("error", lit("corrupt_input"))
-    val okGroups = ok0.select(groupOf(col("pk")).as("pk")).distinct()
+    val cleanGroups = clean.select(col("_group_pk").as("pk")).distinct()
     val vanished = expected
-      .join(okGroups, Seq("pk"), "left_anti")
-      .join(enforceDead.select("pk"), Seq("pk"), "left_anti")
+      .join(cleanGroups, Seq("pk"), "left_anti")
       .join(corruptDead.select("pk"), Seq("pk"), "left_anti")
       .withColumn("error", lit("empty_or_unjoinable_group"))
 
     val dead = corruptDead.unionByName(enforceDead).unionByName(vanished)
-    // rows of a corrupt group are not trustworthy either — remove them
-    val ok = ok0.join(
-      corrupt.select(col("pk").as("bad_group")),
-      groupOf(col("pk")) === col("bad_group"),
-      "left_anti")
     (ok, dead)
   }
 }

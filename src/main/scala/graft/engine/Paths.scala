@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * 100 TB — this operator exists for paths we don't control.
   */
 object Paths {
-  private val SeasonLeague = "/?season_([0-9]+)/league_([0-9]+)/"
+  // slash-anchored exactly like the reference (helpers.py:20): without
+  // the anchor, ".../offseason_2024/league_39/..." would match on the
+  // "season_2024" SUFFIX and merge foreign files into a real group
+  private val SeasonLeague = "/season_([0-9]+)/league_([0-9]+)/"
 
   def seasonOf(path: Column): Column = regexp_extract(path, SeasonLeague, 1)
   def leagueOf(path: Column): Column = regexp_extract(path, SeasonLeague, 2)

@@ -38,8 +38,14 @@ object SchemaRegistry {
     })
   }
 
-  private val FieldRe: Regex =
-    """\{\s*"name"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"([^"]+)"([^}]*)\}""".r
+  // per-field OBJECT blocks, with name/type/mode extracted separately
+  // inside each block — JSON key order is not semantic, and a
+  // {"type": ..., "name": ...} field must parse (the reference's
+  // dict-based parseSchema accepts any order, helpers.py:38-47), not
+  // be silently dropped from the enforcement schema
+  private val BlockRe: Regex = """\{[^{}]*\}""".r
+  private val NameRe: Regex = """"name"\s*:\s*"([^"]+)"""".r
+  private val TypeRe: Regex = """"type"\s*:\s*"([^"]+)"""".r
   private val VersionRe: Regex = """"version"\s*:\s*(\d+)""".r
 
   /** Parse a v1.json-shaped document. Unknown types raise (fail-fast,
@@ -57,12 +63,18 @@ object SchemaRegistry {
     val version = VersionRe.findFirstMatchIn(json)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException("schema document has no version"))
-    val fields = FieldRe.findAllMatchIn(json).map { m =>
+    val fields = BlockRe.findAllIn(json).toSeq.map { block =>
+      val name = NameRe.findFirstMatchIn(block).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"schema field object without a name: $block"))
+      val typ = TypeRe.findFirstMatchIn(block).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"schema field '$name' has no type"))
       val required =
-        if (strict) !m.group(3).contains(""""NULLABLE"""")
-        else m.group(3).contains(""""REQUIRED"""")
-      FieldSpec(m.group(1), m.group(2), required)
-    }.toSeq
+        if (strict) !block.contains(""""NULLABLE"""")
+        else block.contains(""""REQUIRED"""")
+      FieldSpec(name, typ, required)
+    }
     if (fields.isEmpty)
       throw new IllegalArgumentException("schema document has no fields")
     SchemaDoc(version, fields)

@@ -53,8 +53,14 @@ object Sinks {
     val saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      // null league_id rows would all land in one Hive default
+      // partition that successive runs for DIFFERENT leagues would
+      // clobber; routing them to an explicit pseudo-league keeps the
+      // per-league-truncate contract well-defined (the __unknown__
+      // bucket is one "league" whose runs replace each other)
       df.withColumn("update_timestamp",
           coalesce(col("update_timestamp"), current_timestamp()))
+        .withColumn("league_id", coalesce(col("league_id"), lit("__unknown__")))
         .write.mode("overwrite")
         .partitionBy("season", "league_id")
         .parquet(s"$outDir/teams_$apiName")

@@ -101,10 +101,10 @@ object Football {
       |                   || '/league_' || CAST(user_id % 10 AS VARCHAR) || '/teams/run_1.json' END AS path
       |  FROM events),
       |pks AS (
-      |  SELECT CASE WHEN regexp_extract(path, '/?season_([0-9]+)/league_([0-9]+)/', 1) = ''
+      |  SELECT CASE WHEN regexp_extract(path, '/season_([0-9]+)/league_([0-9]+)/', 1) = ''
       |              THEN 'unknown'
-      |              ELSE regexp_extract(path, '/?season_([0-9]+)/league_([0-9]+)/', 1) || '-'
-      |                   || regexp_extract(path, '/?season_([0-9]+)/league_([0-9]+)/', 2) END AS pk
+      |              ELSE regexp_extract(path, '/season_([0-9]+)/league_([0-9]+)/', 1) || '-'
+      |                   || regexp_extract(path, '/season_([0-9]+)/league_([0-9]+)/', 2) END AS pk
       |  FROM paths)
       |SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_files
       |FROM pks GROUP BY pk ORDER BY pk""".stripMargin) { (s, dir) =>

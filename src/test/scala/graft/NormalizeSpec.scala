@@ -141,7 +141,7 @@ class NormalizeSpec extends SparkSpec {
     assert(d("2023-2") == "empty_or_unjoinable_group")
   }
 
-  test("non-conforming path ('unknown' pk fallback) is accounted once — ok, not double-counted dead") {
+  test("non-conforming path ('unknown' pk fallback) is accounted exactly once, as a dead group") {
     val root = Files.createTempDirectory("graft_unknown")
     // path matches the endpoint globs but not the season/league regex
     write(root, "api/misc/batch1/teams/run_1.json",
@@ -155,9 +155,64 @@ class NormalizeSpec extends SparkSpec {
         |  "overall_league_GF": "9", "overall_league_GA": "2",
         |  "overall_league_form": "WWWD"}]""".stripMargin)
     val (ok, dead) = Normalize.pipeline(spark, s"$root/api", "apifootball")
-    assert(ok.count() == 1) // the reference KEEPS unknown groups (helpers.py:21-23)
-    assert(ok.head().getAs[String]("pk") == "unknown-1")
-    assert(dead.count() == 0, dead.collect().mkString(","))
+    // the reference KEEPS unknown groups keyed (helpers.py:21-23) but
+    // then int('unknown') raises during enforcement (transforms.py:55,
+    // helpers.py:92-100) — the group dead-letters, exactly once
+    assert(ok.count() == 0)
+    val d = dead.collect().map(r => r.getString(0) -> r.getString(1))
+    assert(d.toSeq == Seq("unknown" -> "enforcement_failure"), d.mkString(","))
+  }
+
+  test("zero-row payloads are accounted (file-based universe), empty apisports response dead-letters not crashes") {
+    // BOTH endpoint files parse to ZERO rows ("[]"): the group must
+    // still dead-letter (the universe comes from the file listing,
+    // pipeline.py:38-39), not silently vanish from both outputs
+    val root = Files.createTempDirectory("graft_zerorow")
+    write(root, "api/season_2023/league_3/teams/run_1.json", "[]")
+    write(root, "api/season_2023/league_3/standings/run_1.json", "[]")
+    val (ok, dead) = Normalize.pipeline(spark, s"$root/api", "apifootball")
+    assert(ok.count() == 0)
+    val d = dead.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d("2023-3") == "empty_or_unjoinable_group", d.mkString(","))
+    // apisports {"response": []} — under Spark 4's ANSI default an
+    // element_at would THROW here; try_element_at diverts the group
+    // like the reference's ValueError (transforms.py:83-87)
+    val root2 = Files.createTempDirectory("graft_emptyresp")
+    write(root2, "api/season_2023/league_4/teams/run_1.json",
+      """{"response": [{"team": {"id": 1, "name": "A", "country": "X"},
+        |  "venue": {"name": "V", "city": "C"}}]}""".stripMargin)
+    write(root2, "api/season_2023/league_4/standings/run_1.json",
+      """{"response": []}""")
+    val (ok2, dead2) = Normalize.pipeline(spark, s"$root2/api", "apisports")
+    assert(ok2.count() == 0)
+    val d2 = dead2.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d2("2023-4") == "empty_or_unjoinable_group", d2.mkString(","))
+  }
+
+  test("multiple staged runs per endpoint: only the latest run file participates") {
+    val root = Files.createTempDirectory("graft_multirun")
+    val teamsDoc =
+      """[{"team_key": "1", "team_name": "A", "team_country": "X",
+        |  "venue": {"venue_name": "V", "venue_city": "C"}}]""".stripMargin
+    def standingsDoc(pts: String) =
+      s"""[{"team_id": "1", "team_name": "A", "league_id": "7",
+         |  "league_name": "L", "overall_league_position": "1",
+         |  "overall_league_PTS": "$pts", "overall_league_payed": "4",
+         |  "overall_league_W": "3", "overall_league_D": "1", "overall_league_L": "0",
+         |  "overall_league_GF": "9", "overall_league_GA": "2",
+         |  "overall_league_form": "WWWD"}]""".stripMargin
+    write(root, "api/season_2023/league_7/teams/run_1.json", teamsDoc)
+    write(root, "api/season_2023/league_7/teams/run_2.json", teamsDoc)
+    write(root, "api/season_2023/league_7/standings/run_1.json", standingsDoc("10"))
+    write(root, "api/season_2023/league_7/standings/run_2.json", standingsDoc("13"))
+    val (ok, dead) = Normalize.pipeline(spark, s"$root/api", "apifootball")
+    // reference per-group loop keeps one document per endpoint (last
+    // file wins, transforms.py:158-166): 1 row from run_2, never the
+    // 4-row cross of both runs' teams x both runs' standings
+    val rows = ok.collect()
+    assert(rows.length == 1, s"got ${rows.length} rows")
+    assert(rows.head.getAs[Long]("points") == 13L) // run_2's value
+    assert(dead.count() == 0)
   }
 
   test("present-but-non-numeric GF dead-letters the group; absent GF still defaults 0") {
