@@ -119,9 +119,16 @@ object Enforce {
     (ok, dead)
   }
 
-  /** Dead-letter sink shape (ref `pipeline.py:57-63`): one JSON object
-    * per failed row/group, matching `{"PK": ..., "error": ...}`. */
-  def deadLetterJson(dead: DataFrame, pkCol: String): DataFrame =
-    dead.select(to_json(struct(col(pkCol).as("PK"), col("error")))
-      .as("value"))
+  /** Dead-letter sink shape (ref `transforms.py:184` + `pipeline.py:
+    * 57-63`): one JSON object per failed row/group — `{"PK", "files",
+    * "error"}` when the frame carries the group's file list (the
+    * Normalize pipeline attaches it), `{"PK", "error"}` for row-level
+    * splits with no file provenance. */
+  def deadLetterJson(dead: DataFrame, pkCol: String): DataFrame = {
+    val fields =
+      if (dead.columns.contains("files"))
+        Seq(col(pkCol).as("PK"), col("files"), col("error"))
+      else Seq(col(pkCol).as("PK"), col("error"))
+    dead.select(to_json(struct(fields: _*)).as("value"))
+  }
 }

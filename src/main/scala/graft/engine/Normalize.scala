@@ -295,12 +295,18 @@ object Normalize {
     // zero rows (an empty API response staged verbatim) must still be
     // accounted between ok and dead, exactly like the reference keys
     // groups from paths before reading them (pipeline.py:38-39)
-    def filePks(glob: String): DataFrame =
+    def fileList(glob: String): DataFrame =
       try spark.read.format("binaryFile").load(glob)
-        .select(Paths.extractPk(col("path")).as("pk")).distinct()
-      catch { case _: org.apache.spark.sql.AnalysisException => emptyPks("pk") }
-    val expected = filePks(s"$root/*/*/teams/*.json")
-      .unionByName(filePks(s"$root/*/*/standings/*.json")).distinct()
+        .select(Paths.extractPk(col("path")).as("pk"), col("path"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        emptyPks("pk", "path") }
+    val files = fileList(s"$root/*/*/teams/*.json")
+      .unionByName(fileList(s"$root/*/*/standings/*.json")).cache()
+    val expected = files.select(col("pk")).distinct()
+    // per-group staged-file provenance for the dead-letter records
+    // (ref transforms.py:184 carries the group's file list)
+    val filesPerGroup = files.groupBy(col("pk"))
+      .agg(sort_array(collect_list(col("path"))).as("files"))
 
     // normalizers carry the TRUE group key through as _group_pk
     // (enforcement prunes it from ok); corrupt groups are quarantined
@@ -321,6 +327,7 @@ object Normalize {
       .withColumn("error", lit("empty_or_unjoinable_group"))
 
     val dead = corruptDead.unionByName(enforceDead).unionByName(vanished)
+      .join(filesPerGroup, Seq("pk"), "left")
     (ok, dead)
   }
 }
