@@ -88,10 +88,19 @@ object Enforce {
   }
 
   /** Input row + `error` column: comma-joined failure tags in schema
-    * field order, null when the row is clean. */
-  def withError(df: DataFrame, schema: Seq[FieldSpec]): DataFrame =
-    df.withColumn("error", concat_ws(",", schema.map(f => fieldError(df, f)): _*))
-      .withColumn("error", when(col("error") === "", lit(null: String)).otherwise(col("error")))
+    * field order, null when the row is clean. Wrapped in a ComputeOnce
+    * barrier so the two-filter split downstream tests the materialized
+    * column instead of re-deriving the whole validation tree inside
+    * each pushed-down filter (see ComputeOnce's scaladoc — this is what
+    * makes the documented "evaluated once per row" actually hold in the
+    * physical plan). */
+  def withError(df: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
+    val tags = concat_ws(",", schema.map(f => fieldError(df, f)): _*)
+    val err = when(tags === "", lit(null: String)).otherwise(tags)
+    df.withColumn("error", org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.ComputeOnce(
+        org.apache.spark.sql.GraftExpressionBridge.expressionEager(err))))
+  }
 
   /** Row-level split: (ok = enforced schema projection, dead = original
     * row + error). The reference's E2 + row-granular E1. */

@@ -52,4 +52,20 @@ class PlanAuditSpec extends SparkSpec {
       }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("q30/q31: enforce split evaluates the validation tree once — filters test the error attribute") {
+    // Without the ComputeOnce barrier, predicate pushdown inlines the
+    // whole error derivation (JSON parse, timestamp format, try_casts)
+    // into each side's Filter condition, tripling per-row work on the
+    // 100 TB scan. The filter must reference the materialized column,
+    // never re-derive it.
+    Seq("q30_enforce_ok", "q31_enforce_dead", "q34_dead_letter_json").foreach { q =>
+      val p = plan(q)
+      val inlined = p.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("get_json_object"))
+      assert(!inlined, s"$q: validation tree inlined into a Filter:\n$p")
+      val parses = p.sliding("get_json_object".length).count(_ == "get_json_object")
+      assert(parses <= 1, s"$q: get_json_object appears $parses times (expected once):\n$p")
+    }
+  }
 }
