@@ -255,6 +255,67 @@ object Dedup {
     verifyJaccardOnSortedHashes(sh, candidatePairs(buckets), threshold)
   }
 
+  /** Connected components over an undirected edge list — the top of
+    * the dedup stack: near-dup PAIRS (LSH + Jaccard verify) become
+    * duplicate CLUSTERS, and `cluster_id = min(doc_id in component)`
+    * picks one canonical representative per cluster (keep it, drop the
+    * rest — the standard corpus-dedup final step).
+    *
+    * Algorithm: distributed min-label propagation. Every node starts
+    * as its own label; each round, a node's label becomes the min of
+    * its own and its neighbors' labels; fixpoint = components. Each
+    * round is one shuffle-join (labels ⋈ edges) + one aggregation —
+    * no driver-side graph, no collect; the driver only coordinates the
+    * loop and checks the (distributed) convergence count. Rounds
+    * needed = graph diameter. Near-dup clusters are shallow (dups of a
+    * common source), so this converges in a handful of rounds; for
+    * adversarially deep graphs at 100 TB the same loop structure takes
+    * the large-star/small-star rewiring ("Connected Components in
+    * MapReduce and Beyond", Kiveris et al. 2014) which contracts
+    * diameter to O(log n) rounds — label propagation is kept here for
+    * its by-construction determinism (min is order-insensitive).
+    *
+    * `nodes` must cover every id appearing in `edges` (pass the whole
+    * corpus: singleton docs come out as their own cluster).
+    *
+    * Each round's labels are `localCheckpoint`ed — NOT merely
+    * persisted: every round references the previous labels twice (the
+    * propagation join and the convergence diff), so without lineage
+    * truncation the logical plan doubles per round and analysis cost
+    * explodes exponentially with the iteration count. On a cluster
+    * with lineage-replay concerns, swap in reliable `checkpoint()` to
+    * durable storage — same loop, same semantics.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(
+          labels.select(col("id"), col("cluster_id").as("prev")), "id")
+        .filter(col("cluster_id") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds the bound; raise maxIter or switch to large-star/small-star")
+    labels
+  }
+
   /** 32-bit SimHash: bit b of the fingerprint is the sign of
     * Σ_tokens (±1 by token-hash bit b). Near-dup docs differ in few
     * bits. Two-stage: token hashes are staged as an array column via

@@ -109,4 +109,34 @@ object Multimodal {
         }
       }
   }
+
+  /** Fixed-size payload paging: one asset → ceil(len/chunk) ordered
+    * chunk rows, each with its size and content digest — the upload/
+    * dedup-unit shape for large binary payloads (multipart staging,
+    * chunk-level dedup, range reads). Pure generator expressions
+    * (sequence → posexplode → substr), no UDF: stays in whole-stage
+    * codegen and distributes as a narrow map — 1 row in, n rows out,
+    * no shuffle. Byte-based slicing on the binary column; the
+    * catalogue's oracle-checked twin (m71) chunks by CHARACTER on the
+    * string column instead, because the oracle engine cannot slice
+    * blobs — identical for ASCII payloads, and the operator itself
+    * stays byte-correct for arbitrary binaries. */
+  def chunkPages(assets: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    assets
+      .select(col("id"), col("payload"),
+        octet_length(col("payload")).as("len"))
+      .select(col("id"),
+        posexplode_outer(
+          when(col("len") > 0, sequence(
+            lit(0), ceil(col("len").cast("double") / chunkBytes).cast("int") - 1))
+            .otherwise(array().cast("array<int>"))).as(Seq("chunk_idx", "off")),
+        col("payload"))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        substr(col("payload"), col("off") * chunkBytes + 1, lit(chunkBytes)).as("chunk"))
+      .filter(col("chunk_idx").isNotNull)
+      .select(col("id"), col("chunk_idx"),
+        octet_length(col("chunk")).cast("long").as("n_bytes"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
 }

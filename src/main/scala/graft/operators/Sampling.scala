@@ -41,4 +41,21 @@ object Sampling {
       .filter((col("graft_rn") - 1) % k === 0)
       .drop("graft_rn")
   }
+
+  /** Stratified hash-Bernoulli sample: per-stratum keep-percentages
+    * (the deterministic analog of `DataFrameStatFunctions.sampleBy`,
+    * which is seeded and partitioning-dependent). The rate table rides
+    * as a broadcast join — no shuffle of the fact side, embarrassingly
+    * parallel, reproducible across re-runs and engines. Strata absent
+    * from `rates` are dropped (rate 0), matching sampleBy. */
+  def stratifiedHash(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF("graft_stratum", "graft_pct")
+    df.withColumn("graft_stratum", stratum)
+      .join(broadcast(rateDf), Seq("graft_stratum"))
+      .filter(pmod(polyHashFast(key.cast("string")), lit(100)) < col("graft_pct"))
+      .drop("graft_stratum", "graft_pct")
+  }
 }

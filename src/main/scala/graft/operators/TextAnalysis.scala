@@ -80,4 +80,74 @@ object TextAnalysis {
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
       polyHashFast(graft.operators.TextHash.asciiLower(text)).as("fingerprint"))
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    * repeated content is the strongest single low-quality indicator):
+    * distinct-token ratio, most-frequent-token fraction, duplicate
+    * 2-gram fraction. The per-token frequency table is computed
+    * DISTRIBUTED (explode → (doc, token) groupBy, shuffle-partitioned
+    * on both keys — no per-row O(len²) array scan, no skew: a doc's
+    * tokens spread over the cluster); the 2-gram signal needs only
+    * distinct-vs-total counts, which stay per-row set arithmetic. */
+  def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), tokens(text).as("t"))
+    val freq = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+    val grams = toks.select(col("doc_id"),
+      greatest(size(col("t")) - 1, lit(0)).cast("long").as("total2"),
+      size(shingles(col("t"), 2)).cast("long").as("distinct2"))
+    // left joins from the corpus: a zero-token doc has no exploded rows
+    // but must still appear (with all-zero signals)
+    df.select(id.as("doc_id"))
+      .join(freq, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0d)).as("distinct_token_ratio"),
+        when(col("n_tokens") > 0,
+          col("top_n").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0d)).as("top_token_fraction"),
+        when(col("total2") > 0,
+          lit(1.0d) - col("distinct2").cast("double") / col("total2"))
+          .otherwise(lit(0.0d)).as("dup_2gram_fraction"))
+  }
+
+  /** Corpus-derived document frequency + per-doc coverage of the
+    * corpus-top terms — the two-pass shape of every corpus-level
+    * statistic (IDF tables, corpus-adaptive stopword lists): pass 1
+    * aggregates the distinct (doc, term) pairs into a DF table and
+    * takes the top `k` terms (deterministic tie-break: df DESC, term
+    * ASC); pass 2 broadcasts that tiny set back against the exploded
+    * corpus. The broadcast is what makes pass 2 shuffle-free at
+    * 100 TB — the only wide ops are the two bounded aggregations. */
+  def corpusTopDfRatio(df: DataFrame, id: Column, text: Column,
+      k: Int = 20): DataFrame = {
+    val toks = df.select(id.as("doc_id"), tokens(text).as("t"))
+    val tok = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+    val top = tok.distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(k)
+      .select(col("tok"), lit(1).as("in_top"))
+    val perDoc = tok
+      .join(broadcast(top), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_top"), lit(0))).as("n_top"))
+    df.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("n_top").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0d)).as("top_df_ratio"))
+  }
 }

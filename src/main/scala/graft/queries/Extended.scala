@@ -33,6 +33,19 @@ object Extended {
        |         (sig[2*b+1]*$BandMix + sig[2*b+2]) % $P AS bucket
        |       FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
 
+  /** The d42 near-dup pair set as a reusable CTE chain (candidates →
+    * exact-Jaccard filter), feeding the clustering oracle. */
+  private val pairsCtes =
+    s"""$minhashCtes,
+       |hd AS (SELECT doc_id, list_distinct(h) AS s FROM hs),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |pairs AS (
+       |  SELECT a, b
+       |  FROM cand JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8)""".stripMargin
+
   /** d40 — exact dedup by content (hash-groupBy; min-id canonical row).
     * Duplicates are injected deterministically (every 7th doc re-added
     * under a shifted id) since the corpus itself has no exact dups. */
@@ -216,6 +229,86 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** t64 — Gopher-style repetition quality signals: distinct-token
+    * ratio, most-frequent-token fraction, duplicate-2-gram fraction
+    * (the per-token frequency table is a distributed (doc, token)
+    * aggregation, not a per-row array scan). */
+  val t64Repetition: Q = Q(
+    "t64_repetition",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tc AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY doc_id, tok),
+       |fr AS (SELECT doc_id, sum(n) AS n_tokens, count(*) AS n_distinct, max(n) AS top_n
+       |       FROM tc GROUP BY doc_id),
+       |gr AS (SELECT doc_id, greatest(len(t) - 1, 0) AS total2,
+       |              len(${shinglesSql(2)}) AS distinct2 FROM toks)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(fr.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN fr.n_tokens > 0 THEN CAST(fr.n_distinct AS DOUBLE) / fr.n_tokens ELSE 0.0 END AS distinct_token_ratio,
+       |  CASE WHEN fr.n_tokens > 0 THEN CAST(fr.top_n AS DOUBLE) / fr.n_tokens ELSE 0.0 END AS top_token_fraction,
+       |  CASE WHEN gr.total2 > 0 THEN 1.0 - CAST(gr.distinct2 AS DOUBLE) / gr.total2 ELSE 0.0 END AS dup_2gram_fraction
+       |FROM documents d
+       |LEFT JOIN fr ON d.doc_id = fr.doc_id
+       |LEFT JOIN gr ON d.doc_id = gr.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.repetition(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t65 — corpus-derived document frequency: top-20 DF terms
+    * (df DESC, term ASC tie-break) broadcast back for a per-doc
+    * coverage ratio — the two-pass corpus-statistic shape. */
+  val t65CorpusDf: Q = Q(
+    "t65_corpus_df",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+       |top AS (SELECT tok FROM dft ORDER BY df DESC, tok LIMIT 20),
+       |pd AS (SELECT doc_id, count(*) AS n_tokens,
+       |         sum(CASE WHEN tok IN (SELECT tok FROM top) THEN 1 ELSE 0 END) AS n_top
+       |       FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CASE WHEN pd.n_tokens > 0 THEN CAST(pd.n_top AS DOUBLE) / pd.n_tokens ELSE 0.0 END AS top_df_ratio
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.corpusTopDfRatio(Tables.documents(s, dir), col("doc_id"), col("text"), 20)
+      .orderBy(col("doc_id"))
+  }
+
+  /** m71 — payload paging: one document → ordered fixed-size chunks
+    * with sizes and content digests (the multipart-staging / chunk-
+    * dedup unit; see Multimodal.chunkPages for the byte-based binary
+    * operator — the catalogue twin chunks by CHARACTER because the
+    * oracle engine cannot slice blobs; identical on this ASCII
+    * corpus). */
+  val m71PayloadChunks: Q = Q(
+    "m71_payload_chunks",
+    s"""WITH idx AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, greatest(CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS BIGINT), 0))) AS i
+       |  FROM documents)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(octet_length(encode(substring(text, CAST(i*64+1 AS BIGINT), 64))) AS BIGINT) AS n_bytes,
+       |  md5(substring(text, CAST(i*64+1 AS BIGINT), 64)) AS chunk_md5
+       |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        ceil(length(col("text")).cast("double") / 64).cast("int").as("nc"))
+      // posexplode_outer (not posexplode): a plain Generate gets an
+      // inferred size()>0 filter pushed below the projection chain
+      .select(col("doc_id"), col("text"),
+        posexplode_outer(when(col("nc") > 0, sequence(lit(0), col("nc") - 1))
+          .otherwise(array().cast("array<int>"))).as(Seq("pos", "i")))
+      .filter(col("i").isNotNull)
+      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
+        col("text").substr(col("i") * 64 + 1, lit(64)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        octet_length(col("chunk")).cast("long").as("n_bytes"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** m70 — multimodal metadata path: payload treated as opaque bytes;
     * metadata-only projection (byte size + stable content id) reads no
     * payload at scan time thanks to column pruning. */
@@ -291,6 +384,31 @@ object Extended {
       .orderBy(col("a"), col("b"))
   }
 
+  /** d49 — duplicate CLUSTERS: the near-dup pairs closed into
+    * connected components (distributed min-label propagation; see
+    * Dedup.connectedComponents), cluster_id = canonical min doc_id.
+    * Every doc appears — singletons cluster with themselves. The
+    * oracle computes the same components via a recursive-CTE
+    * transitive closure: two independent algorithms, same fixpoint. */
+  val d49DedupClusters: Q = Q(
+    "d49_dedup_clusters",
+    s"""WITH RECURSIVE $pairsCtes,
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node)
+       |SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("a"), col("b"))
+    Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d48 — MinHash via the custom DeclarativeAggregate: shingle hashes
     * arrive as exploded ROWS and the codegen'd aggregate keeps the k
     * running minima (map-side partials; the shuffle carries k longs
@@ -316,8 +434,8 @@ object Extended {
 
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
-    d46SrpSketch, d47CharNgramDedup, d48MinhashAgg,
+    d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters,
     s50KnnBrute, s51KnnIvf,
-    t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint,
-    m70MultimodalMeta, d45MinhashFast)
+    t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
+    m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
 }

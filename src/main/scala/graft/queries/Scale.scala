@@ -146,6 +146,28 @@ object Scale {
       .orderBy(col("n_name"), col("rank"))
   }
 
+  /** q52 — stratified hash-Bernoulli sample: per-segment keep rates
+    * (40/20/10%, unlisted segments dropped) by portable key hash — the
+    * deterministic `sampleBy`. The rate table broadcasts; the fact
+    * side never shuffles. */
+  val q52StratifiedSample: Q = {
+    val rates = Seq("AUTOMOBILE" -> 40, "BUILDING" -> 20, "FURNITURE" -> 10)
+    val rateCase = rates.map { case (seg, pct) =>
+      s"WHEN '$seg' THEN $pct"
+    }.mkString("CASE c_mktsegment ", " ", " ELSE 0 END")
+    Q(
+      "q52_stratified_sample",
+      s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+         |FROM customer
+         |WHERE ${polyHashSql("CAST(c_custkey AS VARCHAR)")} % 100 < $rateCase
+         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Sampling.stratifiedHash(Tables.customer(s, dir),
+          col("c_mktsegment"), col("c_custkey"), rates.toMap)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
-    q44SystematicSample, q48TopkAgg)
+    q44SystematicSample, q48TopkAgg, q52StratifiedSample)
 }

@@ -199,7 +199,42 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q51 — gaps-and-islands (streak detection): runs of equal
+    * event_type per user under a total (ts, event_id) order, via the
+    * row_number-difference island key — VALUE-change sessionization,
+    * complementing q40's time-gap session_window. Two window passes
+    * over the same (user) partitioning: Catalyst plans ONE shuffle and
+    * one sort for both (same partition keys, compatible ordering). */
+  val q51Streaks: Q = Q(
+    "q51_streaks",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS isl
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, event_type, isl, count(*) AS streak
+      |  FROM e GROUP BY user_id, event_type, isl)
+      |SELECT user_id,
+      |  CAST(max(streak) AS BIGINT) AS max_streak,
+      |  CAST(count(*) AS BIGINT) AS n_islands
+      |FROM islands GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        (row_number().over(wAll) - row_number().over(wType)).as("isl"))
+      .groupBy(col("user_id"), col("event_type"), col("isl"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("max_streak"), count(lit(1)).as("n_islands"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q09WindowAnalytic, q10TopKPerGroup, q11Rollup, q21GroupingSets, q14SortLimit,
-    q37RangeFrame, q38RankFamily, q39ValueWindows)
+    q37RangeFrame, q38RankFamily, q39ValueWindows, q51Streaks)
 }

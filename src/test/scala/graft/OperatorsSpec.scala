@@ -153,4 +153,80 @@ class OperatorsSpec extends SparkSpec {
     assert(s1.length == s2.length)
     assert(s2.forall(h => h >= 0 && h < TextHash.P))
   }
+
+  test("connected components: chains close, singletons self-cluster, labels are component minima") {
+    // 1-2-3 chained (1-2, 2-3: transitive, never a direct 1-3 edge),
+    // 5-6 paired, 4 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components: a long path converges (diameter rounds) and maxIter violation fails loudly") {
+    val n = 12
+    val nodes = (1L to n).toDF("id")
+    val path = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(nodes, path).as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, path, maxIter = 2)
+    }
+  }
+
+  test("repetition: uniform doc scores clean, degenerate doc scores repetitive") {
+    val d = Seq(
+      (1L, "a b c d"),            // all distinct
+      (2L, "spam spam spam spam") // one token repeated
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d, col("doc_id"), col("text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("distinct_token_ratio") == 1.0)
+    assert(r(1L).getAs[Double]("top_token_fraction") == 0.25)
+    assert(r(1L).getAs[Double]("dup_2gram_fraction") == 0.0)
+    assert(r(2L).getAs[Double]("distinct_token_ratio") == 0.25)
+    assert(r(2L).getAs[Double]("top_token_fraction") == 1.0)
+    assert(r(2L).getAs[Double]("dup_2gram_fraction") == 1.0 - 1.0 / 3)
+  }
+
+  test("corpus-df ratio: stopword-heavy doc covers more of the top set") {
+    val d = Seq(
+      (1L, "the the the of of rare1"),
+      (2L, "the of and unique2 unique3 unique4"),
+      (3L, "zzz yyy xxx www vvv uuu")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.corpusTopDfRatio(d, col("doc_id"), col("text"), k = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // df: the=2, of=2, and=1, rest=1 → top-3 = {the, of, and} (term-asc tie-break)
+    assert(r(1L).getAs[Double]("top_df_ratio") == 5.0 / 6)
+    assert(r(2L).getAs[Double]("top_df_ratio") == 3.0 / 6)
+    assert(r(3L).getAs[Double]("top_df_ratio") == 0.0)
+  }
+
+  test("chunk pages: byte-exact slicing, ordered indexes, md5 digests") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "a" * 100), (2L, "xy")).toDF("id", "payload"), "id", "payload", "app/bin")
+    val out = Multimodal.chunkPages(assets, 64)
+      .orderBy("id", "chunk_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 64L), (1L, 1L, 36L), (2L, 0L, 2L)))
+    val md5xy = java.security.MessageDigest.getInstance("MD5")
+      .digest("xy".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.last.getString(3) == md5xy)
+  }
+
+  test("stratified hash sample: deterministic under repartitioning; unlisted strata drop") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+      .toDF("k", "seg")
+    val rates = Map("A" -> 30)
+    val s1 = graft.operators.Sampling.stratifiedHash(df, col("seg"), col("k"), rates)
+      .as[(Long, String)].collect().toSet
+    val s2 = graft.operators.Sampling.stratifiedHash(
+        df.repartition(7), col("seg"), col("k"), rates)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.forall(_._2 == "A"))
+    assert(s1.size < 200) // strictly a sample, not the whole stratum
+  }
 }
