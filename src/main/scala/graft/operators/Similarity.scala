@@ -104,4 +104,41 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("a"), col("b"), col("score"))
   }
+
+  /** Nearest-centroid assignment — the k-means assignment step that
+    * builds/maintains an IVF layout (and, iterated with a mean-update
+    * step, k-means itself). Centroids broadcast; the corpus is scanned
+    * once, never shuffled — the per-row cost is k dot products, so at
+    * 100 TB this is a pure map stage whose parallelism is the scan's.
+    * Ties break deterministically (score DESC, centroid_id ASC). */
+  def centroidAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("centroid_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(c))
+      .withColumn("score", dot(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("score"))
+  }
+
+  /** Scalar int8 quantization with a per-vector max-abs scale — the
+    * storage/compression step of a large embedding corpus (4× smaller
+    * than float32; dequantize ≈ q/127·scale). Quantized values use
+    * floor(x·127/scale + 0.5) — round-half-up spelled via floor,
+    * because floor is IEEE-exact and engine-independent while round()
+    * half-way semantics differ across engines. All-zero vectors get
+    * scale 0 and all-zero codes. Narrow per-row expressions: no
+    * shuffle, stays in the scan stage. */
+  def int8Quantize(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+        col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"), x =>
+          when(col("scale") > 0,
+            floor(x.cast("double") / col("scale") * 127 + 0.5).cast("int"))
+            .otherwise(lit(0))).as("qvec"))
 }

@@ -120,6 +120,29 @@ object TextAnalysis {
           .otherwise(lit(0.0d)).as("dup_2gram_fraction"))
   }
 
+  /** Default PII patterns: email + phone-shaped digit runs. Kept to
+    * RE2-safe constructs (character classes, bounded repetition — no
+    * lookaround/backreferences) so the same pattern means the same
+    * thing in Java regex, RE2-based engines, and the DuckDB oracle. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._]+@[a-z0-9.]+[a-z]" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{2,}" -> "<PHONE>")
+
+  /** PII redaction: sequentially applied regexp_replace passes (order
+    * matters and is fixed: earlier patterns must not be re-matched by
+    * later ones), plus a total match count per doc. Pure narrow
+    * per-row expressions — scan-stage work at 100 TB. */
+  def redact(df: DataFrame, id: Column, text: Column,
+      patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
+    val redacted = patterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    val nMatches = patterns.map { case (p, _) => regexp_count(text, lit(p)) }
+      .reduce(_ + _)
+    df.select(id.as("doc_id"), redacted.as("redacted"),
+      nMatches.cast("long").as("n_redactions"))
+  }
+
   /** Corpus-derived document frequency + per-doc coverage of the
     * corpus-top terms — the two-pass shape of every corpus-level
     * statistic (IDF tables, corpus-adaptive stopword lists): pass 1

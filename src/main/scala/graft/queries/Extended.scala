@@ -169,6 +169,44 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s52 — nearest-centroid assignment (the k-means/IVF assignment
+    * step): centroids = the first 8 corpus vectors, broadcast; ties
+    * break (score DESC, centroid ASC) on both engines. */
+  val s52CentroidAssign: Q = Q(
+    "s52_centroid_assign",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |sc AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |       FROM embeddings e CROSS JOIN c),
+       |rk AS (SELECT vec_id, centroid_id, score,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |       FROM sc)
+       |SELECT vec_id, centroid_id, score FROM rk WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.centroidAssign(emb, emb.filter(col("vec_id") < 8))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s53 — per-vector max-abs int8 quantization (embedding-corpus
+    * compression); codes serialized to a string for the hash gate
+    * (array columns are not comparator-hashable — q26 lesson). */
+  val s53Int8Quant: Q = Q(
+    "s53_int8_quant",
+    s"""WITH s AS (SELECT vec_id, embedding,
+       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+       |  FROM embeddings)
+       |SELECT vec_id, scale,
+       |  array_to_string(list_transform(embedding, x ->
+       |    CAST(CASE WHEN scale > 0
+       |         THEN CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INTEGER)
+       |         ELSE 0 END AS VARCHAR)), '-') AS qvec_s
+       |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.int8Quantize(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("qvec"), x => x.cast("string")), "-").as("qvec_s"))
+      .orderBy(col("vec_id"))
+  }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -274,6 +312,31 @@ object Extended {
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.corpusTopDfRatio(Tables.documents(s, dir), col("doc_id"), col("text"), 20)
       .orderBy(col("doc_id"))
+  }
+
+  /** t66 — PII redaction over a deterministically PII-injected corpus
+    * (the raw word-soup corpus has nothing to redact, which would
+    * leave the operator untested): every doc gets an email + phone
+    * appended, then the RE2-safe pattern set scrubs them. */
+  val t66Redact: Q = {
+    val Seq((emailP, emailR), (phoneP, phoneR)) = TextAnalysis.PiiPatterns
+    Q(
+      "t66_redact",
+      s"""WITH pii AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-'
+         |       || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(t, '$emailP', '$emailR', 'g'), '$phoneP', '$phoneR', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '$emailP')) + len(regexp_extract_all(t, '$phoneP')) AS BIGINT) AS n_redactions
+         |FROM pii ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pii = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 555-"),
+          (lit(1000) + col("doc_id") % 9000).cast("string")).as("t"))
+      TextAnalysis.redact(pii, col("doc_id"), col("t"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** m71 — payload paging: one document → ordered fixed-size chunks
@@ -435,7 +498,7 @@ object Extended {
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters,
-    s50KnnBrute, s51KnnIvf,
+    s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
-    m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
+    t66Redact, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
 }

@@ -216,6 +216,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out.last.getString(3) == md5xy)
   }
 
+  test("centroid assignment: self-assignment wins for centroids; ties break by centroid id") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (7L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2)
+    val out = Similarity.centroidAssign(vecs, cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) == ((0L, 1.0)) && out(1L) == ((1L, 1.0)))
+    assert(out(7L)._1 == 1L) // 0.8 vs 0.6
+    val tied = Seq((9L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val t = Similarity.centroidAssign(tied, cents).head()
+    assert(t.getLong(1) == 0L) // equal scores → lowest centroid id
+  }
+
+  test("int8 quantization: max-abs scale, round-half-up codes, zero-vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(vecs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(out(1L)._1 == 1.0)
+    assert(out(1L)._2 == Seq(64, -127, 32)) // floor(.5*127+.5)=64, floor(.25*127+.5)=32
+    assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq(0, 0, 0))
+  }
+
+  test("redaction scrubs emails and phones and counts matches") {
+    val d = Seq((1L, "write to bob.x@host.org or 555-0199 now"),
+      (2L, "nothing here")).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "write to <EMAIL> or <PHONE> now")
+    assert(out(1L)._2 == 2L)
+    assert(out(2L) == (("nothing here", 0L)))
+  }
+
   test("stratified hash sample: deterministic under repartitioning; unlisted strata drop") {
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "A" else "B"))
       .toDF("k", "seg")
