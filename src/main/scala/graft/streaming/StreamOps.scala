@@ -166,6 +166,33 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * `Interval.joinLookback` (q41): right-side rows of the same key
+    * within `lookbackSec` BEFORE a left row. Both sides carry
+    * watermarks and the join condition bounds the event-time distance,
+    * which is exactly what lets Spark expire state: a buffered right
+    * row older than watermark + lookback can never match again and is
+    * dropped from the state store. Inner join: a pair emits as soon as
+    * both rows have arrived (no watermark wait), append mode.
+    * Output matches the batch operator: (user_id, left id, right id,
+    * lag_us). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftIdOut: String, rightIdOut: String,
+      watermark: String = "30 minutes", lookbackSec: Long = 1800L): DataFrame = {
+    require(lookbackSec > 0, s"lookback must be positive seconds, got $lookbackSec")
+    val l = left.withWatermark("ts", watermark)
+      .select(col("event_id").as(leftIdOut), col("user_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("event_id").as(rightIdOut),
+        col("user_id").as("r_user"), col("ts").as("r_ts"))
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookbackSec SECONDS") &&
+          col("r_ts") <= col("l_ts"))
+      .select(col("user_id"), col(leftIdOut), col(rightIdOut),
+        (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("lag_us"))
+  }
+
   /** Run a streaming frame to completion against a bounded source and
     * return the in-memory result table (local smoke harness: batch
     * parquet driving the incremental plan). */

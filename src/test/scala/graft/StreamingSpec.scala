@@ -34,6 +34,35 @@ class StreamingSpec extends SparkSpec {
     assert(s == b)
   }
 
+  test("stream-stream interval join matches the batch interval join (q41 twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    graft.engine.Tables.events(spark, sfDir).write
+      .mode("overwrite").parquet(dir.resolve("events").toString)
+    val errors = StreamOps.readEventStream(spark, dir.resolve("events").toString)
+      .filter(col("event_type") === "error")
+    val purchases = StreamOps.readEventStream(spark, dir.resolve("events").toString)
+      .filter(col("event_type") === "purchase")
+    val streamed = StreamOps.runToMemory(
+      StreamOps.intervalJoinStream(errors, purchases, "error_id", "purchase_id"),
+      "ssj", OutputMode.Append())
+      .orderBy("error_id", "purchase_id")
+      .collect().toSeq
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val batch = graft.operators.Interval.joinLookback(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("p_ts")),
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+        leftCols = Seq("error_id"), rightCols = Seq("purchase_id"), w = 1800L)
+      .select(col("iv_key").as("user_id"), col("error_id"),
+        col("purchase_id"), col("lag_us"))
+      .orderBy("error_id", "purchase_id")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("watermark drops late rows in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
