@@ -175,6 +175,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("connected components match a driver-side union-find on generated random graphs") {
+    import org.scalacheck.{Gen, rng}
+    // independent reference: classic path-compressed union-find
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      // canonical label = min member id = root under min-union
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val seed = rng.Seed(7L)
+    val cases = Gen.listOfN(3, for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(0, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 2)
+        b <- Gen.choose(a + 1, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, es)).apply(Gen.Parameters.default, seed).get
+    cases.foreach { case (n, es) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = if (es.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+        else es.toDF("a", "b")
+      val got = Dedup.connectedComponents(nodes, edges, maxIter = 50)
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, es), s"n=$n edges=$es")
+    }
+  }
+
   test("repetition: uniform doc scores clean, degenerate doc scores repetitive") {
     val d = Seq(
       (1L, "a b c d"),            // all distinct
