@@ -339,6 +339,34 @@ object Extended {
     }
   }
 
+  /** t67 — token-budget selection: spend a 20k-token budget on the
+    * best documents first (quality = stopword ratio, doc_id
+    * tiebreak). The global running total is the DISTRIBUTED two-pass
+    * prefix sum (range partition + local window + broadcast offsets —
+    * Prefix.runningTotal), never a single-task global window; the
+    * oracle states the same selection as the naive OVER (ORDER BY)
+    * form. */
+  val t67TokenBudget: Q = Q(
+    "t67_token_budget",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |        ${ratioSql("en")} AS quality FROM toks),
+       |c AS (SELECT doc_id, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM q)
+       |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= 20000
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val q = TextAnalysis.qualityFeatures(
+        Tables.documents(s, dir), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio").as("quality"))
+    graft.operators.Prefix.takeBudget(q,
+        Seq(col("quality").desc, col("doc_id")), col("n_tokens"), 20000L)
+      .select(col("doc_id"), col("n_tokens"), col("cum").as("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m71 — payload paging: one document → ordered fixed-size chunks
     * with sizes and content digests (the multipart-staging / chunk-
     * dedup unit; see Multimodal.chunkPages for the byte-based binary
@@ -500,5 +528,5 @@ object Extended {
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
-    t66Redact, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
+    t66Redact, t67TokenBudget, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
 }

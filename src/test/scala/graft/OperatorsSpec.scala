@@ -284,6 +284,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == (("nothing here", 0L)))
   }
 
+  test("distributed prefix sum equals the single-task global window") {
+    val df = (1L to 500L).map(i => (i, (i * 37) % 101))
+      .toDF("id", "v")
+    val got = graft.operators.Prefix.runningTotal(
+        df, Seq(col("v").desc, col("id")), col("v"), partitions = 7)
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == want)
+    val budget = graft.operators.Prefix.takeBudget(
+        df, Seq(col("v").desc, col("id")), col("v"), budget = 1000L)
+      .as[(Long, Long, Long)].collect()
+    assert(budget.map(_._3).max <= 1000L && budget.nonEmpty)
+  }
+
   test("stratified hash sample: deterministic under repartitioning; unlisted strata drop") {
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "A" else "B"))
       .toDF("k", "seg")

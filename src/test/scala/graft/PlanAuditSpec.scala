@@ -53,6 +53,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("t67: the global running total never plans a single-partition sort/window") {
+    // sum() OVER (ORDER BY ...) with no partitioning would funnel the
+    // corpus through ONE task — the two-pass prefix decomposition must
+    // keep every exchange hash/range-partitioned (the only acceptable
+    // SinglePartition exchange would be a final driver-side collect,
+    // which this query doesn't have: it ends in a range-partitioned sort)
+    val p = plan("t67_token_budget")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in the prefix-sum plan:\n$p")
+    assert(p.contains("rangepartitioning"),
+      "expected a range repartition carrying the global order")
+  }
+
   test("q30/q31: enforce split evaluates the validation tree once — filters test the error attribute") {
     // Without the ComputeOnce barrier, predicate pushdown inlines the
     // whole error derivation (JSON parse, timestamp format, try_casts)
