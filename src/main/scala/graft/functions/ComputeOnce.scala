@@ -21,10 +21,18 @@ import org.apache.spark.sql.types.DataType
   * filters test the materialized attribute.
   *
   * Codegen-transparent (delegates to the child's generated code), so
-  * whole-stage codegen spans are unaffected. Scale note: the cost is
-  * the loss of scan-level pushdown for predicates over the wrapped
-  * column only — which were never parquet-pushable here (they are
-  * derived-expression predicates, not source-column comparisons).
+  * whole-stage codegen spans are unaffected.
+  *
+  * Scale trade-off to be aware of: `PushPredicateThroughNonJoin`
+  * checks the WHOLE project list, so the barrier blocks pushdown of
+  * EVERY downstream predicate through the annotated projection — also
+  * plain source-column filters composed above the split, which would
+  * otherwise reach the parquet scan. Filters that should prune the
+  * scan must therefore be applied BELOW the barrier (e.g. filter the
+  * input before Enforce.split, which is where scan-pruning predicates
+  * belong anyway). The predicates the barrier exists for (the split's
+  * own error tests) were never scan-pushable — they are derived-
+  * expression predicates, not source-column comparisons.
   */
 case class ComputeOnce(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false

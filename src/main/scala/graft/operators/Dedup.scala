@@ -274,6 +274,10 @@ object Dedup {
     * MapReduce and Beyond", Kiveris et al. 2014) which contracts
     * diameter to O(log n) rounds — label propagation is kept here for
     * its by-construction determinism (min is order-insensitive).
+    * Each round's localCheckpoint pins one labels table (2 longs per
+    * node); intermediates are released by the ContextCleaner as the
+    * loop's references drop, so peak extra storage is bounded by
+    * rounds × |nodes| × 16 bytes.
     *
     * `nodes` must cover every id appearing in `edges` (pass the whole
     * corpus: singleton docs come out as their own cluster).

@@ -116,27 +116,40 @@ object Multimodal {
     * chunk-level dedup, range reads). Pure generator expressions
     * (sequence → posexplode → substr), no UDF: stays in whole-stage
     * codegen and distributes as a narrow map — 1 row in, n rows out,
-    * no shuffle. Byte-based slicing on the binary column; the
-    * catalogue's oracle-checked twin (m71) chunks by CHARACTER on the
-    * string column instead, because the oracle engine cannot slice
-    * blobs — identical for ASCII payloads, and the operator itself
-    * stays byte-correct for arbitrary binaries. */
-  def chunkPages(assets: DataFrame, chunkBytes: Int): DataFrame = {
-    require(chunkBytes > 0, "chunkBytes must be positive")
-    assets
-      .select(col("id"), col("payload"),
-        octet_length(col("payload")).as("len"))
-      .select(col("id"),
+    * no shuffle. Byte-based slicing on the binary column. */
+  def chunkPages(assets: DataFrame, chunkBytes: Int): DataFrame =
+    paged(assets, col("id"), col("payload"),
+      octet_length(col("payload")), chunkBytes)
+
+  /** Character-based twin of `chunkPages` over a string column — the
+    * oracle-checkable form (the oracle engine cannot slice blobs;
+    * char and byte slicing coincide on ASCII payloads). Same shared
+    * pipeline, so the oracle-gated query (m71) exercises the exact
+    * code the binary operator runs. */
+  def chunkPagesChars(df: DataFrame, id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, chunkChars: Int): DataFrame =
+    paged(df, id, text, length(text), chunkChars)
+
+  /** Shared chunking pipeline: `substr` slices bytes on binary columns
+    * and characters on string columns — everything else (index
+    * generation, sizes, digests) is identical. posexplode_outer, not
+    * posexplode: a plain Generate gets an inferred size()>0 filter
+    * pushed below the projection chain. */
+  private def paged(df: DataFrame, id: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column,
+      len: org.apache.spark.sql.Column, chunk: Int): DataFrame = {
+    require(chunk > 0, "chunk size must be positive")
+    df.select(id.as("id"), payload.as("graft_payload"), len.as("graft_len"))
+      .select(col("id"), col("graft_payload"),
         posexplode_outer(
-          when(col("len") > 0, sequence(
-            lit(0), ceil(col("len").cast("double") / chunkBytes).cast("int") - 1))
-            .otherwise(array().cast("array<int>"))).as(Seq("chunk_idx", "off")),
-        col("payload"))
-      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        substr(col("payload"), col("off") * chunkBytes + 1, lit(chunkBytes)).as("chunk"))
-      .filter(col("chunk_idx").isNotNull)
+          when(col("graft_len") > 0, sequence(
+            lit(0), ceil(col("graft_len").cast("double") / chunk).cast("int") - 1))
+            .otherwise(array().cast("array<int>"))).as(Seq("pos", "i")))
+      .filter(col("i").isNotNull)
+      .select(col("id"), col("i").cast("long").as("chunk_idx"),
+        col("graft_payload").substr(col("i") * chunk + 1, lit(chunk)).as("chunk"))
       .select(col("id"), col("chunk_idx"),
         octet_length(col("chunk")).cast("long").as("n_bytes"),
-        md5(col("chunk")).as("chunk_md5"))
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
   }
 }

@@ -35,6 +35,9 @@ import org.apache.spark.sql.functions._
   * The ranged frame is persisted because both passes scan it; callers
   * running one-shot selections can unpersist via the catalog after the
   * action (same contract as Dedup.nearDuplicates' shingle cache).
+  * Note that CONSTRUCTING the result runs pass 1 as a Spark job (the
+  * same eager planning-time work a RangePartitioner's sampling job
+  * does) — building the DataFrame is not free even before an action.
   */
 object Prefix {
 
@@ -51,7 +54,10 @@ object Prefix {
     // pass 1: one total per partition; tiny by construction
     val totals = ranged.groupBy(col("graft_pid"))
       .agg(sum(value.cast("long")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // a partition whose values are ALL null sums to null — treat as
+      // 0, matching the window pass (sum-over skips nulls)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
       acc + totals.getOrElse(p, 0L)
     }.take(n).zipWithIndex.map { case (off, p) => (p, off) }

@@ -107,20 +107,32 @@ object Similarity {
 
   /** Nearest-centroid assignment — the k-means assignment step that
     * builds/maintains an IVF layout (and, iterated with a mean-update
-    * step, k-means itself). Centroids broadcast; the corpus is scanned
-    * once, never shuffled — the per-row cost is k dot products, so at
-    * 100 TB this is a pure map stage whose parallelism is the scan's.
-    * Ties break deterministically (score DESC, centroid_id ASC). */
+    * step, k-means itself). The centroid set is collected once at plan
+    * construction (k vectors — the same bounded driver-side build a
+    * bloom sketch or a RangePartitioner sample does) and inlined as
+    * per-centroid score structs folded with `greatest`, so the corpus
+    * is scanned ONCE with zero shuffle: per row, k codegen'd dot
+    * products + a struct max — a pure map stage whose parallelism is
+    * the scan's. (A crossJoin + row_number formulation would shuffle k
+    * copies of the corpus through the window — the opposite of what
+    * the operator exists for.) Ties break deterministically: equal
+    * scores prefer the smaller centroid id (the struct carries the
+    * negated id as the second sort field). */
   def centroidAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("centroid_id"))
-    corpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(c))
-      .withColumn("score", dot(col("embedding"), col("c_emb")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("score"))
+    val cents = centroids.select(col("vec_id").cast("long"), col("embedding")).collect()
+    require(cents.nonEmpty, "centroid set is empty")
+    val scored = cents.toSeq.map { r =>
+      val ce = array(r.getSeq[Float](1).map(v => lit(v.toDouble)): _*)
+      struct(
+        dot(col("embedding"), ce).as("score"),
+        lit(-r.getLong(0)).as("neg_cid"),
+        lit(r.getLong(0)).as("cid"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    corpus.select(col("vec_id"), best.as("best"))
+      .select(col("vec_id"),
+        col("best.cid").as("centroid_id"),
+        col("best.score").as("score"))
   }
 
   /** Scalar int8 quantization with a per-vector max-abs scale — the

@@ -122,25 +122,31 @@ object TextAnalysis {
 
   /** Default PII patterns: email + phone-shaped digit runs. Kept to
     * RE2-safe constructs (character classes, bounded repetition — no
-    * lookaround/backreferences) so the same pattern means the same
-    * thing in Java regex, RE2-based engines, and the DuckDB oracle. */
+    * lookaround/backreferences/inline flags) so the same pattern means
+    * the same thing in Java regex, RE2-based engines, and the DuckDB
+    * oracle; case-insensitivity is spelled as explicit classes for the
+    * same reason. */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "[a-z0-9._]+@[a-z0-9.]+[a-z]" -> "<EMAIL>",
+    "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]" -> "<EMAIL>",
     "[0-9]{3}-[0-9]{2,}" -> "<PHONE>")
 
   /** PII redaction: sequentially applied regexp_replace passes (order
     * matters and is fixed: earlier patterns must not be re-matched by
-    * later ones), plus a total match count per doc. Pure narrow
+    * later ones), plus a total match count per doc. Each pattern is
+    * counted against the text AS THAT PASS SEES IT (i.e. after the
+    * earlier replacements), so `n_redactions` equals the number of
+    * replacements actually performed — counting every pattern on the
+    * original text would overcount overlaps (an email whose tail also
+    * looks phone-shaped) and disagree with the output. Pure narrow
     * per-row expressions — scan-stage work at 100 TB. */
   def redact(df: DataFrame, id: Column, text: Column,
       patterns: Seq[(String, String)] = PiiPatterns): DataFrame = {
-    val redacted = patterns.foldLeft(text) { case (c, (p, r)) =>
-      regexp_replace(c, p, r)
+    val (redacted, counts) = patterns.foldLeft((text, Seq.empty[Column])) {
+      case ((c, cnts), (p, r)) =>
+        (regexp_replace(c, p, r), cnts :+ regexp_count(c, lit(p)))
     }
-    val nMatches = patterns.map { case (p, _) => regexp_count(text, lit(p)) }
-      .reduce(_ + _)
     df.select(id.as("doc_id"), redacted.as("redacted"),
-      nMatches.cast("long").as("n_redactions"))
+      counts.reduce(_ + _).cast("long").as("n_redactions"))
   }
 
   /** Corpus-derived document frequency + per-doc coverage of the

@@ -328,7 +328,8 @@ object Extended {
          |  FROM documents)
          |SELECT doc_id,
          |  regexp_replace(regexp_replace(t, '$emailP', '$emailR', 'g'), '$phoneP', '$phoneR', 'g') AS redacted,
-         |  CAST(len(regexp_extract_all(t, '$emailP')) + len(regexp_extract_all(t, '$phoneP')) AS BIGINT) AS n_redactions
+         |  CAST(len(regexp_extract_all(t, '$emailP'))
+         |     + len(regexp_extract_all(regexp_replace(t, '$emailP', '$emailR', 'g'), '$phoneP')) AS BIGINT) AS n_redactions
          |FROM pii ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val pii = Tables.documents(s, dir).select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
@@ -383,20 +384,10 @@ object Extended {
        |  CAST(octet_length(encode(substring(text, CAST(i*64+1 AS BIGINT), 64))) AS BIGINT) AS n_bytes,
        |  md5(substring(text, CAST(i*64+1 AS BIGINT), 64)) AS chunk_md5
        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"),
-        ceil(length(col("text")).cast("double") / 64).cast("int").as("nc"))
-      // posexplode_outer (not posexplode): a plain Generate gets an
-      // inferred size()>0 filter pushed below the projection chain
-      .select(col("doc_id"), col("text"),
-        posexplode_outer(when(col("nc") > 0, sequence(lit(0), col("nc") - 1))
-          .otherwise(array().cast("array<int>"))).as(Seq("pos", "i")))
-      .filter(col("i").isNotNull)
-      .select(col("doc_id"), col("i").cast("long").as("chunk_idx"),
-        col("text").substr(col("i") * 64 + 1, lit(64)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        octet_length(col("chunk")).cast("long").as("n_bytes"),
-        md5(col("chunk").cast("binary")).as("chunk_md5"))
+    graft.operators.Multimodal.chunkPagesChars(
+        Tables.documents(s, dir), col("doc_id"), col("text"), 64)
+      .select(col("id").as("doc_id"), col("chunk_idx"),
+        col("n_bytes"), col("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

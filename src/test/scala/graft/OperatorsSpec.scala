@@ -276,12 +276,20 @@ class OperatorsSpec extends SparkSpec {
 
   test("redaction scrubs emails and phones and counts matches") {
     val d = Seq((1L, "write to bob.x@host.org or 555-0199 now"),
-      (2L, "nothing here")).toDF("doc_id", "text")
+      (2L, "nothing here"),
+      (3L, "Contact Bob.Smith@Example.COM today"),   // case-insensitive
+      (4L, "overlap 123-4567@host.org end")          // email swallows the phone-shaped tail
+    ).toDF("doc_id", "text")
     val out = TextAnalysis.redact(d, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L)._1 == "write to <EMAIL> or <PHONE> now")
     assert(out(1L)._2 == 2L)
     assert(out(2L) == (("nothing here", 0L)))
+    assert(out(3L)._1 == "Contact <EMAIL> today" && out(3L)._2 == 1L)
+    // count must equal replacements PERFORMED: the email pass consumes
+    // "4567@host.org"; the leftover "123-" is not a phone match, so 1
+    assert(out(4L)._2 == out(4L)._1.sliding(7).count(w => w == "<EMAIL>" || w == "<PHONE>"),
+      s"count disagrees with performed redactions: ${out(4L)}")
   }
 
   test("distributed prefix sum equals the single-task global window") {
