@@ -149,6 +149,36 @@ object TextAnalysis {
       counts.reduce(_ + _).cast("long").as("n_redactions"))
   }
 
+  /** TF-IDF-style top terms per document — the per-doc keyword
+    * extraction step of an IR / topic-labeling pipeline. Weight =
+    * tf · (N / df), a RATIONAL idf: the classic log(N/df) damping is
+    * deliberately omitted because ln() is a libm call whose last-ulp
+    * behavior is engine/platform-dependent, and a 1-ulp flip near a
+    * weight tie would reorder the top-k — tf·N/df is one IEEE multiply
+    * and divide of exact integers, bit-identical everywhere, and
+    * preserves the tf·idf ranking structure.
+    *
+    * Shuffle shape at scale: tf = (doc, term) aggregation; df = term
+    * aggregation; the tf⋈df join shuffles on term (the df table is
+    * vocabulary-sized — NOT broadcastable in general); the corpus size
+    * rides in as a broadcast 1-row cross join; final top-k is a per-doc
+    * window. */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column,
+      k: Int = 3): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("tok"))
+    tf.join(dft, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("weight", col("tf").cast("double") * col("n") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"), col("weight"))
+  }
+
   /** Corpus-derived document frequency + per-doc coverage of the
     * corpus-top terms — the two-pass shape of every corpus-level
     * statistic (IDF tables, corpus-adaptive stopword lists): pass 1

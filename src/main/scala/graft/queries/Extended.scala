@@ -368,6 +368,26 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** t68 — TF-IDF top-3 terms per doc (rational idf — see
+    * TextAnalysis.tfidfTopTerms for why log is deliberately absent). */
+  val t68Tfidf: Q = Q(
+    "t68_tfidf",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+       |dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+       |w AS (SELECT tf.doc_id, tf.tok,
+       |        CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents) / dft.df AS weight
+       |      FROM tf JOIN dft ON tf.tok = dft.tok),
+       |rk AS (SELECT doc_id, tok, weight,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, tok) AS BIGINT) AS rank
+       |       FROM w)
+       |SELECT doc_id, rank, tok AS term, weight FROM rk WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** m71 — payload paging: one document → ordered fixed-size chunks
     * with sizes and content digests (the multipart-staging / chunk-
     * dedup unit; see Multimodal.chunkPages for the byte-based binary
@@ -519,5 +539,5 @@ object Extended {
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
-    t66Redact, t67TokenBudget, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
+    t66Redact, t67TokenBudget, t68Tfidf, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
 }

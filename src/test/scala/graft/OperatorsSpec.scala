@@ -222,6 +222,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("dup_2gram_fraction") == 1.0 - 1.0 / 3)
   }
 
+  test("tf-idf top terms: rare repeated terms outrank common ones; ranks deterministic") {
+    val d = Seq(
+      (1L, "rare rare common"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    // N=3; df: rare=1, common=3, other=1, third=1
+    val out = TextAnalysis.tfidfTopTerms(d, col("doc_id"), col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(out((1L, 1L)) == (("rare", 2.0 * 3 / 1)))   // tf=2, N/df=3
+    assert(out((1L, 2L)) == (("common", 1.0 * 3 / 3))) // tf=1, N/df=1
+    assert(out((2L, 1L)) == (("other", 3.0)))
+  }
+
   test("corpus-df ratio: stopword-heavy doc covers more of the top set") {
     val d = Seq(
       (1L, "the the the of of rare1"),
