@@ -234,7 +234,35 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** q53 — time-series forward fill: nulls carry the last non-null
+    * value per key under the event-time order (gap repair before
+    * downstream aggregation — the sensor/telemetry staple). Nulls are
+    * induced deterministically (every 5th event) since the corpus has
+    * none. One shuffle on user_id; `last(..., ignoreNulls)` over a
+    * running ROWS frame is incremental state, not a per-row rescan. */
+  val q53ForwardFill: Q = Q(
+    "q53_forward_fill",
+    """WITH v AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM v
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q09WindowAnalytic, q10TopKPerGroup, q11Rollup, q21GroupingSets, q14SortLimit,
-    q37RangeFrame, q38RankFamily, q39ValueWindows, q51Streaks)
+    q37RangeFrame, q38RankFamily, q39ValueWindows, q51Streaks, q53ForwardFill)
 }
