@@ -114,4 +114,43 @@ object SchemaRegistry {
 
   /** Version registry (SURVEY §1.3: `Map[Int, StructType]`). */
   val registry: Map[Int, SchemaDoc] = Map(1 -> v1)
+
+  /** Schema-evolution enforcement: every record is validated against
+    * the schema version IT DECLARES (`schema_version` column, which
+    * each reference record carries — `transforms.py:68,122`), then the
+    * ok side is aligned to `target`'s field set (fields the record's
+    * version lacks → null, fields `target` dropped → pruned) so mixed
+    * generations land in ONE table with the newest layout. Records
+    * declaring an unregistered version dead-letter (the version is an
+    * enforcement input, not a trusted value).
+    *
+    * Scale: one pass per REGISTERED VERSION (versions are few and
+    * bounded — this is config cardinality, not data cardinality), each
+    * pass a narrow scan-stage filter + Enforce.split; no shuffle is
+    * introduced. Dead rows carry the original columns + `error` and
+    * union with missing-column tolerance, since different generations
+    * have different raw shapes. */
+  def enforceByVersion(df: org.apache.spark.sql.DataFrame,
+      registry: Map[Int, SchemaDoc],
+      target: SchemaDoc): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    require(registry.nonEmpty, "empty schema registry")
+    val known = registry.keys.map(_.toString).toSeq
+    val splits = registry.toSeq.sortBy(_._1).map { case (v, doc) =>
+      val sub = df.filter(col("schema_version") === v.toString)
+      val (ok, dead) = Enforce.split(sub, doc.fields)
+      val aligned = target.fields.map { f =>
+        if (doc.fields.exists(_.name == f.name)) col(f.name).as(f.name)
+        else lit(null).cast(f.sparkType).as(f.name)
+      }
+      (ok.select(aligned: _*), dead)
+    }
+    val unknown = df
+      .filter(col("schema_version").isNull || !col("schema_version").isin(known: _*))
+      .withColumn("error", lit("unknown_schema_version"))
+    val ok = splits.map(_._1).reduce(_ unionByName _)
+    val dead = (splits.map(_._2) :+ unknown)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    (ok, dead)
+  }
 }

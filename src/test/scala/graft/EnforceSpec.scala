@@ -113,4 +113,40 @@ class EnforceSpec extends SparkSpec {
     assert(docs.exists(_.contains(""""error":"cast_failure:points"""")))
     assert(docs.forall(_.startsWith("{")))
   }
+
+  test("schema evolution: records enforce under their declared version, align to the target layout") {
+    import graft.engine.SchemaRegistry
+    val v1 = SchemaRegistry.parse(
+      """{"version": 1, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "points", "type": "INTEGER"},
+        |  {"name": "schema_version", "type": "STRING"}]}""".stripMargin)
+    val v2 = SchemaRegistry.parse(
+      """{"version": 2, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "points", "type": "INTEGER"},
+        |  {"name": "capacity", "type": "INTEGER"},
+        |  {"name": "schema_version", "type": "STRING"}]}""".stripMargin)
+    val reg = Map(1 -> v1, 2 -> v2)
+    val mixed = Seq(
+      // v1 record: capacity is NOT part of generation 1 — whatever
+      // rides in that column is pruned by v1 enforcement, never
+      // validated, and must NOT leak into the aligned output
+      ("a-1", "10", "99999", "1"),
+      ("b-2", "20", "54000", "2"),     // v2 record with the new field
+      ("c-2", "30", "not_int", "2"),   // v2 record failing the NEW field's cast
+      ("d-9", "40", null, "9")         // unregistered version
+    ).toDF("pk", "points", "capacity", "schema_version")
+    val (ok, dead) = SchemaRegistry.enforceByVersion(mixed, reg, target = v2)
+    val okRows = ok.collect().map(r => r.getString(0) ->
+      (r.getAs[Any]("points"), r.getAs[Any]("capacity"))).toMap
+    // v1 record lands in the v2 layout with capacity null (not its
+    // raw capacity value — that column does not exist in generation 1)
+    assert(okRows("a-1") == ((10L, null)))
+    assert(okRows("b-2") == ((20L, 54000L)))
+    assert(!okRows.contains("c-2") && !okRows.contains("d-9"))
+    val deadRows = dead.select("pk", "error").as[(String, String)].collect().toMap
+    assert(deadRows("c-2") == "cast_failure:capacity")
+    assert(deadRows("d-9") == "unknown_schema_version")
+  }
 }
