@@ -124,28 +124,42 @@ object SchemaRegistry {
     * declaring an unregistered version dead-letter (the version is an
     * enforcement input, not a trusted value).
     *
-    * Scale: one pass per REGISTERED VERSION (versions are few and
-    * bounded — this is config cardinality, not data cardinality), each
-    * pass a narrow scan-stage filter + Enforce.split; no shuffle is
-    * introduced. Dead rows carry the original columns + `error` and
-    * union with missing-column tolerance, since different generations
-    * have different raw shapes. */
+    * Alignment also CASTS to the target's type: a field whose type
+    * changed between generations (v1 rank STRING → v2 rank INTEGER)
+    * must land in the target type or the final union would coerce the
+    * table away from the newest layout — or fail outright for
+    * incompatible pairs. The cast is a try_cast: an old-generation
+    * value unrepresentable in the target type becomes null rather
+    * than killing the job (detect-and-divert already ran against the
+    * RECORD's own schema; the alignment cast is a layout conversion,
+    * not a validation).
+    *
+    * Scale: 2V+1 filtered passes (ok + dead per version + the unknown
+    * sweep) all derive from one input frame, which is persisted here
+    * so the source is scanned once, not 2V+1 times. At warehouse
+    * scale, prefer staging layouts partitioned BY schema_version so
+    * each pass prunes to its own files instead of caching the corpus.
+    * Dead rows carry the original columns + `error` and union with
+    * missing-column tolerance, since different generations have
+    * different raw shapes. */
   def enforceByVersion(df: org.apache.spark.sql.DataFrame,
       registry: Map[Int, SchemaDoc],
       target: SchemaDoc): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
     require(registry.nonEmpty, "empty schema registry")
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val known = registry.keys.map(_.toString).toSeq
     val splits = registry.toSeq.sortBy(_._1).map { case (v, doc) =>
-      val sub = df.filter(col("schema_version") === v.toString)
+      val sub = src.filter(col("schema_version") === v.toString)
       val (ok, dead) = Enforce.split(sub, doc.fields)
       val aligned = target.fields.map { f =>
-        if (doc.fields.exists(_.name == f.name)) col(f.name).as(f.name)
+        if (doc.fields.exists(_.name == f.name))
+          col(f.name).try_cast(f.sparkType).as(f.name)
         else lit(null).cast(f.sparkType).as(f.name)
       }
       (ok.select(aligned: _*), dead)
     }
-    val unknown = df
+    val unknown = src
       .filter(col("schema_version").isNull || !col("schema_version").isin(known: _*))
       .withColumn("error", lit("unknown_schema_version"))
     val ok = splits.map(_._1).reduce(_ unionByName _)

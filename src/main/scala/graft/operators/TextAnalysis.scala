@@ -167,7 +167,10 @@ object TextAnalysis {
       k: Int = 3): DataFrame = {
     val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dft = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per distinct (doc, term) already) —
+    // a separate tok.distinct() would tokenize and shuffle the corpus
+    // a second time for identical values
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("weight").desc, col("tok"))

@@ -116,10 +116,13 @@ class EnforceSpec extends SparkSpec {
 
   test("schema evolution: records enforce under their declared version, align to the target layout") {
     import graft.engine.SchemaRegistry
+    // generation 1 typed points as STRING; generation 2 tightened it
+    // to INTEGER — alignment must CAST old records into the target
+    // type, not let the union coerce the table back to string
     val v1 = SchemaRegistry.parse(
       """{"version": 1, "fields": [
         |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
-        |  {"name": "points", "type": "INTEGER"},
+        |  {"name": "points", "type": "STRING"},
         |  {"name": "schema_version", "type": "STRING"}]}""".stripMargin)
     val v2 = SchemaRegistry.parse(
       """{"version": 2, "fields": [
@@ -138,6 +141,8 @@ class EnforceSpec extends SparkSpec {
       ("d-9", "40", null, "9")         // unregistered version
     ).toDF("pk", "points", "capacity", "schema_version")
     val (ok, dead) = SchemaRegistry.enforceByVersion(mixed, reg, target = v2)
+    assert(ok.schema("points").dataType == org.apache.spark.sql.types.LongType,
+      "aligned output must carry the TARGET type, not the union coercion")
     val okRows = ok.collect().map(r => r.getString(0) ->
       (r.getAs[Any]("points"), r.getAs[Any]("capacity"))).toMap
     // v1 record lands in the v2 layout with capacity null (not its
