@@ -79,6 +79,43 @@ object StreamOps {
       }
   }
 
+  /** The same running totals on the transformWithState API — Spark 4's
+    * successor to mapGroupsWithState: state is a set of NAMED, typed
+    * state variables (here one ValueState) managed by a
+    * StatefulProcessor, which composes multiple states, TTL, and
+    * timers per key. Requires the RocksDB state store provider (the
+    * API is implemented only there). Kept alongside the
+    * mapGroupsWithState form: same semantics, tested equal. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      val (n0, v0) = if (totals.exists()) totals.get() else (0L, 0.0d)
+      val (n, v) = rows.foldLeft((n0, v0)) {
+        case ((cn, cv), e) => (cn + 1, cv + e.value)
+      }
+      totals.update((n, v))
+      Iterator.single(UserRunning(key, n, v))
+    }
+  }
+
+  def runningUserTotalsTws(spark: SparkSession,
+      events: Dataset[Event]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One session, times in event-time MICROS (java.sql.Timestamp's
     * getTime is ms-truncated; micros preserve Spark timestamp
     * precision so the batch session_window twin agrees exactly). */

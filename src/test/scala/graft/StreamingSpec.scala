@@ -317,4 +317,28 @@ class StreamingSpec extends SparkSpec {
     assert(last(7L) == UserRunning(7L, 2L, 5.0))
     assert(last(8L) == UserRunning(8L, 1L, 5.0))
   }
+
+  test("transformWithState running totals match the mapGroupsWithState form (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = StreamOps.runningUserTotalsTws(spark, mem.toDS())
+        .writeStream.format("memory").queryName("user_totals_tws")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts("2024-01-01 10:01:00"), 7, "a", 3.0),
+        Event(3, ts("2024-01-01 10:02:00"), 8, "b", 5.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("user_totals_tws").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(last(7L) == UserRunning(7L, 2L, 5.0))
+      assert(last(8L) == UserRunning(8L, 1L, 5.0))
+    } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+  }
 }
