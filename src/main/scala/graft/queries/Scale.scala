@@ -168,6 +168,49 @@ object Scale {
     }
   }
 
+  /** q54 — the registered SQL surface end-to-end: the catalogue
+    * otherwise drives custom expressions through the Column API, but a
+    * shared-cluster user writes `SELECT poly_hash(...)` — this query
+    * goes through GraftFunctions.register + spark.sql so the SQL path
+    * itself sits behind the oracle gate. */
+  val q54SqlSurface: Q = Q(
+    "q54_sql_surface",
+    s"""SELECT doc_id,
+       |  ${polyHashSql(graft.operators.TextHash.asciiLowerSql("text"))} AS h,
+       |  ${polyHashSql(graft.operators.TextHash.asciiLowerSql("text"))} % 64 AS shard
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+    // the case-fold fragment comes from the same emitter as the oracle
+    // (translate() is identical SQL in both engines) — only poly_hash
+    // itself differs: registered native expression here, expanded
+    // list_reduce formula there
+    val fold = graft.operators.TextHash.asciiLowerSql("text")
+    s.sql(
+      s"""SELECT doc_id,
+         |  poly_hash($fold) AS h,
+         |  poly_hash($fold) % 64 AS shard
+         |FROM graft_docs ORDER BY doc_id""".stripMargin)
+  }
+
+  /** q55 — Z-order (Morton) clustering code: the multi-dimensional
+    * layout key (see operators/Layout.zorderBy for the write-side
+    * step); deterministic bit-interleave emitted identically for both
+    * engines. Sampled to every 10th order to keep the gate output
+    * bounded. */
+  val q55ZorderCode: Q = Q(
+    "q55_zorder_code",
+    s"""SELECT l_orderkey, l_linenumber,
+       |  ${graft.operators.Layout.mortonSql("l_partkey", "l_suppkey")} AS zcode
+       |FROM lineitem WHERE l_orderkey % 10 = 0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.morton(col("l_partkey"), col("l_suppkey")).as("zcode"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
-    q44SystematicSample, q48TopkAgg, q52StratifiedSample)
+    q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode)
 }

@@ -305,6 +305,24 @@ class OperatorsSpec extends SparkSpec {
       s"count disagrees with performed redactions: ${out(4L)}")
   }
 
+  test("morton code interleaves bits; zorder layout is a row-preserving reshuffle") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65536L, 0L))
+      .toDF("a", "b")
+    val codes = df.select(col("a"), col("b"),
+        graft.operators.Layout.morton(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(codes((0L, 0L)) == 0L)
+    assert(codes((1L, 0L)) == 1L)   // bit 0 of a → position 0
+    assert(codes((0L, 1L)) == 2L)   // bit 0 of b → position 1
+    // a=3 (11), b=5 (101): positions a→{0,2}, b→{1,5} = 1+4+2+32
+    assert(codes((3L, 5L)) == 39L)
+    assert(codes((65536L, 0L)) == 0L) // modulo 2^16 wraps
+    val li = graft.engine.Tables.lineitem(spark, sfDir)
+    val laid = graft.operators.Layout.zorderBy(li, col("l_partkey"), col("l_suppkey"))
+    assert(laid.count() == li.count())
+    assert(laid.columns.toSeq == li.columns.toSeq)
+  }
+
   test("distributed prefix sum equals the single-task global window") {
     val df = (1L to 500L).map(i => (i, (i * 37) % 101))
       .toDF("id", "v")
