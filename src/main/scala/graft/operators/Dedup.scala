@@ -320,6 +320,29 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * one word-n-gram with any document of an evaluation set — the
+    * standard n-gram-overlap contamination check run before training
+    * (GPT-3 used 13-grams, PaLM 8-grams; the width is a parameter).
+    * Grams are hashed (Broder-style fingerprints, same kernel as the
+    * dedup stack) so the join key is 8 bytes, and the BENCH side is
+    * broadcast — eval sets are small by construction, so the 100 TB
+    * training scan stays shuffle-free: explode, hash-probe, aggregate
+    * (map-side partials). Output per contaminated train doc: distinct
+    * shared grams and distinct benchmark docs hit.
+    */
+  def contamination(train: DataFrame, bench: DataFrame,
+      id: Column, text: Column, n: Int = 5): DataFrame = {
+    val tr = shingleHashFrame(train, id, text, n)
+      .select(col("doc_id"), explode(array_distinct(col("h"))).as("g"))
+    val be = shingleHashFrame(bench, id, text, n)
+      .select(col("doc_id").as("bench_id"), explode(array_distinct(col("h"))).as("g"))
+    tr.join(broadcast(be), "g")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("n_shared"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** 32-bit SimHash: bit b of the fingerprint is the sign of
     * Σ_tokens (±1 by token-hash bit b). Near-dup docs differ in few
     * bits. Two-stage: token hashes are staged as an array column via

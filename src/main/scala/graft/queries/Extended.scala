@@ -169,6 +169,30 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** d51 — benchmark decontamination: train docs (16/17 of the
+    * corpus) sharing any hashed 5-gram with the eval split (every
+    * 17th doc). Bench side broadcast; the train scan never shuffles
+    * before the aggregate. */
+  val d51Decontaminate: Q = Q(
+    "d51_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |sh5 AS (SELECT doc_id, ${shinglesSql(5)} AS s FROM toks),
+       |hs5 AS (SELECT doc_id, list_distinct(list_transform(s, sg -> ${polyHashSql("sg")})) AS h FROM sh5),
+       |tr AS (SELECT doc_id, unnest(h) AS g FROM hs5 WHERE doc_id % 17 <> 0),
+       |be AS (SELECT doc_id AS bench_id, unnest(h) AS g FROM hs5 WHERE doc_id % 17 = 0),
+       |j AS (SELECT tr.doc_id, tr.g, be.bench_id FROM tr JOIN be ON tr.g = be.g)
+       |SELECT doc_id,
+       |  CAST(count(DISTINCT g) AS BIGINT) AS n_shared,
+       |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Dedup.contamination(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        col("doc_id"), col("text"), n = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** s52 — nearest-centroid assignment (the k-means/IVF assignment
     * step): centroids = the first 8 corpus vectors, broadcast; ties
     * break (score DESC, centroid ASC) on both engines. */
@@ -536,7 +560,7 @@ object Extended {
 
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
-    d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters,
+    d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)

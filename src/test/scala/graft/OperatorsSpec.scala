@@ -154,6 +154,18 @@ class OperatorsSpec extends SparkSpec {
     assert(s2.forall(h => h >= 0 && h < TextHash.P))
   }
 
+  test("contamination flags train docs sharing an n-gram with the bench set") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // shares the 5-gram prefix with bench 1
+      (11L, "totally unrelated content with nothing shared here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon omega")).toDF("doc_id", "text")
+    val out = Dedup.contamination(train, bench, col("doc_id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(10L -> ((1L, 1L)))) // one shared 5-gram, one bench doc; doc 11 absent
+  }
+
   test("connected components: chains close, singletons self-cluster, labels are component minima") {
     // 1-2-3 chained (1-2, 2-3: transitive, never a direct 1-3 edge),
     // 5-6 paired, 4 isolated
