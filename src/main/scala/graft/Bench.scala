@@ -20,6 +20,9 @@ object Bench {
       SparkEntry.queries("t63_fingerprint")(spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("d48_minhash_agg")(spark, "/root/testdata/sf0.001").count()
       SparkEntry.queries("s51_knn_ivf")(spark, "/root/testdata/sf0.001").count()
+      // events family: nanos-timestamp read path + JSON-path and
+      // timestamp-parse JIT (the enforce/window queries' hot kernels)
+      SparkEntry.queries("q30_enforce_ok")(spark, "/root/testdata/sf0.001").count()
     } catch { case _: Throwable => () }
     // failures must be VISIBLE: a silently-swallowed exception records
     // time-until-crash as an ordinary timing, and a whole-catalogue
