@@ -13,8 +13,9 @@ object Bench {
     // untimed warm-up actions so the first measured queries don't
     // absorb JVM/codegen/scan-index startup (~5s) — measurement
     // hygiene only, identical output contract. Warm-ups run at
-    // sf0.001 (never the bench scale factor) and touch the three scan
-    // families: relational joins (entry), text kernels, embeddings.
+    // sf0.001 (never the bench scale factor) and touch the four scan
+    // families: relational joins (entry), text kernels, embeddings,
+    // events.
     try {
       SparkEntry.entry(spark).count()
       SparkEntry.queries("t63_fingerprint")(spark, "/root/testdata/sf0.001").count()

@@ -48,9 +48,14 @@ object Layout {
     * within partitions — the write-side clustering step (follow with
     * `.write.parquet`). Both dimensions then prune via row-group
     * min/max stats. */
-  def zorderBy(df: DataFrame, a: Column, b: Column): DataFrame =
+  def zorderBy(df: DataFrame, a: Column, b: Column): DataFrame = {
+    // withColumn would silently REPLACE a caller's graft_z and drop()
+    // would then delete it — refuse instead of corrupting the schema
+    require(!df.columns.contains("graft_z"),
+      "input already has a column named graft_z")
     df.withColumn("graft_z", morton(a, b))
       .repartitionByRange(col("graft_z"))
       .sortWithinPartitions(col("graft_z"))
       .drop("graft_z")
+  }
 }
