@@ -32,4 +32,27 @@ class CatalogueSpec extends SparkSpec {
     val pks = df.select(Paths.extractPk(col("path"))).as[String].collect().toSeq
     assert(pks == Seq("2023-39", "2022-153", "unknown"))
   }
+
+  test("q36 approx sketches land within error bounds of the exact values") {
+    // q36 is rows-only at the oracle gate (HLL/KLL internals are
+    // engine-specific) — bound-check it here instead: HLL default
+    // rsd is 5% (allow 3σ), and the approx median must sit between
+    // the exact 40th and 60th percentiles given accuracy 1000.
+    val approx = SparkEntry.queries("q36_approx_sketches")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.engine.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_extendedprice, array(0.4, 0.6))").as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, (aParts, aMedian)) =>
+      val (eParts, p) = exact(flag)
+      assert(math.abs(aParts - eParts).toDouble / eParts <= 0.15,
+        s"$flag: approx distinct $aParts vs exact $eParts")
+      assert(aMedian >= p.head && aMedian <= p.last,
+        s"$flag: approx median $aMedian outside [${p.head}, ${p.last}]")
+    }
+  }
 }
