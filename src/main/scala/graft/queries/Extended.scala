@@ -412,6 +412,33 @@ object Extended {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** t69 — training-mix assembly: per-language keep rates (the data
+    * mixing step: en kept whole, de/es halved, fr quartered, zh
+    * excluded) + a DETERMINISTIC epoch shuffle — the interleave
+    * position is a salted hash of the doc id, so the global
+    * permutation is reproducible across runs and engines (an
+    * `orderBy(rand())` shuffle is neither); at scale the position is
+    * the range-partition key, so the "shuffle" is one ordinary sort.
+    * The salt decorrelates the permutation from the sampling hash. */
+  val t69MixShuffle: Q = {
+    val rates = Seq("en" -> 100, "de" -> 50, "es" -> 50, "fr" -> 25)
+    val rateCase = rates.map { case (l, p) => s"WHEN '$l' THEN $p" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+    Q(
+      "t69_mix_shuffle",
+      s"""SELECT doc_id, lang,
+         |  ${polyHashSql("'mix-' || CAST(doc_id AS VARCHAR)")} AS mix_pos
+         |FROM documents
+         |WHERE ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < $rateCase
+         |ORDER BY mix_pos, doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.stratifiedHash(
+          Tables.documents(s, dir), col("lang"), col("doc_id"), rates.toMap)
+        .select(col("doc_id"), col("lang"),
+          polyHashFast(concat(lit("mix-"), col("doc_id").cast("string"))).as("mix_pos"))
+        .orderBy(col("mix_pos"), col("doc_id"))
+    }
+  }
+
   /** m71 — payload paging: one document → ordered fixed-size chunks
     * with sizes and content digests (the multipart-staging / chunk-
     * dedup unit; see Multimodal.chunkPages for the byte-based binary
@@ -563,5 +590,5 @@ object Extended {
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
-    t66Redact, t67TokenBudget, t68Tfidf, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
+    t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
 }

@@ -53,6 +53,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("d51/t65: the small derived side broadcasts (eval grams, top-df terms)") {
+    // both are two-pass corpus statistics whose pass-1 result is small
+    // by construction — if the join ever degrades to sort-merge, the
+    // 100 TB scan pays a full shuffle for a kilobyte-sized side
+    Seq("d51_decontaminate", "t65_corpus_df").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q: expected the derived small side to broadcast")
+    }
+  }
+
   test("t67: the global running total never plans a single-partition sort/window") {
     // sum() OVER (ORDER BY ...) with no partitioning would funnel the
     // corpus through ONE task — the two-pass prefix decomposition must
