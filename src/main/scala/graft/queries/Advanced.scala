@@ -305,8 +305,45 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q56 — per-group OLS regression (slope/intercept of price on
+    * quantity), closed-form from the same decimal-exact sum route as
+    * q50: the aggregates are exact decimals (no float-sum order
+    * sensitivity), and the closed form is plain IEEE arithmetic
+    * written identically for both engines. Group-wise model fitting
+    * as ONE aggregation pass — no per-group iteration, no collect. */
+  val q56GroupLinreg: Q = {
+    val SX = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    val SY = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    val SXX = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+    val SXY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+    val SLOPE = s"(COUNT(*) * $SXY - $SX * $SY) / (COUNT(*) * $SXX - $SX * $SX)"
+    Q(
+      "q56_group_linreg",
+      s"""SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  $SLOPE AS slope,
+         |  ($SY - ($SLOPE) * $SX) / COUNT(*) AS intercept
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val n = count(lit(1))
+      val sx = sum(x).cast("double")
+      val sy = sum(y).cast("double")
+      val sxx = sum(x * x).cast("double")
+      val sxy = sum(x * y).cast("double")
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(n.as("n"), slope.as("slope"),
+          ((sy - slope * sx) / n).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
     q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow,
-    q49MapFuncs, q50Corr)
+    q49MapFuncs, q50Corr, q56GroupLinreg)
 }
