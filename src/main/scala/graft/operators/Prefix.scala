@@ -70,7 +70,11 @@ object Prefix {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
       .join(broadcast(offDf), Seq("graft_pid"))
-      .withColumn("cum", sum(value.cast("long")).over(w) + col("graft_off"))
+      // coalesce: a window sum over only-null-so-far rows is NULL, not
+      // 0 — without it, rows preceding the first non-null value lose
+      // their partition offset (pass 1 already treats null as 0)
+      .withColumn("cum",
+        coalesce(sum(value.cast("long")).over(w), lit(0L)) + col("graft_off"))
       .drop("graft_pid", "graft_off")
   }
 

@@ -154,4 +154,33 @@ class EnforceSpec extends SparkSpec {
     assert(deadRows("c-2") == "cast_failure:capacity")
     assert(deadRows("d-9") == "unknown_schema_version")
   }
+
+  test("version routing is a total function: every generated row lands in exactly one side") {
+    import graft.engine.SchemaRegistry
+    import org.scalacheck.{Gen, rng}
+    val v1 = SchemaRegistry.parse(
+      """{"version": 1, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "points", "type": "INTEGER"},
+        |  {"name": "schema_version", "type": "STRING"}]}""".stripMargin)
+    val v2 = SchemaRegistry.parse(
+      """{"version": 2, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "points", "type": "INTEGER"},
+        |  {"name": "capacity", "type": "INTEGER"},
+        |  {"name": "schema_version", "type": "STRING"}]}""".stripMargin)
+    val rows = Gen.listOfN(200, for {
+      pk <- Gen.option(Gen.alphaNumStr.map(_.take(8)))
+      pts <- Gen.oneOf(Gen.const(null: String), Gen.choose(0, 99).map(_.toString),
+        Gen.const("junk"))
+      cap <- Gen.oneOf(Gen.const(null: String), Gen.choose(0, 9).map(_.toString))
+      v <- Gen.oneOf(null: String, "1", "2", "3", "x")
+    } yield (pk.orNull, pts, cap, v))
+      .apply(Gen.Parameters.default, rng.Seed(5L)).get
+    val df = rows.toDF("pk", "points", "capacity", "schema_version")
+    val (ok, dead) = SchemaRegistry.enforceByVersion(df, Map(1 -> v1, 2 -> v2), v2)
+    assert(ok.count() + dead.count() == rows.size,
+      "rows lost or duplicated across the ok/dead split")
+    assert(dead.filter(col("error").isNull).count() == 0)
+  }
 }

@@ -354,6 +354,27 @@ class OperatorsSpec extends SparkSpec {
     assert(budget.map(_._3).max <= 1000L && budget.nonEmpty)
   }
 
+  test("prefix sum property: random values incl. nulls, any partition count, equals the sequential scan") {
+    import org.scalacheck.{Gen, rng}
+    val cases = Gen.listOfN(3, for {
+      n <- Gen.choose(1, 300)
+      parts <- Gen.choose(1, 11)
+      vs <- Gen.listOfN(n, Gen.option(Gen.choose(0L, 1000L)))
+    } yield (parts, vs)).apply(Gen.Parameters.default, rng.Seed(11L)).get
+    cases.foreach { case (parts, vs) =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = graft.operators.Prefix.runningTotal(
+          df, Seq(col("id")), col("v"), partitions = parts)
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      // sequential reference: nulls contribute 0 (sum-over skips nulls)
+      val want = vs.zipWithIndex.scanLeft((0L, 0L)) { case ((_, acc), (v, i)) =>
+        (i.toLong, acc + v.getOrElse(0L))
+      }.drop(1).map { case (i, c) => i -> c }.toMap
+      assert(got == want, s"parts=$parts n=${vs.size}")
+    }
+  }
+
   test("stratified hash sample: deterministic under repartitioning; unlisted strata drop") {
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "A" else "B"))
       .toDF("k", "seg")
