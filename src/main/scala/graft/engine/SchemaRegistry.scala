@@ -136,9 +136,13 @@ object SchemaRegistry {
     *
     * Scale: 2V+1 filtered passes (ok + dead per version + the unknown
     * sweep) all derive from one input frame, which is persisted here
-    * so the source is scanned once, not 2V+1 times. At warehouse
-    * scale, prefer staging layouts partitioned BY schema_version so
-    * each pass prunes to its own files instead of caching the corpus.
+    * so the source is scanned once, not 2V+1 times. The cache lives
+    * until the session evicts it — callers enforcing many batches in
+    * one session own the unpersist (`spark.catalog.clearCache()`
+    * between batches, the same contract as Dedup.nearDuplicates). At
+    * warehouse scale, prefer staging layouts partitioned BY
+    * schema_version so each pass prunes to its own files instead of
+    * caching the corpus.
     * Dead rows carry the original columns + `error` and union with
     * missing-column tolerance, since different generations have
     * different raw shapes. */

@@ -45,6 +45,11 @@ object Prefix {
     * `value` under `order`. */
   def runningTotal(df: DataFrame, order: Seq[Column], value: Column,
       partitions: Int = 0): DataFrame = {
+    // withColumn would silently REPLACE caller columns with these
+    // names (and "cum" is a plausible caller name for running totals)
+    Seq("cum", "graft_pid", "graft_off").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions

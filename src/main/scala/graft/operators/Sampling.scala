@@ -50,6 +50,12 @@ object Sampling {
     * from `rates` are dropped (rate 0), matching sampleBy. */
   def stratifiedHash(df: DataFrame, stratum: Column, key: Column,
       rates: Map[String, Int]): DataFrame = {
+    // a caller column with a helper's name would be silently replaced
+    // then dropped (graft_stratum) or make the rate reference
+    // ambiguous (graft_pct)
+    Seq("graft_stratum", "graft_pct").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val rateDf = rates.toSeq.toDF("graft_stratum", "graft_pct")

@@ -90,25 +90,32 @@ object TextAnalysis {
     * tokens spread over the cluster); the 2-gram signal needs only
     * distinct-vs-total counts, which stay per-row set arithmetic. */
   def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"), tokens(text).as("t"))
-    val freq = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+    // ONE tokenization, one (doc, token) shuffle: the per-doc 2-gram
+    // stats are computed in the same projection and RIDE THROUGH the
+    // explode and both aggregations (they are per-doc constants, so
+    // first()/max() carries them) — a separate grams branch would
+    // re-tokenize the whole corpus, and a doc-id spine join would scan
+    // the source a third time. explode_outer keeps zero-token docs: a
+    // (doc, null) row contributes 0 to every count and survives to the
+    // output with all-zero signals.
+    df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(col("doc_id"),
+        greatest(size(col("t")) - 1, lit(0)).cast("long").as("total2"),
+        size(shingles(col("t"), 2)).cast("long").as("distinct2"),
+        explode_outer(col("t")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(col("tok")).as("n"),
+        first(col("total2")).as("total2"),
+        first(col("distinct2")).as("distinct2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("n")).as("top_n"))
-    val grams = toks.select(col("doc_id"),
-      greatest(size(col("t")) - 1, lit(0)).cast("long").as("total2"),
-      size(shingles(col("t"), 2)).cast("long").as("distinct2"))
-    // left joins from the corpus: a zero-token doc has no exploded rows
-    // but must still appear (with all-zero signals)
-    df.select(id.as("doc_id"))
-      .join(freq, Seq("doc_id"), "left")
-      .join(grams, Seq("doc_id"), "left")
+        count(col("tok")).as("n_distinct"),
+        max(col("n")).as("top_n"),
+        first(col("total2")).as("total2"),
+        first(col("distinct2")).as("distinct2"))
       .select(
         col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_tokens"),
         when(col("n_tokens") > 0,
           col("n_distinct").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0d)).as("distinct_token_ratio"),
@@ -127,8 +134,14 @@ object TextAnalysis {
     * oracle; case-insensitivity is spelled as explicit classes for the
     * same reason. */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]" -> "<EMAIL>",
-    "[0-9]{3}-[0-9]{2,}" -> "<PHONE>")
+    // local part includes +tags and dashes; domains include dashes —
+    // "bob.smith+tag@my-site.com" must redact WHOLE, not leave
+    // "+tag"/"-site.com" fragments leaking the identity
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[a-zA-Z]" -> "<EMAIL>",
+    // NNN-NNNN with word boundaries: an unanchored [0-9]{3}-[0-9]{2,}
+    // would corrupt every ISO date ("2023-08-12" → "2<PHONE>-12") and
+    // match inside longer digit runs
+    "\\b[0-9]{3}-[0-9]{4}\\b" -> "<PHONE>")
 
   /** PII redaction: sequentially applied regexp_replace passes (order
     * matters and is fixed: earlier patterns must not be re-matched by
@@ -192,22 +205,28 @@ object TextAnalysis {
     * 100 TB — the only wide ops are the two bounded aggregations. */
   def corpusTopDfRatio(df: DataFrame, id: Column, text: Column,
       k: Int = 20): DataFrame = {
-    val toks = df.select(id.as("doc_id"), tokens(text).as("t"))
-    val tok = toks.select(col("doc_id"), explode(col("t")).as("tok"))
-    val top = tok.distinct()
+    // ONE tokenization + one (doc, token) shuffle: the tf aggregate is
+    // persisted and BOTH passes derive from it — the DF table is a
+    // term-level regroup of tf (each distinct (doc, token) pair counts
+    // once), and the per-doc coverage re-aggregates tf's counts. The
+    // earlier formulation re-tokenized the corpus for each pass and
+    // scanned the source a third time for the doc spine (explode_outer
+    // keeps zero-token docs instead). Cache contract as elsewhere
+    // (nearDuplicates): lives until the session evicts it.
+    val tf = df.select(id.as("doc_id"), explode_outer(tokens(text)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(col("tok")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = tf.filter(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok").asc)
       .limit(k)
       .select(col("tok"), lit(1).as("in_top"))
-    val perDoc = tok
-      .join(broadcast(top), Seq("tok"), "left")
+    tf.join(broadcast(top), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("in_top"), lit(0))).as("n_top"))
-    df.select(id.as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_top") === 1, col("n")).otherwise(lit(0L))).as("n_top"))
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("n_tokens"),
         when(col("n_tokens") > 0,
           col("n_top").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0d)).as("top_df_ratio"))

@@ -301,15 +301,15 @@ class OperatorsSpec extends SparkSpec {
 
   test("redaction scrubs emails and phones and counts matches") {
     val d = Seq((1L, "write to bob.x@host.org or 555-0199 now"),
-      (2L, "nothing here"),
-      (3L, "Contact Bob.Smith@Example.COM today"),   // case-insensitive
+      (2L, "nothing here on 2023-08-12"),             // ISO date must NOT be mangled
+      (3L, "Contact Bob.Smith+tag@My-Example.COM today"), // +tag, dashes, case
       (4L, "overlap 123-4567@host.org end")          // email swallows the phone-shaped tail
     ).toDF("doc_id", "text")
     val out = TextAnalysis.redact(d, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L)._1 == "write to <EMAIL> or <PHONE> now")
     assert(out(1L)._2 == 2L)
-    assert(out(2L) == (("nothing here", 0L)))
+    assert(out(2L) == (("nothing here on 2023-08-12", 0L)))
     assert(out(3L)._1 == "Contact <EMAIL> today" && out(3L)._2 == 1L)
     // count must equal replacements PERFORMED: the email pass consumes
     // "4567@host.org"; the leftover "123-" is not a phone match, so 1
