@@ -479,6 +479,82 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** m72 — perceptual average-hash (aHash) of the payload head: bit i
+    * set iff byte i exceeds the head's mean byte — the classic image
+    * near-dup fingerprint shape applied to the opaque payload column
+    * (a real deployment runs it on decoded pixels; the byte-level form
+    * exercises the identical dataflow). Integer-exact: the mean
+    * compare is cross-multiplied (code·n > Σ codes), so no division
+    * appears anywhere. 63 bits, not 64: bit 63 would need 1<<63,
+    * which overflows signed BIGINT (the oracle engine checks shift
+    * overflow; a negative fingerprint would also sort differently). */
+  val m72PayloadAhash: Q = Q(
+    "m72_payload_ahash",
+    s"""WITH head AS (
+       |  SELECT doc_id, substring(text, 1, 63) AS h64,
+       |         length(substring(text, 1, 63)) AS n
+       |  FROM documents),
+       |s AS (SELECT doc_id, h64, n,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, n+1), i -> CAST(ascii(substring(h64, i, 1)) AS BIGINT))),
+       |          (acc, x) -> acc + x) AS tot
+       |      FROM head)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, n+1), i ->
+       |      CASE WHEN CAST(ascii(substring(h64, i, 1)) AS BIGINT) * n > tot
+       |           THEN (CAST(1 AS BIGINT) << (i-1)) ELSE CAST(0 AS BIGINT) END)),
+       |    (acc, x) -> acc + x) AS ahash
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // staged columns (h64/n/tot) as attributes: HOFs are interpreted,
+    // inlining would re-walk the string per consumer
+    Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 63).as("h64"))
+      .select(col("doc_id"), col("h64"), length(col("h64")).cast("long").as("n"))
+      .select(col("doc_id"), col("h64"), col("n"),
+        expr("""aggregate(sequence(1, CAST(n AS INT)), 0L,
+                |  (acc, i) -> acc + CAST(ascii(substring(h64, i, 1)) AS BIGINT))""".stripMargin)
+          .as("tot"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(1, CAST(n AS INT)), 0L,
+                |  (acc, i) -> acc + CASE WHEN CAST(ascii(substring(h64, i, 1)) AS BIGINT) * n > tot
+                |                         THEN shiftleft(CAST(1 AS BIGINT), i-1) ELSE 0L END)""".stripMargin)
+          .as("ahash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** s54 — ANN quality measured IN the engine: recall@3 of the IVF
+    * probe against the exact brute-force baseline (the two pipelines
+    * s50/s51 joined on (query, neighbor)). One row; the number that
+    * decides whether an index layout is usable. */
+  val s54AnnRecall: Q = Q(
+    "s54_ann_recall",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS cell FROM embeddings WHERE vec_id % 50 = 0),
+       |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qe", "c.embedding")} AS score
+       |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |tb AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM sb)
+       |       WHERE rk <= 3),
+       |si AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qe", "c.embedding")} AS score
+       |       FROM embeddings c JOIN q ON c.label = q.cell WHERE c.vec_id <> q.query_id),
+       |ti AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM si)
+       |       WHERE rk <= 3)
+       |SELECT CAST(count(ti.neighbor_id) AS BIGINT) AS hits,
+       |       CAST(count(*) AS BIGINT) AS total,
+       |       CAST(count(ti.neighbor_id) AS DOUBLE) / count(*) AS recall
+       |FROM tb LEFT JOIN ti ON tb.query_id = ti.query_id AND tb.neighbor_id = ti.neighbor_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(emb, queries, 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(col("hit")).as("hits"), count(lit(1)).as("total"),
+        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+  }
+
   /** d45 — production-kernel MinHash (xxhash64): not DuckDB-checkable,
     * rows-only gate; exists to show the fast path at 100 TB. */
   val d45MinhashFast: Q = Q.noOracle("d45_minhash_fast") { (s, dir) =>
@@ -588,7 +664,8 @@ object Extended {
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
-    s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant,
+    s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
-    t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, m70MultimodalMeta, m71PayloadChunks, d45MinhashFast)
+    t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, m70MultimodalMeta, m71PayloadChunks,
+    m72PayloadAhash, d45MinhashFast)
 }
