@@ -320,6 +320,72 @@ object Dedup {
     labels
   }
 
+  /** SimHash near-dup pairs via bit-slice banding — the hamming-join
+    * the fingerprint exists for: a 32-bit simhash splits into four
+    * 8-bit bands, and two fingerprints within hamming distance 3 must
+    * agree on at least one whole band (pigeonhole), so candidates =
+    * pairs sharing a (band, value) bucket and only candidates pay the
+    * exact bit_count(xor) check. `bucketCols` blocking rides in the
+    * join key (as in charNgramNearDups): a 32-bit fingerprint over a
+    * homogeneous corpus is coarse, so unblocked bucket fan-in — and
+    * the pair count — grows quadratically in corpus density; at scale
+    * the blocking key is the shard key. Never O(n²) within a block. */
+  def simhashNearDups(df: DataFrame, id: Column, text: Column,
+      bucketCols: Seq[String] = Nil, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band banding only guarantees recall for hamming <= 3, got $maxHamming")
+    // simhash computed with the blocking columns CARRIED through the
+    // projection (no join-back): the whole fingerprint+band derivation
+    // is one narrow pass over the corpus. ComputeOnce on the fold: the
+    // join keys (band values) derive from it, so the join's inferred
+    // isnotnull filters would otherwise push below this projection and
+    // re-inline the interpreted 32×|tokens| fold into every filter
+    // (measured 10×: 12 s → 1.2 s at sf0.1)
+    val once = (e: Column) => org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.ComputeOnce(
+        org.apache.spark.sql.GraftExpressionBridge.expressionEager(e)))
+    val sims = df
+      .select(bucketCols.map(col) :+ id.as("doc_id") :+
+        transform(tokens(text), t => polyHashFast(t)).as("hs"): _*)
+      .select(bucketCols.map(col) :+ col("doc_id") :+
+        once(expr(SimHashFoldSql)).as("simhash"): _*)
+    val bands = sims
+      .select(bucketCols.map(col) :+ col("doc_id") :+ col("simhash") :+
+        explode_outer(array((0 until 4).map { b =>
+          struct(lit(b).as("band_idx"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_val"))
+        }: _*)).as("bb"): _*)
+      .select(bucketCols.map(col) :+ col("doc_id") :+ col("simhash") :+
+        col("bb.band_idx").as("band_idx") :+ col("bb.band_val").as("band_val"): _*)
+      // both self-join sides consume this frame — persist or each side
+      // re-tokenizes and re-folds the corpus (cache contract as in
+      // nearDuplicates; 4 skinny rows per doc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val joinKey = bucketCols ++ Seq("band_idx", "band_val")
+    val l = bands.select(joinKey.map(col) :+
+      col("doc_id").as("a") :+ col("simhash").as("sa"): _*)
+    val r = bands.select(joinKey.map(col) :+
+      col("doc_id").as("b") :+ col("simhash").as("sb"): _*)
+    // first-matching-band dedup: a pair agreeing on several bands
+    // would be emitted once per band; instead of a DISTINCT over the
+    // full candidate set (a shuffle of O(pairs·bands) wide rows — the
+    // dominant cost on fingerprint-dense corpora), keep a candidate
+    // only in the LOWEST band where the slices agree, checked with
+    // per-row bit arithmetic against the earlier slices
+    val firstBandOnly = (0 until 3).map { j =>
+      col("band_idx") <= j ||
+        shiftright(col("sa"), 8 * j).bitwiseAND(lit(255L)) =!=
+        shiftright(col("sb"), 8 * j).bitwiseAND(lit(255L))
+    }.reduce(_ && _)
+    l.join(r, joinKey)
+      .filter(col("a") < col("b"))
+      .filter(firstBandOnly)
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * one word-n-gram with any document of an evaluation set — the
     * standard n-gram-overlap contamination check run before training
@@ -353,14 +419,18 @@ object Dedup {
     * would wrap bit 31 to −2^31, sign-flipping fingerprints whenever
     * the hash kernel sets high bits (poly_hash never does; xxhash64
     * would). Output: (doc_id, simhash). */
+  /** The 32-bit bit-majority fold over a token-hash array column named
+    * `hs` (SQL text: dynamic bit shifts aren't expressible in the
+    * Column DSL — still a Catalyst expression plan, not a UDF). */
+  private val SimHashFoldSql =
+    """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
+      |  CASE WHEN aggregate(hs, 0L,
+      |    (a2, h) -> a2 + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+      |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""".stripMargin
+
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
         transform(tokens(text), t => polyHashFast(t)).as("hs"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
-          |  CASE WHEN aggregate(hs, 0L,
-          |    (a2, h) -> a2 + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""".stripMargin)
-        .as("simhash"))
+      .select(col("doc_id"), expr(SimHashFoldSql).as("simhash"))
 
 }

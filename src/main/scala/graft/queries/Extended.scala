@@ -169,6 +169,45 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** d52 — SimHash hamming-join: bit-slice banding (four 8-bit bands;
+    * pigeonhole guarantees recall for hamming ≤ 3) then exact
+    * bit_count(xor) on candidates only — completes the SimHash
+    * pipeline from fingerprint (d43) to pairs. Blocked by
+    * (lang, source) like d47: a 32-bit fingerprint over this
+    * homogeneous corpus is coarse, and unblocked banding fans in
+    * quadratically. */
+  val d52SimhashNearDup: Q = {
+    val simSql =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), b ->
+         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         |           (a2, x) -> a2 + x) > 0
+         |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+         |    (acc, x) -> acc + x)""".stripMargin
+    Q(
+      "d52_simhash_neardup",
+      s"""WITH toks AS (SELECT lang, source, doc_id, ${tokensSql("text")} AS t FROM documents),
+         |h2 AS (SELECT lang, source, doc_id, list_transform(t, tok -> ${polyHashSql("tok")}) AS hs FROM toks),
+         |sim AS (SELECT lang, source, doc_id, $simSql AS sh FROM h2),
+         |bands AS (SELECT lang, source, doc_id, sh, b, (sh >> (8*b)) & 255 AS bv
+         |          FROM sim CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+         |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, l.sh AS sa, r.sh AS sb
+         |         FROM bands l JOIN bands r
+         |           ON l.lang = r.lang AND l.source = r.source
+         |          AND l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+         |         WHERE (l.b <= 0 OR ((l.sh >> 0) & 255) <> ((r.sh >> 0) & 255))
+         |           AND (l.b <= 1 OR ((l.sh >> 8) & 255) <> ((r.sh >> 8) & 255))
+         |           AND (l.b <= 2 OR ((l.sh >> 16) & 255) <> ((r.sh >> 16) & 255)))
+         |SELECT a, b, CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 1
+         |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), col("doc_id"), col("text"),
+          bucketCols = Seq("lang", "source"), maxHamming = 1)
+        .orderBy(col("a"), col("b"))
+    }
+  }
+
   /** d51 — benchmark decontamination: train docs (16/17 of the
     * corpus) sharing any hashed 5-gram with the eval split (every
     * 17th doc). Bench side broadcast; the train scan never shuffles
@@ -664,6 +703,7 @@ object Extended {
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
+    d52SimhashNearDup,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, m70MultimodalMeta, m71PayloadChunks,
