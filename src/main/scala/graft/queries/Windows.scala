@@ -262,7 +262,45 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** q57 — ordered funnel (view → click → purchase per user): each
+    * stage's timestamp is the earliest qualifying event AFTER the
+    * previous stage — three chained windowed conditional minima over
+    * ONE user partitioning (one exchange; window passes compose), no
+    * self-joins. The classic product-analytics sequence query, shaped
+    * so a 100 TB event log pays a single shuffle. */
+  val q57Funnel: Q = Q(
+    "q57_funnel",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |                   OVER (PARTITION BY user_id) AS t_view FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |                   OVER (PARTITION BY user_id) AS t_click FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |                   OVER (PARTITION BY user_id) AS t_purchase FROM s2)
+      |SELECT DISTINCT user_id, t_view, t_click, t_purchase,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |            WHEN t_click IS NOT NULL THEN 2
+      |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage
+      |FROM s3 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .when(col("t_view").isNotNull, 1L)
+          .otherwise(0L).as("funnel_stage"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q09WindowAnalytic, q10TopKPerGroup, q11Rollup, q21GroupingSets, q14SortLimit,
-    q37RangeFrame, q38RankFamily, q39ValueWindows, q51Streaks, q53ForwardFill)
+    q37RangeFrame, q38RankFamily, q39ValueWindows, q51Streaks, q53ForwardFill, q57Funnel)
 }
