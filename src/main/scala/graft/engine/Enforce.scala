@@ -97,9 +97,7 @@ object Enforce {
   def withError(df: DataFrame, schema: Seq[FieldSpec]): DataFrame = {
     val tags = concat_ws(",", schema.map(f => fieldError(df, f)): _*)
     val err = when(tags === "", lit(null: String)).otherwise(tags)
-    df.withColumn("error", org.apache.spark.sql.GraftExpressionBridge.column(
-      graft.functions.ComputeOnce(
-        org.apache.spark.sql.GraftExpressionBridge.expressionEager(err))))
+    df.withColumn("error", graft.functions.ComputeOnce.once(err))
   }
 
   /** Row-level split: (ok = enforced schema projection, dead = original

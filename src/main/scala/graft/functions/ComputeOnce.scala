@@ -34,6 +34,13 @@ import org.apache.spark.sql.types.DataType
   * own error tests) were never scan-pushable — they are derived-
   * expression predicates, not source-column comparisons.
   */
+object ComputeOnce {
+  /** Column-API entry point: wrap an expression in the barrier. */
+  def once(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      ComputeOnce(org.apache.spark.sql.GraftExpressionBridge.expressionEager(c)))
+}
+
 case class ComputeOnce(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
   override def foldable: Boolean = false

@@ -341,14 +341,11 @@ object Dedup {
     // isnotnull filters would otherwise push below this projection and
     // re-inline the interpreted 32×|tokens| fold into every filter
     // (measured 10×: 12 s → 1.2 s at sf0.1)
-    val once = (e: Column) => org.apache.spark.sql.GraftExpressionBridge.column(
-      graft.functions.ComputeOnce(
-        org.apache.spark.sql.GraftExpressionBridge.expressionEager(e)))
     val sims = df
       .select(bucketCols.map(col) :+ id.as("doc_id") :+
         transform(tokens(text), t => polyHashFast(t)).as("hs"): _*)
       .select(bucketCols.map(col) :+ col("doc_id") :+
-        once(expr(SimHashFoldSql)).as("simhash"): _*)
+        graft.functions.ComputeOnce.once(expr(SimHashFoldSql)).as("simhash"): _*)
     val bands = sims
       .select(bucketCols.map(col) :+ col("doc_id") :+ col("simhash") :+
         explode_outer(array((0 until 4).map { b =>
@@ -409,25 +406,24 @@ object Dedup {
         count_distinct(col("bench_id")).as("n_bench_docs"))
   }
 
-  /** 32-bit SimHash: bit b of the fingerprint is the sign of
-    * Σ_tokens (±1 by token-hash bit b). Near-dup docs differ in few
-    * bits. Two-stage: token hashes are staged as an array column via
-    * the Column DSL, then the bit-fold runs as a SQL-text HOF (dynamic
-    * bit shifts aren't expressible in the DSL — still a Catalyst
-    * expression plan, not a UDF), mirrored verbatim by the DuckDB
-    * oracle. The bit weight shifts a BIGINT one: an INT shiftleft
-    * would wrap bit 31 to −2^31, sign-flipping fingerprints whenever
-    * the hash kernel sets high bits (poly_hash never does; xxhash64
-    * would). Output: (doc_id, simhash). */
   /** The 32-bit bit-majority fold over a token-hash array column named
     * `hs` (SQL text: dynamic bit shifts aren't expressible in the
-    * Column DSL — still a Catalyst expression plan, not a UDF). */
+    * Column DSL — still a Catalyst expression plan, not a UDF).
+    * The bit weight shifts a BIGINT one: an INT shiftleft would wrap
+    * bit 31 to −2^31, sign-flipping fingerprints whenever the hash
+    * kernel sets high bits (poly_hash never does; xxhash64 would). */
   private val SimHashFoldSql =
     """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
       |  CASE WHEN aggregate(hs, 0L,
       |    (a2, h) -> a2 + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
       |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0L END)""".stripMargin
 
+  /** 32-bit SimHash: bit b of the fingerprint is the sign of
+    * Σ_tokens (±1 by token-hash bit b). Near-dup docs differ in few
+    * bits. Two-stage: token hashes are staged as an array column via
+    * the Column DSL, then the bit-fold (SimHashFoldSql) runs over the
+    * staged array, mirrored verbatim by the DuckDB oracle.
+    * Output: (doc_id, simhash). */
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
         transform(tokens(text), t => polyHashFast(t)).as("hs"))

@@ -98,18 +98,24 @@ object Extended {
       .orderBy(col("a"), col("b"))
   }
 
+  /** DuckDB twin of Dedup.SimHashFoldSql — the 32-bit bit-majority
+    * fold over a token-hash list column named `hs`; ONE copy shared by
+    * every simhash oracle (d43, d52) so the fingerprint definition
+    * cannot drift between them. */
+  private val simFoldSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), b ->
+      |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+      |           (a2, x) -> a2 + x) > 0
+      |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+      |    (acc, x) -> acc + x)""".stripMargin
+
   /** d43 — SimHash fingerprints (bit-majority of token hashes). */
   val d43Simhash: Q = Q(
     "d43_simhash",
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |h2 AS (SELECT doc_id, list_transform(t, tok -> ${polyHashSql("tok")}) AS hs FROM toks)
-       |SELECT doc_id,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), b ->
-       |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |           list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-       |           (a2, x) -> a2 + x) > 0
-       |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-       |    (acc, x) -> acc + x) AS simhash
+       |SELECT doc_id, $simFoldSql AS simhash
        |FROM h2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Dedup.simhash32(Tables.documents(s, dir), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
@@ -133,17 +139,28 @@ object Extended {
       .orderBy(col("a"), col("b"))
   }
 
+  // ---- shared ANN oracle fragments: ONE query-set definition and ONE
+  // score/rank shape for s50 (brute), s51 (IVF) and s54 (recall), so
+  // the recall metric is by construction measured against the same
+  // baseline the standalone queries check --------------------------------
+  private val annQueryCte =
+    "q AS (SELECT vec_id AS query_id, embedding AS qe, label AS cell FROM embeddings WHERE vec_id % 50 = 0)"
+  private val annBruteJoin = "embeddings c CROSS JOIN q"
+  private val annIvfJoin = "embeddings c JOIN q ON c.label = q.cell"
+  private def annTopCtes(prefix: String, fromJoin: String): String =
+    s"""${prefix}sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         ${dotSql("q.qe", "c.embedding")} AS score
+       |       FROM $fromJoin WHERE c.vec_id <> q.query_id),
+       |${prefix}rk AS (SELECT query_id, neighbor_id, score,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |       FROM ${prefix}sc)""".stripMargin
+
   /** s50 — exact brute-force top-3 cosine neighbors for the query set
     * (every 50th vector); the correctness baseline for ANN. */
   val s50KnnBrute: Q = Q(
     "s50_knn_brute",
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
-       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-       |         ${dotSql("q.qe", "c.embedding")} AS score
-       |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-       |rk AS (SELECT query_id, neighbor_id, score,
-       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-       |       FROM sc)
+    s"""WITH $annQueryCte,
+       |${annTopCtes("", annBruteJoin)}
        |SELECT query_id, rank, neighbor_id, score FROM rk WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
@@ -155,13 +172,8 @@ object Extended {
     * (the 100 TB path: probe one partition, not the corpus). */
   val s51KnnIvf: Q = Q(
     "s51_knn_ivf",
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS cell FROM embeddings WHERE vec_id % 50 = 0),
-       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-       |         ${dotSql("q.qe", "c.embedding")} AS score
-       |       FROM embeddings c JOIN q ON c.label = q.cell WHERE c.vec_id <> q.query_id),
-       |rk AS (SELECT query_id, neighbor_id, score,
-       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
-       |       FROM sc)
+    s"""WITH $annQueryCte,
+       |${annTopCtes("", annIvfJoin)}
        |SELECT query_id, rank, neighbor_id, score FROM rk WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
@@ -177,18 +189,11 @@ object Extended {
     * homogeneous corpus is coarse, and unblocked banding fans in
     * quadratically. */
   val d52SimhashNearDup: Q = {
-    val simSql =
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), b ->
-         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |           list_transform(hs, h -> CASE WHEN ((h >> b) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-         |           (a2, x) -> a2 + x) > 0
-         |    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
-         |    (acc, x) -> acc + x)""".stripMargin
     Q(
       "d52_simhash_neardup",
       s"""WITH toks AS (SELECT lang, source, doc_id, ${tokensSql("text")} AS t FROM documents),
          |h2 AS (SELECT lang, source, doc_id, list_transform(t, tok -> ${polyHashSql("tok")}) AS hs FROM toks),
-         |sim AS (SELECT lang, source, doc_id, $simSql AS sh FROM h2),
+         |sim AS (SELECT lang, source, doc_id, $simFoldSql AS sh FROM h2),
          |bands AS (SELECT lang, source, doc_id, sh, b, (sh >> (8*b)) & 255 AS bv
          |          FROM sim CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
          |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, l.sh AS sa, r.sh AS sb
@@ -546,18 +551,22 @@ object Extended {
        |    (acc, x) -> acc + x) AS ahash
        |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
     // staged columns (h64/n/tot) as attributes: HOFs are interpreted,
-    // inlining would re-walk the string per consumer
+    // inlining would re-walk the string per consumer. The n = 0 guard
+    // follows the repo convention (TextHash.shingles): Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0], not empty like DuckDB's
+    // range(1, 1) — today both branches happen to fold to 0 on an
+    // empty string, but the guard keeps that from being a coincidence
     Tables.documents(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 63).as("h64"))
       .select(col("doc_id"), col("h64"), length(col("h64")).cast("long").as("n"))
       .select(col("doc_id"), col("h64"), col("n"),
-        expr("""aggregate(sequence(1, CAST(n AS INT)), 0L,
-                |  (acc, i) -> acc + CAST(ascii(substring(h64, i, 1)) AS BIGINT))""".stripMargin)
+        expr("""if(n > 0, aggregate(sequence(1, CAST(n AS INT)), 0L,
+                |  (acc, i) -> acc + CAST(ascii(substring(h64, i, 1)) AS BIGINT)), 0L)""".stripMargin)
           .as("tot"))
       .select(col("doc_id"),
-        expr("""aggregate(sequence(1, CAST(n AS INT)), 0L,
+        expr("""if(n > 0, aggregate(sequence(1, CAST(n AS INT)), 0L,
                 |  (acc, i) -> acc + CASE WHEN CAST(ascii(substring(h64, i, 1)) AS BIGINT) * n > tot
-                |                         THEN shiftleft(CAST(1 AS BIGINT), i-1) ELSE 0L END)""".stripMargin)
+                |                         THEN shiftleft(CAST(1 AS BIGINT), i-1) ELSE 0L END), 0L)""".stripMargin)
           .as("ahash"))
       .orderBy(col("doc_id"))
   }
@@ -568,17 +577,11 @@ object Extended {
     * decides whether an index layout is usable. */
   val s54AnnRecall: Q = Q(
     "s54_ann_recall",
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS cell FROM embeddings WHERE vec_id % 50 = 0),
-       |sb AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qe", "c.embedding")} AS score
-       |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
-       |tb AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM sb)
-       |       WHERE rk <= 3),
-       |si AS (SELECT q.query_id, c.vec_id AS neighbor_id, ${dotSql("q.qe", "c.embedding")} AS score
-       |       FROM embeddings c JOIN q ON c.label = q.cell WHERE c.vec_id <> q.query_id),
-       |ti AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM si)
-       |       WHERE rk <= 3)
+    s"""WITH $annQueryCte,
+       |${annTopCtes("b", annBruteJoin)},
+       |${annTopCtes("i", annIvfJoin)},
+       |tb AS (SELECT query_id, neighbor_id FROM brk WHERE rank <= 3),
+       |ti AS (SELECT query_id, neighbor_id FROM irk WHERE rank <= 3)
        |SELECT CAST(count(ti.neighbor_id) AS BIGINT) AS hits,
        |       CAST(count(*) AS BIGINT) AS total,
        |       CAST(count(ti.neighbor_id) AS DOUBLE) / count(*) AS recall

@@ -154,6 +154,31 @@ class OperatorsSpec extends SparkSpec {
     assert(s2.forall(h => h >= 0 && h < TextHash.P))
   }
 
+  test("simhash banding pairs equal brute-force hamming pairs (first-band dedup, maxHamming bounds)") {
+    val docs = Seq.tabulate(30) { i =>
+      // clusters of near-identical docs (same words, one varying token)
+      // so fingerprints agree on several NON-contiguous bands — the
+      // case the first-matching-band dedup must emit exactly once
+      (i.toLong, s"alpha beta gamma delta token${i % 5} epsilon zeta eta theta")
+    }.toDF("doc_id", "text")
+    val sims = Dedup.simhash32(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    Seq(0, 1, 3).foreach { mh =>
+      val expected = (for {
+        a <- sims.keys; b <- sims.keys if a < b
+        hd = java.lang.Long.bitCount(sims(a) ^ sims(b))
+        if hd <= mh
+      } yield (a, b, hd.toLong)).toSet
+      val got = Dedup.simhashNearDups(docs, col("doc_id"), col("text"), maxHamming = mh)
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"mh=$mh: duplicate pairs emitted")
+      assert(got.toSet == expected, s"mh=$mh")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, col("doc_id"), col("text"), maxHamming = 4)
+    }
+  }
+
   test("contamination flags train docs sharing an n-gram with the bench set") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"), // shares the 5-gram prefix with bench 1
