@@ -151,7 +151,12 @@ object SchemaRegistry {
       target: SchemaDoc): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
     require(registry.nonEmpty, "empty schema registry")
-    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist is illegal on a streaming frame — there the micro-batch
+    // engine already materializes each batch once, so the 2V+1 passes
+    // read batch state, not the source
+    val src =
+      if (df.isStreaming) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val known = registry.keys.map(_.toString).toSeq
     val splits = registry.toSeq.sortBy(_._1).map { case (v, doc) =>
       val sub = src.filter(col("schema_version") === v.toString)

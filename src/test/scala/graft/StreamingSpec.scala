@@ -69,6 +69,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("version-routed enforcement runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.engine.SchemaRegistry
+    val v1 = SchemaRegistry.parse(
+      """{"version": 1, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "points", "type": "INTEGER"},
+        |  {"name": "schema_version", "type": "STRING"}]}""".stripMargin)
+    val v2 = SchemaRegistry.parse(
+      """{"version": 2, "fields": [
+        |  {"name": "pk", "type": "STRING", "mode": "REQUIRED"},
+        |  {"name": "points", "type": "INTEGER"},
+        |  {"name": "capacity", "type": "INTEGER"},
+        |  {"name": "schema_version", "type": "STRING"}]}""".stripMargin)
+    val mem = MemoryStream[(String, String, String, String)]
+    val df = mem.toDF().toDF("pk", "points", "capacity", "schema_version")
+    val (ok, dead) = SchemaRegistry.enforceByVersion(df, Map(1 -> v1, 2 -> v2), v2)
+    val q1 = ok.writeStream.format("memory").queryName("evolve_ok")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = dead.select(col("pk"), col("error")).writeStream
+      .format("memory").queryName("evolve_dead").outputMode(OutputMode.Append()).start()
+    mem.addData(("a-1", "10", "999", "1"), ("b-2", "20", "54000", "2"),
+      ("c-2", "30", "bad", "2"), ("d-9", "40", null, "9"))
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    val okRows = spark.table("evolve_ok")
+      .select("pk", "points", "capacity")
+      .collect().map(r => r.getString(0) -> (r.getAs[Any](1), r.getAs[Any](2))).toMap
+    assert(okRows == Map("a-1" -> ((10L, null)), "b-2" -> ((20L, 54000L))))
+    val deadRows = spark.table("evolve_dead")
+      .as[(String, String)].collect().toMap
+    assert(deadRows("c-2") == "cast_failure:capacity")
+    assert(deadRows("d-9") == "unknown_schema_version")
+  }
+
   test("stream-stream interval join matches the batch interval join (q41 twin)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj")
     graft.engine.Tables.events(spark, sfDir).write
