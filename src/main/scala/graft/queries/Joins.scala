@@ -118,6 +118,32 @@ object Joins {
       .orderBy(col("tag"), col("n_name"))
   }
 
+  /** q58 — BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    * multiplicities survive — 5 customers minus 2 suppliers in a
+    * nation leaves 3 rows, where q13's DISTINCT forms collapse to
+    * membership. Spark plans these as aggregate + replicate
+    * (sum_of_counts), no row-by-row matching. */
+  val q58BagSetOps: Q = Q(
+    "q58_bag_set_ops",
+    """WITH ca AS (SELECT CAST(c_nationkey AS BIGINT) AS n FROM customer),
+      |     sa AS (SELECT CAST(s_nationkey AS BIGINT) AS n FROM supplier)
+      |SELECT 'except_all' AS tag, n, CAST(count(*) AS BIGINT) AS n_rows
+      |FROM (SELECT n FROM ca EXCEPT ALL SELECT n FROM sa) GROUP BY n
+      |UNION ALL
+      |SELECT 'intersect_all' AS tag, n, CAST(count(*) AS BIGINT) AS n_rows
+      |FROM (SELECT n FROM ca INTERSECT ALL SELECT n FROM sa) GROUP BY n
+      |ORDER BY tag, n""".stripMargin) { (s, dir) =>
+    val ca = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("n"))
+    val sa = Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("n"))
+    val ex = ca.exceptAll(sa).groupBy(col("n"))
+      .agg(count(lit(1)).as("n_rows")).withColumn("tag", lit("except_all"))
+    val in = ca.intersectAll(sa).groupBy(col("n"))
+      .agg(count(lit(1)).as("n_rows")).withColumn("tag", lit("intersect_all"))
+    ex.unionByName(in)
+      .select(col("tag"), col("n"), col("n_rows"))
+      .orderBy(col("tag"), col("n"))
+  }
+
   /** q20 — scalar subquery: customers above the global mean balance.
     * Scale: the 1-row global aggregate is broadcast into the filter
     * (no driver round-trip, no second scan of a cached collect);
@@ -172,5 +198,5 @@ object Joins {
   }
 
   val all: Seq[Q] = Seq(q04LeftJoin, q07BroadcastJoin, q12DistinctAgg, q13SetOps,
-    q20ScalarSubquery, q33MultiwayJoin)
+    q20ScalarSubquery, q33MultiwayJoin, q58BagSetOps)
 }
