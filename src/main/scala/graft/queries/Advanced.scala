@@ -305,6 +305,26 @@ object Advanced {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q59 — unpivot (melt), the inverse of q29's pivot: wide per-part
+    * metric columns → long (key, metric, value) rows via the typed
+    * `Dataset.unpivot` API (a Generate, not a UNION of rescans — one
+    * pass over the source regardless of metric count). The oracle
+    * states the same reshape as a stacked UNION ALL. */
+  val q59Unpivot: Q = Q(
+    "q59_unpivot",
+    """SELECT p_partkey, metric, value FROM (
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part)
+      |ORDER BY p_partkey, metric""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+  }
+
   /** q56 — per-group OLS regression (slope/intercept of price on
     * quantity), closed-form from the same decimal-exact sum route as
     * q50: the aggregates are exact decimals (no float-sum order
@@ -345,5 +365,5 @@ object Advanced {
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
     q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow,
-    q49MapFuncs, q50Corr, q56GroupLinreg)
+    q49MapFuncs, q50Corr, q56GroupLinreg, q59Unpivot)
 }
