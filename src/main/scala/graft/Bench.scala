@@ -30,6 +30,13 @@ object Bench {
     // regression would read as a performance win
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolation: several operators persist intra-query frames (their
+      // scaladoc cache contract); across 89 queries in ONE session the
+      // accumulated MEMORY_AND_DISK copies crowd the 8g heap and the
+      // later heavy queries pay eviction + GC instead of compute.
+      // Clearing BETWEEN queries keeps each measurement self-contained
+      // (every query builds its own caches from a cold catalog).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         failed += name

@@ -48,7 +48,9 @@ object GraftFunctions {
     "dot_product" -> arity("dot_product", Set(2))(exprs =>
       DotProduct(exprs.head, exprs(1))),
     "sorted_intersect_count" -> arity("sorted_intersect_count", Set(2))(exprs =>
-      SortedIntersectCount(exprs.head, exprs(1))))
+      SortedIntersectCount(exprs.head, exprs(1))),
+    "simhash_fold" -> arity("simhash_fold", Set(1))(exprs =>
+      SimHashFold(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -280,7 +280,14 @@ object Dedup {
     * rounds × |nodes| × 16 bytes.
     *
     * `nodes` must cover every id appearing in `edges` (pass the whole
-    * corpus: singleton docs come out as their own cluster).
+    * corpus: singleton docs come out as their own cluster). An edge
+    * endpoint missing from `nodes` would drop that endpoint's label
+    * influence silently (the propagation join keeps labels only for
+    * known ids), yielding labels that are not component minima —
+    * `validate = true` runs a one-time distributed anti-join count
+    * that fails fast instead (one extra job over the skinny edge
+    * list; leave it off in production loops where the corpus frame is
+    * the node universe by construction).
     *
     * Each round's labels are `localCheckpoint`ed — NOT merely
     * persisted: every round references the previous labels twice (the
@@ -288,14 +295,24 @@ object Dedup {
     * truncation the logical plan doubles per round and analysis cost
     * explodes exponentially with the iteration count. On a cluster
     * with lineage-replay concerns, swap in reliable `checkpoint()` to
-    * durable storage — same loop, same semantics.
+    * durable storage — same loop, same semantics. The convergence
+    * check rides INSIDE the propagation result (prev label carried
+    * through the select, counted on the checkpointed frame): a
+    * separate next⋈labels diff join would add one more shuffle per
+    * round to a loop whose cost is almost pure round latency.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, validate: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(MEMORY_AND_DISK)
+    if (validate) {
+      val missing = sym.select(col("src").as("id")).distinct()
+        .join(nodes.select(col("id")), Seq("id"), "left_anti").count()
+      require(missing == 0L,
+        s"connectedComponents: $missing edge endpoint id(s) absent from nodes — labels would not be component minima")
+    }
     var labels = nodes.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
@@ -306,12 +323,11 @@ object Dedup {
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          labels("cluster_id").as("graft_prev"))
         .localCheckpoint()
-      changed = next.join(
-          labels.select(col("id"), col("cluster_id").as("prev")), "id")
-        .filter(col("cluster_id") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("cluster_id") < col("graft_prev")).count()
+      labels = next.select(col("id"), col("cluster_id"))
       iter += 1
     }
     sym.unpersist()
@@ -345,7 +361,8 @@ object Dedup {
       .select(bucketCols.map(col) :+ id.as("doc_id") :+
         transform(tokens(text), t => polyHashFast(t)).as("hs"): _*)
       .select(bucketCols.map(col) :+ col("doc_id") :+
-        graft.functions.ComputeOnce.once(expr(SimHashFoldSql)).as("simhash"): _*)
+        graft.functions.ComputeOnce.once(
+          graft.functions.SimHashFold.simhashFold(col("hs"))).as("simhash"): _*)
     val bands = sims
       .select(bucketCols.map(col) :+ col("doc_id") :+ col("simhash") :+
         explode_outer(array((0 until 4).map { b =>
@@ -411,8 +428,11 @@ object Dedup {
     * Column DSL — still a Catalyst expression plan, not a UDF).
     * The bit weight shifts a BIGINT one: an INT shiftleft would wrap
     * bit 31 to −2^31, sign-flipping fingerprints whenever the hash
-    * kernel sets high bits (poly_hash never does; xxhash64 would). */
-  private val SimHashFoldSql =
+    * kernel sets high bits (poly_hash never does; xxhash64 would).
+    * This is the REFERENCE formulation: the hot paths (simhash32,
+    * simhashNearDups) run the native single-pass SimHashFold kernel,
+    * property-tested bit-identical to this 32-walk interpreted fold. */
+  private[graft] val SimHashFoldSql =
     """aggregate(sequence(0, 31), 0L, (acc, b) -> acc +
       |  CASE WHEN aggregate(hs, 0L,
       |    (a2, h) -> a2 + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
@@ -421,12 +441,14 @@ object Dedup {
   /** 32-bit SimHash: bit b of the fingerprint is the sign of
     * Σ_tokens (±1 by token-hash bit b). Near-dup docs differ in few
     * bits. Two-stage: token hashes are staged as an array column via
-    * the Column DSL, then the bit-fold (SimHashFoldSql) runs over the
-    * staged array, mirrored verbatim by the DuckDB oracle.
+    * the Column DSL, then the bit-fold — the native single-pass
+    * SimHashFold kernel, bit-identical to SimHashFoldSql and to the
+    * DuckDB oracle's list_reduce twin (property-tested).
     * Output: (doc_id, simhash). */
   def simhash32(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
         transform(tokens(text), t => polyHashFast(t)).as("hs"))
-      .select(col("doc_id"), expr(SimHashFoldSql).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHashFold.simhashFold(col("hs")).as("simhash"))
 
 }

@@ -19,25 +19,30 @@ import org.apache.spark.sql.functions._
   *     within each partition an ordinary partitioned window computes
   *     the LOCAL running sum in parallel.
   *  2. per-partition totals (one row per partition — bounded by the
-  *     partition count, NOT the data size) are collected, scanned into
-  *     starting offsets on the driver, and broadcast-joined back.
+  *     partition count, NOT the data size) are prefix-summed into
+  *     starting offsets by a triangular broadcast join over those few
+  *     rows, and broadcast-joined back.
   *
-  * local running sum + partition offset = the exact global prefix sum.
-  * The only driver-side data is `numPartitions` longs — the standard
-  * two-pass scan/prefix decomposition.
+  * local running sum + partition offset = the exact global prefix sum —
+  * the standard two-pass scan/prefix decomposition, expressed as ONE
+  * declarative plan: no driver-side collect, no eager job at
+  * construction, no persisted intermediate. The ranged frame appears
+  * in the plan on both the totals side and the main side, and Spark's
+  * exchange reuse (`ReusedExchange`) executes the range shuffle once
+  * and shares it — which also guarantees both passes see the SAME
+  * range boundaries (a recomputed exchange could re-sample different
+  * ones; reuse makes the consistency structural).
+  *
+  * The offsets side stays fully partitioned: off(p) = Σ_{q<p} total(q)
+  * is a broadcast non-equi self-join over `numPartitions` rows — never
+  * a single-partition window, never a driver scan. (O(n²) pairs in the
+  * partition COUNT, a constant; data size never enters.)
   *
   * `order` must be a TOTAL order (include a unique tiebreaker): range
   * boundaries may split equal keys across partitions, and only a total
   * order makes "everything in earlier partitions precedes me" exact.
   * `value` must be integral (summed as BIGINT, exact — no float
   * reassociation concerns across the two passes).
-  *
-  * The ranged frame is persisted because both passes scan it; callers
-  * running one-shot selections can unpersist via the catalog after the
-  * action (same contract as Dedup.nearDuplicates' shingle cache).
-  * Note that CONSTRUCTING the result runs pass 1 as a Spark job (the
-  * same eager planning-time work a RangePartitioner's sampling job
-  * does) — building the DataFrame is not free even before an action.
   */
 object Prefix {
 
@@ -47,7 +52,7 @@ object Prefix {
       partitions: Int = 0): DataFrame = {
     // withColumn would silently REPLACE caller columns with these
     // names (and "cum" is a plausible caller name for running totals)
-    Seq("cum", "graft_pid", "graft_off").foreach { c =>
+    Seq("cum", "graft_pid", "graft_off", "graft_t").foreach { c =>
       require(!df.columns.contains(c), s"input already has a column named $c")
     }
     val spark = df.sparkSession
@@ -55,19 +60,17 @@ object Prefix {
       else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("graft_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: one total per partition; tiny by construction
+    // pass 1: one total per partition; tiny by construction. A
+    // partition whose values are ALL null sums to null — the offset
+    // coalesce treats it as 0, matching the window pass (sum-over
+    // skips nulls).
     val totals = ranged.groupBy(col("graft_pid"))
-      .agg(sum(value.cast("long")).as("t"))
-      // a partition whose values are ALL null sums to null — treat as
-      // 0, matching the window pass (sum-over skips nulls)
-      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
-      .toMap
-    val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
-      acc + totals.getOrElse(p, 0L)
-    }.take(n).zipWithIndex.map { case (off, p) => (p, off) }
-    import spark.implicits._
-    val offDf = offsets.toDF("graft_pid", "graft_off")
+      .agg(sum(value.cast("long")).as("graft_t"))
+    val offDf = totals.as("x")
+      .join(broadcast(totals.as("y")),
+        col("x.graft_pid") > col("y.graft_pid"), "left")
+      .groupBy(col("x.graft_pid").as("graft_pid"))
+      .agg(coalesce(sum(col("y.graft_t")), lit(0L)).as("graft_off"))
     // pass 2: local window + broadcast offset; frame pinned to ROWS
     // (RANGE would merge peers — harmless under a total order but the
     // explicit frame keeps the plan self-documenting)
@@ -77,7 +80,8 @@ object Prefix {
       .join(broadcast(offDf), Seq("graft_pid"))
       // coalesce: a window sum over only-null-so-far rows is NULL, not
       // 0 — without it, rows preceding the first non-null value lose
-      // their partition offset (pass 1 already treats null as 0)
+      // their partition offset (the offset side already treats an
+      // all-null partition total as 0)
       .withColumn("cum",
         coalesce(sum(value.cast("long")).over(w), lit(0L)) + col("graft_off"))
       .drop("graft_pid", "graft_off")

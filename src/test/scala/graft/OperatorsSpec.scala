@@ -379,6 +379,22 @@ class OperatorsSpec extends SparkSpec {
     assert(budget.map(_._3).max <= 1000L && budget.nonEmpty)
   }
 
+  test("prefix sum executes the range shuffle ONCE (exchange reuse pins one boundary set)") {
+    // the totals pass and the main pass both reference the ranged
+    // frame; if each planned its OWN range exchange, each would
+    // re-sample range boundaries independently and the per-partition
+    // offsets could describe a different partitioning than the rows
+    // they're joined to. Exchange reuse makes the consistency
+    // structural — the final plan must share one executed exchange.
+    val df = (1L to 1000L).map(i => (i, i % 97)).toDF("id", "v")
+    val out = graft.operators.Prefix.runningTotal(
+      df, Seq(col("v").desc, col("id")), col("v"))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Reused")) >= 2,
+      s"expected the range exchange (and totals agg) to be reused:\n$p")
+  }
+
   test("prefix sum property: random values incl. nulls, any partition count, equals the sequential scan") {
     import org.scalacheck.{Gen, rng}
     val cases = Gen.listOfN(3, for {

@@ -165,4 +165,31 @@ class PolyHashSpec extends SparkSpec {
       .map(PolyHash.hash).sum
     assert(viaExpr == viaJvm)
   }
+
+  test("native simhash fold == nested-HOF reference on generated arrays and real text") {
+    // generated: arbitrary longs (incl. negatives/high bits — the SQL
+    // fold's arithmetic shiftright semantics), null elements (−1 on
+    // every bit), empty arrays (all ties → 0)
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.listOfN(0, Gen.long).map(_.map(Option(_))),
+      Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.choose(0L, graft.operators.TextHash.P - 1).map(Option(_)),
+        Gen.long.map(Option(_)),
+        Gen.const(Option.empty[Long]))).map(_.take(50))))
+    val arrays = gen.apply(Gen.Parameters.default, Seed(7L)).get
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "hs")
+    val mism = df.select(col("id"),
+        expr(graft.operators.Dedup.SimHashFoldSql).as("hof"),
+        graft.functions.SimHashFold.simhashFold(col("hs")).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+    assert(mism.count() == 0L, s"first mismatch: ${mism.take(1).mkString}")
+    // real corpus via the full simhash32 path (native) vs the HOF twin
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val hofSim = docs.select(col("doc_id"),
+        transform(TextHash.tokens(col("text")), t => TextHash.polyHashFast(t)).as("hs"))
+      .select(col("doc_id"), expr(graft.operators.Dedup.SimHashFoldSql).as("simhash"))
+    val nativeSim = graft.operators.Dedup.simhash32(docs, col("doc_id"), col("text"))
+    assert(nativeSim.exceptAll(hofSim).count() == 0L &&
+      hofSim.exceptAll(nativeSim).count() == 0L)
+  }
 }
