@@ -128,11 +128,14 @@ object SchemaRegistry {
     * changed between generations (v1 rank STRING → v2 rank INTEGER)
     * must land in the target type or the final union would coerce the
     * table away from the newest layout — or fail outright for
-    * incompatible pairs. The cast is a try_cast: an old-generation
-    * value unrepresentable in the target type becomes null rather
-    * than killing the job (detect-and-divert already ran against the
-    * RECORD's own schema; the alignment cast is a layout conversion,
-    * not a validation).
+    * incompatible pairs. The cast is a try_cast so an unrepresentable
+    * value cannot kill the job — but a try_cast that NULLS a value
+    * which passed its own version's validation is silent data loss,
+    * not a layout conversion, so such rows are routed to the dead side
+    * with `error = "alignment_cast_loss:<fields>"` instead of landing
+    * in the ok table as nulls. Only fields whose TYPE differs between
+    * the record's generation and the target are checked (a same-type
+    * try_cast is the identity and cannot null a non-null).
     *
     * Scale: 2V+1 filtered passes (ok + dead per version + the unknown
     * sweep) all derive from one input frame, which is persisted here
@@ -161,12 +164,33 @@ object SchemaRegistry {
     val splits = registry.toSeq.sortBy(_._1).map { case (v, doc) =>
       val sub = src.filter(col("schema_version") === v.toString)
       val (ok, dead) = Enforce.split(sub, doc.fields)
+      // fields whose type CHANGES into the target: the only places the
+      // alignment try_cast can null a value that was valid under the
+      // record's own version. concat_ws skips the per-field nulls, so
+      // the loss column is "" for clean rows and a field list
+      // otherwise; ComputeOnce pins it below the two filters (same
+      // barrier as Enforce.split — both sides reference it).
+      val changed = target.fields.filter(f =>
+        doc.fields.exists(d => d.name == f.name && d.typ != f.typ))
+      val lossCol =
+        if (changed.isEmpty) lit("")
+        else graft.functions.ComputeOnce.once(concat_ws(",", changed.map { f =>
+          when(col(f.name).isNotNull && col(f.name).try_cast(f.sparkType).isNull,
+            lit(f.name))
+        }: _*))
+      val flagged = ok.withColumn("graft_align_loss", lossCol)
       val aligned = target.fields.map { f =>
         if (doc.fields.exists(_.name == f.name))
           col(f.name).try_cast(f.sparkType).as(f.name)
         else lit(null).cast(f.sparkType).as(f.name)
       }
-      (ok.select(aligned: _*), dead)
+      val alignedOk = flagged.filter(col("graft_align_loss") === "")
+        .select(aligned: _*)
+      val alignDead = flagged.filter(col("graft_align_loss") =!= "")
+        .withColumn("error",
+          concat(lit("alignment_cast_loss:"), col("graft_align_loss")))
+        .drop("graft_align_loss")
+      (alignedOk, dead.unionByName(alignDead, allowMissingColumns = true))
     }
     val unknown = src
       .filter(col("schema_version").isNull || !col("schema_version").isin(known: _*))

@@ -21,8 +21,10 @@ object Sampling {
     * twin formula). Sampling unit = the key, so all rows of one key
     * stay in or out together (choose the row id as key for row-level
     * sampling). */
-  def hashBernoulli(df: DataFrame, key: Column, pct: Int): DataFrame =
+  def hashBernoulli(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0, 100], got $pct")
     df.filter(pmod(polyHashFast(key.cast("string")), lit(100)) < pct)
+  }
 
   /** Systematic (every k-th) sample per stratum under a total order —
     * the classic stratified design: deterministic, and each stratum is
@@ -47,9 +49,17 @@ object Sampling {
     * which is seeded and partitioning-dependent). The rate table rides
     * as a broadcast join — no shuffle of the fact side, embarrassingly
     * parallel, reproducible across re-runs and engines. Strata absent
-    * from `rates` are dropped (rate 0), matching sampleBy. */
+    * from `rates` are dropped (rate 0), matching sampleBy — and that
+    * includes rows whose stratum is NULL: the inner rate join can
+    * never match them (null never equals a rate key), so a null
+    * stratum is an explicit rate-0 case, not a silent anomaly. Rates
+    * outside [0, 100] would silently mean drop-all/keep-all — rejected
+    * up front. */
   def stratifiedHash(df: DataFrame, stratum: Column, key: Column,
       rates: Map[String, Int]): DataFrame = {
+    require(rates.values.forall(p => p >= 0 && p <= 100),
+      s"rates must be percentages in [0, 100], got: " +
+        rates.filterNot { case (_, p) => p >= 0 && p <= 100 }.mkString(", "))
     // a caller column with a helper's name would be silently replaced
     // then dropped (graft_stratum) or make the rate reference
     // ambiguous (graft_pct)

@@ -138,7 +138,11 @@ class EnforceSpec extends SparkSpec {
       ("a-1", "10", "99999", "1"),
       ("b-2", "20", "54000", "2"),     // v2 record with the new field
       ("c-2", "30", "not_int", "2"),   // v2 record failing the NEW field's cast
-      ("d-9", "40", null, "9")         // unregistered version
+      ("d-9", "40", null, "9"),        // unregistered version
+      // v1 record whose points was VALID under v1 (STRING) but is
+      // unrepresentable in the v2 INTEGER layout — silent-loss
+      // candidate; must dead-letter as alignment loss, not land as null
+      ("e-1", "junk", null, "1")
     ).toDF("pk", "points", "capacity", "schema_version")
     val (ok, dead) = SchemaRegistry.enforceByVersion(mixed, reg, target = v2)
     assert(ok.schema("points").dataType == org.apache.spark.sql.types.LongType,
@@ -149,10 +153,11 @@ class EnforceSpec extends SparkSpec {
     // raw capacity value — that column does not exist in generation 1)
     assert(okRows("a-1") == ((10L, null)))
     assert(okRows("b-2") == ((20L, 54000L)))
-    assert(!okRows.contains("c-2") && !okRows.contains("d-9"))
+    assert(!okRows.contains("c-2") && !okRows.contains("d-9") && !okRows.contains("e-1"))
     val deadRows = dead.select("pk", "error").as[(String, String)].collect().toMap
     assert(deadRows("c-2") == "cast_failure:capacity")
     assert(deadRows("d-9") == "unknown_schema_version")
+    assert(deadRows("e-1") == "alignment_cast_loss:points")
   }
 
   test("version routing is a total function: every generated row lands in exactly one side") {
