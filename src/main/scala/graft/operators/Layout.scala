@@ -58,4 +58,24 @@ object Layout {
       .sortWithinPartitions(col("graft_z"))
       .drop("graft_z")
   }
+
+  /** Bucketed write: hash-bucket + sort the table by its join key at
+    * WRITE time, so every later equi-join/aggregation on that key is
+    * exchange-free — the shuffle is paid once per table lifetime, not
+    * once per query. The 100 TB pattern for fact⋈fact joins where
+    * neither side broadcasts: bucket both sides into the SAME bucket
+    * count on the join key and the sort-merge join reads co-located
+    * buckets directly (PlanAuditSpec pins the no-Exchange plan).
+    *
+    * Spark-native bucketing requires the catalog (`saveAsTable`) —
+    * plain `.parquet(path)` writes carry no bucket metadata. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
 }

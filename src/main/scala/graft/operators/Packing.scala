@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data step that turns a corpus of
+  * variable-length documents into fixed-width context windows: the
+  * documents are concatenated in a deterministic global order and the
+  * resulting token stream is cut every `window` tokens (GPT-style
+  * concatenate-and-chunk; a document may span a window boundary).
+  *
+  * The global stream position is the distributed two-pass prefix sum
+  * (Prefix.runningTotal — range partition + local windows + broadcast
+  * offsets), so there is NO single-task global window anywhere: the
+  * same plan runs on a 1000-executor corpus. Everything downstream of
+  * the prefix sum is per-row arithmetic.
+  *
+  * Output = input + `n_tokens`, `start_pos` (0-based position of the
+  * document's first token in the packed stream), `seq_first` /
+  * `seq_last` (indices of the context windows the document touches).
+  * A zero-token document occupies no tokens: it reports the window
+  * its position falls in (`seq_last = seq_first`).
+  *
+  * `order` must be a TOTAL order (unique tiebreaker), same contract as
+  * Prefix.runningTotal — it IS the epoch order of the packed stream;
+  * pass a salted-hash position (Sampling/t69 style) for a shuffled
+  * epoch, or a curriculum key for quality-ordered packing.
+  */
+object Packing {
+
+  def packSequences(df: DataFrame, order: Seq[Column], nTokens: Column,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    Seq("n_tokens", "start_pos", "seq_first", "seq_last").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
+    val withCum = Prefix.runningTotal(
+      df.withColumn("n_tokens", nTokens.cast("long")), order, col("n_tokens"))
+    withCum
+      .withColumn("start_pos", col("cum") - col("n_tokens"))
+      // integer `div`, not `/`: Column `/` is double division, and a
+      // 2^53+ stream position would silently lose token precision.
+      // Operands are clamped non-negative so truncating division
+      // (Spark div) and floor division (DuckDB //) agree.
+      .withColumn("seq_first", expr(s"start_pos div $window"))
+      .withColumn("seq_last",
+        greatest(col("seq_first"), expr(s"greatest(cum - 1, 0L) div $window")))
+      .drop("cum")
+  }
+}

@@ -231,4 +231,55 @@ object TextAnalysis {
           col("n_top").cast("double") / col("n_tokens"))
           .otherwise(lit(0.0d)).as("top_df_ratio"))
   }
+
+  /** Corpus-bigram language-model fit signals — the shape of an
+    * n-gram-LM quality filter (KenLM-style scoring, reduced to the
+    * engine-checkable core): a bigram count table is trained on the
+    * corpus itself, and every document is scored against it. Per doc:
+    * `n_bigrams`, `sum_pair` = Σ corpus-count(w1 w2), `sum_left` =
+    * Σ corpus-count(w1 ·) over its bigram occurrences. The (lazy)
+    * conditional fit sum_pair/sum_left is left to the caller — the
+    * outputs are EXACT BIGINTs so cross-engine checks never meet
+    * float summation order.
+    *
+    * Scale shape: one tokenize + one (doc, bigram) aggregation; the
+    * pair table derives from it and the left-word table derives from
+    * the PAIR table (vocabulary-sized, not corpus-sized). The probe
+    * joins are shuffle hash joins on the bigram/left-word keys — the
+    * count tables grow with vocabulary², so neither is broadcast;
+    * stop-word-headed keys skew and AQE's skew-join split handles
+    * them (or pre-salt with Skew.saltedJoin). Docs with < 2 tokens
+    * have no bigrams and drop out, as in the SQL twin.
+    *
+    * Cache contract as elsewhere: the (doc, bigram) aggregate is
+    * persisted (three consumers), lives until the session evicts it. */
+  def bigramLm(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // explode_outer (not explode): a plain Generate lets the optimizer
+    // infer size(...) > 0 and push it below the staged token chain,
+    // re-inlining the tokenize into the filter (round-1 lesson); the
+    // null rows of short docs are dropped AFTER the aggregate instead
+    val bgc = df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(col("doc_id"), explode_outer(
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .filter(col("bg").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pair = bgc.groupBy(col("bg")).agg(sum(col("n")).as("c2"))
+    // left-word counts from the PAIR table: tokens carry no spaces, so
+    // the left word is recoverable by split — no second corpus pass
+    val lft = pair
+      .select(element_at(split(col("bg"), " "), 1).as("w1"), col("c2"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bgc
+      .join(pair, Seq("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(lft, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        sum(col("n") * col("c2")).cast("long").as("sum_pair"),
+        sum(col("n") * col("c1")).cast("long").as("sum_left"))
+  }
 }

@@ -362,8 +362,56 @@ object Advanced {
     }
   }
 
+  /** q60 — fixed-width histogram: one map-side-combinable aggregate
+    * pass; the bucket key is pure row arithmetic so the scan never
+    * shuffles anything wider than (bucket, partial counts). Double
+    * division + floor is engine-stable (IEEE, no libm); the sum rides
+    * DECIMAL(18,2) as everywhere. */
+  val q60Histogram: Q = Q(
+    "q60_histogram",
+    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      |FROM lineitem
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q61 — deterministic per-group mode: most frequent value, ties
+    * broken toward the smallest (the built-in `mode()` picks an
+    * ARBITRARY tie winner in both engines — unusable under a hash
+    * compare; the count+row_number formulation pins it). Two bounded
+    * aggregation levels, both map-side combinable. */
+  val q61Mode: Q = Q(
+    "q61_mode",
+    """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, l_quantity, n,
+      |        row_number() OVER (PARTITION BY l_returnflag
+      |          ORDER BY n DESC, l_quantity ASC) AS rn
+      |      FROM c)
+      |SELECT l_returnflag, l_quantity AS mode_qty, CAST(n AS BIGINT) AS n_occurrences
+      |FROM r WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity").asc)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("n").as("n_occurrences"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
     q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow,
-    q49MapFuncs, q50Corr, q56GroupLinreg, q59Unpivot)
+    q49MapFuncs, q50Corr, q56GroupLinreg, q59Unpivot, q60Histogram, q61Mode)
 }

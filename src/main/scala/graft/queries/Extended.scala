@@ -703,12 +703,67 @@ object Extended {
       .orderBy(col("doc_id"), col("hash_idx"))
   }
 
+  /** t70 — sequence packing: the corpus concatenated in doc_id order
+    * and cut into 512-token context windows (GPT-style
+    * concatenate-and-chunk; a doc may span a window boundary). Stream
+    * positions come from the DISTRIBUTED prefix sum
+    * (Prefix.runningTotal / Packing.packSequences — never a
+    * single-task global window); the oracle states the same layout
+    * with the naive OVER (ORDER BY) form. */
+  val t70PackSequences: Q = Q(
+    "t70_pack_sequences",
+    s"""WITH toks AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+       |              FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        sum(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM toks)
+       |SELECT doc_id, n_tokens,
+       |  CAST(cum - n_tokens AS BIGINT) AS start_pos,
+       |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+       |  CAST(greatest((cum - n_tokens) // 512, greatest(cum - 1, 0) // 512) AS BIGINT) AS seq_last
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(graft.operators.TextHash.tokens(col("text"))).as("nt"))
+    graft.operators.Packing.packSequences(docs, Seq(col("doc_id")), col("nt"), 512)
+      .select(col("doc_id"), col("n_tokens"), col("start_pos"),
+        col("seq_first"), col("seq_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t71 — corpus-bigram LM fit (KenLM-style quality filter reduced
+    * to its engine-checkable core): per doc the exact-integer corpus
+    * statistics of its bigrams. See TextAnalysis.bigramLm for the
+    * scale shape (vocabulary-sized count tables, shuffle-join probes,
+    * AQE skew handling on stopword-headed keys). */
+  val t71BigramLm: Q = Q(
+    "t71_bigram_lm",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |bg0 AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |        FROM toks),
+       |bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY doc_id, bg),
+       |pair AS (SELECT bg, sum(n) AS c2 FROM bgc GROUP BY bg),
+       |lft AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM pair GROUP BY 1)
+       |SELECT bgc.doc_id,
+       |  CAST(sum(bgc.n) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(bgc.n * pair.c2) AS BIGINT) AS sum_pair,
+       |  CAST(sum(bgc.n * lft.c1) AS BIGINT) AS sum_left
+       |FROM bgc JOIN pair USING (bg)
+       |JOIN lft ON string_split(bgc.bg, ' ')[1] = lft.w1
+       |GROUP BY bgc.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.bigramLm(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
-    t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, m70MultimodalMeta, m71PayloadChunks,
+    t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
+    m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, d45MinhashFast)
 }

@@ -211,6 +211,30 @@ object Scale {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q62 — salted skew join: orders ⋈ customer run through
+    * Skew.saltedJoin (fact side split into 8 deterministic salt
+    * sub-keys, dimension replicated per salt) — the manual rebalance
+    * for hot keys that AQE can't split (skew born upstream of the
+    * join's own exchange). The oracle is the UNSALTED join: salting
+    * must be invisible in the result. */
+  val q62SaltedJoin: Q = Q(
+    "q62_salted_join",
+    """SELECT c.c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Skew.saltedJoin(
+        Tables.orders(s, dir),
+        Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", col("o_orderkey"), saltFactor = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
-    q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode)
+    q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
+    q62SaltedJoin)
 }

@@ -76,6 +76,36 @@ class PlanAuditSpec extends SparkSpec {
       "expected a range repartition carrying the global order")
   }
 
+  test("bucketed tables join with ZERO exchanges (the shuffle was paid at write time)") {
+    // fact⋈fact at 100 TB: neither side broadcasts, so an unbucketed
+    // join shuffles both corpora on every query. Layout.writeBucketed
+    // buckets+sorts by the join key once; the sort-merge join must
+    // then read co-located buckets directly — any Exchange in the
+    // joined plan means the layout metadata was lost.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.operators.Layout.writeBucketed(
+        graft.engine.Tables.orders(spark, sfDir), "graft_bkt_orders", "o_custkey", 4)
+      graft.operators.Layout.writeBucketed(
+        graft.engine.Tables.customer(spark, sfDir)
+          .withColumnRenamed("c_custkey", "o_custkey"), "graft_bkt_customer", "o_custkey", 4)
+      val joined = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_customer"), "o_custkey")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"bucketed join should read co-located buckets without any exchange:\n$p")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        s"scan does not report bucketed reading:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    }
+  }
+
   test("q30/q31: enforce split evaluates the validation tree once — filters test the error attribute") {
     // Without the ComputeOnce barrier, predicate pushdown inlines the
     // whole error derivation (JSON parse, timestamp format, try_casts)
