@@ -400,6 +400,51 @@ object Dedup {
       .select(col("a"), col("b"), col("hamming"))
   }
 
+  /** Segment-level exact dedup — the line-level dedup of C4/RefinedWeb
+    * generalized to token blocks: each document splits into
+    * consecutive `segTokens`-token segments, a segment is a duplicate
+    * if the SAME token sequence occurred earlier in the corpus
+    * (earlier = smaller (doc_id, seg_idx) — the deterministic
+    * first-occurrence rule), and each document reports how much of it
+    * is redundant. The fix-the-boilerplate step that document-level
+    * near-dup cannot express: two distinct docs sharing one boilerplate
+    * block dedup at the block, not the doc.
+    *
+    * One tokenize pass, one shuffle on the segment HASH (8-byte key,
+    * Broder-style fingerprint — never the segment text), one window
+    * per hash for the first-occurrence rank. An ubiquitous segment
+    * (the skew case: a site-wide footer at 100 TB) concentrates its
+    * occurrences on one reduce task; mitigate by pre-aggregating
+    * per (hash, doc) or salting the rank into a two-level
+    * min-reduction — the corpus here doesn't need it and the plain
+    * window keeps the oracle twin line-for-line. */
+  def segmentDedup(df: DataFrame, id: Column, text: Column,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be positive, got $segTokens")
+    import org.apache.spark.sql.expressions.Window
+    // posexplode (not a window over explode output): the generator's
+    // position IS the segment index — a row_number over the exploded
+    // rows would rank an arbitrary intra-partition order
+    val segs = df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(col("doc_id"), posexplode_outer(
+        when(size(col("t")) >= 1,
+          transform(
+            sequence(lit(1), floor((size(col("t")) + (segTokens - 1))
+              .cast("double") / segTokens).cast("int")),
+            i => concat_ws(" ",
+              slice(col("t"), (i - 1) * segTokens + 1, lit(segTokens)))))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "seg_idx", "seg")
+      .filter(col("seg").isNotNull)
+    val ranked = segs
+      .withColumn("h", polyHashFast(col("seg")))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * one word-n-gram with any document of an evaluation set — the
     * standard n-gram-overlap contamination check run before training

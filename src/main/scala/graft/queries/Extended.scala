@@ -757,13 +757,65 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** t72 — segment-level exact dedup (C4-style line dedup over
+    * 10-token blocks): per doc, how many of its segments occurred
+    * earlier in the corpus (first occurrence = smallest
+    * (doc_id, seg_idx)). The window-per-hash formulation is mirrored
+    * line-for-line by the oracle. */
+  val t72SegmentDedup: Q = Q(
+    "t72_segment_dedup",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(range(1, (len(t) + 9) // 10 + 1)) AS i FROM toks),
+       |segs AS (SELECT doc_id, i - 1 AS seg_idx,
+       |           array_to_string(t[(i-1)*10+1 : (i-1)*10+10], ' ') AS seg
+       |         FROM idx),
+       |ranked AS (SELECT doc_id, seg_idx,
+       |             row_number() OVER (PARTITION BY ${polyHashSql("seg")}
+       |               ORDER BY doc_id, seg_idx) AS occ
+       |           FROM segs)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+       |FROM ranked GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.segmentDedup(Tables.documents(s, dir), col("doc_id"), col("text"),
+        segTokens = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  /** s55 — embedding duplicate CLUSTERS: cosine near-dup pairs (d44's
+    * definition, same cells and threshold) closed into connected
+    * components, cluster id = min vec_id — the embedding-space twin of
+    * d49's text-space clustering, checked against the same independent
+    * recursive-CTE transitive closure. */
+  val s55EmbedClusters: Q = Q(
+    "s55_embed_clusters",
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} >= 0.3),
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node)
+       |SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY src
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.nearDupPairs(emb, 0.3).select(col("a"), col("b"))
+    Dedup.connectedComponents(emb.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup,
-    s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall,
+    s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
+    t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, d45MinhashFast)
 }

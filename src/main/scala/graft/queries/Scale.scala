@@ -234,7 +234,35 @@ object Scale {
       .orderBy(col("c_nationkey"))
   }
 
+  /** q63 — MERGE-style upsert (Merge.upsert): a changeset (every 10th
+    * order repriced, status 'U') wins over same-key target rows,
+    * unmatched target rows survive. The oracle is the textbook
+    * UNION ALL + NOT EXISTS statement of MERGE; the engine's anti-join
+    * probes only the broadcast key projection, so the 100 TB target
+    * never shuffles. */
+  val q63Upsert: Q = Q(
+    "q63_upsert",
+    """WITH upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price
+      |       FROM orders WHERE o_orderkey % 10 = 0),
+      |tgt AS (SELECT o_orderkey, o_orderstatus,
+      |          CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+      |SELECT * FROM upd
+      |UNION ALL
+      |SELECT t.* FROM tgt t
+      |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val tgt = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).as("price"))
+    val upd = tgt.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("price") * 2).cast(DecimalType(18, 2)).as("price"))
+    graft.operators.Merge.upsert(tgt, upd, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
-    q62SaltedJoin)
+    q62SaltedJoin, q63Upsert)
 }

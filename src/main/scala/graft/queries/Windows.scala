@@ -300,7 +300,42 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** q64 — SCD2 history (Merge.scd2): each user's event_type stream
+    * collapsed into versions with valid_from/valid_to effective ranges
+    * and an is_current marker — the dimension-history builder the
+    * WRITE_TRUNCATE reference sink cannot express. One
+    * (user)-partitioned sort feeds both the change-detect lag and the
+    * range-close lead. Timestamps ride as epoch micros (BIGINT) so
+    * the comparator never meets timestamp precision. */
+  val q64Scd2: Q = Q(
+    "q64_scd2",
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |           FROM events),
+      |m AS (SELECT user_id, event_type, ts, event_id,
+      |        lag(event_type) OVER w AS prev,
+      |        row_number() OVER w AS rn
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (SELECT user_id, event_type, ts, event_id FROM m
+      |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      |f AS (SELECT user_id, event_type AS attr_value, epoch_us(ts) AS valid_from,
+      |        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to
+      |      FROM c)
+      |SELECT user_id, attr_value, valid_from, valid_to,
+      |  (valid_to IS NULL) AS is_current
+      |FROM f ORDER BY user_id, valid_from, attr_value""".stripMargin) { (s, dir) =>
+    graft.operators.Merge.scd2(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        key = Seq(col("user_id")), attr = col("event_type"),
+        validFrom = col("ts"), order = Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("attr_value"),
+        unix_micros(col("valid_from")).as("valid_from"),
+        unix_micros(col("valid_to")).as("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("attr_value"))
+  }
+
   val all: Seq[Q] = Seq(
     q09WindowAnalytic, q10TopKPerGroup, q11Rollup, q21GroupingSets, q14SortLimit,
-    q37RangeFrame, q38RankFamily, q39ValueWindows, q51Streaks, q53ForwardFill, q57Funnel)
+    q37RangeFrame, q38RankFamily, q39ValueWindows, q51Streaks, q53ForwardFill, q57Funnel,
+    q64Scd2)
 }

@@ -429,4 +429,49 @@ class OperatorsSpec extends SparkSpec {
     assert(s1.nonEmpty && s1.forall(_._2 == "A"))
     assert(s1.size < 200) // strictly a sample, not the whole stratum
   }
+
+  test("upsert: updates win, unmatched target survives, inserts land; idempotent") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val once = graft.operators.Merge.upsert(target, updates, Seq("k"))
+    assert(once.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")))
+    val twice = graft.operators.Merge.upsert(once, updates, Seq("k"))
+    assert(twice.as[(Long, String)].collect().toSet ==
+      once.as[(Long, String)].collect().toSet)
+  }
+
+  test("scd2: runs collapse to versions; null attr is a real version; ranges chain") {
+    val events = Seq(
+      (1L, 10L, null.asInstanceOf[String]), // null opens u1's history
+      (1L, 20L, "x"), (1L, 30L, "x"),       // run of x collapses
+      (1L, 40L, "y"),
+      (2L, 10L, "z"))                       // single-version user
+      .toDF("user", "ts", "state")
+    val got = graft.operators.Merge.scd2(events,
+        key = Seq(col("user")), attr = col("state"),
+        validFrom = col("ts"), order = Seq(col("ts")))
+      .select(col("user"), col("attr_value"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, None, 10L, Some(20L), false),
+      (1L, Some("x"), 20L, Some(40L), false),
+      (1L, Some("y"), 40L, None, true),
+      (2L, Some("z"), 10L, None, true)))
+  }
+
+  test("segment dedup: shared blocks count as duplicates of the first occurrence only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),          // segs: [a..j], [k l]
+      (2L, "a b c d e f g h i j z z z z z z z z z z"), // first seg duplicates doc 1's
+      (3L, "k l"))                               // 2-token doc; NOT a dup ("k l" first occurred as doc1's seg 2? same content)
+      .toDF("id", "txt")
+    val rows = graft.operators.Dedup.segmentDedup(docs, col("id"), col("txt"), segTokens = 10)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((2L, 0L)))
+    assert(rows(2L) == ((2L, 1L))) // its first 10-token block repeats doc 1's
+    assert(rows(3L) == ((1L, 1L))) // "k l" already occurred as doc 1's tail segment
+  }
 }
