@@ -33,4 +33,24 @@ object Skew {
     salted.join(replicated, Seq(key, "graft_salt"), "inner")
       .drop("graft_salt")
   }
+
+  /** Two-stage skew-safe aggregation: count/sum grouped by a LOW-
+    * cardinality (hence skewed) key first pre-aggregates by
+    * (key, salt) — spreading each hot key over `saltFactor` reduce
+    * tasks — then combines the bounded partials by key. Correct for
+    * any commutative-associative aggregate pair; exact here because
+    * counts are BIGINTs and sums ride DECIMAL (float re-association
+    * would NOT be hash-stable). Map-side partial aggregation already
+    * bounds the first shuffle; the salt bounds the REDUCE side, which
+    * partials alone cannot (a single hot key still lands one task).
+    * The aggregate twin of `saltedJoin`. */
+  def saltedAgg(df: DataFrame, key: Column, value: Column, rowTag: Column,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")
+    df.withColumn("graft_salt", pmod(hash(rowTag), lit(saltFactor)))
+      .groupBy(key.as("graft_key"), col("graft_salt"))
+      .agg(count(lit(1)).as("graft_n"), sum(value).as("graft_s"))
+      .groupBy(col("graft_key"))
+      .agg(sum(col("graft_n")).as("n"), sum(col("graft_s")).as("total"))
+  }
 }

@@ -262,7 +262,52 @@ object Scale {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q65 — two-stage skew-safe aggregation (Skew.saltedAgg): events
+    * grouped by the 5-value event_type key — exactly the shape where
+    * ONE reduce task absorbs a fifth of the corpus no matter the
+    * cluster size. The salted pre-aggregate spreads each hot key over
+    * 16 tasks; the oracle is the direct GROUP BY (salting must be
+    * invisible — counts are BIGINT, sums DECIMAL, both
+    * re-association-exact). */
+  val q65SaltedAgg: Q = Q(
+    "q65_salted_agg",
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Skew.saltedAgg(Tables.events(s, dir),
+        col("event_type"), dec(col("value")), col("event_id"), saltFactor = 16)
+      .select(col("graft_key").as("event_type"), col("n"),
+        col("total").cast(DecimalType(18, 2)).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q66 — fuzzy-match join: customer-name pairs at Levenshtein
+    * distance ≤ 1 within nation blocks (blocking bounds the pair
+    * count, as in every dedup operator here; both engines implement
+    * the same unit-cost edit distance). Aggregated per nation so the
+    * output is the match-rate profile, not the pair dump. */
+  val q66EditDistance: Q = Q(
+    "q66_edit_distance",
+    """SELECT a.c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n_fuzzy_pairs
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val a = c.select(col("c_nationkey"), col("c_custkey").as("ak"), col("c_name").as("an"))
+    val b = c.select(col("c_nationkey"), col("c_custkey").as("bk"), col("c_name").as("bn"))
+    a.join(b, Seq("c_nationkey"))
+      .filter(col("ak") < col("bk"))
+      .filter(levenshtein(col("an"), col("bn")) <= 1)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_fuzzy_pairs"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
-    q62SaltedJoin, q63Upsert)
+    q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance)
 }

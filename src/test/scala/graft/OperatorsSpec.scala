@@ -462,6 +462,49 @@ class OperatorsSpec extends SparkSpec {
       (2L, Some("z"), 10L, None, true)))
   }
 
+  test("packing property: windows exactly cover the token stream in order") {
+    import org.scalacheck.{Gen, rng}
+    val lens = Gen.listOfN(120, Gen.oneOf(Gen.choose(0L, 40L), Gen.const(0L)))
+      .apply(Gen.Parameters.default, rng.Seed(23L)).get
+    val df = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "nt")
+    val got = graft.operators.Packing.packSequences(
+        df, Seq(col("id")), col("nt"), window = 16)
+      .select(col("id"), col("n_tokens"), col("start_pos"),
+        col("seq_first"), col("seq_last"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // sequential reference: start = running total of predecessors
+    var acc = 0L
+    got.zip(lens).foreach { case ((id, n, start, sf, sl), want) =>
+      assert(n == want && start == acc, s"doc $id start $start (want $acc)")
+      assert(sf == start / 16)
+      assert(sl == math.max(sf, math.max(start + n - 1, 0L) / 16))
+      acc += n
+    }
+    assert(acc == lens.sum) // exact cover, no gaps or overlaps
+  }
+
+  test("scd2 property: point-in-time reconstruction equals the last event at or before t") {
+    import org.scalacheck.{Gen, rng}
+    val events = Gen.listOfN(200, for {
+      u <- Gen.choose(1L, 6L)
+      st <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+    } yield (u, st)).apply(Gen.Parameters.default, rng.Seed(31L)).get
+      .zipWithIndex.map { case ((u, st), i) => (u, i.toLong, st.orNull) }
+    val df = events.toDF("user", "ts", "state")
+    val versions = graft.operators.Merge.scd2(df,
+        key = Seq(col("user")), attr = col("state"),
+        validFrom = col("ts"), order = Seq(col("ts")))
+      .select(col("user"), col("attr_value"), col("valid_from"), col("valid_to"))
+      .as[(Long, Option[String], Long, Option[Long])].collect()
+    events.foreach { case (u, t, _) =>
+      val want = events.filter(e => e._1 == u && e._2 <= t).maxBy(_._2)._3
+      val hit = versions.filter(v =>
+        v._1 == u && v._3 <= t && v._4.forall(_ > t))
+      assert(hit.length == 1, s"user $u t $t: ${hit.length} covering versions")
+      assert(hit.head._2 == Option(want), s"user $u t $t")
+    }
+  }
+
   test("segment dedup: shared blocks count as duplicates of the first occurrence only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),          // segs: [a..j], [k l]
