@@ -267,13 +267,18 @@ object Dedup {
     * round is one shuffle-join (labels ⋈ edges) + one aggregation —
     * no driver-side graph, no collect; the driver only coordinates the
     * loop and checks the (distributed) convergence count. Rounds
-    * needed = graph diameter. Near-dup clusters are shallow (dups of a
-    * common source), so this converges in a handful of rounds; for
-    * adversarially deep graphs at 100 TB the same loop structure takes
-    * the large-star/small-star rewiring ("Connected Components in
-    * MapReduce and Beyond", Kiveris et al. 2014) which contracts
-    * diameter to O(log n) rounds — label propagation is kept here for
-    * its by-construction determinism (min is order-insensitive).
+    * needed = graph diameter — near-dup clusters are shallow (dups of
+    * a common source), so this converges in a handful of rounds.
+    * Deep-graph alternatives, in preference order: if edges are
+    * BLOCKED (never cross a shard/cell key), use `blockedComponents`
+    * — no loop at all (measured: the 21-round embedding-cell graph
+    * collapses to one cogroup); a single-hop pointer-chase join per
+    * round buys only reach 2, not doubling (measured 21→16 rounds —
+    * not worth the extra shuffle); true O(log n) needs
+    * large-star/small-star EDGE rewiring ("Connected Components in
+    * MapReduce and Beyond", Kiveris et al. 2014). Label propagation
+    * is kept here for its by-construction determinism (min is
+    * order-insensitive).
     * Each round's localCheckpoint pins one labels table (2 longs per
     * node); intermediates are released by the ContextCleaner as the
     * loop's references drop, so peak extra storage is bounded by
@@ -334,6 +339,51 @@ object Dedup {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds the bound; raise maxIter or switch to large-star/small-star")
     labels
+  }
+
+  /** Connected components of a BLOCKED similarity graph — the special
+    * case where edges never cross a blocking key (IVF cells, shard
+    * keys: the pair join was keyed on the block, so components are
+    * contained in blocks BY CONSTRUCTION). Then clustering needs no
+    * iterative global loop at all: one cogroup shuffle on the block
+    * key and an in-memory union-find per block. Blocks are bounded by
+    * construction (that is what made the pair join tractable), so
+    * per-task memory is bounded; rounds, checkpoints and convergence
+    * counts all disappear. Deterministic: roots are kept at the
+    * component MINIMUM on every union, so the result is independent
+    * of edge order. Use `connectedComponents` when edges are global
+    * (LSH candidates across the corpus).
+    *
+    * `nodes`: (block, id); `edges`: (block, a, b) with a,b inside the
+    * block. Output: (id, cluster_id = min id of the component). */
+  def blockedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val n = nodes.select(col("block").cast("long"), col("id").cast("long"))
+      .as[(Long, Long)]
+    val e = edges.select(col("block").cast("long"), col("a").cast("long"),
+      col("b").cast("long")).as[(Long, Long, Long)]
+    n.groupByKey(_._1).cogroup(e.groupByKey(_._1)) { (_, ns, es) =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      ns.foreach { case (_, id) => parent(id) = id }
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (_, a, b) =>
+        // an edge endpoint missing from nodes would NPE here — the
+        // nodes-cover-edges contract, enforced rather than silent
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          // min stays root → cluster_id = component min, edge-order-free
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keysIterator.toSeq.sorted.iterator.map(id => (id, find(id)))
+    }.toDF("id", "cluster_id")
   }
 
   /** SimHash near-dup pairs via bit-slice banding — the hamming-join

@@ -47,4 +47,37 @@ object Packing {
         greatest(col("seq_first"), expr(s"greatest(cum - 1, 0L) div $window")))
       .drop("cum")
   }
+
+  /** Overlapping token-window chunker — the RAG/context-window
+    * chunking step: windows of `window` tokens starting every `stride`
+    * tokens (stride < window ⇒ adjacent chunks share window−stride
+    * tokens of context). Chunk i covers tokens [i·stride+1,
+    * i·stride+window]; the last chunk may be short; a doc emits
+    * ⌊(n−1)/stride⌋+1 chunks (0 for an empty doc — dropped, as in the
+    * SQL twin). Pure per-row arithmetic after one tokenize —
+    * embarrassingly parallel, no shuffle at any scale. Output:
+    * (doc_id, chunk_idx, n_chunk_tokens, chunk_hash) with the portable
+    * content hash, so chunk-level dedup/lineage composes with the
+    * Dedup stack. */
+  def chunkTokenWindows(df: DataFrame, id: Column, text: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    import graft.operators.TextHash.{tokens, polyHashFast}
+    df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(col("doc_id"), explode_outer(
+        when(size(col("t")) >= 1,
+          transform(
+            sequence(lit(0), floor((size(col("t")) - 1)
+              .cast("double") / stride).cast("int")),
+            i => struct(i.cast("long").as("chunk_idx"),
+              concat_ws(" ", slice(col("t"), i * stride + 1, lit(window)))
+                .as("chunk_text"))))
+          .otherwise(array().cast("array<struct<chunk_idx:bigint,chunk_text:string>>")))
+        .as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(split(col("c.chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
+        polyHashFast(col("c.chunk_text")).as("chunk_hash"))
+  }
 }

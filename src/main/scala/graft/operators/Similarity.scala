@@ -95,14 +95,22 @@ object Similarity {
     * above `threshold`. The cell restriction is what keeps this
     * O(Σ cell²) instead of O(n²) — at 100 TB the corpus is partitioned
     * by cell so each pair computation is partition-local. */
-  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame =
+    nearDupPairsWithCell(vectors, threshold)
+      .select(col("a"), col("b"), col("score"))
+
+  /** Same pairs with the blocking cell kept in the output — the shape
+    * downstream per-block algorithms need (e.g.
+    * `Dedup.blockedComponents`: edges never cross cells, so duplicate
+    * clustering is a block-local problem). */
+  def nearDupPairsWithCell(vectors: DataFrame, threshold: Double): DataFrame = {
     val l = vectors.select(col("label").as("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
     val r = vectors.select(col("label").as("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
     l.join(r, "cell")
       .filter(col("a") < col("b"))
       .withColumn("score", dot(col("ea"), col("eb")))
       .filter(col("score") >= threshold)
-      .select(col("a"), col("b"), col("score"))
+      .select(col("cell"), col("a"), col("b"), col("score"))
   }
 
   /** Nearest-centroid assignment — the k-means assignment step that

@@ -786,7 +786,11 @@ object Extended {
     * definition, same cells and threshold) closed into connected
     * components, cluster id = min vec_id — the embedding-space twin of
     * d49's text-space clustering, checked against the same independent
-    * recursive-CTE transitive closure. */
+    * recursive-CTE transitive closure. Because the pair join is keyed
+    * on the IVF cell, components cannot cross cells, so clustering is
+    * Dedup.blockedComponents — ONE cogroup shuffle + per-cell
+    * union-find, no iterative global loop (the cell graph here is
+    * 20+ hops deep: label propagation took 21 rounds on it). */
   val s55EmbedClusters: Q = Q(
     "s55_embed_clusters",
     s"""WITH RECURSIVE pairs AS (
@@ -802,16 +806,71 @@ object Extended {
        |FROM reach GROUP BY src
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
-    val pairs = Similarity.nearDupPairs(emb, 0.3).select(col("a"), col("b"))
-    Dedup.connectedComponents(emb.select(col("vec_id").as("id")), pairs)
+    val pairs = Similarity.nearDupPairsWithCell(emb, 0.3)
+      .select(col("cell").as("block"), col("a"), col("b"))
+    Dedup.blockedComponents(
+        emb.select(col("label").as("block"), col("vec_id").as("id")), pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
+  }
+
+  /** t73 — RAG-style overlapping chunker: 64-token windows every 48
+    * tokens (16 tokens of shared context between neighbors), with the
+    * portable content hash per chunk. Pure per-row arithmetic after
+    * one tokenize — the no-shuffle chunking step upstream of
+    * chunk-level dedup / retrieval indexing. */
+  val t73ChunkOverlap: Q = Q(
+    "t73_chunk_overlap",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 48 + 1)) AS i
+       |        FROM toks WHERE len(t) >= 1),
+       |ch AS (SELECT doc_id, i AS chunk_idx,
+       |         array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text
+       |       FROM idx)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens,
+       |  ${polyHashSql("chunk_text")} AS chunk_hash
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    graft.operators.Packing.chunkTokenWindows(
+        Tables.documents(s, dir), col("doc_id"), col("text"),
+        window = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** d53 — dedup APPLIED: the end of the dedup pipeline. Near-dup
+    * pairs close into clusters (d49's labels) and only each cluster's
+    * canonical representative (min doc_id) survives; output is the
+    * per-language cleaned-corpus profile. Checked against the same
+    * independent recursive-CTE closure as d49. */
+  val d53DedupApply: Q = Q(
+    "d53_dedup_apply",
+    s"""WITH RECURSIVE $pairsCtes,
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node),
+       |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
+       |SELECT d.lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN l.cluster_id = l.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents d JOIN lab l ON d.doc_id = l.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("a"), col("b"))
+    val labels = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    docs.join(labels, docs("doc_id") === labels("id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id") === col("id"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
   }
 
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
-    d52SimhashNearDup,
+    d52SimhashNearDup, d53DedupApply, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

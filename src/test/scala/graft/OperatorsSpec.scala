@@ -505,6 +505,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("blocked components: per-block union-find equals the global loop on a blocked graph") {
+    // chain 1-2-3-4 in block 10; pair 7-9 in block 20; singletons 5 (block 10), 8 (block 20)
+    val nodes = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L),
+      (20L, 7L), (20L, 8L), (20L, 9L)).toDF("block", "id")
+    val edges = Seq((10L, 1L, 2L), (10L, 2L, 3L), (10L, 3L, 4L), (20L, 7L, 9L))
+      .toDF("block", "a", "b")
+    val got = graft.operators.Dedup.blockedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      7L -> 7L, 8L -> 8L, 9L -> 7L))
+    // must agree with the iterative global operator on the same graph
+    val loop = graft.operators.Dedup.connectedComponents(
+        nodes.select(col("id")), edges.select(col("a"), col("b")))
+      .as[(Long, Long)].collect().toMap
+    assert(got == loop)
+  }
+
   test("segment dedup: shared blocks count as duplicates of the first occurrence only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),          // segs: [a..j], [k l]
