@@ -398,8 +398,6 @@ object Dedup {
     * the blocking key is the shard key. Never O(n²) within a block. */
   def simhashNearDups(df: DataFrame, id: Column, text: Column,
       bucketCols: Seq[String] = Nil, maxHamming: Int = 1): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-band banding only guarantees recall for hamming <= 3, got $maxHamming")
     // simhash computed with the blocking columns CARRIED through the
     // projection (no join-back): the whole fingerprint+band derivation
     // is one narrow pass over the corpus. ComputeOnce on the fold: the
@@ -412,34 +410,56 @@ object Dedup {
         transform(tokens(text), t => polyHashFast(t)).as("hs"): _*)
       .select(bucketCols.map(col) :+ col("doc_id") :+
         graft.functions.ComputeOnce.once(
-          graft.functions.SimHashFold.simhashFold(col("hs"))).as("simhash"): _*)
-    val bands = sims
-      .select(bucketCols.map(col) :+ col("doc_id") :+ col("simhash") :+
-        explode_outer(array((0 until 4).map { b =>
+          graft.functions.SimHashFold.simhashFold(col("hs"))).as("fp"): _*)
+    hammingJoin(sims, bucketCols, bands = 4, bandBits = 8, maxHamming = maxHamming)
+  }
+
+  /** Hamming-distance self-join over any integer fingerprint column
+    * `fp`, via bit-slice banding: the fingerprint splits into `bands`
+    * disjoint slices of `bandBits` bits, and two fingerprints within
+    * hamming distance `bands − 1` must agree on at least one whole
+    * slice (pigeonhole), so candidates = pairs sharing a
+    * (band, value) bucket and only candidates pay the exact
+    * bit_count(xor) check. Shared engine of the SimHash text join
+    * (d52: 4×8-bit slices of a 32-bit fingerprint) and the aHash
+    * payload join (m73: 4×16-bit slices of a 63-bit fingerprint) —
+    * any per-item fingerprint with hamming-correlated similarity
+    * plugs in. `bucketCols` blocking rides in the join key; never
+    * O(n²) within a block. Input: bucketCols + `doc_id` + `fp`. */
+  def hammingJoin(fps: DataFrame, bucketCols: Seq[String],
+      bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bands >= 2 && bandBits >= 1 && bands * bandBits <= 64,
+      s"need >= 2 bands and bands*bandBits <= 64, got $bands x $bandBits")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"$bands-band banding only guarantees recall for hamming <= ${bands - 1}, got $maxHamming")
+    val mask = (1L << bandBits) - 1
+    val bandsDf = fps
+      .select(bucketCols.map(col) :+ col("doc_id") :+ col("fp") :+
+        explode_outer(array((0 until bands).map { b =>
           struct(lit(b).as("band_idx"),
-            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("band_val"))
+            shiftright(col("fp"), bandBits * b).bitwiseAND(lit(mask)).as("band_val"))
         }: _*)).as("bb"): _*)
-      .select(bucketCols.map(col) :+ col("doc_id") :+ col("simhash") :+
+      .select(bucketCols.map(col) :+ col("doc_id") :+ col("fp") :+
         col("bb.band_idx").as("band_idx") :+ col("bb.band_val").as("band_val"): _*)
       // both self-join sides consume this frame — persist or each side
-      // re-tokenizes and re-folds the corpus (cache contract as in
-      // nearDuplicates; 4 skinny rows per doc)
+      // recomputes the fingerprint derivation (cache contract as in
+      // nearDuplicates; `bands` skinny rows per item)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joinKey = bucketCols ++ Seq("band_idx", "band_val")
-    val l = bands.select(joinKey.map(col) :+
-      col("doc_id").as("a") :+ col("simhash").as("sa"): _*)
-    val r = bands.select(joinKey.map(col) :+
-      col("doc_id").as("b") :+ col("simhash").as("sb"): _*)
+    val l = bandsDf.select(joinKey.map(col) :+
+      col("doc_id").as("a") :+ col("fp").as("sa"): _*)
+    val r = bandsDf.select(joinKey.map(col) :+
+      col("doc_id").as("b") :+ col("fp").as("sb"): _*)
     // first-matching-band dedup: a pair agreeing on several bands
     // would be emitted once per band; instead of a DISTINCT over the
     // full candidate set (a shuffle of O(pairs·bands) wide rows — the
     // dominant cost on fingerprint-dense corpora), keep a candidate
     // only in the LOWEST band where the slices agree, checked with
     // per-row bit arithmetic against the earlier slices
-    val firstBandOnly = (0 until 3).map { j =>
+    val firstBandOnly = (0 until bands - 1).map { j =>
       col("band_idx") <= j ||
-        shiftright(col("sa"), 8 * j).bitwiseAND(lit(255L)) =!=
-        shiftright(col("sb"), 8 * j).bitwiseAND(lit(255L))
+        shiftright(col("sa"), bandBits * j).bitwiseAND(lit(mask)) =!=
+        shiftright(col("sb"), bandBits * j).bitwiseAND(lit(mask))
     }.reduce(_ && _)
     l.join(r, joinKey)
       .filter(col("a") < col("b"))

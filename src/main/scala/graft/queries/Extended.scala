@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Q, Tables}
@@ -532,24 +533,30 @@ object Extended {
     * appears anywhere. 63 bits, not 64: bit 63 would need 1<<63,
     * which overflows signed BIGINT (the oracle engine checks shift
     * overflow; a negative fingerprint would also sort differently). */
-  val m72PayloadAhash: Q = Q(
-    "m72_payload_ahash",
-    s"""WITH head AS (
-       |  SELECT doc_id, substring(text, 1, 63) AS h64,
-       |         length(substring(text, 1, 63)) AS n
-       |  FROM documents),
-       |s AS (SELECT doc_id, h64, n,
-       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |          list_transform(range(1, n+1), i -> CAST(ascii(substring(h64, i, 1)) AS BIGINT))),
-       |          (acc, x) -> acc + x) AS tot
-       |      FROM head)
-       |SELECT doc_id,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(1, n+1), i ->
-       |      CASE WHEN CAST(ascii(substring(h64, i, 1)) AS BIGINT) * n > tot
-       |           THEN (CAST(1 AS BIGINT) << (i-1)) ELSE CAST(0 AS BIGINT) END)),
-       |    (acc, x) -> acc + x) AS ahash
-       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+  /** Shared DuckDB aHash CTEs — `ah(doc_id, lang, source, ahash)`;
+    * ONE copy feeds m72 (fingerprints) and m73 (hamming join) so the
+    * fingerprint definition cannot drift between them. */
+  private val ahashCtes =
+    """head AS (
+      |  SELECT doc_id, lang, source, substring(text, 1, 63) AS h64,
+      |         length(substring(text, 1, 63)) AS n
+      |  FROM documents),
+      |astage AS (SELECT doc_id, lang, source, h64, n,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, n+1), i -> CAST(ascii(substring(h64, i, 1)) AS BIGINT))),
+      |          (acc, x) -> acc + x) AS tot
+      |      FROM head),
+      |ah AS (SELECT doc_id, lang, source,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, n+1), i ->
+      |      CASE WHEN CAST(ascii(substring(h64, i, 1)) AS BIGINT) * n > tot
+      |           THEN (CAST(1 AS BIGINT) << (i-1)) ELSE CAST(0 AS BIGINT) END)),
+      |    (acc, x) -> acc + x) AS ahash
+      |FROM astage)""".stripMargin
+
+  /** Shared Spark-side aHash frame: (doc_id, lang, source, ahash) —
+    * the engine twin of `ahashCtes`, one definition for m72/m73. */
+  private def ahashFrame(s: SparkSession, dir: String) =
     // staged columns (h64/n/tot) as attributes: HOFs are interpreted,
     // inlining would re-walk the string per consumer. The n = 0 guard
     // follows the repo convention (TextHash.shingles): Spark's
@@ -557,18 +564,69 @@ object Extended {
     // range(1, 1) — today both branches happen to fold to 0 on an
     // empty string, but the guard keeps that from being a coincidence
     Tables.documents(s, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 63).as("h64"))
-      .select(col("doc_id"), col("h64"), length(col("h64")).cast("long").as("n"))
-      .select(col("doc_id"), col("h64"), col("n"),
-        expr("""if(n > 0, aggregate(sequence(1, CAST(n AS INT)), 0L,
-                |  (acc, i) -> acc + CAST(ascii(substring(h64, i, 1)) AS BIGINT)), 0L)""".stripMargin)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 63).as("h64"))
+      .select(col("doc_id"), col("lang"), col("source"), col("h64"),
+        length(col("h64")).cast("long").as("n"))
+      .select(col("doc_id"), col("lang"), col("source"), col("h64"), col("n"),
+        // ComputeOnce: tot is referenced ONCE by the ahash fold, which
+        // licenses CollapseProject to inline this 63-step fold into the
+        // fold BODY — evaluated per ITERATION, turning O(n) per row
+        // into O(n²) (measured 7 s on m73's cache build; the round-1
+        // staged-HOF lesson in its sneakiest form)
+        graft.functions.ComputeOnce.once(
+          expr("""if(n > 0, aggregate(sequence(1, CAST(n AS INT)), 0L,
+                  |  (acc, i) -> acc + CAST(ascii(substring(h64, i, 1)) AS BIGINT)), 0L)""".stripMargin))
           .as("tot"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), col("source"),
         expr("""if(n > 0, aggregate(sequence(1, CAST(n AS INT)), 0L,
                 |  (acc, i) -> acc + CASE WHEN CAST(ascii(substring(h64, i, 1)) AS BIGINT) * n > tot
                 |                         THEN shiftleft(CAST(1 AS BIGINT), i-1) ELSE 0L END), 0L)""".stripMargin)
           .as("ahash"))
+
+  val m72PayloadAhash: Q = Q(
+    "m72_payload_ahash",
+    s"""WITH $ahashCtes
+       |SELECT doc_id, ahash FROM ah ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    ahashFrame(s, dir)
+      .select(col("doc_id"), col("ahash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** m73 — multimodal payload NEAR-DUP: aHash fingerprints (m72's
+    * definition, shared fragment) hamming-joined via 16-bit bit-slice
+    * banding within (lang, source) blocks — Dedup.hammingJoin, the
+    * same banding engine as the SimHash text join, over the payload
+    * fingerprint instead (perceptual image dedup shape: aHash within
+    * hamming ≤ 2 = same image up to small perturbations). */
+  val m73PayloadNearDup: Q = Q(
+    "m73_payload_neardup",
+    s"""WITH $ahashCtes,
+       |bands AS (SELECT lang, source, doc_id, ahash, b, (ahash >> (16*b)) & 65535 AS bv
+       |          FROM ah CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, l.ahash AS sa, r.ahash AS sb
+       |         FROM bands l JOIN bands r
+       |           ON l.lang = r.lang AND l.source = r.source
+       |          AND l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+       |         WHERE (l.b <= 0 OR ((l.ahash >> 0) & 65535) <> ((r.ahash >> 0) & 65535))
+       |           AND (l.b <= 1 OR ((l.ahash >> 16) & 65535) <> ((r.ahash >> 16) & 65535))
+       |           AND (l.b <= 2 OR ((l.ahash >> 32) & 65535) <> ((r.ahash >> 32) & 65535)))
+       |SELECT a, b, CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 2
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    // ComputeOnce barrier on the fingerprint: the band derivation
+    // reads fp 9 times (4 band structs + the carried column + the
+    // first-band rechecks), and CollapseProject would inline the
+    // 63-iteration interpreted fold into every one of them (measured
+    // 7.2 s → the d52 disease). The barrier pins one evaluation per
+    // row; band exprs then read the materialized attribute.
+    Dedup.hammingJoin(
+        ahashFrame(s, dir).select(col("lang"), col("source"), col("doc_id"),
+          graft.functions.ComputeOnce.once(col("ahash")).as("fp")),
+        bucketCols = Seq("lang", "source"), bands = 4, bandBits = 16,
+        maxHamming = 2)
+      .orderBy(col("a"), col("b"))
   }
 
   /** s54 — ANN quality measured IN the engine: recall@3 of the IVF
@@ -876,5 +934,5 @@ object Extended {
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
-    m72PayloadAhash, d45MinhashFast)
+    m72PayloadAhash, m73PayloadNearDup, d45MinhashFast)
 }
