@@ -76,6 +76,18 @@ class PlanAuditSpec extends SparkSpec {
       "expected a range repartition carrying the global order")
   }
 
+  test("q63/q65: upsert anti-join broadcasts; salted agg plans two aggregate levels") {
+    val p63 = plan("q63_upsert")
+    assert(p63.contains("BroadcastHashJoin") && p63.contains("LeftAnti"),
+      s"q63: expected a broadcast anti-join on the update keys:\n$p63")
+    val p65 = plan("q65_salted_agg")
+    // two groupBys, each partial+final → 4 HashAggregates, salt in the
+    // first level's keys only
+    val aggs = p65.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"q65: expected two-level aggregation, saw $aggs HashAggregates:\n$p65")
+    assert(p65.contains("graft_salt"), s"q65: salt missing from the plan:\n$p65")
+  }
+
   test("bucketed tables join with ZERO exchanges (the shuffle was paid at write time)") {
     // fact⋈fact at 100 TB: neither side broadcasts, so an unbucketed
     // join shuffles both corpora on every query. Layout.writeBucketed

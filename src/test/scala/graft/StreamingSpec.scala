@@ -335,6 +335,35 @@ class StreamingSpec extends SparkSpec {
     assert(okRows.get() == 1L)
   }
 
+  test("streaming upsert via foreachBatch: target converges to the last write per key") {
+    // the lakehouse maintenance loop: each micro-batch MERGEs into a
+    // keyed parquet target (Merge.upsert + overwrite), so the table is
+    // always the latest value per key — what WRITE_TRUNCATE cannot do
+    // across runs. Batches arrive out of order per key; last batch wins.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").resolve("t").toString
+    Seq((1L, "init1"), (2L, "init2"), (3L, "init3")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDS().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val target = spark.read.parquet(dir)
+        val merged = graft.operators.Merge.upsert(target, batch, Seq("k"))
+        // write-read cycle must not race its own scan: materialize first
+        val rows = merged.collect()
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), merged.schema)
+          .write.mode("overwrite").parquet(dir)
+      }
+      .start()
+    mem.addData((2L, "b1"), (4L, "new4"))
+    q.processAllAvailable()
+    mem.addData((2L, "b2"), (1L, "b2a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "b2a", 2L -> "b2", 3L -> "init3", 4L -> "new4"))
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
