@@ -316,7 +316,26 @@ object Scale {
       .orderBy(col("s_nationkey"))
   }
 
+  /** q67 — data-quality profile (Profile.profile): per-column
+    * completeness / uniqueness / range in ONE scan (the naive
+    * per-column formulation the oracle states scans the table once
+    * per column — identical values, k× the IO). */
+  val q67Profile: Q = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+    val union = cols.map { c =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count($c) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q("q67_profile", s"$union\nORDER BY column_name") { (s, dir) =>
+      graft.operators.Profile.profile(Tables.orders(s, dir), cols)
+        .orderBy(col("column_name"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
-    q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance)
+    q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile)
 }
