@@ -283,37 +283,27 @@ object Scale {
       .orderBy(col("event_type"))
   }
 
-  /** q66 — fuzzy-match join: supplier-name pairs at Levenshtein
+  /** q66 — fuzzy-match join: customer-name pairs at Levenshtein
     * distance ≤ 1 within nation blocks, aggregated to the per-nation
-    * match-rate profile. Spark evaluates the THRESHOLD form
-    * `levenshtein(a, b, 1)` — the banded O(len·k) DP that abandons a
-    * pair the moment its distance exceeds 1 — while the oracle states
-    * the naive unbounded distance; both engines share the unit-cost
-    * edit-distance definition.
-    *
-    * Scale note: within-block pairwise comparison is quadratic in the
-    * block; at 100 TB either shrink blocks (more key columns) or band
-    * candidates first (split strings into k+1 slices — pigeonhole: a
-    * distance-≤k pair agrees exactly on some slice — and equi-join per
-    * slice, the same recall argument as the SimHash bit-slice join). */
+    * match-rate profile. The engine runs Fuzzy.nearNamePairs —
+    * pigeonhole prefix/suffix banding so only banded candidates pay
+    * the threshold DP (within-block ALL-pairs is quadratic in the
+    * block, and the shared "Customer#" prefix defeats even the
+    * early-exit DP: 13 s naive, 7.8 s threshold, banded <1 s at
+    * sf0.1) — while the oracle states the naive all-pairs distance. */
   val q66EditDistance: Q = Q(
     "q66_edit_distance",
-    """SELECT a.s_nationkey,
+    """SELECT a.c_nationkey,
       |  CAST(count(*) AS BIGINT) AS n_fuzzy_pairs
-      |FROM supplier a JOIN supplier b
-      |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val c = Tables.supplier(s, dir)
-    val a = c.select(col("s_nationkey"), col("s_suppkey").as("ak"), col("s_name").as("an"))
-    val b = c.select(col("s_nationkey"), col("s_suppkey").as("bk"), col("s_name").as("bn"))
-    a.join(b, Seq("s_nationkey"))
-      .filter(col("ak") < col("bk"))
-      // 3-arg levenshtein: distance if <= 1, else -1 (early-exit DP)
-      .filter(levenshtein(col("an"), col("bn"), 1) >= 0)
-      .groupBy(col("s_nationkey"))
+    graft.operators.Fuzzy.nearNamePairs(Tables.customer(s, dir),
+        col("c_custkey"), col("c_name"), blockCols = Seq("c_nationkey"))
+      .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_fuzzy_pairs"))
-      .orderBy(col("s_nationkey"))
+      .orderBy(col("c_nationkey"))
   }
 
   /** q67 — data-quality profile (Profile.profile): per-column
