@@ -364,20 +364,24 @@ object Advanced {
 
   /** q60 — fixed-width histogram: one map-side-combinable aggregate
     * pass; the bucket key is pure row arithmetic so the scan never
-    * shuffles anything wider than (bucket, partial counts). Double
-    * division + floor is engine-stable (IEEE, no libm); the sum rides
-    * DECIMAL(18,2) as everywhere. */
+    * shuffles anything wider than (bucket, partial counts). The bucket
+    * is derived in EXACT integer cents (price×100 DIV 500000) — double
+    * vs decimal division can flip boundary values between engines —
+    * and the sum rides DECIMAL(18,2) then casts back to DOUBLE per the
+    * repo determinism convention (Relational.scala:18-19). */
   val q60Histogram: Q = Q(
     "q60_histogram",
-    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+    """SELECT CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 500000 AS BIGINT) AS bucket,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
-      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .groupBy(expr(
+        "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 500000 AS BIGINT)")
+        .as("bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_price"))
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
       .orderBy(col("bucket"))
   }
 

@@ -221,7 +221,7 @@ object Scale {
     "q62_salted_join",
     """SELECT c.c_nationkey,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     graft.operators.Skew.saltedJoin(
@@ -230,7 +230,7 @@ object Scale {
         "o_custkey", col("o_orderkey"), saltFactor = 8)
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("revenue"))
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy(col("c_nationkey"))
   }
 
@@ -246,12 +246,13 @@ object Scale {
       |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS price
       |       FROM orders WHERE o_orderkey % 10 = 0),
       |tgt AS (SELECT o_orderkey, o_orderstatus,
-      |          CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
-      |SELECT * FROM upd
-      |UNION ALL
-      |SELECT t.* FROM tgt t
-      |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey)
-      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      |          CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+      |merged AS (SELECT * FROM upd
+      |  UNION ALL
+      |  SELECT t.* FROM tgt t
+      |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = t.o_orderkey))
+      |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
     val tgt = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"),
         dec(col("o_totalprice")).as("price"))
@@ -259,6 +260,8 @@ object Scale {
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("price") * 2).cast(DecimalType(18, 2)).as("price"))
     graft.operators.Merge.upsert(tgt, upd, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -273,13 +276,13 @@ object Scale {
     "q65_salted_agg",
     """SELECT event_type,
       |  CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     graft.operators.Skew.saltedAgg(Tables.events(s, dir),
         col("event_type"), dec(col("value")), col("event_id"), saltFactor = 16)
       .select(col("graft_key").as("event_type"), col("n"),
-        col("total").cast(DecimalType(18, 2)).as("total"))
+        col("total").cast("double").as("total"))
       .orderBy(col("event_type"))
   }
 
