@@ -289,11 +289,12 @@ object Scale {
   /** q66 — fuzzy-match join: customer-name pairs at Levenshtein
     * distance ≤ 1 within nation blocks, aggregated to the per-nation
     * match-rate profile. The engine runs Fuzzy.nearNamePairs —
-    * pigeonhole prefix/suffix banding so only banded candidates pay
-    * the threshold DP (within-block ALL-pairs is quadratic in the
-    * block, and the shared "Customer#" prefix defeats even the
-    * early-exit DP: 13 s naive, 7.8 s threshold, banded <1 s at
-    * sf0.1) — while the oracle states the naive all-pairs distance. */
+    * symmetric-delete (FastSS) candidate generation, exact recall for
+    * distance ≤ 1, so only variant-hash collisions pay the threshold
+    * DP (within-block ALL-pairs is quadratic in the block, and the
+    * shared "Customer#" prefix defeats even the early-exit DP: 13 s
+    * naive, 7.8 s threshold, banded <1 s at sf0.1) — while the
+    * oracle states the naive all-pairs distance. */
   val q66EditDistance: Q = Q(
     "q66_edit_distance",
     """SELECT a.c_nationkey,
