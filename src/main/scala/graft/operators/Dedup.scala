@@ -341,6 +341,68 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * rewiring ("Connected Components in MapReduce and Beyond",
+    * Kiveris et al. 2014) — the deep-graph path `connectedComponents`'
+    * scaladoc points at: label propagation needs diameter rounds,
+    * this converges in O(log² n) rounds regardless of diameter (a
+    * 300-hop chain: 25+ propagation rounds vs a handful of star
+    * rounds), because each round rewires EDGES toward the local
+    * minimum rather than moving labels one hop.
+    *
+    *  - large-star(n): m = min(Γ(n) ∪ {n}); every neighbor x > n is
+    *    re-pointed at m — emit (x, m).
+    *  - small-star(h) over (hi, lo)-oriented edges: m = min(lo-side
+    *    neighbors); emit (h, m) and (lo, m) for lo ≠ m.
+    *
+    * Both steps preserve connectivity and only ever point nodes at
+    * smaller ids, so the fixpoint is a star per component rooted at
+    * the component minimum — `cluster_id = min(id)`, same contract
+    * (and same determinism argument: min is order-insensitive) as
+    * `connectedComponents`. Each round: two groupBy shuffles + two
+    * DISTINCTs over the skinny (2-long) edge frame, localCheckpointed
+    * to truncate lineage; convergence = edge set unchanged (count
+    * equality + one except probe — an edge set that stopped moving is
+    * the fixpoint, both steps being idempotent on stars).
+    *
+    * Use this when dup chains can be DEEP and unblocked (transitive
+    * near-dup closure over a 100 TB crawl); `connectedComponents`
+    * stays the shallow-graph / oracle twin, `blockedComponents` the
+    * no-loop blocked fast path. */
+  def starComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    var cur = edges.select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint()
+    var nEdges = cur.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val sym = cur.select(col("hi").as("n"), col("lo").as("x"))
+        .unionAll(cur.select(col("lo").as("n"), col("hi").as("x")))
+      val mins = sym.groupBy("n").agg(min(col("x")).as("vmin"))
+        .select(col("n"), least(col("n"), col("vmin")).as("m"))
+      val ls = sym.join(mins, "n").filter(col("x") > col("n"))
+        .select(col("x").as("hi"), col("m").as("lo")).distinct()
+      val mins2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val next = ls.join(mins2, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .unionAll(mins2.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == nEdges && next.except(cur).isEmpty
+      cur = next
+      nEdges = nNext
+      iter += 1
+    }
+    require(converged,
+      s"starComponents did not converge in $maxIter rounds (edge set still moving) — raise maxIter")
+    nodes.select(col("id"))
+      .join(cur.select(col("hi").as("id"), col("lo").as("graft_root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("graft_root"), col("id")).as("cluster_id"))
+  }
+
   /** Connected components of a BLOCKED similarity graph — the special
     * case where edges never cross a blocking key (IVF cells, shard
     * keys: the pair join was keyed on the block, so components are

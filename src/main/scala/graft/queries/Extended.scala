@@ -738,6 +738,32 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** d54 — the SAME cluster closure as d49, computed by the
+    * large-star/small-star edge-rewiring algorithm
+    * (Dedup.starComponents, Kiveris et al. 2014) instead of min-label
+    * propagation: rounds = O(log² n) instead of graph diameter, the
+    * 100 TB path for DEEP unblocked dup chains. Oracle: the identical
+    * recursive-CTE transitive closure — three independent algorithms
+    * (propagation, star rewiring, recursive SQL), one fixpoint. */
+  val d54StarClusters: Q = Q(
+    "d54_star_clusters",
+    s"""WITH RECURSIVE $pairsCtes,
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node)
+       |SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("a"), col("b"))
+    Dedup.starComponents(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d48 — MinHash via the custom DeclarativeAggregate: shingle hashes
     * arrive as exploded ROWS and the codegen'd aggregate keeps the k
     * running minima (map-side partials; the shuffle carries k longs
@@ -928,7 +954,7 @@ object Extended {
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
-    d52SimhashNearDup, d53DedupApply, t73ChunkOverlap,
+    d52SimhashNearDup, d53DedupApply, d54StarClusters, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

@@ -244,6 +244,60 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("star components: deep chain closes in O(log n) rounds where propagation needs diameter") {
+    // 301-node path: diameter 300 — label propagation's default
+    // maxIter=25 cannot close it; the star rewiring must.
+    val n = 301L
+    val nodes = (1L to n).toDF("id")
+    val path = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.starComponents(nodes, path).as[(Long, Long)].collect()
+    assert(star.length == n && star.forall(_._2 == 1L))
+    // equivalence with the label-propagation twin (maxIter raised to diameter)
+    val prop = Dedup.connectedComponents(nodes, path, maxIter = 301)
+      .as[(Long, Long)].collect().toMap
+    assert(star.toMap == prop)
+  }
+
+  test("star components: singletons, chains and pairs match the propagation twin") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.starComponents(nodes, edges).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    // empty edge set: everything self-clusters without a single round
+    val alone = Dedup.starComponents(nodes,
+      Seq((0L, 0L)).toDF("a", "b").limit(0)).as[(Long, Long)].collect().toMap
+    assert(alone == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("star components match a driver-side union-find on generated random graphs") {
+    import org.scalacheck.{Gen, rng}
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val seed = rng.Seed(11L)
+    val cases = Gen.listOfN(3, for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(0, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 2)
+        b <- Gen.choose(a + 1, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, es)).apply(Gen.Parameters.default, seed).get
+    cases.foreach { case (n, es) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = if (es.isEmpty) Seq((0L, 0L)).toDF("a", "b").limit(0)
+        else es.toDF("a", "b")
+      val got = Dedup.starComponents(nodes, edges).as[(Long, Long)].collect().toMap
+      assert(got == unionFind(n, es), s"n=$n edges=$es")
+    }
+  }
+
   test("repetition: uniform doc scores clean, degenerate doc scores repetitive") {
     val d = Seq(
       (1L, "a b c d"),            // all distinct
