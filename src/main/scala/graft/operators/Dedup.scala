@@ -542,18 +542,23 @@ object Dedup {
     * near-dup cannot express: two distinct docs sharing one boilerplate
     * block dedup at the block, not the doc.
     *
-    * One tokenize pass, one shuffle on the segment HASH (8-byte key,
-    * Broder-style fingerprint — never the segment text), one window
-    * per hash for the first-occurrence rank. An ubiquitous segment
-    * (the skew case: a site-wide footer at 100 TB) concentrates its
-    * occurrences on one reduce task; mitigate by pre-aggregating
-    * per (hash, doc) or salting the rank into a two-level
-    * min-reduction — the corpus here doesn't need it and the plain
-    * window keeps the oracle twin line-for-line. */
+    * One tokenize pass, then a skew-safe two-level reduction on the
+    * segment HASH (8-byte key, Broder-style fingerprint — never the
+    * segment text). A row_number window per hash would concentrate an
+    * ubiquitous segment (the skew case: a site-wide footer at 100 TB)
+    * onto one reduce task at its full occurrence multiplicity;
+    * instead (1) occurrences pre-aggregate per (hash, doc) —
+    * map-side partials bound the hot key, and the hot hash's rows
+    * spread over its containing DOCS, one row each — and (2) the
+    * global first occurrence per hash is a min(struct(doc, seg_idx))
+    * AGGREGATION (partial-combinable; no sort, no window) joined
+    * back on the hash. A doc's occurrence is a duplicate unless it
+    * IS that global first, so per (hash, doc): dups = count −
+    * (1 if this doc holds the global first). The oracle twin keeps
+    * the window formulation — same semantics, independent shape. */
   def segmentDedup(df: DataFrame, id: Column, text: Column,
       segTokens: Int = 10): DataFrame = {
     require(segTokens >= 1, s"segTokens must be positive, got $segTokens")
-    import org.apache.spark.sql.expressions.Window
     // posexplode (not a window over explode output): the generator's
     // position IS the segment index — a row_number over the exploded
     // rows would rank an arbitrary intra-partition order
@@ -568,13 +573,28 @@ object Dedup {
           .otherwise(array().cast("array<string>"))))
       .toDF("doc_id", "seg_idx", "seg")
       .filter(col("seg").isNotNull)
-    val ranked = segs
-      .withColumn("h", polyHashFast(col("seg")))
-      .withColumn("occ", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))))
-    ranked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+    // level 1: collapse occurrences per (hash, doc) — cnt occurrences,
+    // and the doc's earliest seg_idx (the only one that can be the
+    // global first). Both agg and the join below consume this frame;
+    // persist pins one derivation (cache contract as in hammingJoin —
+    // one skinny row per (hash, doc))
+    val grp = segs
+      .select(col("doc_id"), col("seg_idx"), polyHashFast(col("seg")).as("h"))
+      .groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"), min(col("seg_idx")).as("mseg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // level 2: global first occurrence per hash — an ordinary min over
+    // structs (struct ordering = lexicographic (doc_id, seg_idx)),
+    // partial-aggregated map-side; a hot hash contributes ONE row per
+    // upstream partition to the shuffle
+    val first = grp.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("mseg"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("first_doc"))
+    grp.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_segments"),
+        sum(col("cnt") - when(col("doc_id") === col("first_doc"), 1L)
+          .otherwise(0L)).as("n_dup_segments"))
   }
 
   /** Benchmark decontamination: training documents sharing at least
