@@ -33,6 +33,29 @@ class CatalogueSpec extends SparkSpec {
     assert(pks == Seq("2023-39", "2022-153", "unknown"))
   }
 
+  test("d45 fast-kernel LSH banding recovers the verified near-dup pairs") {
+    // d45 is rows-only at the oracle gate (xxhash64 has no DuckDB
+    // twin) — gate its RECALL here instead: candidates generated from
+    // the fast-kernel signatures must recover the truth set produced
+    // by the portable-kernel nearDuplicates (LSH + exact-Jaccard
+    // verify). Banding recall at J≥0.8 with 4 bands × 2 rows is
+    // ≥ 1−(1−0.8²)⁴ ≈ 0.983 per pair; the corpus and both hash
+    // kernels are deterministic, so the measured recall is stable —
+    // 1.0 today, asserted with headroom for corpus regeneration.
+    import graft.operators.Dedup
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val truth = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "truth set empty — corpus has no near-dups")
+    val sig = Dedup.minhashSignaturesFast(docs, col("doc_id"), col("text"))
+    val cand = Dedup.candidatePairs(Dedup.bucketsFromSignatures(sig, k = 8, bands = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(cand).toDouble / truth.size
+    assert(recall >= 0.9,
+      s"fast-kernel banding recall $recall over ${truth.size} verified pairs")
+  }
+
   test("q36 approx sketches land within error bounds of the exact values") {
     // q36 is rows-only at the oracle gate (HLL/KLL internals are
     // engine-specific) — bound-check it here instead: HLL default
