@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract runs batched per partition.
   *
-  * The actual codec call is STUBBED (`decodeStub`) — this container has
-  * no image/audio libraries — but everything Spark-side is real and
-  * tested: the asset schema, the binary column handling, the
-  * mapPartitions batching shape (one decoder init per partition, the
-  * way a JNI/FFI codec handle would be held), and the typed output.
+  * Two decode tiers share the same batching shape: `decodeImages` /
+  * `resizeImages` run a REAL byte codec ([[ImageCodec]] — PPM and
+  * 24-bit BMP header+pixel parsers, pure JVM) over formats it can
+  * parse; `decodeFeatures` keeps the deterministic `decodeStub` for
+  * mime types whose codecs aren't in this container (JPEG, video).
+  * Everything Spark-side is identical between the tiers: the asset
+  * schema, the binary column handling, the mapPartitions batching
+  * (one decoder init per partition, the way a JNI/FFI codec handle
+  * would be held), and the typed output.
   *
   * Scale: payloads never pass through the driver; a real deployment
   * keeps assets in parquet binary columns (or object-store pointers
@@ -70,6 +74,29 @@ object Multimodal {
       }
   }
 
+  final case class DecodedImage(
+      id: Long, width: Int, height: Int, meanRgb: Array[Float], ahash: Long)
+
+  /** REAL decode: parses each payload with [[ImageCodec]] (format
+    * dispatched on `meta.mime`) and extracts features over decoded
+    * PIXELS — dimensions from the file header, per-channel means, and
+    * a perceptual 8x8 average hash. Same mapPartitions batching as
+    * `decodeFeatures`; a payload that fails to parse fails the task
+    * with the codec's validation message (corrupt-input capture, if
+    * wanted, wraps this in the engine's dead-letter split upstream). */
+  def decodeImages(spark: SparkSession, assets: DataFrame): Dataset[DecodedImage] = {
+    import spark.implicits._
+    assets.select(col("id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mime) =>
+          val img = ImageCodec.decode(mime, payload)
+          DecodedImage(id, img.width, img.height,
+            ImageCodec.meanRgb(img), ImageCodec.ahash64(img))
+        }
+      }
+  }
+
   final case class ResizedAsset(id: Long, width: Int, height: Int, payload: Array[Byte])
   final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
 
@@ -86,6 +113,23 @@ object Multimodal {
           val out = Array.tabulate[Byte](math.min(w.toLong * h, 1L << 20).toInt) { i =>
             if (payload.isEmpty) 0 else payload(i % payload.length)
           }
+          ResizedAsset(id, w, h, out)
+        }
+      }
+  }
+
+  /** REAL resize: decode ([[ImageCodec]]) → nearest-neighbor pixel
+    * resample → re-encode as P6 — actual pixels move, unlike the
+    * byte-rebucketing `resize` stub kept for unparseable formats. */
+  def resizeImages(spark: SparkSession, assets: DataFrame,
+      w: Int, h: Int): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.select(col("id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mime) =>
+          val out = ImageCodec.encodePpm(
+            ImageCodec.resizeNearest(ImageCodec.decode(mime, payload), w, h))
           ResizedAsset(id, w, h, out)
         }
       }

@@ -507,6 +507,63 @@ object Extended {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** m74 — REAL byte-codec decode: each document is rendered into a
+    * genuine binary P6 payload (header + 8x8 RGB pixels from its
+    * text bytes), then `Multimodal.decodeImages` parses the file
+    * format with [[graft.operators.ImageCodec]] inside mapPartitions
+    * and extracts pixel features. The oracle recomputes dimensions,
+    * per-channel means, and the 8x8 average hash from the same byte
+    * layout — so the DECODER output (not a stand-in checksum) is
+    * hash-gated. Determinism: channel means are integer-sum / 64
+    * (exact in binary FP on both engines); luma and the hash are pure
+    * integer arithmetic; bit 63 is masked on both sides (BIGINT
+    * shift-overflow rule, as in m72). ASCII corpus ⇒ char codes =
+    * payload bytes. */
+  val m74ImageDecode: Q = Q(
+    "m74_image_decode",
+    s"""WITH px AS (
+       |  SELECT doc_id, rpad(substring(text, 1, 192), 192, ' ') AS p FROM documents),
+       |g AS (SELECT doc_id, p,
+       |  list_transform(range(0, 64), i ->
+       |    (77 * CAST(ascii(substring(p, CAST(3*i+1 AS BIGINT), 1)) AS BIGINT)
+       |     + 150 * CAST(ascii(substring(p, CAST(3*i+2 AS BIGINT), 1)) AS BIGINT)
+       |     + 29 * CAST(ascii(substring(p, CAST(3*i+3 AS BIGINT), 1)) AS BIGINT)) // 256) AS lum
+       |  FROM px),
+       |m AS (SELECT doc_id, p, lum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), lum), (a, x) -> a + x) // 64 AS mean
+       |  FROM g),
+       |chan AS (SELECT doc_id, lum, mean,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64),
+       |    i -> CAST(ascii(substring(p, CAST(3*i+1 AS BIGINT), 1)) AS BIGINT))), (a, x) -> a + x) AS sr,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64),
+       |    i -> CAST(ascii(substring(p, CAST(3*i+2 AS BIGINT), 1)) AS BIGINT))), (a, x) -> a + x) AS sg,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64),
+       |    i -> CAST(ascii(substring(p, CAST(3*i+3 AS BIGINT), 1)) AS BIGINT))), (a, x) -> a + x) AS sb
+       |  FROM m)
+       |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       |  CAST(sr AS DOUBLE) / 64 AS mean_r,
+       |  CAST(sg AS DOUBLE) / 64 AS mean_g,
+       |  CAST(sb AS DOUBLE) / 64 AS mean_b,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63),
+       |    i -> CASE WHEN lum[i+1] > mean THEN (CAST(1 AS BIGINT) << i)
+       |              ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash63
+       |FROM chan ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{ImageCodec, Multimodal}
+    val payloads = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("P6\n8 8\n255\n"),
+        rpad(substring(col("text"), 1, 192), 192, " ")).cast("binary").as("payload"))
+    val assets = Multimodal.toAssets(payloads, "doc_id", "payload", ImageCodec.PpmMime)
+    Multimodal.decodeImages(s, assets).toDF()
+      .select(col("id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        element_at(col("meanRgb"), 1).cast("double").as("mean_r"),
+        element_at(col("meanRgb"), 2).cast("double").as("mean_g"),
+        element_at(col("meanRgb"), 3).cast("double").as("mean_b"),
+        col("ahash").bitwiseAND(lit(Long.MaxValue)).as("ahash63"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m70 — multimodal metadata path: payload treated as opaque bytes;
     * metadata-only projection (byte size + stable content id) reads no
     * payload at scan time thanks to column pruning. */
@@ -960,5 +1017,5 @@ object Extended {
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
-    m72PayloadAhash, m73PayloadNearDup, d45MinhashFast)
+    m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, d45MinhashFast)
 }

@@ -145,6 +145,56 @@ class OperatorsSpec extends SparkSpec {
     assert(new String(frames(0).payload) == "abc")
   }
 
+  test("multimodal: REAL ppm/bmp byte codec through the decode path") {
+    import graft.operators.ImageCodec
+    // genuine P6 fixture: comment in header, 2x2 RGB pixels
+    val ppm = "P6\n# fixture\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    // genuine 24-bit BMP fixture: 3x2, bottom-up rows, 4-byte stride
+    // padding, BGR pixel order — every header field the parser checks
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val stride = 12 // 3 px * 3 B = 9, padded to 12
+    val bmp = Array[Byte]('B', 'M') ++ le32(54 + stride * 2) ++ le16(0) ++ le16(0) ++
+      le32(54) ++ le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(stride * 2) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      // stored first = BOTTOM logical row: 3x gray, then 3 pad bytes
+      Array[Byte](128.toByte, 128.toByte, 128.toByte, 128.toByte, 128.toByte,
+        128.toByte, 128.toByte, 128.toByte, 128.toByte, 0, 0, 0) ++
+      // top logical row in BGR: red, green, blue pixels + pad
+      Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 255.toByte, 0, 0, 0, 0, 0)
+
+    // codec alone: header fields, row order, BGR→RGB
+    val bimg = ImageCodec.decodeBmp24(bmp)
+    assert(bimg.width == 3 && bimg.height == 2)
+    assert(bimg.rgb.take(9).map(_ & 0xff).toSeq ==
+      Seq(255, 0, 0, 0, 255, 0, 0, 0, 255)) // top row red,green,blue
+    assert(bimg.rgb.drop(9).forall(b => (b & 0xff) == 128))
+    assertThrows[IllegalArgumentException](ImageCodec.decodePpm(bmp))
+    assertThrows[IllegalArgumentException](
+      ImageCodec.decodeBmp24(bmp.take(40))) // truncated header
+
+    // the Spark decode path runs the real parser per partition
+    val src = Seq((1L, ppm)).toDF("id", "payload")
+    val assets = Multimodal.toAssets(src, "id", "payload", ImageCodec.PpmMime)
+    val d = Multimodal.decodeImages(spark, assets).collect().head
+    assert(d.width == 2 && d.height == 2)
+    assert(d.meanRgb.toSeq == Seq(127.5f, 127.5f, 127.5f))
+
+    // real resize: decode → nearest-neighbor resample → P6 re-encode;
+    // the output payload is itself decodable and pixel (0,0) carries
+    // the source's top-left red through the resample
+    val r = Multimodal.resizeImages(spark, assets, 4, 4).collect().head
+    val rimg = ImageCodec.decodePpm(r.payload)
+    assert(rimg.width == 4 && rimg.height == 4)
+    assert(rimg.rgb.take(3).map(_ & 0xff).toSeq == Seq(255, 0, 0))
+    // perceptual hash is stable across the re-encode at same scale
+    val back = ImageCodec.decodePpm(
+      Multimodal.resizeImages(spark, assets, 2, 2).collect().head.payload)
+    assert(ImageCodec.ahash64(back) == ImageCodec.ahash64(ImageCodec.decodePpm(ppm)))
+  }
+
   test("portable and fast minhash share the operator shape") {
     val s1 = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .head().getSeq[Long](1)
