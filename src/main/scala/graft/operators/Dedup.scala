@@ -435,9 +435,15 @@ object Dedup {
         while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      es.foreach { case (_, a, b) =>
-        // an edge endpoint missing from nodes would NPE here — the
-        // nodes-cover-edges contract, enforced rather than silent
+      es.foreach { case (blk, a, b) =>
+        // nodes-cover-edges contract: name the block and the missing
+        // endpoint so a violation is diagnosable from the task failure
+        // (a bare map lookup would surface as "key not found: N")
+        Seq(a, b).foreach { x =>
+          require(parent.contains(x),
+            s"edge endpoint $x in block $blk has no node row — " +
+              "blockedComponents requires nodes to cover all edge endpoints")
+        }
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) {
           // min stays root → cluster_id = component min, edge-order-free

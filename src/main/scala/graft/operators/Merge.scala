@@ -29,8 +29,27 @@ object Merge {
   def upsert(target: DataFrame, updates: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert requires at least one key column")
-    val keyRows = updates.select(keys.map(col): _*).distinct()
-    updates.unionByName(
+    require(!updates.columns.contains("graft_rn"),
+      "updates already has a column named graft_rn")
+    // one row per key, or the merged result stops being a keyed table
+    // (SQL MERGE raises on multiple matches; a streaming micro-batch
+    // can legitimately carry several rows for one key). Deterministic
+    // tie-break instead of an eager uniqueness count: keep the row
+    // with the GREATEST non-key struct (lexicographic in declared
+    // column order — "last writer wins" when a version/timestamp
+    // column leads the non-key columns). Non-orderable column types
+    // (maps) would need a caller-side projection first.
+    val nonKey = updates.columns.filterNot(keys.contains)
+    val distinctUpdates =
+      if (nonKey.isEmpty) updates.distinct()
+      else {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(struct(nonKey.map(col): _*).desc)
+        updates.withColumn("graft_rn", row_number().over(w))
+          .filter(col("graft_rn") === 1).drop("graft_rn")
+      }
+    val keyRows = distinctUpdates.select(keys.map(col): _*)
+    distinctUpdates.unionByName(
       target.join(broadcast(keyRows), keys, "left_anti"))
   }
 

@@ -56,6 +56,17 @@ object Prefix {
       require(!df.columns.contains(c), s"input already has a column named $c")
     }
     val spark = df.sparkSession
+    // correctness invariant, not an optimization: the totals pass and
+    // the window pass must see the SAME sampled range boundaries,
+    // which holds because exchange reuse executes the range shuffle
+    // once and shares it. With reuse disabled the two passes would
+    // re-sample boundaries independently and the offsets could
+    // describe a different partitioning than the rows they join to —
+    // silently wrong sums. Refuse to run rather than risk that.
+    require(spark.sessionState.conf.exchangeReuseEnabled,
+      "Prefix.runningTotal requires spark.sql.exchange.reuse=true: " +
+        "both passes must share one executed range exchange (same sampled " +
+        "boundaries); with reuse disabled the result can be silently wrong")
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, order: _*)

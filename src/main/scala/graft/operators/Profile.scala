@@ -24,17 +24,25 @@ object Profile {
     cols.foreach { c =>
       require(df.columns.contains(c), s"no such column: $c")
     }
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"${c}__nonnull"),
-      count_distinct(col(c)).as(s"${c}__distinct"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max")))
-    val allAggs = count(lit(1)).as("graft_total") +: aggs
-    val row = df.agg(allAggs.head, allAggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', graft_total, `${c}__nonnull`, `${c}__distinct`, `${c}__min`, `${c}__max`")
-      .mkString(", ")
-    row.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column_name, n_rows, n_nonnull, n_distinct, min_s, max_s)")
+    // Column API throughout — no SQL-text interpolation, so a column
+    // name containing quotes/backticks/dots is data, never parsed
+    // expression text. `ref` backtick-quotes (doubling inner
+    // backticks) so col() resolves the name literally instead of as
+    // a nested-field path.
+    def ref(c: String) = col("`" + c.replace("`", "``") + "`")
+    val metrics = array(cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        count(ref(c)).as("n_nonnull"),
+        count_distinct(ref(c)).as("n_distinct"),
+        min(ref(c)).cast("string").as("min_s"),
+        max(ref(c)).cast("string").as("max_s"))
+    }: _*)
+    // one wide aggregate row → explode to the long profile (the
+    // unpivot is over driver-sized data: one row, |cols| structs)
+    df.agg(metrics.as("graft_m"))
+      .select(explode(col("graft_m")).as("graft_row"))
+      .select(col("graft_row.*"))
   }
 }

@@ -520,6 +520,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("prefix sum refuses to run with exchange reuse disabled (boundary-consistency guard)") {
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Prefix.runningTotal(df, Seq(col("id")), col("v")))
+      assert(e.getMessage.contains("exchange.reuse"))
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
+  test("upsert dedupes duplicate-key updates deterministically (greatest non-key struct wins)") {
+    val target = Seq((1L, "old", 1L)).toDF("k", "v", "ver")
+    val updates = Seq((1L, "a", 2L), (1L, "b", 9L), (2L, "x", 1L), (2L, "x", 1L))
+      .toDF("k", "v", "ver")
+    val got = graft.operators.Merge.upsert(target, updates, Seq("k"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // one row per key; for k=1 the greatest ("b", 9) beats ("a", 2)
+    assert(got == Seq((1L, "b", 9L), (2L, "x", 1L)))
+  }
+
+  test("blockedComponents names the block and endpoint on a contract violation") {
+    val nodes = Seq((10L, 1L), (10L, 2L)).toDF("block", "id")
+    val edges = Seq((10L, 1L, 99L)).toDF("block", "a", "b")
+    val e = intercept[org.apache.spark.SparkException](
+      graft.operators.Dedup.blockedComponents(nodes, edges).collect())
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("99") && msg.contains("10"), s"unhelpful failure: $msg")
+  }
+
+  test("profile treats hostile column names as data, not expression text") {
+    val df = Seq((1L, "x")).toDF("ok", "a`b'c")
+    val out = graft.operators.Profile.profile(df, Seq("ok", "a`b'c"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("ok" -> 1L, "a`b'c" -> 1L))
+  }
+
   test("stratified hash sample: deterministic under repartitioning; unlisted strata drop") {
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "A" else "B"))
       .toDF("k", "seg")
