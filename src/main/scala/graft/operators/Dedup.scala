@@ -255,6 +255,70 @@ object Dedup {
     verifyJaccardOnSortedHashes(sh, candidatePairs(buckets), threshold)
   }
 
+  /** Prebuilt corpus-side state for INCREMENTAL dedup: `buckets` =
+    * LSH band buckets (the join key of candidate generation), `sets` =
+    * sorted distinct shingle hashes (the verify operand). Built once
+    * over the standing corpus; at warehouse scale both land in parquet
+    * bucketed by (band, bucket) and doc_id respectively, so a delta
+    * batch joins them with NO corpus-side shuffle and the corpus TEXT
+    * is never rescanned. */
+  final case class DedupIndex(buckets: DataFrame, sets: DataFrame)
+
+  /** Build the incremental-dedup index over the standing corpus — the
+    * write-once half of continuous-ingest dedup. Same kernels as
+    * `nearDuplicates` (signatures and sets are interchangeable with
+    * the batch path by construction). */
+  def buildDedupIndex(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 8, bands: Int = 4): DedupIndex = {
+    val sh = shingleHashFrame(docs.repartition(id), id, text, n)
+      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
+    DedupIndex(bucketsFromSignatures(sig, k, bands), sh)
+  }
+
+  /** Incremental (delta) dedup: near-dup pairs between a NEW batch and
+    * the standing corpus, without rescanning the corpus — the
+    * production shape for continuously-ingested corpora, where
+    * re-running `nearDuplicates` over corpus ∪ delta would redo
+    * O(corpus) work per batch. Only the delta is shingled/signed;
+    * candidates come from joining the delta's band buckets against the
+    * prebuilt index (delta-sized shuffle against bucketed corpus
+    * state), and only candidates pay the exact-Jaccard merge scan
+    * against the index's stored sets. Within-delta duplicates are the
+    * existing batch path (`nearDuplicates` on the delta alone).
+    * `n`/`k`/`bands` must match the index build.
+    * Output: (delta_id, corpus_id, jaccard) with jaccard ≥ threshold. */
+  def dedupAgainstIndex(index: DedupIndex, delta: DataFrame, id: Column,
+      text: Column, n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val dsh = shingleHashFrame(delta.repartition(id), id, text, n)
+      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dsig = dsh.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
+    val cand = bucketsFromSignatures(dsig, k, bands)
+      .select(col("band"), col("bucket"), col("doc_id").as("delta_id"))
+      .join(index.buckets
+        .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select(col("delta_id"), col("corpus_id")).distinct()
+    val sc = index.sets.select(col("doc_id").as("corpus_id"),
+      col("s").as("sc"), size(col("s")).as("nc"))
+    val sd = dsh.select(col("doc_id").as("delta_id"),
+      col("s").as("sd"), size(col("s")).as("nd"))
+    cand.join(sc, "corpus_id").join(sd, "delta_id")
+      .filter(least(col("nc"), col("nd")).cast("double") >=
+        lit(threshold) * greatest(col("nc"), col("nd")))
+      .withColumn("ni", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sc"), col("sd")))
+      .withColumn("jaccard",
+        col("ni").cast("double") / (col("nc") + col("nd") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Connected components over an undirected edge list — the top of
     * the dedup stack: near-dup PAIRS (LSH + Jaccard verify) become
     * duplicate CLUSTERS, and `cluster_id = min(doc_id in component)`

@@ -22,11 +22,16 @@ object Extended {
     s"list_min(list_transform(h, x -> ($a*x + $b) % $P))"
   }.mkString("[", ", ", "]")
 
-  private val sigCtes =
-    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+  /** The signature chain over any (doc_id, text) relation — `documents`
+    * for the batch oracles, a corpus∪delta CTE for the incremental one
+    * (d55); one generator so the formulas cannot drift. */
+  private def sigCtesOver(table: String) =
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $table),
        |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM toks),
        |hs AS (SELECT doc_id, list_transform(s, sg -> ${polyHashSql("sg")}) AS h FROM sh),
        |sig AS (SELECT doc_id, $sigEntries AS sig FROM hs)""".stripMargin
+
+  private val sigCtes = sigCtesOver("documents")
 
   private val minhashCtes =
     s"""$sigCtes,
@@ -97,6 +102,41 @@ object Extended {
        |ORDER BY a, b""".stripMargin) { (s, dir) =>
     Dedup.nearDuplicates(Tables.documents(s, dir), col("doc_id"), col("text"), threshold = 0.8)
       .orderBy(col("a"), col("b"))
+  }
+
+  /** d55 — INCREMENTAL dedup: a delta batch (every 7th doc re-ingested
+    * under a shifted id, so each delta doc has an exact J=1 source,
+    * plus whatever planted near-dups straddle the split) dedups
+    * against the standing corpus via the prebuilt band-bucket index —
+    * the corpus text is never rescanned. The oracle runs the same
+    * signature chain over corpus ∪ delta and keeps only the CROSSING
+    * candidate pairs (corpus id < 1000000 ≤ delta id). */
+  val d55DeltaDedup: Q = Q(
+    "d55_delta_dedup",
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |${sigCtesOver("all_docs")},
+       |bb AS (SELECT doc_id, CAST(b AS BIGINT) AS band,
+       |         (sig[2*b+1]*$BandMix + sig[2*b+2]) % $P AS bucket
+       |       FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b)),
+       |hd AS (SELECT doc_id, list_distinct(h) AS s FROM hs),
+       |cand AS (
+       |  SELECT DISTINCT r.doc_id AS delta_id, l.doc_id AS corpus_id
+       |  FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+       |  WHERE l.doc_id < 1000000 AND r.doc_id >= 1000000)
+       |SELECT delta_id, corpus_id,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+       |FROM cand JOIN hd sa ON cand.corpus_id = sa.doc_id JOIN hd sb ON cand.delta_id = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+       |ORDER BY delta_id, corpus_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val index = Dedup.buildDedupIndex(docs, col("doc_id"), col("text"))
+    Dedup.dedupAgainstIndex(index, delta, col("doc_id"), col("text"), threshold = 0.8)
+      .orderBy(col("delta_id"), col("corpus_id"))
   }
 
   /** DuckDB twin of Dedup.SimHashFoldSql — the 32-bit bit-majority
@@ -1011,7 +1051,7 @@ object Extended {
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
-    d52SimhashNearDup, d53DedupApply, d54StarClusters, t73ChunkOverlap,
+    d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

@@ -195,6 +195,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ImageCodec.ahash64(back) == ImageCodec.ahash64(ImageCodec.decodePpm(ppm)))
   }
 
+  test("incremental dedup equals the batch path's crossing pairs") {
+    // dedupAgainstIndex(corpus-index, delta) must produce exactly the
+    // corpus↔delta pairs that rerunning nearDuplicates over the full
+    // corpus ∪ delta would find (same signatures, same banding, same
+    // verify kernel — so exact equivalence, not approximate)
+    val corpus = docs // (doc_id, text) fixture with planted near-dups
+    val delta = corpus.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val idx = Dedup.buildDedupIndex(corpus, col("doc_id"), col("text"))
+    val got = Dedup.dedupAgainstIndex(idx, delta, col("doc_id"), col("text"))
+      .select(col("corpus_id"), col("delta_id"))
+      .as[(Long, Long)].collect().toSet
+    val batch = Dedup.nearDuplicates(
+        corpus.unionAll(delta), col("doc_id"), col("text"))
+      .filter(col("a") < 5000 && col("b") >= 5000)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+    assert(got == batch && got.nonEmpty)
+    // every re-ingested doc is caught as an exact (J=1) dup of its source
+    val exact = Dedup.dedupAgainstIndex(idx, delta, col("doc_id"), col("text"))
+      .filter(col("corpus_id") === col("delta_id") - 5000)
+      .select(col("jaccard")).as[Double].collect()
+    assert(exact.length == delta.count() && exact.forall(_ == 1.0))
+  }
+
   test("portable and fast minhash share the operator shape") {
     val s1 = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .head().getSeq[Long](1)
