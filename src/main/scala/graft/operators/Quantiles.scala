@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact grouped quantiles at scale for DISCRETE values — the cutoff
+  * computation behind "keep each language's top X% by quality score".
+  *
+  * Spark's exact `percentile` buffers every value of a group in one
+  * aggregation buffer and `percentile_approx` is inexact; a per-group
+  * sort window walks all raw rows through one task per group. None of
+  * those is the 100 TB shape. For discrete scores (token counts,
+  * integer quality buckets) the exact quantile only needs the VALUE
+  * DISTRIBUTION: collapse rows to (group, value) counts — one shuffle
+  * with map-side combine, output bounded by distinct values per group,
+  * not row count — then cumulate over that tiny frame. The windows
+  * here run over the distribution, so "one task per group" holds
+  * |distinct values| rows, never the corpus.
+  *
+  * The percentile is an INTEGER percent and the rank compare is
+  * integer-exact (`cum·100 ≥ total·pct` — no float quantile position),
+  * so engines can't disagree on boundary rows.
+  */
+object Quantiles {
+
+  /** Per-group discrete lower percentile: the smallest value whose
+    * cumulative count reaches `pct`% of the group — `percentile_disc`
+    * semantics, spelled in exact integer arithmetic. Output: group
+    * columns + `threshold` (the value column's type). */
+  def discretePercentile(df: DataFrame, group: Seq[String], value: Column,
+      pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1, 100], got $pct")
+    Seq("graft_v", "graft_c", "graft_cum", "graft_tot").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
+    val counts = df.groupBy(group.map(col) :+ value.as("graft_v"): _*)
+      .agg(count(lit(1)).as("graft_c"))
+    // both windows share one (group)-partitioned exchange; ROWS frame
+    // is exact because (group, value) rows are distinct post-groupBy
+    val wCum = Window.partitionBy(group.map(col): _*).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(group.map(col): _*)
+    counts
+      .withColumn("graft_cum", sum(col("graft_c")).over(wCum))
+      .withColumn("graft_tot", sum(col("graft_c")).over(wTot))
+      .filter(col("graft_cum") * 100 >= col("graft_tot") * pct)
+      .groupBy(group.map(col): _*)
+      .agg(min(col("graft_v")).as("threshold"))
+  }
+
+  /** Quantile-threshold filter: rows at or above their group's
+    * `pct`-percentile value. The threshold table is group-cardinality
+    * sized, so the application join broadcasts — the corpus scan
+    * never shuffles. */
+  def keepAboveGroupPercentile(df: DataFrame, group: Seq[String],
+      value: Column, pct: Int): DataFrame = {
+    val thr = discretePercentile(df, group, value, pct)
+    df.withColumn("graft_v0", value)
+      .join(broadcast(thr), group)
+      .filter(col("graft_v0") >= col("threshold"))
+      .drop("graft_v0", "threshold")
+  }
+}

@@ -917,6 +917,40 @@ object Extended {
     * statistics of its bigrams. See TextAnalysis.bigramLm for the
     * scale shape (vocabulary-sized count tables, shuffle-join probes,
     * AQE skew handling on stopword-headed keys). */
+  /** t74 — per-language quantile-threshold filter: the 30th-percentile
+    * token count per language, computed EXACTLY over the value
+    * distribution (count-collapse + integer-exact rank compare — the
+    * 100 TB shape; see Quantiles), then applied as a broadcast filter.
+    * Output: per-language threshold and the doc counts before/after —
+    * the "drop each language's shortest 30%" curation step. */
+  val t74QuantileFilter: Q = Q(
+    "t74_quantile_filter",
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n FROM documents),
+       |cnt AS (SELECT lang, n, count(*) AS c FROM tk GROUP BY lang, n),
+       |cum AS (SELECT lang, n,
+       |  sum(c) OVER (PARTITION BY lang ORDER BY n) AS cum,
+       |  sum(c) OVER (PARTITION BY lang) AS tot FROM cnt),
+       |thr AS (SELECT lang, min(n) AS threshold FROM cum
+       |        WHERE cum * 100 >= tot * 30 GROUP BY lang)
+       |SELECT t.lang AS lang, CAST(max(th.threshold) AS BIGINT) AS threshold,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN t.n >= th.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM tk t JOIN thr th ON t.lang = th.lang
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin) { (s, dir) =>
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n"))
+    val thr = graft.operators.Quantiles.discretePercentile(
+      tk, Seq("lang"), col("n"), 30)
+    tk.join(broadcast(thr), "lang")
+      .groupBy(col("lang"))
+      .agg(max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   val t71BigramLm: Q = Q(
     "t71_bigram_lm",
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
@@ -1055,6 +1089,7 @@ object Extended {
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
+    t74QuantileFilter,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, d45MinhashFast)

@@ -230,6 +230,80 @@ object StreamOps {
         (unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("lag_us"))
   }
 
+  /** Continuous-ingest NEAR-dup curation: each micro-batch dedups
+    * against the standing corpus index (`Dedup.dedupAgainstIndex` —
+    * the batch operator, unchanged), writes every batch doc annotated
+    * with its duplicate verdict, and extends the index with the
+    * batch's novel docs. The cross-batch state is the index itself,
+    * far too large for the state store, so this is `foreachBatch`
+    * over parquet index storage rather than `mapGroupsWithState`:
+    * the streaming twin of d55.
+    *
+    * In-batch duplicates resolve first (`nearDuplicates` within the
+    * batch; a doc matching a smaller-id batch doc is a dup), then
+    * survivors check the index; only docs matching neither join the
+    * index. Every write is `overwrite` into a `batch=<id>` directory,
+    * so a replayed micro-batch (restart after failure) rewrites the
+    * same paths — idempotent, which is what makes foreachBatch's
+    * at-least-once delivery exactly-once end-to-end. Production swaps
+    * the directory scheme for a transactional table format and
+    * bucket-partitions the index by (band, bucket); the per-batch
+    * logic is identical.
+    *
+    * Output rows at `outDir`: (doc_id, matched_id nullable, is_dup).
+    * Index at `indexDir/{buckets,sets}/batch=<id>/`. */
+  def incrementalDedupStream(spark: SparkSession, docs: DataFrame,
+      indexDir: String, outDir: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val inBatch = graft.operators.Dedup
+          .nearDuplicates(b, col("doc_id"), col("text"), threshold = threshold)
+          .select(col("b").as("doc_id"), col("a").as("matched_id"))
+        // explicit existence check (not a swallowed read failure): a
+        // missing path is the legitimate first-batch state; anything
+        // else — corrupt files, bad schema — must fail the batch
+        val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
+        val fs = bucketsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val crossBatch =
+          if (!fs.exists(bucketsPath)) inBatch.limit(0)
+          else {
+            val idx = graft.operators.Dedup.DedupIndex(
+              spark.read.parquet(s"$indexDir/buckets")
+                .select("doc_id", "band", "bucket"),
+              spark.read.parquet(s"$indexDir/sets").select("doc_id", "s"))
+            graft.operators.Dedup
+              .dedupAgainstIndex(idx, b, col("doc_id"), col("text"),
+                threshold = threshold)
+              .select(col("delta_id").as("doc_id"),
+                col("corpus_id").as("matched_id"))
+          }
+        // deterministic verdict: the smallest matching id wins
+        val dups = inBatch.unionByName(crossBatch)
+          .groupBy(col("doc_id")).agg(min(col("matched_id")).as("matched_id"))
+        b.join(dups, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("matched_id"),
+            col("matched_id").isNotNull.as("is_dup"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val novel = b.join(dups, Seq("doc_id"), "left_anti")
+        val novelIdx = graft.operators.Dedup
+          .buildDedupIndex(novel, col("doc_id"), col("text"))
+        novelIdx.buckets.write.mode("overwrite")
+          .parquet(s"$indexDir/buckets/batch=$batchId")
+        novelIdx.sets.write.mode("overwrite")
+          .parquet(s"$indexDir/sets/batch=$batchId")
+        b.unpersist()
+        // the dedup operators persist their shingle frames (cache
+        // contract); a long-running stream must not accumulate them
+        spark.catalog.clearCache()
+        ()
+      }
+      .start()
+  }
+
   /** Run a streaming frame to completion against a bounded source and
     * return the in-memory result table (local smoke harness: batch
     * parquet driving the incremental plan). */

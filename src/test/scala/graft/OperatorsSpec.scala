@@ -195,6 +195,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ImageCodec.ahash64(back) == ImageCodec.ahash64(ImageCodec.decodePpm(ppm)))
   }
 
+  test("grouped discrete percentile matches the naive sorted-scan definition") {
+    import org.scalacheck.{Gen, rng}
+    val cases = Gen.listOfN(4, for {
+      n <- Gen.choose(1, 120)
+      pct <- Gen.choose(1, 100)
+      vs <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 20L)))
+    } yield (pct, vs)).apply(Gen.Parameters.default, rng.Seed(23L)).get
+    cases.foreach { case (pct, vs) =>
+      val df = vs.toDF("g", "v")
+      val got = graft.operators.Quantiles.discretePercentile(
+          df, Seq("g"), col("v"), pct)
+        .as[(String, Long)].collect().toMap
+      // naive reference: smallest value whose cumulative count reaches
+      // pct% of the group, over the explicitly sorted value list
+      val want = vs.groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        g -> sorted(math.max(0, math.ceil(sorted.size * pct / 100.0).toInt - 1))
+      }
+      assert(got == want, s"pct=$pct")
+    }
+    // filter application keeps exactly the at-or-above rows
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L)).toDF("g", "v")
+    val kept = graft.operators.Quantiles.keepAboveGroupPercentile(
+        df, Seq("g"), col("v"), 50)
+      .as[(String, Long)].collect().map(_._2).sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L))
+  }
+
   test("incremental dedup equals the batch path's crossing pairs") {
     // dedupAgainstIndex(corpus-index, delta) must produce exactly the
     // corpus↔delta pairs that rerunning nearDuplicates over the full

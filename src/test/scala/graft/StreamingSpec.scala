@@ -364,6 +364,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> "b2a", 2L -> "b2", 3L -> "init3", 4L -> "new4"))
   }
 
+  test("streaming incremental near-dup dedup: index grows across batches, dups annotated") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    val (indexDir, outDir) = (base.resolve("index").toString, base.resolve("out").toString)
+    val A = "the quick brown fox jumps over the lazy dog tonight"
+    val B = "completely different content describing spark execution engines"
+    val C = "a third unrelated document about distributed quantile sketches"
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupStream(
+      spark, mem.toDS().toDF("doc_id", "text"), indexDir, outDir)
+    // batch 0: 2 is an in-batch near-dup of 1 (identical text); 3 novel
+    mem.addData((1L, A), (2L, A), (3L, B))
+    q.processAllAvailable()
+    // batch 1: 11 duplicates corpus doc 1 (cross-BATCH via the index,
+    // which must NOT contain 2); 12 is novel
+    mem.addData((11L, A), (12L, C))
+    q.processAllAvailable()
+    // batch 2: 21 duplicates 12 — a doc that was novel in a PRIOR batch
+    mem.addData((21L, C))
+    q.processAllAvailable()
+    q.stop()
+    val verdicts = spark.read.parquet(outDir)
+      .select(col("doc_id"), col("matched_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(verdicts == Map(
+      1L -> None, 2L -> Some(1L), 3L -> None,
+      11L -> Some(1L), 12L -> None, 21L -> Some(12L)))
+    // index holds exactly the novel docs
+    val indexed = spark.read.parquet(s"$indexDir/sets")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(indexed == Set(1L, 3L, 12L))
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
