@@ -88,6 +88,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p65.contains("graft_salt"), s"q65: salt missing from the plan:\n$p65")
   }
 
+  test("t72: the de-skewed segment dedup plans NO window — aggregations only") {
+    // the skew-safe formulation replaced the per-hash row_number with
+    // two partial-combinable aggregations + a join; a Window in this
+    // plan means the hot-key concentration is back
+    val p = plan("t72_segment_dedup")
+    assert(!p.contains("Window"), s"window reappeared in t72:\n$p")
+    assert(p.toLowerCase.contains("partial_"),
+      s"expected partial aggregation in the two-level min:\n$p")
+  }
+
+  test("t74: the quantile threshold broadcasts back to the corpus scan") {
+    // the threshold table is group-cardinality sized; if the
+    // application join ever sort-merges, the corpus pays a shuffle
+    // for a kilobyte of thresholds
+    assert(plan("t74_quantile_filter").contains("BroadcastHashJoin"),
+      "expected the per-language threshold join to broadcast")
+  }
+
   test("bucketed tables join with ZERO exchanges (the shuffle was paid at write time)") {
     // fact⋈fact at 100 TB: neither side broadcasts, so an unbucketed
     // join shuffles both corpora on every query. Layout.writeBucketed
