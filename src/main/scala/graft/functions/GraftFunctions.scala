@@ -66,8 +66,11 @@ object GraftFunctions {
         builder))
     }
     // whole-operator extension: lower graft's AsOfJoinPlan logical
-    // node to ordinary relational operators during resolution
+    // node to ordinary relational operators during resolution — or,
+    // under spark.graft.asof.physical=true, leave it standing and let
+    // the injected strategy plan the O(n+m) physical merge operator
     e.injectResolutionRule(_ => graft.plans.AsOfJoinRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -43,11 +43,15 @@ final case class AsOfJoinPlan(
 }
 
 /** Resolution-phase lowering of AsOfJoinPlan. Registered by
-  * `GraftFunctions.install` / usable directly via `AsOfJoinPlan.rewrite`. */
+  * `GraftFunctions.install` / usable directly via `AsOfJoinPlan.rewrite`.
+  * With `spark.graft.asof.physical=true` the node is left standing for
+  * [[AsOfJoinStrategy]] to plan as the O(n+m) merge operator instead. */
 object AsOfJoinRewrite extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case a: AsOfJoinPlan if a.childrenResolved => AsOfJoinPlan.lower(a)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString("spark.graft.asof.physical", "false") == "true") plan
+    else plan.transformUp {
+      case a: AsOfJoinPlan if a.childrenResolved => AsOfJoinPlan.lower(a)
+    }
 }
 
 object AsOfJoinPlan {
@@ -89,6 +93,22 @@ object AsOfJoinPlan {
       resolve(left, leftKey), resolve(right, rightKey),
       resolve(left, leftTime), resolve(right, rightTime))
     GraftExpressionBridge.dataFrame(left.sparkSession, AsOfJoinRewrite(node))
+  }
+
+  /** Physical-path entry: build the RAW node (no lowering) so the
+    * planner's [[AsOfJoinStrategy]] turns it into the sorted-merge
+    * operator. Requires the strategy on the session — via
+    * `GraftExtensions` + `spark.graft.asof.physical=true`, or
+    * `spark.experimental.extraStrategies` on an existing session. */
+  def asofJoinPhysical(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column): DataFrame = {
+    val node = AsOfJoinPlan(
+      GraftExpressionBridge.logicalPlan(left),
+      GraftExpressionBridge.logicalPlan(right),
+      resolve(left, leftKey), resolve(right, rightKey),
+      resolve(left, leftTime), resolve(right, rightTime))
+    GraftExpressionBridge.dataFrame(left.sparkSession, node)
   }
 
   private def resolve(df: DataFrame, c: Column): Expression =

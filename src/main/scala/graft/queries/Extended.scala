@@ -951,6 +951,33 @@ object Extended {
       .orderBy(col("lang"))
   }
 
+  /** t75 — per-source document cap: keep each source's top 50 docs by
+    * token count (the de-domination curation step — no single domain
+    * may flood the mix). Engine side is the bounded-heap TopKByValue
+    * aggregate: the exchange carries O(sources · 50) rows after
+    * map-side partials, never a per-source sort of the corpus; the
+    * oracle spells the same selection as a rank window. Ties break on
+    * the smaller doc_id in both (the aggregator's documented order). */
+  val t75SourceCap: Q = Q(
+    "t75_source_cap",
+    s"""WITH tk AS (SELECT doc_id, source,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n FROM documents),
+       |rk AS (SELECT doc_id, source, n,
+       |  row_number() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS rk
+       |  FROM tk)
+       |SELECT source, doc_id, n AS n_tokens FROM rk WHERE rk <= 50
+       |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    val tk = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n"))
+    tk.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topK(50)(
+        col("n").cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t._2").as("doc_id"),
+        col("t._1").cast("long").as("n_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val t71BigramLm: Q = Q(
     "t71_bigram_lm",
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
@@ -1089,7 +1116,7 @@ object Extended {
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
-    t74QuantileFilter,
+    t74QuantileFilter, t75SourceCap,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, d45MinhashFast)

@@ -123,6 +123,74 @@ class AsOfSpec extends SparkSpec {
       "rewrite must eliminate the custom node")
   }
 
+  private def withPhysicalStrategy[T](body: => T): T = {
+    val saved = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies = saved :+ graft.plans.AsOfJoinStrategy
+    try body finally spark.experimental.extraStrategies = saved
+  }
+
+  test("PHYSICAL merge operator: plans AsOfMergeJoinExec, agrees on all semantic fixtures") {
+    withPhysicalStrategy {
+      val df = graft.plans.AsOfJoinPlan.asofJoinPhysical(left, right,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("AsOfMergeJoin"), s"strategy did not fire:\n$p")
+      assert(!p.contains("Window") && !p.toLowerCase.contains("sortmergejoin"),
+        s"merge operator must not plan a join+window:\n$p")
+      assert(run(df) == expected)
+      // duplicate left rows + right-time ties: same contract as the
+      // logical forms (both dups emit; greatest tuple wins the tie)
+      val dupLeft = Seq(
+        (5L, 7L, ts("2024-01-01 12:00:00")),
+        (5L, 7L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+      val tieRight = Seq(
+        (7L, ts("2024-01-01 11:00:00"), 111.0),
+        (7L, ts("2024-01-01 11:00:00"), 222.0)).toDF("p_user", "p_ts", "value")
+      val tied = graft.plans.AsOfJoinPlan.asofJoinPhysical(dupLeft, tieRight,
+          col("user_id"), col("p_user"), col("ts"), col("p_ts"))
+        .select(col("value")).collect().map(_.getDouble(0)).toSeq
+      assert(tied == Seq(222.0, 222.0), s"physical form: $tied")
+      // null keys and null times never match (the lowered-form contract)
+      val nullLeft = Seq(
+        (1L, Option(7L), Option(ts("2024-01-01 12:00:00"))),
+        (2L, Option.empty[Long], Option(ts("2024-01-01 12:00:00"))),
+        (3L, Option(7L), Option.empty[Timestamp])
+      ).toDF("event_id", "user_id", "ts")
+      val nullRight = Seq(
+        (Option(7L), Option(ts("2024-01-01 10:00:00")), 1.0),
+        (Option(7L), Option.empty[Timestamp], 2.0),
+        (Option.empty[Long], Option(ts("2024-01-01 10:00:00")), 3.0)
+      ).toDF("p_user", "p_ts", "value")
+      val nulls = run(graft.plans.AsOfJoinPlan.asofJoinPhysical(nullLeft, nullRight,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts")))
+      assert(nulls == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+    }
+  }
+
+  test("PHYSICAL merge operator: random-data equivalence with the lowered form") {
+    import org.scalacheck.{Gen, rng}
+    val g = for {
+      nl <- Gen.choose(0, 60)
+      nr <- Gen.choose(0, 60)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 50L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 50L), Gen.choose(0, 9)))
+    } yield (ls, rs)
+    val cases = Gen.listOfN(4, g).apply(Gen.Parameters.default, rng.Seed(31L)).get
+    cases.foreach { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "user_id", "ts")
+      val r = rs.map { case (k, t, v) => (k, t, v.toDouble) }
+        .toDF("p_user", "p_ts", "value")
+      val lowered = run(graft.plans.AsOfJoinPlan.asofJoin(l, r,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts")))
+      val physical = withPhysicalStrategy {
+        run(graft.plans.AsOfJoinPlan.asofJoinPhysical(l, r,
+          col("user_id"), col("p_user"), col("ts"), col("p_ts")))
+      }
+      assert(physical == lowered, s"nl=${ls.size} nr=${rs.size}")
+    }
+  }
+
   test("both forms agree on real data (events self as-of)") {
     val ev = graft.engine.Tables.events(spark, sfDir)
     val errors = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("ts"))
