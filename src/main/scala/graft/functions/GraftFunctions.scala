@@ -71,6 +71,9 @@ object GraftFunctions {
     // the injected strategy plan the O(n+m) physical merge operator
     e.injectResolutionRule(_ => graft.plans.AsOfJoinRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // physical path only: left predicates push through the standing
+    // node (after lowering the rule never sees one — no-op)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
   }
 }
 

@@ -123,6 +123,32 @@ final case class AsOfMergeJoinExec(
   }
 }
 
+/** Optimizer-tier rule for the physical path: LEFT-side predicates
+  * push through the as-of node to the left child, so they reach the
+  * scan instead of stopping at the custom operator (an unknown
+  * logical node is otherwise an optimization BARRIER — the one real
+  * cost of declaring an operator Catalyst doesn't know). Sound
+  * because every left row joins independently: dropping a left row
+  * early cannot change any other row's match. Right-side predicates
+  * must NOT push — filtering right rows before the join changes which
+  * row is "latest" (filter-then-match ≠ match-then-filter).
+  * Registered by `GraftExtensions` (injectOptimizerRule) and usable
+  * via `spark.experimental.extraOptimizations`. */
+object AsOfJoinPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(a.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(push.reduce(And), a.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Planner strategy mapping the logical as-of node to the merge
   * operator. Active on sessions that leave the node standing (the
   * `spark.graft.asof.physical=true` path of [[AsOfJoinRewrite]], or

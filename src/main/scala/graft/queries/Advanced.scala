@@ -170,6 +170,41 @@ object Advanced {
       .orderBy(col("event_id"))
   }
 
+  /** q68 — the PHYSICAL as-of merge operator, oracle-gated: q28's
+    * exact semantics (same DuckDB ASOF JOIN oracle) executed through
+    * `AsOfMergeJoinExec` — custom `SparkPlan` picked by
+    * `AsOfJoinStrategy` — instead of the Join+Window lowering. The
+    * strategy rides `spark.experimental.extraStrategies` (idempotently
+    * appended) so the driver's plain Verify/Bench sessions plan it
+    * without extension installation. */
+  val q68AsofPhysical: Q = Q(
+    "q68_asof_physical",
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, ts)
+      |SELECT l.event_id, l.user_id, l.ts AS error_ts, r.value AS last_purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') l
+      |ASOF LEFT JOIN p r
+      |  ON l.user_id = r.user_id AND r.ts <= l.ts
+      |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("last_purchase_value"))
+    graft.plans.AsOfJoinPlan.asofJoinPhysical(
+        errors, purchases,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").as("error_ts"), col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** q29 — pivot (dedicated API over conditional aggregation): order
     * counts per nation × status. */
   val q29Pivot: Q = Q(
@@ -416,6 +451,6 @@ object Advanced {
 
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
-    q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow,
+    q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow, q68AsofPhysical,
     q49MapFuncs, q50Corr, q56GroupLinreg, q59Unpivot, q60Histogram, q61Mode)
 }

@@ -191,6 +191,38 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule: left predicates push through the standing node, right ones stay") {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ graft.plans.AsOfJoinPushdown
+    try withPhysicalStrategy {
+      val df = graft.plans.AsOfJoinPlan.asofJoinPhysical(left, right,
+          col("user_id"), col("p_user"), col("ts"), col("p_ts"))
+        .filter(col("event_id") > 1 && col("value") > 15.0)
+      val node = df.queryExecution.optimizedPlan.collectFirst {
+        case a: graft.plans.AsOfJoinPlan => a
+      }.getOrElse(fail("node missing from optimized plan"))
+      // the left-only conjunct moved below the node…
+      assert(node.left.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.exists(_.condition.references.map(_.name).toSet == Set("event_id")),
+        s"left filter not pushed:\n${df.queryExecution.optimizedPlan}")
+      // …the right-side conjunct did NOT (it would change which right
+      // row is latest), and results match filtering the lowered form
+      assert(node.right.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.isEmpty, "right filter must not push through an as-of join")
+      val want = AsOf.asofJoin(left, right,
+          col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+          Seq("event_id"), Seq("value"))
+        .filter(col("event_id") > 1 && col("value") > 15.0)
+        .select(col("event_id"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val got = df.select(col("event_id"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == want && got == Map(2L -> 30.0))
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("both forms agree on real data (events self as-of)") {
     val ev = graft.engine.Tables.events(spark, sfDir)
     val errors = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("ts"))
