@@ -4,215 +4,197 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 reader for the reference's staged-file layout
-  * (`api/season_S/league_L/endpoint/run_ts.json`, ref
-  * `ingestion/main.py:86,91,107-111`) — the path convention becomes a
-  * first-class TABLE with partition columns `(season, league,
-  * endpoint)` recovered from directory names.
+/** DataSource V2 source for the reference's staged-file layout —
+  * `{api}/season_{S}/league_{L}/{endpoint}/{run}.json` (SURVEY §2.1
+  * S1/S3/S4; reference path convention at ingestion/main.py:86-109,
+  * pk regex at helpers.py:20) — done as a NATIVE Spark connector
+  * instead of `input_file_name()` + regex post-processing:
   *
-  * Scale behaviors a generic `spark.read.text` + regex post-filter
-  * cannot give:
-  *  - **partition pruning at the source**: EqualTo filters on
-  *    season/league/endpoint are pushed into `planInputPartitions`,
-  *    so a query over one league lists and reads ONLY that league's
-  *    directories (at 100 TB the file listing itself is the cost);
-  *  - **column pruning into IO**: when `content` is not in the
-  *    required schema (e.g. a `count` or a pk audit), the file bytes
-  *    are never read — metadata rows come from the listing alone;
-  *  - one file = one InputPartition: reads parallelize across
-  *    executors, no driver-side content handling.
+  *  - **partition pruning from pushed filters**: season/league/
+  *    endpoint are path-derived, one value per file, so EqualTo/In/
+  *    comparison filters on them prune WHOLE FILES at planning —
+  *    `q.rdd.getNumPartitions` equals surviving files, and at 100 TB
+  *    the pruned payloads are never opened, listed bytes never read;
+  *  - **column pruning into IO**: the payload column (`body`) is read
+  *    from storage ONLY when the query asks for it — a
+  *    metadata-only projection (season/league/endpoint/path) does
+  *    zero payload IO, the DSv2 form of parquet's column pruning on
+  *    a format that has no columns;
+  *  - worker-side reads: the driver only LISTS paths; file bytes are
+  *    read inside `PartitionReader` on executors (the reference's S3
+  *    worker-side read).
   *
-  * Usage: `spark.read.format("staged-json").load(root)` (registered
-  * via DataSourceRegister) or the full class name.
+  * Usage: `spark.read.format("graft.sources.StagedJsonSource")
+  * .load(root)`. One file per input partition (staged API payloads
+  * are small and numerous; a production variant bin-packs files into
+  * size-bounded partitions exactly like FileSourceScanExec).
   */
-class StagedJsonSource extends TableProvider with DataSourceRegister {
+class StagedJsonSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "staged-json"
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StagedJson.SCHEMA
-
+    StagedJsonSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new StagedJsonTable(Option(properties.get("path"))
-      .getOrElse(throw new IllegalArgumentException("staged-json requires a path")))
+    new StagedJsonTable(properties.get("path"))
 }
 
-object StagedJson {
-  val SCHEMA: StructType = StructType(Seq(
-    StructField("season", LongType),
-    StructField("league", LongType),
-    StructField("endpoint", StringType),
-    StructField("pk", StringType),
-    StructField("path", StringType),
-    StructField("content", StringType)))
+object StagedJsonSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("season", LongType, nullable = false),
+    StructField("league", LongType, nullable = false),
+    StructField("endpoint", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("body", StringType, nullable = true)))
 
-  private[sources] val PathRe =
-    """.*/season_([0-9]+)/league_([0-9]+)/([^/]+)/[^/]+\.json$""".r
+  private val PathRe = raw".*/season_(\d+)/league_(\d+)/([^/]+)/[^/]+\.json$$".r
 
-  /** Test/diagnostic hook: number of input partitions planned by the
-    * most recent scan in this JVM (observes pruning). */
-  val lastPlannedPartitions = new java.util.concurrent.atomic.AtomicInteger(-1)
+  /** (season, league, endpoint) from a staged path; None = not a
+    * staged file (ignored, like non-matching files in a file index). */
+  def parsePath(p: String): Option[(Long, Long, String)] = p match {
+    case PathRe(s, l, e) => Some((s.toLong, l.toLong, e))
+    case _ => None
+  }
 
-  /** Directory-pruned listing: pushed equality filters cut the walk at
-    * each level (season dirs, league dirs, endpoint dirs), so a
-    * one-league query never even LISTS other leagues — at object-store
-    * scale the
-    * listing itself is the dominant cost of a scan over many
-    * partitions. `dirOk(level, name)` vets each directory name before
-    * descent; files under non-conforming directories are returned only
-    * when nothing was pushed (the "unknown"-pk fallback). */
-  private[graft] def listFiles(root: String,
-      dirOk: (Int, String) => Boolean = (_, _) => true,
-      keepNonConforming: Boolean = true): Seq[String] = {
-    val base = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.isDirectory(base)) return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer[String]()
-    def ls(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
-      val s = java.nio.file.Files.list(dir)
-      try s.iterator().asScala.toSeq finally s.close()
+  /** File-level filter evaluation: exact because season/league/
+    * endpoint have ONE value per file. Unsupported filter shapes are
+    * simply not pushed (Spark evaluates them post-scan). */
+  private[sources] def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => pathCols(a)
+    case In(a, _) => pathCols(a)
+    case GreaterThan(a, _) => pathCols(a)
+    case GreaterThanOrEqual(a, _) => pathCols(a)
+    case LessThan(a, _) => pathCols(a)
+    case LessThanOrEqual(a, _) => pathCols(a)
+    case _ => false
+  }
+  private def pathCols(a: String): Boolean =
+    a == "season" || a == "league" || a == "endpoint"
+
+  private[sources] def satisfies(f: Filter, season: Long, league: Long,
+      endpoint: String): Boolean = {
+    def v(a: String): Any = a match {
+      case "season" => season
+      case "league" => league
+      case "endpoint" => endpoint
     }
-    def walk(dir: java.nio.file.Path, level: Int): Unit =
-      ls(dir).sortBy(_.toString).foreach { p =>
-        if (java.nio.file.Files.isDirectory(p)) {
-          val conforming = level match {
-            case 0 => p.getFileName.toString.startsWith("season_")
-            case 1 => p.getFileName.toString.startsWith("league_")
-            case _ => true
-          }
-          if (conforming && level <= 2) {
-            if (dirOk(level, p.getFileName.toString)) walk(p, level + 1)
-          } else if (keepNonConforming) walk(p, level + 1)
-        } else if (p.toString.endsWith(".json") &&
-            (level >= 3 || keepNonConforming)) out += p.toString
-      }
-    walk(base, 0)
-    out.toSeq.sorted
+    def cmp(a: String, x: Any): Int = (v(a), x) match {
+      case (l: Long, r: Number) => java.lang.Long.compare(l, r.longValue())
+      case (l: String, r: String) => l.compareTo(r)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported comparison for $a: ${x.getClass}")
+    }
+    f match {
+      case EqualTo(a, x) => cmp(a, x) == 0
+      case In(a, xs) => xs.exists(x => cmp(a, x) == 0)
+      case GreaterThan(a, x) => cmp(a, x) > 0
+      case GreaterThanOrEqual(a, x) => cmp(a, x) >= 0
+      case LessThan(a, x) => cmp(a, x) < 0
+      case LessThanOrEqual(a, x) => cmp(a, x) <= 0
+      case other => throw new IllegalStateException(s"unpushable filter $other")
+    }
   }
 }
 
 final class StagedJsonTable(root: String) extends Table with SupportsRead {
-  override def name(): String = s"staged-json:$root"
-  override def schema(): StructType = StagedJson.SCHEMA
+  require(root != null, "staged json source requires a path (.load(root))")
+  override def name(): String = s"staged_json($root)"
+  override def schema(): StructType = StagedJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-
+    Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StagedJsonScanBuilder(root)
 }
 
 final class StagedJsonScanBuilder(root: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-
+  private var required: StructType = StagedJsonSource.Schema
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = StagedJson.SCHEMA
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // partition-column equality prunes directories; everything else
-    // stays a post-scan filter (returned to Spark)
-    val (accepted, rest) = filters.partition {
-      case EqualTo(a, _) => Seq("season", "league", "endpoint").contains(a)
-      case _ => false
-    }
-    pushed = accepted
-    rest
+    val (p, residual) = filters.partition(StagedJsonSource.prunable)
+    pushed = p
+    residual // file-level evaluation is exact → pushed ones need no re-check
   }
   override def pushedFilters(): Array[Filter] = pushed
-
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-
-  override def build(): Scan = new StagedJsonScan(root, pushed, required)
-}
-
-final class StagedJsonScan(root: String, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
-
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"StagedJsonScan(root=$root, pushed=${pushed.mkString(",")}, cols=${required.fieldNames.mkString(",")})"
-
-  private def matches(season: Long, league: Long, endpoint: String): Boolean =
-    pushed.forall {
-      case EqualTo("season", v) => v.toString.toLong == season
-      case EqualTo("league", v) => v.toString.toLong == league
-      case EqualTo("endpoint", v) => v.toString == endpoint
-      case _ => true
-    }
-
-  /** Pushed equality → directory-name predicate per walk level. */
-  private def dirOk(level: Int, name: String): Boolean = level match {
-    case 0 => pushed.collectFirst { case EqualTo("season", v) =>
-      name == s"season_$v" }.getOrElse(true)
-    case 1 => pushed.collectFirst { case EqualTo("league", v) =>
-      name == s"league_$v" }.getOrElse(true)
-    case _ => pushed.collectFirst { case EqualTo("endpoint", v) =>
-      name == v.toString }.getOrElse(true)
-  }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = StagedJson.listFiles(root, dirOk, keepNonConforming = pushed.isEmpty)
-    val parts: Array[InputPartition] = files.flatMap { path =>
-      path match {
-        case StagedJson.PathRe(season, league, endpoint)
-            if matches(season.toLong, league.toLong, endpoint) =>
-          Some(StagedFilePartition(path, season.toLong, league.toLong, endpoint): InputPartition)
-        case StagedJson.PathRe(_, _, _) => None
-        case _ if pushed.isEmpty =>
-          // non-conforming path: kept with null partition values (the
-          // reference's "unknown" pk fallback, helpers.py:21-23)
-          Some(StagedFilePartition(path, -1L, -1L, null): InputPartition)
-        case _ => None
-      }
-    }.toArray
-    StagedJson.lastPlannedPartitions.set(parts.length)
-    parts
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new StagedFileReaderFactory(required)
+  override def build(): Scan = new StagedJsonScan(root, required, pushed)
 }
 
 final case class StagedFilePartition(path: String, season: Long,
     league: Long, endpoint: String) extends InputPartition
 
-final class StagedFileReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new StagedFileReader(partition.asInstanceOf[StagedFilePartition], required)
-}
+final class StagedJsonScan(root: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"StagedJsonScan root=$root, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
-final class StagedFileReader(p: StagedFilePartition, required: StructType)
-    extends PartitionReader[InternalRow] {
-  private var done = false
-
-  override def next(): Boolean = if (done) false else { done = true; true }
-
-  override def get(): InternalRow = {
-    val known = p.endpoint != null
-    val values = required.fieldNames.map {
-      case "season" => if (known) java.lang.Long.valueOf(p.season) else null
-      case "league" => if (known) java.lang.Long.valueOf(p.league) else null
-      case "endpoint" => if (known) UTF8String.fromString(p.endpoint) else null
-      case "pk" => UTF8String.fromString(
-        if (known) s"${p.season}-${p.league}" else "unknown")
-      case "path" => UTF8String.fromString(p.path)
-      case "content" => UTF8String.fromString( // read ONLY when required
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.path)),
-          java.nio.charset.StandardCharsets.UTF_8))
+  override def planInputPartitions(): Array[InputPartition] = {
+    // driver-side LISTING only; recursive walk of the staged tree
+    val rootPath = new HPath(root)
+    val fs = rootPath.getFileSystem(new Configuration())
+    val it = fs.listFiles(rootPath, true)
+    val out = Array.newBuilder[InputPartition]
+    while (it.hasNext) {
+      val f = it.next()
+      StagedJsonSource.parsePath(f.getPath.toUri.getPath).foreach {
+        case (season, league, endpoint) =>
+          if (pushed.forall(
+              StagedJsonSource.satisfies(_, season, league, endpoint)))
+            out += StagedFilePartition(
+              f.getPath.toString, season, league, endpoint)
+      }
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    out.result()
   }
 
-  override def close(): Unit = ()
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StagedJsonReaderFactory(required)
+}
+
+final class StagedJsonReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[StagedFilePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = {
+        val values = required.fields.map(_.name).map {
+          case "season" => sp.season
+          case "league" => sp.league
+          case "endpoint" => UTF8String.fromString(sp.endpoint)
+          case "path" => UTF8String.fromString(sp.path)
+          case "body" =>
+            // payload IO happens HERE, on the executor, and ONLY when
+            // the pruned schema still contains `body`
+            val hp = new HPath(sp.path)
+            val fs = hp.getFileSystem(new Configuration())
+            val in = fs.open(hp)
+            try {
+              val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+              UTF8String.fromBytes(bytes)
+            } finally in.close()
+        }
+        InternalRow.fromSeq(values.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }

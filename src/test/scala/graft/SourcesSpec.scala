@@ -1,77 +1,85 @@
 package graft
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.StagedJson
+import graft.sources.{StagedFilePartition, StagedJsonReaderFactory, StagedJsonSource}
 
-/** DSv2 staged-json source: schema, partition-column recovery,
-  * source-side pruning (fewer planned partitions under an equality
-  * filter), and content-column laziness. */
+/** The DSv2 staged-JSON connector: file-level partition pruning from
+  * pushed filters, payload-IO column pruning, worker-side reads. */
 class SourcesSpec extends SparkSpec {
 
-  private def write(root: Path, rel: String, content: String): Unit = {
-    val p = root.resolve(rel)
+  private def write(root: String, rel: String, content: String): Unit = {
+    val p = Paths.get(root, rel)
     Files.createDirectories(p.getParent)
     Files.writeString(p, content)
   }
 
   private lazy val root: String = {
-    val r = Files.createTempDirectory("graft_dsv2")
-    write(r, "season_2023/league_153/teams/run_1.json", """[{"team_key": "1"}]""")
-    write(r, "season_2023/league_153/standings/run_1.json", """[{"team_id": "1"}]""")
-    write(r, "season_2023/league_39/teams/run_1.json", """{"response": []}""")
-    write(r, "season_2022/league_153/teams/run_1.json", """[{"team_key": "9"}]""")
-    r.toString
+    val dir = Files.createTempDirectory("graft_staged").toString
+    write(dir, "api/season_2022/league_1/teams/run_1.json", """[{"team_key":"1"}]""")
+    write(dir, "api/season_2023/league_1/teams/run_1.json", """[{"team_key":"2"}]""")
+    write(dir, "api/season_2023/league_2/standings/run_1.json", """[{"team_id":"3"}]""")
+    write(dir, "api/README.txt", "not a staged file") // ignored by the path parser
+    dir
   }
 
-  test("reads the staged layout as a table with recovered partition columns") {
-    val df = spark.read.format("staged-json").load(root)
-    val rows = df.select("season", "league", "endpoint", "pk").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
-    assert(rows == Set(
-      (2023L, 153L, "teams", "2023-153"),
-      (2023L, 153L, "standings", "2023-153"),
-      (2023L, 39L, "teams", "2023-39"),
-      (2022L, 153L, "teams", "2022-153")))
+  private def load = spark.read.format("staged-json").load(root) // DataSourceRegister short name
+
+  test("staged source reads the layout: path-derived columns + worker-side body") {
+    val rows = load.select(col("season"), col("league"), col("endpoint"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == Seq(
+      (2022L, 1L, "teams", """[{"team_key":"1"}]"""),
+      (2023L, 1L, "teams", """[{"team_key":"2"}]"""),
+      (2023L, 2L, "standings", """[{"team_id":"3"}]""")))
   }
 
-  test("equality filters on partition columns prune at planning time") {
-    val df = spark.read.format("staged-json").load(root)
-      .filter(col("season") === 2023 && col("league") === 153)
-    assert(df.count() == 2)
-    // the scan planned ONLY the 2 matching files (4 staged in total)
-    assert(StagedJson.lastPlannedPartitions.get() == 2,
-      s"planned ${StagedJson.lastPlannedPartitions.get()} partitions")
+  test("filters on path-derived columns prune WHOLE FILES at planning") {
+    val q = load.filter(col("season") === 2023 && col("endpoint") === "teams")
+    // one partition per surviving file: 1 of 3 staged files remains
+    assert(q.rdd.getNumPartitions == 1, s"pruning did not happen: ${q.rdd.getNumPartitions}")
+    val got = q.select(col("league")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScan in plan"))
+    assert(scan.description().contains("EqualTo(season,2023)") &&
+      scan.description().contains("EqualTo(endpoint,teams)"),
+      s"filters not pushed: ${scan.description()}")
+    // a body predicate is NOT pushable — it stays residual and the
+    // result is still correct
+    val mixed = load.filter(col("season") === 2023 && col("body").contains("team_id"))
+      .select(col("league")).collect().map(_.getLong(0)).toSeq
+    assert(mixed == Seq(2L))
   }
 
-  test("the directory WALK itself is pruned, not just the file list") {
-    // level-1 predicate admits only league_153: league_39's directory
-    // is never descended into (object-store listing is the real cost)
-    val files = StagedJson.listFiles(root,
-      dirOk = (level, name) => level != 1 || name == "league_153",
-      keepNonConforming = false)
-    assert(files.size == 3)
-    assert(files.forall(_.contains("/league_153/")), files.mkString(","))
+  test("metadata-only projection does ZERO payload IO (column pruning reaches the reader)") {
+    // direct proof: a reader over a NONEXISTENT path succeeds when the
+    // pruned schema omits `body` — any payload IO would throw
+    val noBody = org.apache.spark.sql.types.StructType(
+      StagedJsonSource.Schema.filterNot(_.name == "body"))
+    val reader = new StagedJsonReaderFactory(noBody)
+      .createReader(StagedFilePartition("/nonexistent/season_1/x.json", 2023L, 7L, "teams"))
+    assert(reader.next())
+    val row = reader.get()
+    assert(row.getLong(0) == 2023L && row.getLong(1) == 7L)
+    assert(!reader.next())
+    // and through the planner: the scan's read schema drops body
+    val q = load.select(col("season"), col("league"))
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScan in plan"))
+    assert(!scan.description().contains("body"),
+      s"read schema still contains body: ${scan.description()}")
   }
 
-  test("content is read only when required; payload reaches spark.read.json downstream") {
-    // metadata-only projection: file bytes never read (content pruned)
-    val meta = spark.read.format("staged-json").load(root)
-      .groupBy("endpoint").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(meta == Map("teams" -> 3L, "standings" -> 1L))
-    // full read: content flows into a JSON parse
-    val teams = spark.read.format("staged-json").load(root)
-      .filter(col("endpoint") === "teams" && col("season") === 2023 && col("league") === 153)
-      .select(col("pk"), col("content"))
-    val parsed = teams.select(col("pk"),
-        from_json(col("content"),
-          org.apache.spark.sql.types.DataType.fromDDL("array<struct<team_key:string>>")).as("t"))
-      .select(col("pk"), explode(col("t")).as("row"))
-      .select(col("pk"), col("row.team_key"))
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    assert(parsed.toSeq == Seq(("2023-153", "1")))
+  test("staged source feeds the existing normalizer contract (season/league = pk parts)") {
+    val pk = load.filter(col("endpoint") === "teams")
+      .select(concat_ws("-", col("season"), col("league")).as("pk"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(pk == Seq("2022-1", "2023-1"))
   }
 }
