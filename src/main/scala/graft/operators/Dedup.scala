@@ -261,8 +261,12 @@ object Dedup {
     * over the standing corpus; at warehouse scale both land in parquet
     * bucketed by (band, bucket) and doc_id respectively, so a delta
     * batch joins them with NO corpus-side shuffle and the corpus TEXT
-    * is never rescanned. */
-  final case class DedupIndex(buckets: DataFrame, sets: DataFrame)
+    * is never rescanned. The build parameters travel WITH the index:
+    * a delta probed with a different shingle width or banding than
+    * the corpus was signed with would silently find (almost) nothing
+    * — carrying n/k/bands makes that mistake unrepresentable. */
+  final case class DedupIndex(buckets: DataFrame, sets: DataFrame,
+      n: Int, k: Int, bands: Int)
 
   /** Build the incremental-dedup index over the standing corpus — the
     * write-once half of continuous-ingest dedup. Same kernels as
@@ -275,7 +279,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
-    DedupIndex(bucketsFromSignatures(sig, k, bands), sh)
+    DedupIndex(bucketsFromSignatures(sig, k, bands), sh, n, k, bands)
   }
 
   /** Incremental (delta) dedup: near-dup pairs between a NEW batch and
@@ -288,17 +292,19 @@ object Dedup {
     * state), and only candidates pay the exact-Jaccard merge scan
     * against the index's stored sets. Within-delta duplicates are the
     * existing batch path (`nearDuplicates` on the delta alone).
-    * `n`/`k`/`bands` must match the index build.
+    * Shingle width and banding come FROM the index (a delta probed
+    * with different parameters than the corpus was signed with would
+    * silently find nothing — carrying them makes that mistake
+    * unrepresentable).
     * Output: (delta_id, corpus_id, jaccard) with jaccard ≥ threshold. */
   def dedupAgainstIndex(index: DedupIndex, delta: DataFrame, id: Column,
-      text: Column, n: Int = 3, k: Int = 8, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    val dsh = shingleHashFrame(delta.repartition(id), id, text, n)
+      text: Column, threshold: Double = 0.8): DataFrame = {
+    val dsh = shingleHashFrame(delta.repartition(id), id, text, index.n)
       .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dsig = dsh.select(col("doc_id"),
-      graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
-    val cand = bucketsFromSignatures(dsig, k, bands)
+      graft.functions.MinHashSig.minhashSig(col("s"), index.k).as("sig"))
+    val cand = bucketsFromSignatures(dsig, index.k, index.bands)
       .select(col("band"), col("bucket"), col("doc_id").as("delta_id"))
       .join(index.buckets
         .select(col("band"), col("bucket"), col("doc_id").as("corpus_id")),

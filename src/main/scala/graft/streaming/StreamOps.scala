@@ -271,10 +271,13 @@ object StreamOps {
         val crossBatch =
           if (!fs.exists(bucketsPath)) inBatch.limit(0)
           else {
+            // parquet-loaded state uses the default build parameters —
+            // the same ones the novel-doc buildDedupIndex below signs with
             val idx = graft.operators.Dedup.DedupIndex(
               spark.read.parquet(s"$indexDir/buckets")
                 .select("doc_id", "band", "bucket"),
-              spark.read.parquet(s"$indexDir/sets").select("doc_id", "s"))
+              spark.read.parquet(s"$indexDir/sets").select("doc_id", "s"),
+              n = 3, k = 8, bands = 4)
             graft.operators.Dedup
               .dedupAgainstIndex(idx, b, col("doc_id"), col("text"),
                 threshold = threshold)
