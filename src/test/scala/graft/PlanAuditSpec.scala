@@ -136,6 +136,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the re-plan path q62's salting pre-empts)") {
+    // one key holds ~90% of the rows; with skew-join thresholds
+    // lowered to fixture scale, AQE must mark the sort-merge join
+    // skew-handled and split the hot partition into multiple tasks —
+    // the runtime complement to the static salting of q62, worth
+    // pinning so a config regression can't silently serialize the
+    // hot key again at 100 TB
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(spark.conf.get(k)).toOption.filter(_ != null))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val skewed = (1L to 40000L)
+        .map(i => (if (i % 10 != 0) 1L else i, s"payload_$i"))
+        .toDF("k", "v")
+      val dim = (1L to 4000L).map(i => (i, i * 2)).toDF("k", "w")
+      val joined = skewed.join(dim, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q30/q31: enforce split evaluates the validation tree once — filters test the error attribute") {
     // Without the ComputeOnce barrier, predicate pushdown inlines the
     // whole error derivation (JSON parse, timestamp format, try_casts)
