@@ -40,31 +40,7 @@ object ImageCodec {
   /** Binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
     * whitespace/#-comment separation, one whitespace byte, then
     * 3·w·h RGB bytes. */
-  def decodePpm(b: Array[Byte]): Image = {
-    var pos = 0
-    def isWs(c: Byte): Boolean =
-      c == ' ' || c == '\n' || c == '\r' || c == '\t'
-    def token(): String = {
-      while (pos < b.length && (isWs(b(pos)) || b(pos) == '#')) {
-        if (b(pos) == '#') while (pos < b.length && b(pos) != '\n') pos += 1
-        else pos += 1
-      }
-      val start = pos
-      while (pos < b.length && !isWs(b(pos))) pos += 1
-      new String(b, start, pos - start, StandardCharsets.US_ASCII)
-    }
-    val magic = token()
-    require(magic == "P6", s"not a P6 ppm (magic '$magic')")
-    val w = token().toInt
-    val h = token().toInt
-    val maxv = token().toInt
-    require(w > 0 && h > 0, s"bad ppm dimensions ${w}x$h")
-    require(maxv == 255, s"only maxval 255 supported, got $maxv")
-    pos += 1 // the single whitespace byte that terminates the header
-    require(b.length - pos >= 3 * w * h,
-      s"ppm truncated: need ${3 * w * h} pixel bytes, have ${b.length - pos}")
-    Image(w, h, java.util.Arrays.copyOfRange(b, pos, pos + 3 * w * h))
-  }
+  def decodePpm(b: Array[Byte]): Image = decodePpmAt(b, 0)._1
 
   /** Uncompressed 24-bit BMP: BITMAPFILEHEADER ('BM', pixel-array
     * offset at byte 10) + BITMAPINFOHEADER (width/height/bpp/
@@ -104,6 +80,54 @@ object ImageCodec {
       y += 1
     }
     Image(w, h, rgb)
+  }
+
+  /** Offset-aware P6 decode for container parsing: returns the image
+    * and the index one past its last pixel byte. */
+  def decodePpmAt(b: Array[Byte], offset: Int): (Image, Int) = {
+    var pos = offset
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def token(): String = {
+      while (pos < b.length && (isWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') while (pos < b.length && b(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      val start = pos
+      while (pos < b.length && !isWs(b(pos))) pos += 1
+      new String(b, start, pos - start, StandardCharsets.US_ASCII)
+    }
+    val magic = token()
+    require(magic == "P6", s"not a P6 ppm at offset $offset (magic '$magic')")
+    val w = token().toInt
+    val h = token().toInt
+    val maxv = token().toInt
+    require(w > 0 && h > 0, s"bad ppm dimensions ${w}x$h at offset $offset")
+    require(maxv == 255, s"only maxval 255 supported, got $maxv")
+    pos += 1
+    require(b.length - pos >= 3 * w * h,
+      s"ppm truncated at offset $offset: need ${3 * w * h} pixel bytes, have ${b.length - pos}")
+    (Image(w, h, java.util.Arrays.copyOfRange(b, pos, pos + 3 * w * h)),
+      pos + 3 * w * h)
+  }
+
+  /** Multi-frame container: consecutive P6 images in one payload (the
+    * shape of a raw frame dump; real video adds inter-frame coding,
+    * same call structure via FFI). Returns every frame in order. */
+  def decodeFrameContainer(b: Array[Byte]): Seq[Image] = {
+    val out = Seq.newBuilder[Image]
+    var pos = 0
+    while (pos < b.length) {
+      // skip inter-frame whitespace before deciding we're done
+      while (pos < b.length &&
+        (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\r' || b(pos) == '\t')) pos += 1
+      if (pos < b.length) {
+        val (img, next) = decodePpmAt(b, pos)
+        out += img
+        pos = next
+      }
+    }
+    out.result()
   }
 
   /** P6 encoder — the re-encode half of the real resize path. */

@@ -135,6 +135,33 @@ object Multimodal {
       }
   }
 
+  final case class SampledFrame(id: Long, frameIdx: Int, width: Int,
+      height: Int, ahash: Long, payload: Array[Byte])
+
+  /** REAL frame sampling: the payload is a multi-frame container
+    * (consecutive P6 frames — [[ImageCodec.decodeFrameContainer]]),
+    * every k-th decoded frame is re-encoded with its perceptual hash —
+    * the generator-shaped mapPartitions (1 asset → n rows) running a
+    * genuine byte decoder end to end. Real video swaps the container
+    * parse for an FFI demuxer with the identical call structure. */
+  def sampleFramesReal(spark: SparkSession, assets: DataFrame, everyK: Int,
+      maxFrames: Int = 8): Dataset[SampledFrame] = {
+    import spark.implicits._
+    require(everyK >= 1, s"everyK must be positive, got $everyK")
+    assets.select(col("id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          ImageCodec.decodeFrameContainer(payload).zipWithIndex.iterator
+            .filter(_._2 % everyK == 0)
+            .take(maxFrames)
+            .map { case (img, idx) =>
+              SampledFrame(id, idx, img.width, img.height,
+                ImageCodec.ahash64(img), ImageCodec.encodePpm(img))
+            }
+        }
+      }
+  }
+
   /** Frame sampling stub (video → every k-th frame): a generator-shaped
     * mapPartitions (1 asset → n frame rows) — the row-explosion pattern
     * a real ffmpeg-backed sampler has, with deterministic fake frames. */

@@ -247,6 +247,29 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.length == delta.count() && exact.forall(_ == 1.0))
   }
 
+  test("multimodal: REAL frame sampling over a multi-frame P6 container") {
+    import graft.operators.ImageCodec
+    // 5 solid-color 2x2 frames concatenated into one payload
+    def frame(r: Int, g: Int, b: Int): Array[Byte] =
+      ImageCodec.encodePpm(ImageCodec.Image(2, 2,
+        Array.fill(4)(Array(r.toByte, g.toByte, b.toByte)).flatten))
+    val container = (0 until 5).flatMap(i => frame(50 * i, 0, 255 - 50 * i)).toArray
+    assert(ImageCodec.decodeFrameContainer(container).size == 5)
+    val src = Seq((9L, container)).toDF("id", "payload")
+    val assets = Multimodal.toAssets(src, "id", "payload", ImageCodec.PpmMime)
+    val frames = Multimodal.sampleFramesReal(spark, assets, everyK = 2)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4)) // every 2nd of 5
+    assert(frames.forall(f => f.width == 2 && f.height == 2))
+    // each emitted payload is itself a decodable P6 with the original pixels
+    val f2 = ImageCodec.decodePpm(frames(1).payload)
+    assert(f2.rgb.take(3).map(_ & 0xff).toSeq == Seq(100, 0, 155))
+    assert(frames(1).ahash == ImageCodec.ahash64(f2))
+    // a corrupt container fails loudly, mid-stream
+    assertThrows[IllegalArgumentException](
+      ImageCodec.decodeFrameContainer(container.take(container.length - 5)))
+  }
+
   test("portable and fast minhash share the operator shape") {
     val s1 = Dedup.minhashSignatures(docs, col("doc_id"), col("text"))
       .head().getSeq[Long](1)
