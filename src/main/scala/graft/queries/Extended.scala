@@ -978,6 +978,41 @@ object Extended {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** t76 — heavy-hitter tokens per language via the two-pass sketch
+    * pattern: Misra-Gries (capacity 64, a custom typed Aggregator with
+    * mergeable-summaries combine) generates bounded-memory CANDIDATES,
+    * then only candidates are exactly re-counted (broadcast semi-
+    * filter before the aggregation — the full distinct-token count
+    * table is never built) and thresholded at 2% of the language's
+    * tokens. Exactness: MG undercount ≤ n/65 < 2%·n, so every true
+    * heavy hitter is a candidate, and the exact re-count + threshold
+    * make the output independent of the sketch's merge order —
+    * which is why it can hash-match an exact GROUP BY/HAVING oracle. */
+  val t76HeavyHitters: Q = Q(
+    "t76_heavy_hitters",
+    s"""WITH tk AS (SELECT lang, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |tot AS (SELECT lang, count(*) AS n FROM tk GROUP BY lang)
+       |SELECT tk.lang AS lang, tok, CAST(count(*) AS BIGINT) AS cnt
+       |FROM tk JOIN tot ON tk.lang = tot.lang
+       |GROUP BY tk.lang, tok, tot.n
+       |HAVING count(*) * 50 > tot.n
+       |ORDER BY lang, tok""".stripMargin) { (s, dir) =>
+    val tk = Tables.documents(s, dir)
+      .select(col("lang"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val cands = tk.groupBy(col("lang"))
+      .agg(graft.functions.FreqSketchAgg.misraGries(64)(col("tok")).as("cand"))
+      .select(col("lang"), explode(col("cand")).as("tok"))
+    val totals = tk.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    tk.join(broadcast(cands), Seq("lang", "tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "lang")
+      .filter(col("cnt") * 50 > col("n"))
+      .select(col("lang"), col("tok"), col("cnt"))
+      .orderBy(col("lang"), col("tok"))
+  }
+
   val t71BigramLm: Q = Q(
     "t71_bigram_lm",
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
@@ -1116,7 +1151,7 @@ object Extended {
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
-    t74QuantileFilter, t75SourceCap,
+    t74QuantileFilter, t75SourceCap, t76HeavyHitters,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, d45MinhashFast)
