@@ -1000,10 +1000,16 @@ object Extended {
     val tk = Tables.documents(s, dir)
       .select(col("lang"), explode_outer(tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull)
-    val cands = tk.groupBy(col("lang"))
-      .agg(graft.functions.FreqSketchAgg.misraGries(64)(col("tok")).as("cand"))
-      .select(col("lang"), explode(col("cand")).as("tok"))
-    val totals = tk.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    // pass 1: sketch + language totals in ONE aggregation — the corpus
+    // tokenizes exactly twice overall (pass 1 + the candidate
+    // re-count), the two-pass minimum; pass1 is ≤ langs·(64+1) rows,
+    // persisted so its two consumers don't re-derive the scan
+    val pass1 = tk.groupBy(col("lang"))
+      .agg(graft.functions.FreqSketchAgg.misraGries(64)(col("tok")).as("cand"),
+        count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = pass1.select(col("lang"), explode(col("cand")).as("tok"))
+    val totals = pass1.select(col("lang"), col("n"))
     tk.join(broadcast(cands), Seq("lang", "tok"))
       .groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
