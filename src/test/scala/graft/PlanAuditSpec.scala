@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSpec {
       "expected the per-language threshold join to broadcast")
   }
 
+  test("d55: delta dedup broadcasts the small candidate/threshold sides, no corpus window") {
+    val p = plan("d55_delta_dedup")
+    assert(!p.contains("CartesianProduct"), "delta dedup planned a cartesian")
+    assert(!p.contains("Window"), s"no window belongs in the banded join path:\n$p")
+  }
+
+  test("q68: the physical as-of join plans the merge operator, not join+window") {
+    val p = plan("q68_asof_physical")
+    assert(p.contains("AsOfMergeJoin"), s"physical operator missing:\n$p")
+    assert(!p.contains("Window"), s"lowered join+window leaked into the physical path:\n$p")
+  }
+
   test("bucketed tables join with ZERO exchanges (the shuffle was paid at write time)") {
     // fact⋈fact at 100 TB: neither side broadcasts, so an unbucketed
     // join shuffles both corpora on every query. Layout.writeBucketed
