@@ -107,14 +107,20 @@ object StagedJsonSource {
   }
 }
 
-final class StagedJsonTable(root: String) extends Table with SupportsRead {
+final class StagedJsonTable(root: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(root != null, "staged json source requires a path (.load(root))")
   override def name(): String = s"staged_json($root)"
   override def schema(): StructType = StagedJsonSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StagedJsonScanBuilder(root)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new StagedJsonWriteBuilder(root, info.schema())
 }
 
 final class StagedJsonScanBuilder(root: String) extends ScanBuilder

@@ -76,6 +76,38 @@ class SourcesSpec extends SparkSpec {
       s"read schema still contains body: ${scan.description()}")
   }
 
+  test("staged WRITE: two-phase commit round-trips the layout; overwrite truncates; no staging debris") {
+    val out = Files.createTempDirectory("graft_staged_out").toString
+    // read → transform → write: the 2023 files land in a fresh root
+    load.filter(col("season") === 2023)
+      .write.format("staged-json").mode("append").save(out)
+    val back = spark.read.format("staged-json").load(out)
+      .select(col("season"), col("league"), col("endpoint"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(back == Seq(
+      (2023L, 1L, "teams", """[{"team_key":"2"}]"""),
+      (2023L, 2L, "standings", """[{"team_id":"3"}]""")))
+    // overwrite = WRITE_TRUNCATE: a second write of a DIFFERENT subset
+    // replaces the layout's files instead of accumulating
+    load.filter(col("season") === 2022)
+      .write.format("staged-json").mode("overwrite").save(out)
+    val after = spark.read.format("staged-json").load(out)
+      .select(col("season")).collect().map(_.getLong(0)).toSeq
+    assert(after == Seq(2022L), s"truncate left stale files: $after")
+    // commit cleaned its staging directories
+    val debris = Files.list(Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains(".staging-"))
+    assert(debris.isEmpty, s"staging debris: ${debris.mkString(", ")}")
+    // a write missing a required layout column fails at planning
+    // (Spark's table-schema validation fires before the builder's own
+    // guard — either way, nothing reaches the filesystem)
+    val bad = intercept[Exception](
+      spark.range(1).selectExpr("id AS season")
+        .write.format("staged-json").mode("append").save(out))
+    assert(bad.getMessage.contains("league"), bad.getMessage)
+  }
+
   test("staged source feeds the existing normalizer contract (season/league = pk parts)") {
     val pk = load.filter(col("endpoint") === "teams")
       .select(concat_ws("-", col("season"), col("league")).as("pk"))
