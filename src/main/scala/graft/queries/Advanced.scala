@@ -205,6 +205,39 @@ object Advanced {
       .orderBy(col("event_id"))
   }
 
+  /** q69 — the DSv2 connector end-to-end under the oracle gate:
+    * documents are materialized into a real staged-file tree through
+    * the two-phase-commit WRITE path, read back through the connector
+    * (the season filter prunes whole files at planning), and
+    * aggregated; the oracle computes the same aggregate straight from
+    * the documents table — so layout round-trip, file pruning, and
+    * worker-side body reads are all hash-gated, not just spec-gated. */
+  val q69StagedRoundtrip: Q = Q(
+    "q69_staged_roundtrip",
+    """SELECT doc_id % 3 + 1 AS league,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'teams' ELSE 'standings' END AS endpoint,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+      |FROM documents WHERE doc_id % 5 + 2020 = 2023
+      |GROUP BY 1, 2 ORDER BY league, endpoint""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q69").toString
+    Tables.documents(s, dir).select(
+        (col("doc_id") % 5 + 2020).as("season"),
+        (col("doc_id") % 3 + 1).as("league"),
+        when(col("doc_id") % 2 === 0, "teams").otherwise("standings").as("endpoint"),
+        col("text").as("body"),
+        // table schema includes the READ-derived path column; its
+        // written value is ignored (the layout determines the path)
+        lit("").as("path"))
+      .write.format("staged-json").mode("overwrite").save(tmp)
+    s.read.format("staged-json").load(tmp)
+      .filter(col("season") === 2023) // planning-time file pruning
+      .groupBy(col("league"), col("endpoint"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(octet_length(col("body"))).as("n_bytes"))
+      .orderBy(col("league"), col("endpoint"))
+  }
+
   /** q29 — pivot (dedicated API over conditional aggregation): order
     * counts per nation × status. */
   val q29Pivot: Q = Q(
@@ -452,5 +485,6 @@ object Advanced {
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
     q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow, q68AsofPhysical,
+    q69StagedRoundtrip,
     q49MapFuncs, q50Corr, q56GroupLinreg, q59Unpivot, q60Histogram, q61Mode)
 }
