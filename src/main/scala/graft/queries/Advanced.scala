@@ -218,10 +218,14 @@ object Advanced {
       |  CASE WHEN doc_id % 2 = 0 THEN 'teams' ELSE 'standings' END AS endpoint,
       |  CAST(count(*) AS BIGINT) AS n_files,
       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
-      |FROM documents WHERE doc_id % 5 + 2020 = 2023
+      |FROM documents WHERE doc_id < 150 AND doc_id % 5 + 2020 = 2023
       |GROUP BY 1, 2 ORDER BY league, endpoint""".stripMargin) { (s, dir) =>
     val tmp = java.nio.file.Files.createTempDirectory("graft_q69").toString
-    Tables.documents(s, dir).select(
+    // deterministic bounded subset: the layout is one row per file, so
+    // an uncapped stage writes |documents| files — the cap keeps the
+    // materialized tree sf-independent (the connector's own scaling is
+    // measured in SourcesSpec; this query gates CORRECTNESS end-to-end)
+    Tables.documents(s, dir).filter(col("doc_id") < 150).select(
         (col("doc_id") % 5 + 2020).as("season"),
         (col("doc_id") % 3 + 1).as("league"),
         when(col("doc_id") % 2 === 0, "teams").otherwise("standings").as("endpoint"),
