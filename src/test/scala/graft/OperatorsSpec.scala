@@ -270,6 +270,25 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.length == delta.count() && exact.forall(_ == 1.0))
   }
 
+  test("image codec: encode/decode round-trips random rasters bit-exactly") {
+    import graft.operators.ImageCodec
+    import org.scalacheck.{Gen, rng}
+    val g = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield ImageCodec.Image(w, h, px.map(_.toByte).toArray)
+    val imgs = Gen.listOfN(8, g).apply(Gen.Parameters.default, rng.Seed(59L)).get
+    imgs.foreach { img =>
+      val back = ImageCodec.decodePpm(ImageCodec.encodePpm(img))
+      assert(back.width == img.width && back.height == img.height)
+      assert(java.util.Arrays.equals(back.rgb, img.rgb))
+      // identity resize is exact; perceptual hash survives the round trip
+      val same = ImageCodec.resizeNearest(img, img.width, img.height)
+      assert(java.util.Arrays.equals(same.rgb, img.rgb))
+      assert(ImageCodec.ahash64(back) == ImageCodec.ahash64(img))
+    }
+  }
+
   test("multimodal: REAL frame sampling over a multi-frame P6 container") {
     import graft.operators.ImageCodec
     // 5 solid-color 2x2 frames concatenated into one payload

@@ -108,6 +108,18 @@ class SourcesSpec extends SparkSpec {
     assert(bad.getMessage.contains("league"), bad.getMessage)
   }
 
+  test("range and IN filters prune files; unpushable shapes stay residual without losing rows") {
+    val ge = load.filter(col("season") >= 2023)
+    assert(ge.rdd.getNumPartitions == 2 && ge.count() == 2)
+    val in = load.filter(col("league").isin(2L, 9L))
+    assert(in.rdd.getNumPartitions == 1 && in.count() == 1)
+    // an OR across path columns is not a pushable shape — the full
+    // file set is planned and Spark's residual filter still gets the
+    // right answer
+    val or = load.filter(col("season") === 2022 || col("league") === 2)
+    assert(or.rdd.getNumPartitions == 3 && or.count() == 2)
+  }
+
   test("staged source feeds the existing normalizer contract (season/league = pk parts)") {
     val pk = load.filter(col("endpoint") === "teams")
       .select(concat_ws("-", col("season"), col("league")).as("pk"))
