@@ -55,6 +55,12 @@ object Quantiles {
     * never shuffles. */
   def keepAboveGroupPercentile(df: DataFrame, group: Seq[String],
       value: Column, pct: Int): DataFrame = {
+    // this wrapper adds its own temp column and joins the threshold
+    // frame, so its reserved names need the same collision guard as
+    // discretePercentile's internals
+    Seq("graft_v0", "threshold").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
     val thr = discretePercentile(df, group, value, pct)
     df.withColumn("graft_v0", value)
       .join(broadcast(thr), group)

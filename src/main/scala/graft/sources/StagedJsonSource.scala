@@ -4,8 +4,8 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -14,6 +14,7 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 source for the reference's staged-file layout —
   * `{api}/season_{S}/league_{L}/{endpoint}/{run}.json` (SURVEY §2.1
@@ -59,6 +60,18 @@ object StagedJsonSource {
     StructField("body", StringType, nullable = true)))
 
   private val PathRe = raw".*/season_(\d+)/league_(\d+)/([^/]+)/[^/]+\.json$$".r
+  private[sources] val SeasonDirRe = raw"season_(\d+)".r
+  private[sources] val LeagueDirRe = raw"league_(\d+)".r
+
+  /** Driver-side session Hadoop conf, serializable for shipping to
+    * reader/writer factories (as FileSourceScanExec does) — built from
+    * `sessionState.newHadoopConf()` so session-level `spark.hadoop.*`
+    * settings (object-store credentials, fs tuning) apply on both the
+    * driver listing and executor IO, which `new Configuration()`
+    * silently dropped. */
+  private[sources] def sessionConf(): SerializableConfiguration =
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
 
   /** (season, league, endpoint) from a staged path; None = not a
     * staged file (ignored, like non-matching files in a file index). */
@@ -69,18 +82,40 @@ object StagedJsonSource {
 
   /** File-level filter evaluation: exact because season/league/
     * endpoint have ONE value per file. Unsupported filter shapes are
-    * simply not pushed (Spark evaluates them post-scan). */
+    * simply not pushed (Spark evaluates them post-scan), and so are
+    * filters whose VALUES `satisfies` can't compare (nulls, a
+    * non-numeric season, a non-string endpoint) — declining them here
+    * leaves them as residuals instead of failing the whole query at
+    * planning. */
   private[sources] def prunable(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => pathCols(a)
-    case In(a, _) => pathCols(a)
-    case GreaterThan(a, _) => pathCols(a)
-    case GreaterThanOrEqual(a, _) => pathCols(a)
-    case LessThan(a, _) => pathCols(a)
-    case LessThanOrEqual(a, _) => pathCols(a)
+    case EqualTo(a, x) => pathCols(a) && evaluable(a, x)
+    case In(a, xs) => pathCols(a) && xs != null && xs.forall(evaluable(a, _))
+    case GreaterThan(a, x) => pathCols(a) && evaluable(a, x)
+    case GreaterThanOrEqual(a, x) => pathCols(a) && evaluable(a, x)
+    case LessThan(a, x) => pathCols(a) && evaluable(a, x)
+    case LessThanOrEqual(a, x) => pathCols(a) && evaluable(a, x)
     case _ => false
   }
   private def pathCols(a: String): Boolean =
     a == "season" || a == "league" || a == "endpoint"
+  private def evaluable(a: String, x: Any): Boolean = x match {
+    case null => false
+    case _: Number => a == "season" || a == "league"
+    case _: String => a == "endpoint"
+    case _ => false
+  }
+
+  /** The single attribute a pushable filter constrains (pushable
+    * shapes are all single-attribute — see [[prunable]]). */
+  private[sources] def attrOf(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case In(a, _) => Some(a)
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case _ => None
+  }
 
   private[sources] def satisfies(f: Filter, season: Long, league: Long,
       endpoint: String): Boolean = {
@@ -116,14 +151,15 @@ final class StagedJsonTable(root: String) extends Table
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StagedJsonScanBuilder(root)
+    new StagedJsonScanBuilder(root, StagedJsonSource.sessionConf())
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new StagedJsonWriteBuilder(root, info.schema())
+    new StagedJsonWriteBuilder(root, info.schema(), StagedJsonSource.sessionConf())
 }
 
-final class StagedJsonScanBuilder(root: String) extends ScanBuilder
+final class StagedJsonScanBuilder(root: String, conf: SerializableConfiguration)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = StagedJsonSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -136,14 +172,15 @@ final class StagedJsonScanBuilder(root: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new StagedJsonScan(root, required, pushed)
+  override def build(): Scan = new StagedJsonScan(root, required, pushed, conf)
 }
 
 final case class StagedFilePartition(path: String, season: Long,
     league: Long, endpoint: String) extends InputPartition
 
 final class StagedJsonScan(root: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], conf: SerializableConfiguration)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -152,30 +189,56 @@ final class StagedJsonScan(root: String, required: StructType,
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side LISTING only; recursive walk of the staged tree
-    val rootPath = new HPath(root)
-    val fs = rootPath.getFileSystem(new Configuration())
-    val it = fs.listFiles(rootPath, true)
+    // driver-side LISTING only, and level-wise: a season_/league_/
+    // endpoint directory refuted by a pushed filter is never descended
+    // into, so a one-league query never even LISTS the other leagues'
+    // subtrees — at object-store scale the listing calls themselves
+    // are the cost being pruned
+    val fs = new HPath(root).getFileSystem(conf.value)
     val out = Array.newBuilder[InputPartition]
-    while (it.hasNext) {
-      val f = it.next()
-      StagedJsonSource.parsePath(f.getPath.toUri.getPath).foreach {
-        case (season, league, endpoint) =>
-          if (pushed.forall(
-              StagedJsonSource.satisfies(_, season, league, endpoint)))
-            out += StagedFilePartition(
-              f.getPath.toString, season, league, endpoint)
+    // evaluate only the pushed filters constraining `attr` (the other
+    // two value slots are never read by satisfies for those filters)
+    def levelPass(attr: String, s: Long, l: Long, e: String): Boolean =
+      pushed.filter(f => StagedJsonSource.attrOf(f).contains(attr))
+        .forall(StagedJsonSource.satisfies(_, s, l, e))
+    def walk(p: HPath, parentIsLeague: Boolean): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          val name = st.getPath.getName
+          name match {
+            case StagedJsonSource.SeasonDirRe(s) =>
+              if (levelPass("season", s.toLong, 0L, ""))
+                walk(st.getPath, parentIsLeague = false)
+            case StagedJsonSource.LeagueDirRe(l) =>
+              if (levelPass("league", 0L, l.toLong, ""))
+                walk(st.getPath, parentIsLeague = true)
+            case e if parentIsLeague => // league children are endpoint dirs
+              if (levelPass("endpoint", 0L, 0L, e))
+                walk(st.getPath, parentIsLeague = false)
+            case _ => // api level / unrecognized: descend, prune deeper
+              walk(st.getPath, parentIsLeague = false)
+          }
+        } else {
+          // final file-level check stays exact independent of pruning
+          StagedJsonSource.parsePath(st.getPath.toUri.getPath).foreach {
+            case (season, league, endpoint) =>
+              if (pushed.forall(
+                  StagedJsonSource.satisfies(_, season, league, endpoint)))
+                out += StagedFilePartition(
+                  st.getPath.toString, season, league, endpoint)
+          }
+        }
       }
-    }
+    walk(new HPath(root), parentIsLeague = false)
     out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StagedJsonReaderFactory(required)
+    new StagedJsonReaderFactory(required, conf)
 }
 
-final class StagedJsonReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+final class StagedJsonReaderFactory(required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[StagedFilePartition]
     new PartitionReader[InternalRow] {
@@ -191,7 +254,7 @@ final class StagedJsonReaderFactory(required: StructType)
             // payload IO happens HERE, on the executor, and ONLY when
             // the pruned schema still contains `body`
             val hp = new HPath(sp.path)
-            val fs = hp.getFileSystem(new Configuration())
+            val fs = hp.getFileSystem(conf.value)
             val in = fs.open(hp)
             try {
               val bytes = org.apache.commons.io.IOUtils.toByteArray(in)

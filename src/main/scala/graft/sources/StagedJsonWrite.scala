@@ -2,11 +2,11 @@ package graft.sources
 
 import scala.collection.mutable
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
 
 /** DSv2 WRITE path for the staged-JSON layout — the two-phase commit
   * protocol the reference's staging writer + rollback (SURVEY §2.2
@@ -30,18 +30,20 @@ import org.apache.spark.sql.types.StructType
   * one staged file at `api/season_S/league_L/<endpoint>/part-P-R.json`
   * — the inverse of [[StagedJsonSource]]'s read mapping, so
   * read → transform → write round-trips the layout. */
-final class StagedJsonWriteBuilder(root: String, schema: StructType)
+final class StagedJsonWriteBuilder(root: String, schema: StructType,
+    conf: SerializableConfiguration)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new StagedJsonWrite(root, schema, doTruncate)
+  override def build(): Write = new StagedJsonWrite(root, schema, doTruncate, conf)
 }
 
 final case class StagedCommit(files: Seq[(String, String)])
     extends WriterCommitMessage
 
 final class StagedJsonWrite(root: String, schema: StructType,
-    truncate: Boolean) extends Write with BatchWrite {
+    truncate: Boolean, conf: SerializableConfiguration)
+    extends Write with BatchWrite {
   Seq("season", "league", "endpoint", "body").foreach { c =>
     require(schema.fieldNames.contains(c),
       s"staged-json write requires column '$c'; got ${schema.fieldNames.mkString(", ")}")
@@ -50,11 +52,11 @@ final class StagedJsonWrite(root: String, schema: StructType,
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new StagedJsonWriterFactory(root, schema)
+    new StagedJsonWriterFactory(root, schema, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rootPath = new HPath(root)
-    val fs = rootPath.getFileSystem(new Configuration())
+    val fs = rootPath.getFileSystem(conf.value)
     if (truncate && fs.exists(rootPath)) {
       // WRITE_TRUNCATE scoped to the LAYOUT's files: only staged .json
       // files are deleted, never unrelated content under root
@@ -80,7 +82,7 @@ final class StagedJsonWrite(root: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new HPath(root).getFileSystem(new Configuration())
+    val fs = new HPath(root).getFileSystem(conf.value)
     cleanStaging(fs) // destination untouched — staging is the only debris
   }
 
@@ -94,8 +96,8 @@ final class StagedJsonWrite(root: String, schema: StructType,
   }
 }
 
-final class StagedJsonWriterFactory(root: String, schema: StructType)
-    extends DataWriterFactory {
+final class StagedJsonWriterFactory(root: String, schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val idx = Map("season" -> schema.fieldIndex("season"),
       "league" -> schema.fieldIndex("league"),
@@ -106,7 +108,7 @@ final class StagedJsonWriterFactory(root: String, schema: StructType)
       // (partitionId, row sequence) so retries land identically
       private val stagingDir = s"$root/.staging-$partitionId-$taskId"
       private val files = mutable.ArrayBuffer.empty[(String, String)]
-      private lazy val fs = new HPath(root).getFileSystem(new Configuration())
+      private lazy val fs = new HPath(root).getFileSystem(conf.value)
       private var seq = 0
 
       override def write(row: InternalRow): Unit = {

@@ -258,53 +258,78 @@ object StreamOps {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val b = batch.select(col("doc_id"), col("text"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val inBatch = graft.operators.Dedup
-          .nearDuplicates(b, col("doc_id"), col("text"), threshold = threshold)
-          .select(col("b").as("doc_id"), col("a").as("matched_id"))
-        // explicit existence check (not a swallowed read failure): a
-        // missing path is the legitimate first-batch state; anything
-        // else — corrupt files, bad schema — must fail the batch
-        val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
-        val fs = bucketsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val crossBatch =
-          if (!fs.exists(bucketsPath)) inBatch.limit(0)
-          else {
-            // parquet-loaded state uses the default build parameters —
-            // the same ones the novel-doc buildDedupIndex below signs with
-            val idx = graft.operators.Dedup.DedupIndex(
-              spark.read.parquet(s"$indexDir/buckets")
-                .select("doc_id", "band", "bucket"),
-              spark.read.parquet(s"$indexDir/sets").select("doc_id", "s"),
-              n = 3, k = 8, bands = 4)
-            graft.operators.Dedup
-              .dedupAgainstIndex(idx, b, col("doc_id"), col("text"),
-                threshold = threshold)
-              .select(col("delta_id").as("doc_id"),
-                col("corpus_id").as("matched_id"))
-          }
-        // deterministic verdict: the smallest matching id wins
-        val dups = inBatch.unionByName(crossBatch)
-          .groupBy(col("doc_id")).agg(min(col("matched_id")).as("matched_id"))
-        b.join(dups, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("matched_id"),
-            col("matched_id").isNotNull.as("is_dup"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val novel = b.join(dups, Seq("doc_id"), "left_anti")
-        val novelIdx = graft.operators.Dedup
-          .buildDedupIndex(novel, col("doc_id"), col("text"))
-        novelIdx.buckets.write.mode("overwrite")
-          .parquet(s"$indexDir/buckets/batch=$batchId")
-        novelIdx.sets.write.mode("overwrite")
-          .parquet(s"$indexDir/sets/batch=$batchId")
-        b.unpersist()
-        // the dedup operators persist their shingle frames (cache
-        // contract); a long-running stream must not accumulate them
-        spark.catalog.clearCache()
-        ()
+        dedupBatch(spark, batch.toDF(), batchId, indexDir, outDir, threshold)
       }
       .start()
+  }
+
+  /** One micro-batch of [[incrementalDedupStream]], exposed so replay
+    * idempotence is directly testable: calling it twice with the same
+    * `batchId` must produce identical verdicts and index content.
+    *
+    * Replay safety hinges on the index load below EXCLUDING the
+    * current batch's own `batch=<id>` partitions: a batch that died
+    * after writing its index dirs but before the checkpoint committed
+    * is re-run by foreachBatch, and without the exclusion the replay
+    * would read its own docs back from the index — every previously-
+    * novel doc self-matches (jaccard 1.0), verdicts flip to is_dup,
+    * and the now-empty novel set overwrites the index partition with
+    * nothing. Partition pruning means the excluded dirs are never even
+    * opened. */
+  private[graft] def dedupBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, indexDir: String, outDir: String,
+      threshold: Double): Unit = {
+    val b = batch.select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inBatch = graft.operators.Dedup
+      .nearDuplicates(b, col("doc_id"), col("text"), threshold = threshold)
+      .select(col("b").as("doc_id"), col("a").as("matched_id"))
+    // explicit existence check (not a swallowed read failure): a
+    // missing path is the legitimate first-batch state; anything
+    // else — corrupt files, bad schema — must fail the batch
+    val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
+    val fs = bucketsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val crossBatch =
+      if (!fs.exists(bucketsPath)) inBatch.limit(0)
+      else {
+        // parquet-loaded state uses the default build parameters —
+        // the same ones the novel-doc buildDedupIndex below signs
+        // with. `batch` is the partition-discovery column from the
+        // batch=<id> dir scheme; dropping the current id is the
+        // replay-idempotence guard documented above.
+        val idx = graft.operators.Dedup.DedupIndex(
+          spark.read.parquet(s"$indexDir/buckets")
+            .filter(col("batch") =!= batchId)
+            .select("doc_id", "band", "bucket"),
+          spark.read.parquet(s"$indexDir/sets")
+            .filter(col("batch") =!= batchId)
+            .select("doc_id", "s"),
+          n = 3, k = 8, bands = 4)
+        graft.operators.Dedup
+          .dedupAgainstIndex(idx, b, col("doc_id"), col("text"),
+            threshold = threshold)
+          .select(col("delta_id").as("doc_id"),
+            col("corpus_id").as("matched_id"))
+      }
+    // deterministic verdict: the smallest matching id wins
+    val dups = inBatch.unionByName(crossBatch)
+      .groupBy(col("doc_id")).agg(min(col("matched_id")).as("matched_id"))
+    b.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("matched_id"),
+        col("matched_id").isNotNull.as("is_dup"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    val novel = b.join(dups, Seq("doc_id"), "left_anti")
+    val novelIdx = graft.operators.Dedup
+      .buildDedupIndex(novel, col("doc_id"), col("text"))
+    novelIdx.buckets.write.mode("overwrite")
+      .parquet(s"$indexDir/buckets/batch=$batchId")
+    novelIdx.sets.write.mode("overwrite")
+      .parquet(s"$indexDir/sets/batch=$batchId")
+    b.unpersist()
+    // the dedup operators persist their shingle frames (cache
+    // contract); a long-running stream must not accumulate them
+    spark.catalog.clearCache()
+    ()
   }
 
   /** Run a streaming frame to completion against a bounded source and

@@ -244,6 +244,15 @@ class OperatorsSpec extends SparkSpec {
         df, Seq("g"), col("v"), 50)
       .as[(String, Long)].collect().map(_._2).sorted.toSeq
     assert(kept == Seq(2L, 3L, 4L))
+    // reserved-name collisions fail fast instead of yielding ambiguous
+    // columns or a silently wrong filter
+    Seq("graft_v0", "threshold").foreach { c =>
+      val clash = df.withColumn(c, lit(0))
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Quantiles.keepAboveGroupPercentile(
+          clash, Seq("g"), col("v"), 50))
+      assert(e.getMessage.contains(c))
+    }
   }
 
   test("incremental dedup equals the batch path's crossing pairs") {

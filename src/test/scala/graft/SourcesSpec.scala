@@ -61,7 +61,9 @@ class SourcesSpec extends SparkSpec {
     // pruned schema omits `body` — any payload IO would throw
     val noBody = org.apache.spark.sql.types.StructType(
       StagedJsonSource.Schema.filterNot(_.name == "body"))
-    val reader = new StagedJsonReaderFactory(noBody)
+    val reader = new StagedJsonReaderFactory(noBody,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
       .createReader(StagedFilePartition("/nonexistent/season_1/x.json", 2023L, 7L, "teams"))
     assert(reader.next())
     val row = reader.get()
@@ -118,6 +120,51 @@ class SourcesSpec extends SparkSpec {
     // right answer
     val or = load.filter(col("season") === 2022 || col("league") === 2)
     assert(or.rdd.getNumPartitions == 3 && or.count() == 2)
+  }
+
+  test("filters with unevaluable values stay residual instead of failing the query") {
+    // IN with a NULL element: file-level evaluation can't compare it,
+    // so the filter must NOT be pushed — Spark's residual evaluation
+    // still answers correctly (pre-fix this threw at planning)
+    val withNull = load.filter(col("season").isInCollection(Seq(2023L, null)))
+    assert(withNull.count() == 2)
+    val scan = withNull.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScan in plan"))
+    assert(!scan.description().contains("In(season"),
+      s"null-valued IN was pushed: ${scan.description()}")
+  }
+
+  test("level-wise listing prunes whole subtrees: a refuted league dir is never listed") {
+    // poison fixture: league_99 holds a DANGLING SYMLINK — any listing
+    // of that subtree throws FileNotFoundException on the local fs, so
+    // a query that answers correctly proves the subtree was never
+    // walked (the listing cost itself is what pruning saves at scale)
+    val dir = Files.createTempDirectory("graft_staged_poison").toString
+    write(dir, "api/season_2023/league_1/teams/run_1.json", """[{"k":"1"}]""")
+    Files.createDirectories(Paths.get(dir, "api/season_2023/league_99/teams"))
+    Files.createSymbolicLink(
+      Paths.get(dir, "api/season_2023/league_99/teams/run_1.json"),
+      Paths.get(dir, "api/season_2023/league_99/teams/missing_target.json"))
+    val pruned = spark.read.format("staged-json").load(dir)
+      .filter(col("league") === 1)
+    assert(pruned.select("season").collect().map(_.getLong(0)).toSeq == Seq(2023L))
+    // season-level pruning likewise skips the poison
+    val seasonPruned = spark.read.format("staged-json").load(dir)
+      .filter(col("season") === 1999)
+    assert(seasonPruned.count() == 0)
+  }
+
+  test("files at non-standard nesting depth are still discovered") {
+    // the layout regex allows any prefix depth; the level walk descends
+    // through unrecognized dirs, so a wrapped tree keeps working
+    val dir = Files.createTempDirectory("graft_staged_deep").toString
+    write(dir, "mirror/v2/api/season_2024/league_3/teams/run_1.json", """[{"k":"9"}]""")
+    val got = spark.read.format("staged-json").load(dir)
+      .filter(col("season") === 2024)
+      .select("season", "league", "endpoint")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((2024L, 3L, "teams")))
   }
 
   test("staged source feeds the existing normalizer contract (season/league = pk parts)") {

@@ -397,6 +397,39 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == Set(1L, 3L, 12L))
   }
 
+  test("incremental dedup batch replay is idempotent (no self-match, index preserved)") {
+    // the failure mode: a micro-batch dies AFTER its index batch=<id>
+    // dirs are written but BEFORE the checkpoint commits; foreachBatch
+    // re-runs the same (batchId, data). The replay must not read its
+    // own docs back from the index (every novel doc would self-match
+    // and the emptied novel set would wipe the index partition).
+    val base = java.nio.file.Files.createTempDirectory("graft_replay")
+    val (indexDir, outDir) = (base.resolve("index").toString, base.resolve("out").toString)
+    val A = "the quick brown fox jumps over the lazy dog tonight"
+    val C = "a third unrelated document about distributed quantile sketches"
+    val b0 = Seq((1L, A), (3L, C)).toDF("doc_id", "text")
+    StreamOps.dedupBatch(spark, b0, 0L, indexDir, outDir, 0.8)
+    val verdictsOnce = spark.read.parquet(outDir)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    val indexOnce = spark.read.parquet(s"$indexDir/sets")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    // replay the SAME batch id with the SAME data (checkpoint rollback)
+    StreamOps.dedupBatch(spark, b0, 0L, indexDir, outDir, 0.8)
+    val verdictsTwice = spark.read.parquet(outDir)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    val indexTwice = spark.read.parquet(s"$indexDir/sets")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(verdictsOnce == Map(1L -> false, 3L -> false))
+    assert(verdictsTwice == verdictsOnce) // no self-matches on replay
+    assert(indexOnce == Set(1L, 3L) && indexTwice == indexOnce) // no index loss
+    // and a genuine later batch still dedups against the replayed index
+    StreamOps.dedupBatch(spark, Seq((11L, A)).toDF("doc_id", "text"),
+      1L, indexDir, outDir, 0.8)
+    val v11 = spark.read.parquet(s"$outDir/batch=1")
+      .select("doc_id", "matched_id").as[(Long, Option[Long])].collect().toMap
+    assert(v11 == Map(11L -> Some(1L)))
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
