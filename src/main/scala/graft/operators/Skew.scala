@@ -34,6 +34,58 @@ object Skew {
       .drop("graft_salt")
   }
 
+  /** ONE-PASS key-distribution profile across candidate shuffle keys —
+    * the diagnostic that decides `saltedJoin`/`saltedAgg`/AQE-skew
+    * settings before a 100 TB job runs. For each key column: row
+    * count, distinct-key count, the hottest key's row count, the skew
+    * factor (hottest ÷ average — 1.0 is perfectly uniform; the number
+    * of salt buckets a salted plan needs is roughly this), and the
+    * hottest key itself (smallest such key on ties, so the output is
+    * deterministic).
+    *
+    * All columns are profiled in ONE scan + ONE shuffle via GROUPING
+    * SETS ((k1),(k2),…): the map side expands each row once per key
+    * with partial aggregation bounding the exchange to distinct
+    * (column, value) pairs; the second aggregate runs over that
+    * already-tiny distribution frame. Profiling n columns by n
+    * separate groupBys would scan the corpus n times. */
+  def profile(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "profile needs at least one key column")
+    Seq("graft_cnt", "graft_gid", "graft_k", "column_name").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
+    val n = keys.length
+    val counts = df
+      .select(keys.map(k => col(k).cast("string").as(k)): _*)
+      .groupingSets(keys.map(k => Seq(col(k))), keys.map(col): _*)
+      .agg(count(lit(1)).as("graft_cnt"), grouping_id().as("graft_gid"))
+    // grouping_id bit convention: leftmost grouping column = highest
+    // bit, bit SET = column NOT in the set → the set grouping only
+    // keys(i) has every bit set except bit (n-1-i)
+    def gidOf(i: Int): Long = ((1L << n) - 1) & ~(1L << (n - 1 - i))
+    val nameCol = coalesce(keys.zipWithIndex.map { case (k, i) =>
+      when(col("graft_gid") === gidOf(i), lit(k)) }: _*)
+    // a null key VALUE stays null here (its when-branch yields null),
+    // which is correct: the null group still counts toward n_keys and
+    // can even be the hot key (reported as null)
+    val valCol = coalesce(keys.zipWithIndex.map { case (k, i) =>
+      when(col("graft_gid") === gidOf(i), col(k)) }: _*)
+    counts
+      .select(nameCol.as("column_name"), valCol.as("graft_k"), col("graft_cnt"))
+      .groupBy(col("column_name"))
+      .agg(
+        sum(col("graft_cnt")).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_keys"),
+        max(col("graft_cnt")).cast("long").as("max_key_rows"),
+        min(struct((-col("graft_cnt")).as("nc"), col("graft_k").as("k")))
+          .as("graft_hot"))
+      .select(col("column_name"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        (col("max_key_rows").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"),
+        col("graft_hot.k").as("hot_key"))
+  }
+
   /** Two-stage skew-safe aggregation: count/sum grouped by a LOW-
     * cardinality (hence skewed) key first pre-aggregates by
     * (key, salt) — spreading each hot key over `saltFactor` reduce

@@ -1150,6 +1150,56 @@ object Extended {
       .orderBy(col("lang"))
   }
 
+  /** t77 — the END-TO-END curation pipeline (Curation.curate): exact
+    * dedup (injected every-7th-doc copies are removed, min-id row
+    * kept) → language gate → quality gate → global token budget, each
+    * stage the standing operator. The oracle restates the whole chain
+    * as one CTE cascade, so the composition — not just each stage — is
+    * hash-verified. quality := the en-stopword ratio (the same number
+    * qualityFeatures emits as stopword_ratio). */
+  val t77CurationPipeline: Q = Q(
+    "t77_curation_pipeline",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+       |s1 AS (SELECT c.doc_id, c.text, c.source
+       |       FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
+       |toks AS (SELECT doc_id, source, ${tokensSql("text")} AS t FROM s1),
+       |feat AS (SELECT doc_id, source,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  ${ratioSql("en")} AS en_score,
+       |  ${ratioSql("de")} AS de_score,
+       |  ${ratioSql("es")} AS es_score
+       |FROM toks),
+       |gate AS (SELECT doc_id, source, n_tokens, en_score AS quality,
+       |    CASE WHEN greatest(en_score, de_score, es_score) < 0.02 THEN 'unknown'
+       |         WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
+       |         WHEN de_score >= es_score THEN 'de'
+       |         ELSE 'es' END AS predicted_lang
+       |  FROM feat
+       |  WHERE n_tokens >= 5 AND en_score >= 0.02),
+       |sel AS (SELECT doc_id, source, predicted_lang, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM gate WHERE predicted_lang <> 'unknown')
+       |SELECT doc_id, source, predicted_lang AS lang_pred, n_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens
+       |FROM sel WHERE cum <= 15000
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("source")))
+    graft.operators.Curation.curate(corpus)
+      .select(col("doc_id"), col("source"),
+        col("predicted_lang").as("lang_pred"), col("n_tokens"),
+        col("cum").cast("long").as("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
@@ -1157,7 +1207,7 @@ object Extended {
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
-    t74QuantileFilter, t75SourceCap, t76HeavyHitters,
+    t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, d45MinhashFast)

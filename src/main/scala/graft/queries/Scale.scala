@@ -329,7 +329,35 @@ object Scale {
     }
   }
 
+  /** q70 — key-skew profile (Skew.profile): per-key-column row count,
+    * distinct keys, hottest-key row count, skew factor and the hot key
+    * itself — the pre-flight diagnostic for saltedJoin/saltedAgg/AQE
+    * sizing. Engine side is ONE scan + one shuffle over GROUPING SETS;
+    * the oracle states the same numbers as one plain GROUP BY per
+    * column (k× the IO, same values). Hot-key ties break on the
+    * smaller key string in both. */
+  val q70KeySkew: Q = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+    val ctes = cols.map { c =>
+      s"""c_$c AS (SELECT CAST($c AS VARCHAR) AS k, count(*) AS cnt
+         |  FROM orders GROUP BY 1),
+         |p_$c AS (SELECT '$c' AS column_name,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(max(cnt) AS BIGINT) AS max_key_rows,
+         |  CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+         |    / CAST(sum(cnt) AS DOUBLE) AS skew_factor,
+         |  (SELECT k FROM c_$c ORDER BY cnt DESC, k LIMIT 1) AS hot_key
+         |FROM c_$c)""".stripMargin
+    }.mkString(",\n")
+    val unions = cols.map(c => s"SELECT * FROM p_$c").mkString("\nUNION ALL\n")
+    Q("q70_key_skew", s"WITH $ctes\n$unions\nORDER BY column_name") { (s, dir) =>
+      graft.operators.Skew.profile(Tables.orders(s, dir), cols)
+        .orderBy(col("column_name"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
-    q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile)
+    q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew)
 }

@@ -788,6 +788,58 @@ class OperatorsSpec extends SparkSpec {
     assert(got == loop)
   }
 
+  test("skew profile: one-pass grouping-sets stats match per-column ground truth") {
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 3L), ("c", 3L))
+      .toDF("k1", "k2")
+    val got = graft.operators.Skew.profile(df, Seq("k1", "k2"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Double, String)].collect().toSeq
+    // k1: 6 rows, 3 keys, hottest 'a' ×3 → skew 3*3/6 = 1.5
+    // k2: 6 rows, 3 keys, hottest '3' ×4 → skew 4*3/6 = 2.0
+    assert(got == Seq(
+      ("k1", 6L, 3L, 3L, 1.5, "a"),
+      ("k2", 6L, 3L, 4L, 2.0, "3")))
+    // hot-key tie breaks on the SMALLER key string
+    val tied = Seq(("x", 0), ("x", 0), ("y", 0), ("y", 0)).toDF("k", "z")
+    val hot = graft.operators.Skew.profile(tied, Seq("k"))
+      .select("hot_key").as[String].head()
+    assert(hot == "x")
+    // null key values form a real group and can be the hot key
+    val withNull = Seq(Some("a"), None, None).toDF("k")
+    val p = graft.operators.Skew.profile(withNull, Seq("k"))
+      .as[(String, Long, Long, Long, Double, Option[String])].head()
+    assert(p._2 == 3L && p._3 == 2L && p._4 == 2L && p._6.isEmpty)
+  }
+
+  test("curation pipeline: stages gate in order; budget keeps best-quality docs") {
+    val docs = Seq(
+      // high-quality english (stopword-rich), duplicated content: 11 is dropped by dedup
+      (1L, "the cat is in the house and the dog is in the garden", "web"),
+      (11L, "the cat is in the house and the dog is in the garden", "web"),
+      // english but below the quality floor would need ratio < 0.02 — this passes
+      (2L, "a fox runs in the field and the birds fly to the trees", "web"),
+      // no lexicon hits at all → 'unknown' → dropped
+      (3L, "zzz qqq vvv kkk www rrr ttt yyy uuu", "spam"),
+      // too short (< 5 tokens) → dropped
+      (4L, "the cat", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Curation.curate(docs, tokenBudget = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+    // a tight budget keeps only the highest-quality doc
+    val q1 = Seq("the cat is in the house and the dog is in the garden")
+      .head.split(" ").length // 13 tokens
+    val tight = graft.operators.Curation.curate(docs, tokenBudget = q1.toLong)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight.size == 1)
+    // reserved output names are guarded
+    val clash = docs.withColumn("quality", lit(1.0))
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Curation.curate(clash))
+    assert(e.getMessage.contains("quality"))
+  }
+
   test("segment dedup: shared blocks count as duplicates of the first occurrence only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),          // segs: [a..j], [k l]

@@ -148,6 +148,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q70: skew profile scans the table ONCE via grouping sets (no per-column rescan)") {
+    val p = plan("q70_key_skew")
+    assert(p.contains("Expand"), s"expected a grouping-sets Expand:\n$p")
+    val scans = p.linesIterator
+      .count(l => l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1, s"expected exactly one table scan, got $scans:\n$p")
+    // the distribution frame aggregates map-side before the exchange
+    assert(p.toLowerCase.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
   test("AQE splits a skewed join partition at runtime (the re-plan path q62's salting pre-empts)") {
     // one key holds ~90% of the rows; with skew-join thresholds
     // lowered to fixture scale, AQE must mark the sort-merge join
