@@ -97,6 +97,50 @@ object Multimodal {
       }
   }
 
+  final case class DecodedAudio(id: Long, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Long, durationMs: Long,
+      meanAmp: Double, peakAmp: Long, meanCrossings: Long)
+
+  /** REAL audio decode: parses each payload's RIFF/WAVE container with
+    * [[AudioCodec]] and extracts clip features over decoded SAMPLES —
+    * format fields from the actual header walk, duration, mean/peak
+    * amplitude, and the mean-crossing count (sign flips of s−mean̄,
+    * compared via the exact cross-multiplication s·n vs Σs so no
+    * float ever enters the comparison). Same mapPartitions batching as
+    * the image tier. */
+  def decodeAudio(spark: SparkSession, assets: DataFrame): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    assets.select(col("id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mime) =>
+          val clip = AudioCodec.decode(mime, payload)
+          val s = clip.samples
+          val n = s.length.toLong
+          var sum = 0L
+          var peak = 0L
+          var i = 0
+          while (i < s.length) {
+            sum += s(i)
+            if (math.abs(s(i).toLong) > peak) peak = math.abs(s(i).toLong)
+            i += 1
+          }
+          var crossings = 0L
+          i = 1
+          while (i < s.length) {
+            // sign of (s(i) − mean) without division: s(i)·n − Σs
+            val a = s(i - 1) * n - sum
+            val b = s(i) * n - sum
+            if ((a > 0 && b < 0) || (a < 0 && b > 0)) crossings += 1
+            i += 1
+          }
+          DecodedAudio(id, clip.sampleRate, clip.channels,
+            clip.bitsPerSample, n, AudioCodec.durationMs(clip),
+            if (n > 0) sum.toDouble / n else 0.0, peak, crossings)
+        }
+      }
+  }
+
   final case class ResizedAsset(id: Long, width: Int, height: Int, payload: Array[Byte])
   final case class Frame(id: Long, frameIdx: Int, payload: Array[Byte])
 

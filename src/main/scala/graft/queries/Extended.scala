@@ -604,6 +604,59 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** m75 — REAL audio-codec decode: each document becomes a genuine
+    * RIFF/WAVE payload (canonical 44-byte PCM header + its first 128
+    * text bytes as unsigned 8-bit samples), then
+    * `Multimodal.decodeAudio` WALKS THE CONTAINER with
+    * [[graft.operators.AudioCodec]] — magic check, chunk scan, fmt
+    * parse, sample extraction — and emits clip features. The oracle
+    * recomputes every output from the same byte layout: format fields
+    * as the header constants the parser must recover, amplitude stats
+    * over the char codes, and mean-crossings via the exact integer
+    * cross-multiplication (s·n vs Σs) both sides use — no float enters
+    * any comparison; mean_amp divides by 128 (a power of two, exact in
+    * binary FP). ASCII corpus ⇒ char codes = sample bytes. */
+  val m75AudioDecode: Q = Q(
+    "m75_audio_decode",
+    s"""WITH pw AS (
+       |  SELECT doc_id, rpad(substring(text, 1, 128), 128, ' ') AS p FROM documents),
+       |cs AS (SELECT doc_id, list_transform(range(1, 129),
+       |    i -> CAST(ascii(substring(p, CAST(i AS BIGINT), 1)) AS BIGINT)) AS a
+       |  FROM pw),
+       |st AS (SELECT doc_id, a,
+       |    list_reduce(a, (x, y) -> x + y) AS s,
+       |    list_reduce(a, (x, y) -> greatest(x, y)) AS peak
+       |  FROM cs)
+       |SELECT doc_id,
+       |  CAST(8000 AS BIGINT) AS sample_rate,
+       |  CAST(1 AS BIGINT) AS channels,
+       |  CAST(8 AS BIGINT) AS bits,
+       |  CAST(128 AS BIGINT) AS n_samples,
+       |  CAST(16 AS BIGINT) AS duration_ms,
+       |  CAST(s AS DOUBLE) / 128 AS mean_amp,
+       |  peak AS peak_amp,
+       |  CAST(len(list_filter(range(1, 128), i ->
+       |    ((a[i]*128 - s) > 0 AND (a[i+1]*128 - s) < 0) OR
+       |    ((a[i]*128 - s) < 0 AND (a[i+1]*128 - s) > 0))) AS BIGINT) AS mean_crossings
+       |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{AudioCodec, Multimodal}
+    val payloads = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit(AudioCodec.wavHeader(8000, 1, 8, 128)),
+        rpad(substring(col("text"), 1, 128), 128, " ").cast("binary")).as("payload"))
+    val assets = Multimodal.toAssets(payloads, "doc_id", "payload", AudioCodec.WavMime)
+    Multimodal.decodeAudio(s, assets).toDF()
+      .select(col("id").as("doc_id"),
+        col("sampleRate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("bitsPerSample").cast("long").as("bits"),
+        col("nSamples").as("n_samples"),
+        col("durationMs").as("duration_ms"),
+        col("meanAmp").as("mean_amp"),
+        col("peakAmp").as("peak_amp"),
+        col("meanCrossings").as("mean_crossings"))
+      .orderBy(col("doc_id"))
+  }
+
   /** m70 — multimodal metadata path: payload treated as opaque bytes;
     * metadata-only projection (byte size + stable content id) reads no
     * payload at scan time thanks to column pruning. */
@@ -1210,5 +1263,5 @@ object Extended {
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
-    m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, d45MinhashFast)
+    m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)
 }

@@ -203,6 +203,47 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  final case class HeavyState(sketch: Map[String, Long], total: Long)
+  final case class CandidateWeight(token: String, weight: Long)
+  final case class HeavyHitters(lang: String, n_tokens: Long,
+      candidates: Seq[CandidateWeight])
+
+  /** Streaming heavy-hitter tokens — the streaming twin of the batch
+    * two-pass sketch query (t76), with the SAME Misra-Gries transition
+    * function ([[graft.functions.MisraGries]].reduce) driving per-key
+    * state: each group's state is the bounded (≤ capacity entries)
+    * summary plus the running token total, so the state store holds
+    * O(groups × capacity) regardless of stream length — never the
+    * token stream itself.
+    *
+    * Each micro-batch emits the group's current candidate list with
+    * summary weights (update mode). MG's guarantee carries over
+    * unchanged because the reduce is order-insensitive w.r.t. the
+    * bound: true_count − n/(capacity+1) ≤ weight ≤ true_count, so any
+    * token with frequency above n/(capacity+1) IS present; weights of
+    * surviving candidates are exact when distinct tokens ≤ capacity.
+    * Exact-verification downstream is the batch twin's re-count over
+    * the candidate set (t76's pass 2). */
+  def heavyHittersStream(spark: SparkSession, tokens: DataFrame,
+      capacity: Int = 64): DataFrame = {
+    import spark.implicits._
+    val mg = new graft.functions.MisraGries(capacity)
+    tokens.select(col("lang"), col("token")).as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[HeavyState, HeavyHitters](GroupStateTimeout.NoTimeout()) {
+        (lang: String, rows: Iterator[(String, String)],
+            state: GroupState[HeavyState]) =>
+          val buf = scala.collection.mutable.Map.empty[String, Long]
+          state.getOption.foreach(s => buf ++= s.sketch)
+          var n = state.getOption.map(_.total).getOrElse(0L)
+          rows.foreach { case (_, tok) => mg.reduce(buf, tok); n += 1 }
+          state.update(HeavyState(buf.toMap, n))
+          HeavyHitters(lang, n,
+            buf.toSeq.sortBy { case (t, w) => (-w, t) }
+              .map { case (t, w) => CandidateWeight(t, w) })
+      }.toDF()
+  }
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * `Interval.joinLookback` (q41): right-side rows of the same key
     * within `lookbackSec` BEFORE a left row. Both sides carry

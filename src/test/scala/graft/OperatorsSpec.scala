@@ -788,6 +788,56 @@ class OperatorsSpec extends SparkSpec {
     assert(got == loop)
   }
 
+  test("wav codec: u8 round-trip, s16 negatives, chunk skipping, corrupt rejection") {
+    import graft.operators.AudioCodec
+    // u8 mono round-trip: raw bytes are the samples
+    val data = Array[Byte](0, 64, 127, -128, -1) // unsigned: 0,64,127,128,255
+    val clip = AudioCodec.decode(AudioCodec.WavMime,
+      AudioCodec.encodeWav8(8000, data))
+    assert(clip.sampleRate == 8000 && clip.channels == 1 && clip.bitsPerSample == 8)
+    assert(clip.samples.toSeq == Seq(0, 64, 127, 128, 255))
+    assert(AudioCodec.durationMs(clip) == 5 * 1000L / 8000)
+    // 16-bit signed little-endian, stereo: negative samples survive
+    val s16 = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1000, -1000, 32767, -32768).foreach(v => s16.putShort(v.toShort))
+    val wav16 = AudioCodec.wavHeader(44100, 2, 16, 8) ++ s16.array()
+    val c16 = AudioCodec.decode(AudioCodec.WavMime, wav16)
+    assert(c16.channels == 2 && c16.bitsPerSample == 16)
+    assert(c16.samples.toSeq == Seq(1000, -1000, 32767, -32768))
+    assert(AudioCodec.nFrames(c16) == 2)
+    // an unknown chunk between header and data is skipped by size
+    val hdr = AudioCodec.encodeWav8(8000, Array[Byte](7, 8))
+    val withList = hdr.take(36) ++ // RIFF+fmt
+      ("LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4)) ++
+      hdr.drop(36) // data chunk
+    assert(AudioCodec.decode(AudioCodec.WavMime, withList).samples.toSeq == Seq(7, 8))
+    // corrupt payloads are rejected with the codec's message
+    val bad = intercept[IllegalArgumentException](
+      AudioCodec.decode(AudioCodec.WavMime, "JUNKJUNKJUNK".getBytes))
+    assert(bad.getMessage.contains("bad magic"))
+    val noPcm = AudioCodec.wavHeader(8000, 1, 8, 0)
+    noPcm(20) = 3 // audioFormat = 3 (IEEE float)
+    assert(intercept[IllegalArgumentException](
+      AudioCodec.decode(AudioCodec.WavMime, noPcm)).getMessage.contains("not PCM"))
+  }
+
+  test("audio decode: distributed parse recovers header fields and sample stats") {
+    import graft.operators.{AudioCodec, Multimodal}
+    val payloads = Seq(
+      (1L, AudioCodec.encodeWav8(8000, Array[Byte](10, 20, 30, 40))),
+      (2L, AudioCodec.encodeWav8(16000, Array[Byte](100, 0, 100, 0, 100, 0))))
+      .toDF("doc_id", "payload")
+    val assets = Multimodal.toAssets(payloads, "doc_id", "payload", AudioCodec.WavMime)
+    val got = Multimodal.decodeAudio(spark, assets)
+      .collect().map(d => d.id -> d).toMap
+    assert(got(1L).sampleRate == 8000 && got(1L).nSamples == 4)
+    assert(got(1L).meanAmp == 25.0 && got(1L).peakAmp == 40L)
+    assert(got(1L).meanCrossings == 1L) // 10,20 below mean; 30,40 above: one flip
+    assert(got(2L).sampleRate == 16000 && got(2L).durationMs == 6 * 1000L / 16000)
+    assert(got(2L).meanCrossings == 5L) // alternating above/below mean 50: all 5 pairs flip
+  }
+
   test("skew profile: one-pass grouping-sets stats match per-column ground truth") {
     val df = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 3L), ("c", 3L))

@@ -430,6 +430,49 @@ class StreamingSpec extends SparkSpec {
     assert(v11 == Map(11L -> Some(1L)))
   }
 
+  test("streaming heavy hitters: MG state accumulates across batches; exact when vocab fits") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val out = StreamOps.heavyHittersStream(
+      spark, mem.toDS().toDF("lang", "token"), capacity = 64)
+    val q = out.writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(("en", "the"), ("en", "the"), ("en", "cat"), ("de", "der"))
+    q.processAllAvailable()
+    mem.addData(("en", "the"), ("en", "dog"), ("de", "der"), ("de", "die"))
+    q.processAllAvailable()
+    q.stop()
+    // last emitted row per lang = the accumulated cross-batch state
+    val rows = spark.table("hh")
+      .select(col("lang"), col("n_tokens"),
+        expr("transform(candidates, c -> struct(c.token, c.weight))"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(c => c.getString(0) -> c.getLong(1)).toMap))
+    val finalEn = rows.filter(_._1 == "en").maxBy(_._2)
+    val finalDe = rows.filter(_._1 == "de").maxBy(_._2)
+    // vocab ≤ capacity → the sketch never decrements: weights are EXACT
+    assert(finalEn._2 == 5L &&
+      finalEn._3 == Map("the" -> 3L, "cat" -> 1L, "dog" -> 1L))
+    assert(finalDe._2 == 3L && finalDe._3 == Map("der" -> 2L, "die" -> 1L))
+    // tight capacity: the guarantee survives — a token above n/(k+1)
+    // is ALWAYS a candidate even after decrements
+    val mem2 = MemoryStream[(String, String)]
+    val out2 = StreamOps.heavyHittersStream(
+      spark, mem2.toDS().toDF("lang", "token"), capacity = 2)
+    val q2 = out2.writeStream.format("memory").queryName("hh2")
+      .outputMode(OutputMode.Update()).start()
+    mem2.addData(Seq.fill(8)(("en", "hot")) ++ Seq(("en", "x"), ("en", "y")): _*)
+    q2.processAllAvailable()
+    mem2.addData(Seq.fill(4)(("en", "hot")) ++ Seq(("en", "z")): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val cands = spark.table("hh2").orderBy(col("n_tokens").desc)
+      .select(expr("transform(candidates, c -> c.token)")).head()
+      .getSeq[String](0).toSet
+    assert(cands.contains("hot"), s"heavy hitter lost from $cands") // 12/15 > 15/3
+  }
+
   test("stateful per-user running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
