@@ -24,19 +24,30 @@ import org.apache.spark.sql.functions._
   *     rows, and broadcast-joined back.
   *
   * local running sum + partition offset = the exact global prefix sum —
-  * the standard two-pass scan/prefix decomposition, expressed as ONE
-  * declarative plan: no driver-side collect, no eager job at
-  * construction, no persisted intermediate. The ranged frame appears
-  * in the plan on both the totals side and the main side, and Spark's
-  * exchange reuse (`ReusedExchange`) executes the range shuffle once
-  * and shares it — which also guarantees both passes see the SAME
-  * range boundaries (a recomputed exchange could re-sample different
-  * ones; reuse makes the consistency structural).
+  * the standard two-pass scan/prefix decomposition. The ranged frame
+  * appears in the plan on both the totals side and the main side, and
+  * both passes MUST see the same sampled range boundaries, so it is
+  * `localCheckpoint`ed (lazily — no eager job at construction): the
+  * range exchange executes exactly once and both consumers read the
+  * materialized partitions. Boundary consistency is STRUCTURAL.
+  *
+  * (The operator previously leaned on `ReusedExchange` to pin one
+  * boundary set. That works for simple inputs, but the offsets join is
+  * a self-join over the ranged frame, and self-join deduplication
+  * re-ids one side's attributes — over a cached/joined input the
+  * canonical forms then differ, reuse silently does NOT fire, each
+  * exchange re-samples its own boundaries from nondeterministically
+  * ordered shuffle output, and the offsets describe a different
+  * partitioning than the rows they join to. Found as a t77-at-sf0.1
+  * differential failure — interleaved cum runs; round-6 NOTES.)
   *
   * The offsets side stays fully partitioned: off(p) = Σ_{q<p} total(q)
   * is a broadcast non-equi self-join over `numPartitions` rows — never
   * a single-partition window, never a driver scan. (O(n²) pairs in the
-  * partition COUNT, a constant; data size never enters.)
+  * partition COUNT, a constant; data size never enters.) The
+  * checkpoint's materialization cost is one write/read of the frame —
+  * the same class as the sort a global window would need, minus the
+  * single-task bottleneck.
   *
   * `order` must be a TOTAL order (include a unique tiebreaker): range
   * boundaries may split equal keys across partitions, and only a total
@@ -56,21 +67,19 @@ object Prefix {
       require(!df.columns.contains(c), s"input already has a column named $c")
     }
     val spark = df.sparkSession
-    // correctness invariant, not an optimization: the totals pass and
-    // the window pass must see the SAME sampled range boundaries,
-    // which holds because exchange reuse executes the range shuffle
-    // once and shares it. With reuse disabled the two passes would
-    // re-sample boundaries independently and the offsets could
-    // describe a different partitioning than the rows they join to —
-    // silently wrong sums. Refuse to run rather than risk that.
-    require(spark.sessionState.conf.exchangeReuseEnabled,
-      "Prefix.runningTotal requires spark.sql.exchange.reuse=true: " +
-        "both passes must share one executed range exchange (same sampled " +
-        "boundaries); with reuse disabled the result can be silently wrong")
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint (lazy): correctness invariant, not an
+    // optimization — the totals pass and the window pass below both
+    // consume this frame, and they must see the SAME sampled range
+    // boundaries and pid assignment. Materializing once makes that
+    // structural; without it each pass plans its own range exchange
+    // (self-join dedup defeats ReusedExchange on non-trivial inputs)
+    // and re-samples boundaries from nondeterministically ordered
+    // upstream output — silently wrong sums.
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("graft_pid", spark_partition_id())
+      .localCheckpoint(false)
     // pass 1: one total per partition; tiny by construction. A
     // partition whose values are ALL null sums to null — the offset
     // coalesce treats it as 0, matching the window pass (sum-over

@@ -44,6 +44,33 @@ object Sampling {
       .drop("graft_rn")
   }
 
+  /** Deterministic train/val/test split: each KEY maps to exactly one
+    * split by its hash bucket in [0, 100) against the cumulative
+    * weight cut points. Assignment is a pure function of the key —
+    * stable under repartitioning, re-runs, and engines — and every row
+    * of one key lands in the same split, so multi-row entities
+    * (a user's events, a document's chunks) can never leak across the
+    * train/test boundary. Proportions hold in expectation over the
+    * hash space; exact-count splits need a rank, which is a sort —
+    * the hash form is the 100 TB default. Adds column `out` with the
+    * split name. */
+  def split(df: DataFrame, key: Column, weights: Seq[(String, Int)],
+      out: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      s"split weights must total 100, got ${weights.map(_._2).sum}")
+    require(weights.forall(_._2 > 0),
+      s"split weights must be positive, got: $weights")
+    require(!df.columns.contains(out), s"input already has a column named $out")
+    val cuts = weights.map(_._2).scanLeft(0)(_ + _).tail // cumulative upper bounds
+    val bucket = pmod(polyHashFast(key.cast("string")), lit(100))
+    val assign = weights.map(_._1).zip(cuts)
+    val labeled = assign.tail.foldLeft(
+      when(bucket < assign.head._2, lit(assign.head._1))) {
+      case (acc, (name, cut)) => acc.when(bucket < cut, lit(name))
+    }
+    df.withColumn(out, labeled)
+  }
+
   /** Stratified hash-Bernoulli sample: per-stratum keep-percentages
     * (the deterministic analog of `DataFrameStatFunctions.sampleBy`,
     * which is seeded and partitioning-dependent). The rate table rides

@@ -357,7 +357,26 @@ object Scale {
     }
   }
 
+  /** q71 — deterministic train/val/test split (Sampling.split): each
+    * doc's split is a pure function of its id hash against the 80/10/10
+    * cumulative cuts — reproducible across re-runs, partitionings, and
+    * engines (the oracle computes the identical bucket), and leakage-
+    * safe for keyed entities. */
+  val q71Split: Q = Q(
+    "q71_split",
+    s"""WITH b AS (SELECT doc_id,
+       |  ${polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.split(Tables.documents(s, dir), col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
-    q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew)
+    q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
+    q71Split)
 }

@@ -609,20 +609,27 @@ class OperatorsSpec extends SparkSpec {
     assert(budget.map(_._3).max <= 1000L && budget.nonEmpty)
   }
 
-  test("prefix sum executes the range shuffle ONCE (exchange reuse pins one boundary set)") {
-    // the totals pass and the main pass both reference the ranged
-    // frame; if each planned its OWN range exchange, each would
-    // re-sample range boundaries independently and the per-partition
-    // offsets could describe a different partitioning than the rows
-    // they're joined to. Exchange reuse makes the consistency
-    // structural — the final plan must share one executed exchange.
+  test("prefix sum executes the range shuffle ONCE (checkpoint pins one boundary set)") {
+    // the totals pass and the main pass both consume the ranged frame;
+    // if each planned its OWN range exchange, each would re-sample
+    // range boundaries independently and the per-partition offsets
+    // could describe a different partitioning than the rows they're
+    // joined to (ReusedExchange does NOT reliably fire here: the
+    // offsets join is a self-join, and attribute re-iding during
+    // self-join dedup breaks canonical equality over cached/joined
+    // inputs — the t77 sf0.1 differential caught exactly that). The
+    // localCheckpoint makes single execution structural: the final
+    // plan scans the materialized RDD and plans NO range exchange of
+    // its own.
     val df = (1L to 1000L).map(i => (i, i % 97)).toDF("id", "v")
     val out = graft.operators.Prefix.runningTotal(
       df, Seq(col("v").desc, col("id")), col("v"))
     out.collect()
     val p = out.queryExecution.executedPlan.toString
-    assert(p.linesIterator.count(_.contains("Reused")) >= 2,
-      s"expected the range exchange (and totals agg) to be reused:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"range exchange re-planned outside the checkpoint:\n$p")
+    assert(p.linesIterator.count(_.contains("ExistingRDD")) >= 2,
+      s"expected both passes to scan the checkpointed frame:\n$p")
   }
 
   test("prefix sum property: random values incl. nulls, any partition count, equals the sequential scan") {
@@ -646,13 +653,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("prefix sum refuses to run with exchange reuse disabled (boundary-consistency guard)") {
-    val df = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+  test("prefix sum is correct even with exchange reuse disabled (checkpoint, not reuse)") {
+    // the boundary-consistency mechanism is the checkpoint, so the
+    // optimizer's reuse setting must be irrelevant to correctness
+    val df = (1L to 500L).map(i => (i, i % 13)).toDF("id", "v")
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try {
-      val e = intercept[IllegalArgumentException](
-        graft.operators.Prefix.runningTotal(df, Seq(col("id")), col("v")))
-      assert(e.getMessage.contains("exchange.reuse"))
+      val got = graft.operators.Prefix.runningTotal(
+          df, Seq(col("v").desc, col("id")), col("v"), partitions = 7)
+        .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+      val want = (1L to 500L).map(i => (i, i % 13))
+        .sortBy { case (id, v) => (-v, id) }
+        .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+        .drop(1).toMap
+      assert(got == want)
     } finally spark.conf.set("spark.sql.exchange.reuse", "true")
   }
 
@@ -786,6 +800,28 @@ class OperatorsSpec extends SparkSpec {
         nodes.select(col("id")), edges.select(col("a"), col("b")))
       .as[(Long, Long)].collect().toMap
     assert(got == loop)
+  }
+
+  test("split: exhaustive, exclusive, key-stable under repartitioning; bad weights rejected") {
+    val df = spark.range(0, 1000).toDF("id")
+    val w = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val got = graft.operators.Sampling.split(df, col("id"), w)
+    val byId = got.select("id", "split").as[(Long, String)].collect().toMap
+    assert(byId.size == 1000) // every key assigned exactly one split
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // proportions hold loosely over the hash space
+    assert(counts("train") > 700 && counts("train") < 900, counts.toString)
+    // pure function of the key: a different partitioning changes nothing
+    val re = graft.operators.Sampling.split(df.repartition(7), col("id"), w)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(re == byId)
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Sampling.split(df, col("id"), Seq("a" -> 50, "b" -> 49)))
+      .getMessage.contains("total 100"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Sampling.split(df.withColumn("split", lit("x")), col("id"), w))
+      .getMessage.contains("split"))
   }
 
   test("wav codec: u8 round-trip, s16 negatives, chunk skipping, corrupt rejection") {
