@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * Scale shape of the composed plan:
   *  - exact dedup is one content-keyed shuffle ([[Dedup.exact]]) plus
   *    a semi-join on the canonical ids — the semi side is (id)-narrow;
-  *  - the feature stages ([[TextAnalysis.qualityFeatures]],
-  *    [[TextAnalysis.langId]]) are scan-stage expressions joined back
-  *    on `doc_id`, so the three frames co-partition on one key and
-  *    AQE coalesces the exchanges;
+  *  - the quality and language gates share ONE tokenization pass
+  *    ([[TextAnalysis.languageQuality]] — the fused form of
+  *    qualityFeatures + langId) joined back once on `doc_id`
+  *    (tokenization dominates these stages at scale, so fusing the
+  *    gates halves the dominant cost versus composing them naively);
   *  - the final selection is [[Prefix.takeBudget]]'s distributed
   *    two-pass prefix sum — no single-task global window.
   *
@@ -47,17 +48,13 @@ object Curation {
       .select(col("keep_id").as("doc_id"))
     val deduped = docs.join(keep, Seq("doc_id"), "leftsemi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stages 2+3: per-doc features from the standing operators,
-    // joined back on doc_id (co-partitioned chain)
-    val quality = TextAnalysis
-      .qualityFeatures(deduped, col("doc_id"), col("text"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("stopword_ratio").as("quality"))
-    val lang = TextAnalysis.langId(deduped, col("doc_id"), col("text"))
-      .select(col("doc_id"), col("predicted_lang"))
+    // stages 2+3: both gates' features from ONE tokenization pass
+    // (TextAnalysis.languageQuality — the fused form of
+    // qualityFeatures + langId), joined back once on doc_id
+    val features = TextAnalysis
+      .languageQuality(deduped, col("doc_id"), col("text"))
     val gated = deduped
-      .join(quality, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
+      .join(features, Seq("doc_id"))
       .filter(col("predicted_lang") =!= "unknown" &&
         col("quality") >= minQuality && col("n_tokens") >= minTokens)
     // stage 4: global token budget, best quality first (ties on id)

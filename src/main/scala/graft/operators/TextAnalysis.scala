@@ -56,11 +56,37 @@ object TextAnalysis {
         ratioIn(toks, Lexicons("en")).as("en_score"),
         ratioIn(toks, Lexicons("de")).as("de_score"),
         ratioIn(toks, Lexicons("es")).as("es_score"))
-    scored.withColumn("predicted_lang",
-      when(greatest(col("en_score"), col("de_score"), col("es_score")) < 0.02, lit("unknown"))
-        .when(col("en_score") >= col("de_score") && col("en_score") >= col("es_score"), lit("en"))
-        .when(col("de_score") >= col("es_score"), lit("de"))
-        .otherwise(lit("es")))
+    scored.withColumn("predicted_lang", predictLang)
+  }
+
+  /** The argmax-with-floor prediction over the three lexicon scores —
+    * shared by `langId` and `languageQuality` so the rule cannot
+    * drift. */
+  private def predictLang: Column =
+    when(greatest(col("en_score"), col("de_score"), col("es_score")) < 0.02, lit("unknown"))
+      .when(col("en_score") >= col("de_score") && col("en_score") >= col("es_score"), lit("en"))
+      .when(col("de_score") >= col("es_score"), lit("de"))
+      .otherwise(lit("es"))
+
+  /** ONE-PASS fusion of the quality gate's and language gate's
+    * features for pipeline use: a single tokenization yields
+    * `n_tokens`, `quality` (the en-stopword ratio — the same number
+    * `qualityFeatures` emits as stopword_ratio) and `predicted_lang`
+    * (the same rule `langId` applies). At 100 TB tokenization
+    * dominates these stages, so computing both gates' inputs from one
+    * token array and joining ONCE is the shape a curation pipeline
+    * wants; the standalone operators remain for single-gate use. */
+  def languageQuality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = col("t")
+    df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        ratioIn(toks, Lexicons("en")).as("en_score"),
+        ratioIn(toks, Lexicons("de")).as("de_score"),
+        ratioIn(toks, Lexicons("es")).as("es_score"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("en_score").as("quality"), predictLang.as("predicted_lang"))
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex token count

@@ -898,6 +898,18 @@ class OperatorsSpec extends SparkSpec {
     assert(p._2 == 3L && p._3 == 2L && p._4 == 2L && p._6.isEmpty)
   }
 
+  test("languageQuality fusion equals qualityFeatures + langId composed") {
+    val lq = TextAnalysis.languageQuality(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double, String)].collect().toSet
+    val composed = TextAnalysis
+      .qualityFeatures(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+      .join(TextAnalysis.langId(docs, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("predicted_lang")), Seq("doc_id"))
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(lq == composed)
+  }
+
   test("curation pipeline: stages gate in order; budget keeps best-quality docs") {
     val docs = Seq(
       // high-quality english (stopword-rich), duplicated content: 11 is dropped by dedup
