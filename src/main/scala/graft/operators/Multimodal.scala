@@ -97,6 +97,53 @@ object Multimodal {
       }
   }
 
+  final case class AttemptedImage(id: Long, width: Int, height: Int,
+      meanRgb: Array[Float], ahash: Long, mime: String, nBytes: Long,
+      error: String)
+
+  /** Decode with CORRUPT-PAYLOAD CAPTURE — the multimodal twin of the
+    * engine's signature dead-letter split (Enforce.split): instead of
+    * failing the task on the first bad payload, each row carries an
+    * `error` column (null = decoded fine) and the codec's validation
+    * message otherwise. Split with two filters exactly like the
+    * row-level enforcement path; consumers of BOTH sides persist this
+    * frame first (decode is the expensive step — same cache contract
+    * as Enforce's scaladoc states for its split). */
+  def decodeImagesWithError(spark: SparkSession, assets: DataFrame)
+      : Dataset[AttemptedImage] = {
+    import spark.implicits._
+    assets.select(col("id"), col("payload"), col("meta.mime").as("mime"),
+        col("meta.nBytes").as("nBytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mime, nBytes) =>
+          try {
+            val img = ImageCodec.decode(mime, payload)
+            AttemptedImage(id, img.width, img.height,
+              ImageCodec.meanRgb(img), ImageCodec.ahash64(img),
+              mime, nBytes, null)
+          } catch {
+            case e: IllegalArgumentException =>
+              AttemptedImage(id, -1, -1, Array.empty, 0L, mime, nBytes,
+                e.getMessage)
+          }
+        }
+      }
+  }
+
+  /** The two-filter split over [[decodeImagesWithError]]'s output:
+    * (ok = decoded feature rows, dead = (id, mime, nBytes, error) for
+    * the dead-letter sink). */
+  def splitDecoded(attempted: Dataset[AttemptedImage])
+      : (DataFrame, DataFrame) = {
+    val df = attempted.toDF()
+    (df.filter(col("error").isNull)
+        .select(col("id"), col("width"), col("height"),
+          col("meanRgb"), col("ahash")),
+      df.filter(col("error").isNotNull)
+        .select(col("id"), col("mime"), col("nBytes"), col("error")))
+  }
+
   final case class DecodedAudio(id: Long, sampleRate: Int, channels: Int,
       bitsPerSample: Int, nSamples: Long, durationMs: Long,
       meanAmp: Double, peakAmp: Long, meanCrossings: Long)

@@ -874,6 +874,27 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L).meanCrossings == 5L) // alternating above/below mean 50: all 5 pairs flip
   }
 
+  test("multimodal decode dead-letters corrupt payloads instead of failing the task") {
+    import graft.operators.{ImageCodec, Multimodal}
+    val good = ("P6\n2 2\n255\n" + "x" * 12).getBytes
+    val payloads = Seq(
+      (1L, good),
+      (2L, "NOTANIMAGE".getBytes),                   // bad magic
+      (3L, "P6\n2 2\n255\n".getBytes),               // truncated pixels
+      (4L, good))
+      .toDF("doc_id", "payload")
+    val assets = Multimodal.toAssets(payloads, "doc_id", "payload", ImageCodec.PpmMime)
+    val attempted = Multimodal.decodeImagesWithError(spark, assets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (ok, dead) = Multimodal.splitDecoded(attempted)
+    assert(ok.select("id").as[Long].collect().toSet == Set(1L, 4L))
+    assert(ok.filter(col("width") === 2 && col("height") === 2).count() == 2)
+    val deadRows = dead.select("id", "error").as[(Long, String)].collect().toMap
+    assert(deadRows.keySet == Set(2L, 3L))
+    assert(deadRows.values.forall(_.nonEmpty)) // codec message preserved
+    attempted.unpersist()
+  }
+
   test("skew profile: one-pass grouping-sets stats match per-column ground truth") {
     val df = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 3L), ("c", 3L))
