@@ -55,9 +55,13 @@ object Skew {
       require(!df.columns.contains(c), s"input already has a column named $c")
     }
     val n = keys.length
+    // Column API with literal-name resolution (Profile's convention):
+    // backtick-quote so a key name containing dots/backticks is data,
+    // never a nested-field path or parsed expression text
+    def ref(c: String) = col("`" + c.replace("`", "``") + "`")
     val counts = df
-      .select(keys.map(k => col(k).cast("string").as(k)): _*)
-      .groupingSets(keys.map(k => Seq(col(k))), keys.map(col): _*)
+      .select(keys.map(k => ref(k).cast("string").as(k)): _*)
+      .groupingSets(keys.map(k => Seq(ref(k))), keys.map(ref): _*)
       .agg(count(lit(1)).as("graft_cnt"), grouping_id().as("graft_gid"))
     // grouping_id bit convention: leftmost grouping column = highest
     // bit, bit SET = column NOT in the set → the set grouping only
@@ -69,7 +73,7 @@ object Skew {
     // which is correct: the null group still counts toward n_keys and
     // can even be the hot key (reported as null)
     val valCol = coalesce(keys.zipWithIndex.map { case (k, i) =>
-      when(col("graft_gid") === gidOf(i), col(k)) }: _*)
+      when(col("graft_gid") === gidOf(i), ref(k)) }: _*)
     counts
       .select(nameCol.as("column_name"), valCol.as("graft_k"), col("graft_cnt"))
       .groupBy(col("column_name"))

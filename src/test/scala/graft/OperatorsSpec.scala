@@ -917,6 +917,11 @@ class OperatorsSpec extends SparkSpec {
     val p = graft.operators.Skew.profile(withNull, Seq("k"))
       .as[(String, Long, Long, Long, Double, Option[String])].head()
     assert(p._2 == 3L && p._3 == 2L && p._4 == 2L && p._6.isEmpty)
+    // hostile column names are data, not expression text (q67 convention)
+    val hostile = Seq((1L, "x"), (2L, "x")).toDF("ok", "a`b.c")
+    val hp = graft.operators.Skew.profile(hostile, Seq("a`b.c"))
+      .as[(String, Long, Long, Long, Double, String)].head()
+    assert(hp._1 == "a`b.c" && hp._2 == 2L && hp._4 == 2L && hp._6 == "x")
   }
 
   test("languageQuality fusion equals qualityFeatures + langId composed") {
