@@ -59,6 +59,23 @@ object Layout {
       .drop("graft_z")
   }
 
+  /** Small-files-safe write: AQE REBALANCE coalesces tiny post-shuffle
+    * partitions and splits skewed ones to the advisory size, so the
+    * table lands in ~`advisoryBytes` files regardless of upstream
+    * partitioning — the standing fix for the small-files problem (a
+    * 100 TB table written from 100k tiny tasks is unreadable-many
+    * files; one written from a skewed join has multi-GB stragglers).
+    * The advisory conf is scoped to this write and restored after. */
+  def writeSized(df: DataFrame, path: String, advisoryBytes: Long): Unit = {
+    require(advisoryBytes > 0, s"advisoryBytes must be positive, got $advisoryBytes")
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, advisoryBytes.toString)
+    try df.hint("REBALANCE").write.mode("overwrite").parquet(path)
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Bucketed write: hash-bucket + sort the table by its join key at
     * WRITE time, so every later equi-join/aggregation on that key is
     * exchange-free — the shuffle is paid once per table lifetime, not

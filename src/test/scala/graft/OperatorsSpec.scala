@@ -874,6 +874,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L).meanCrossings == 5L) // alternating above/below mean 50: all 5 pairs flip
   }
 
+  test("sized write coalesces a many-tiny-partitions frame into few files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").resolve("t").toString
+    // 64 partitions of ~8 rows each: the small-files shape
+    val tiny = spark.range(0, 512, 1, 64).toDF("id")
+    graft.operators.Layout.writeSized(tiny, dir, advisoryBytes = 4L << 20)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"expected REBALANCE to coalesce 64 tiny partitions, got $files files")
+    // content survives the rebalance intact
+    assert(spark.read.parquet(dir).count() == 512)
+    // the advisory conf is restored afterwards
+    assert(spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes").isEmpty ||
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") != (4L << 20).toString)
+  }
+
+  test("skew profile property: matches per-column ground truth on random frames") {
+    import org.scalacheck.{Gen, rng}
+    val cases = Gen.listOfN(4, for {
+      n <- Gen.choose(1, 200)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(0L, 5L)))
+    } yield rows).apply(Gen.Parameters.default, rng.Seed(29L)).get
+    cases.foreach { rows =>
+      val df = rows.toDF("k1", "k2")
+      val got = graft.operators.Skew.profile(df, Seq("k1", "k2"))
+        .as[(String, Long, Long, Long, Double, String)].collect()
+        .map(r => r._1 -> r).toMap
+      Seq("k1" -> rows.map(_._1.toString), "k2" -> rows.map(_._2.toString))
+        .foreach { case (name, vals) =>
+          val counts = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val mx = counts.values.max
+          val hot = counts.filter(_._2 == mx).keys.min
+          val (_, nRows, nKeys, maxRows, skew, hotKey) = got(name)
+          assert(nRows == vals.size && nKeys == counts.size && maxRows == mx)
+          assert(math.abs(skew - mx.toDouble * counts.size / vals.size) < 1e-12)
+          assert(hotKey == hot, s"$name: $hotKey != $hot")
+        }
+    }
+  }
+
   test("multimodal decode dead-letters corrupt payloads instead of failing the task") {
     import graft.operators.{ImageCodec, Multimodal}
     val good = ("P6\n2 2\n255\n" + "x" * 12).getBytes
