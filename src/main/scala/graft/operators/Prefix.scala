@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * the standard two-pass scan/prefix decomposition. The ranged frame
   * appears in the plan on both the totals side and the main side, and
   * both passes MUST see the same sampled range boundaries, so it is
-  * `localCheckpoint`ed (lazily — no eager job at construction): the
-  * range exchange executes exactly once and both consumers read the
-  * materialized partitions. Boundary consistency is STRUCTURAL.
+  * `localCheckpoint`ed: the range exchange executes exactly once and
+  * both consumers read the materialized partitions. Boundary
+  * consistency is STRUCTURAL. (Note: under AQE, building the
+  * checkpointed RDD runs the upstream stages at CONSTRUCTION time —
+  * callers see the cost when they build the frame, not at first
+  * action. Bench timings here measure construction + action together
+  * for exactly this reason.)
   *
   * (The operator previously leaned on `ReusedExchange` to pin one
   * boundary set. That works for simple inputs, but the offsets join is

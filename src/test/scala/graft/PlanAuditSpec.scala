@@ -148,6 +148,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t77/q71: pipeline and split plan no single-partition funnel") {
+    Seq("t77_curation_pipeline", "q71_split").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q funnels through one task:\n$p")
+    }
+  }
+
   test("q70: skew profile scans the table ONCE via grouping sets (no per-column rescan)") {
     val p = plan("q70_key_skew")
     assert(p.contains("Expand"), s"expected a grouping-sets Expand:\n$p")
