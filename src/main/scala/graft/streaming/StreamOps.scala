@@ -203,6 +203,31 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming twin of the SIGNATURE operator — the dead-letter
+    * enforcement split (Enforce.split, the reference's E1/E2) applied
+    * per micro-batch: ok rows land under `okDir/batch=<id>`, failed
+    * rows as dead-letter JSON lines under `deadDir/batch=<id>`. The
+    * split itself is stateless (one error column, two filters), so the
+    * batch operator runs UNCHANGED; per-batch `overwrite` into
+    * batch=<id> dirs makes replays idempotent (the
+    * incrementalDedupStream pattern) — foreachBatch's at-least-once
+    * becomes exactly-once end-to-end. */
+  def enforceStream(spark: SparkSession, stream: DataFrame,
+      schema: Seq[graft.engine.Enforce.FieldSpec], pkCol: String,
+      okDir: String, deadDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val (ok, dead) = graft.engine.Enforce.split(batch.toDF(), schema)
+        ok.write.mode("overwrite").parquet(s"$okDir/batch=$batchId")
+        graft.engine.Enforce.deadLetterJson(dead, pkCol)
+          .write.mode("overwrite").text(s"$deadDir/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   final case class HeavyState(sketch: Map[String, Long], total: Long)
   final case class CandidateWeight(token: String, weight: Long)
   final case class HeavyHitters(lang: String, n_tokens: Long,

@@ -430,6 +430,40 @@ class StreamingSpec extends SparkSpec {
     assert(v11 == Map(11L -> Some(1L)))
   }
 
+  test("streaming enforce split: per-batch ok/dead routing equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.engine.Enforce.FieldSpec
+    val schema = Seq(
+      FieldSpec("event_id", "INTEGER", required = true),
+      FieldSpec("k", "INTEGER"))
+    val base = java.nio.file.Files.createTempDirectory("graft_enf_stream")
+    val (okDir, deadDir) = (base.resolve("ok").toString, base.resolve("dead").toString)
+    val mem = MemoryStream[(java.lang.Long, String)]
+    val q = StreamOps.enforceStream(spark,
+      mem.toDS().toDF("event_id", "k"), schema, "event_id", okDir, deadDir)
+    mem.addData((1L, "10"), (2L, "not_a_number"))
+    q.processAllAvailable()
+    mem.addData((3L, "30"), (null, "5"))
+    q.processAllAvailable()
+    q.stop()
+    // ok side: typed rows, clean only
+    val ok = spark.read.parquet(okDir).select("event_id", "k")
+      .as[(Long, Long)].collect().toSet
+    assert(ok == Set((1L, 10L), (3L, 30L)))
+    // dead side: JSON lines carrying pk + error, one per failed row
+    val dead = spark.read.text(deadDir).select("value").as[String].collect().toSet
+    assert(dead.size == 2)
+    assert(dead.exists(s => s.contains("\"PK\":2") && s.contains("cast_failure:k")))
+    assert(dead.exists(_.contains("missing_required:event_id")))
+    // equals the batch operator over the same rows
+    val all = Seq[(java.lang.Long, String)]((1L, "10"), (2L, "not_a_number"),
+      (3L, "30"), (null, "5")).toDF("event_id", "k")
+    val (bOk, bDead) = graft.engine.Enforce.split(all, schema)
+    assert(bOk.as[(Long, Long)].collect().toSet == ok)
+    assert(graft.engine.Enforce.deadLetterJson(bDead, "event_id")
+      .as[String].collect().toSet == dead)
+  }
+
   test("streaming heavy hitters: MG state accumulates across batches; exact when vocab fits") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
