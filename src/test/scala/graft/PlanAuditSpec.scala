@@ -180,9 +180,14 @@ class PlanAuditSpec extends SparkSpec {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
       .map(k => k -> util.Try(spark.conf.get(k)).toOption.filter(_ != null))
     try {
+      // skew-splitting needs multiple shuffle partitions to exist at
+      // all — pin the count so partition-sweep runs (GRAFT_TEST_SHUFFLE
+      // =1) still exercise the premise
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")

@@ -100,7 +100,10 @@ class ScaleSpec extends SparkSpec {
     val small = (1 to 300).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
     val saved = Map(
       "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
-      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.shuffle.partitions" -> spark.conf.get("spark.sql.shuffle.partitions"))
+    // skew-splitting needs multiple shuffle partitions to exist at all
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ so skew handling engages
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

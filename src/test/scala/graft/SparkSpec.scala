@@ -4,12 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (one JVM-wide session — Spark's
-  * getOrCreate makes this safe across suites). */
+  * getOrCreate makes this safe across suites).
+  *
+  * GRAFT_TEST_SHUFFLE overrides the shuffle partition count for
+  * stress sweeps: partition-count-sensitive bugs (range-boundary
+  * consistency, offset joins, per-partition state) hide at one fixed
+  * count — run the suite at 1 and at a large odd count to flush them. */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_TEST_SHUFFLE", "4"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
