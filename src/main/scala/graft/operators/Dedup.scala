@@ -255,6 +255,65 @@ object Dedup {
     verifyJaccardOnSortedHashes(sh, candidatePairs(buckets), threshold)
   }
 
+  /** CONTAINMENT (subset) near-dup pairs: (contained, container,
+    * containment) where containment(A in B) = |A∩B| / |A| ≥ t over
+    * distinct hashed n-gram shingle sets. This is the case symmetric-
+    * Jaccard LSH structurally MISSES: a short doc quoted whole inside
+    * a long one has J ≈ |A|/|B| — below any practical band threshold —
+    * yet containment 1.0 (boilerplate, quoted replies, documents
+    * embedded in concatenations).
+    *
+    * Candidate generation is pigeonhole PREFIX FILTERING (the PPJoin
+    * family): if ≥ t·|A| of A's shingles appear in B, then among any
+    * |A| − ⌊t·|A|⌋ + 1 of A's shingles at least one is in B. Probing
+    * that many of A's RAREST shingles (by corpus document frequency)
+    * against the full inverted index therefore has EXACT recall at
+    * threshold t — rarity-ordering is what bounds the candidate
+    * fan-out (Σ df over rare probes), the pigeonhole is what makes the
+    * filter lossless. One DF aggregation + one posting join +
+    * O(candidates) native merge-scan verification; no all-pairs step
+    * anywhere, and the probe count adapts per doc (6 probes for a
+    * 50-shingle doc at t=0.9). Docs with fewer than n tokens have no
+    * shingles — containment is undefined for them and they are absent
+    * from the output. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingleHashFrame(docs.repartition(id), id, text, n)
+      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = sh.select(col("doc_id"), explode(col("s")).as("h"))
+    val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("graft_df"))
+    // per-doc rarest probes; both windows share one doc_id exchange.
+    // probe count sz − floor(t·sz) + 1 ≥ the pigeonhole bound
+    // sz − ⌈t·sz⌉ + 1 for ANY float rounding of t·sz, so recall stays
+    // exact even when t·sz lands on an integer boundary in FP.
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("graft_df"), col("h"))
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val probes = postings.join(dfreq, "h")
+      .withColumn("graft_rn", row_number().over(wRank))
+      .withColumn("graft_sz", count(lit(1)).over(wSz))
+      .filter(col("graft_rn") <=
+        col("graft_sz") - floor(lit(threshold) * col("graft_sz")) + 1)
+      .select(col("doc_id").as("a"), col("h"))
+    val cands = probes
+      .join(postings.select(col("doc_id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("s").as("sa"),
+      size(col("s")).as("na"))
+    val sb = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    cands.join(sa, "a").join(sb, "b")
+      .withColumn("graft_ni", graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("sa"), col("sb")))
+      .filter(col("graft_ni").cast("double") >= lit(threshold) * col("na"))
+      .select(col("a").as("contained"), col("b").as("container"),
+        (col("graft_ni").cast("double") / col("na")).as("containment"))
+  }
+
   /** Prebuilt corpus-side state for INCREMENTAL dedup: `buckets` =
     * LSH band buckets (the join key of candidate generation), `sets` =
     * sorted distinct shingle hashes (the verify operand). Built once

@@ -604,6 +604,55 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** d56 — CONTAINMENT dedup (Dedup.containmentPairs): doc-inside-doc
+    * pairs symmetric-Jaccard LSH structurally misses (J ≈ |A|/|B| for
+    * a short doc quoted whole in a long one). Fixture: every 11th
+    * doc's first-half token prefix is injected as its own doc — its
+    * shingle set is a strict subset of the original's, so each
+    * injected doc is contained at 1.0. Candidates come from the
+    * pigeonhole prefix filter (rarest |A|−⌊t|A|⌋+1 shingles probed
+    * against the full inverted index — exact recall at t); the oracle
+    * restates the same filter + exact verify, so candidate-generation
+    * AND verification are both hash-checked. */
+  val d56Containment: Q = Q(
+    "d56_containment",
+    s"""WITH halves AS (
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    array_to_string(t[1:CAST((len(t)+1)//2 AS BIGINT)], ' ') AS text
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+       |  WHERE doc_id % 11 = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM halves),
+       |toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM corpus),
+       |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM toks),
+       |hs AS (SELECT doc_id, list_transform(s, sg -> ${polyHashSql("sg")}) AS h FROM sh),
+       |hd AS (SELECT doc_id, list_distinct(h) AS s FROM hs WHERE len(h) > 0),
+       |post AS (SELECT doc_id, unnest(s) AS h FROM hd),
+       |dfreq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+       |pr AS (SELECT doc_id, h,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS sz
+       |  FROM post JOIN dfreq USING (h)),
+       |probes AS (SELECT doc_id AS a, h FROM pr
+       |  WHERE rn <= sz - floor(0.9 * sz) + 1),
+       |cand AS (SELECT DISTINCT a, p.doc_id AS b
+       |  FROM probes JOIN post p USING (h) WHERE a <> p.doc_id)
+       |SELECT a AS contained, b AS container,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s) AS containment
+       |FROM cand JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
+       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.9 * len(sa.s)
+       |ORDER BY contained, container""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val t = tokens(col("text"))
+    val halves = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(slice(t, lit(1), (size(t) + 1) / 2), " ").as("text"))
+    Dedup.containmentPairs(base.unionAll(halves), col("doc_id"), col("text"),
+        n = 3, threshold = 0.9)
+      .orderBy(col("contained"), col("container"))
+  }
+
   /** m75 — REAL audio-codec decode: each document becomes a genuine
     * RIFF/WAVE payload (canonical 44-byte PCM header + its first 128
     * text bytes as unsigned 8-bit samples), then
@@ -1256,7 +1305,8 @@ object Extended {
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
-    d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, t73ChunkOverlap,
+    d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
+    t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

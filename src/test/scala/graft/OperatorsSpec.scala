@@ -255,6 +255,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs: finds doc-inside-doc that symmetric-Jaccard LSH misses") {
+    // B = long doc; A = its opening quoted whole. J(A,B) ~ |A|/|B| is
+    // far below any near-dup threshold, so nearDuplicates must NOT
+    // pair them — but containment(A in B) = 1.0 and the prefix filter
+    // must find it. C is unrelated.
+    val words = (1 to 60).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.take(15).mkString(" ")),            // A: prefix quote
+      (2L, words.mkString(" ")),                     // B: full doc
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")) // C: unrelated
+    ).toDF("doc_id", "text")
+    val near = Dedup.nearDuplicates(corpus, col("doc_id"), col("text"),
+      threshold = 0.8).collect()
+    assert(near.isEmpty, s"LSH should not pair a 15-token quote with a 60-token doc: ${near.mkString}")
+    val cont = Dedup.containmentPairs(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont == Set((1L, 2L, 1.0)))
+    // partial containment below threshold is excluded: half of A's
+    // shingles replaced
+    val partial = Seq(
+      (1L, (words.take(8) ++ (1 to 7).map(i => s"q$i")).mkString(" ")),
+      (2L, words.mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(partial, col("doc_id"), col("text"))
+      .collect().isEmpty)
+    // docs shorter than the shingle width are absent, not erroneous
+    val tiny = Seq((1L, "one two"), (2L, words.mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(tiny, col("doc_id"), col("text"))
+      .collect().isEmpty)
+  }
+
   test("incremental dedup equals the batch path's crossing pairs") {
     // dedupAgainstIndex(corpus-index, delta) must produce exactly the
     // corpus↔delta pairs that rerunning nearDuplicates over the full
