@@ -148,8 +148,8 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("t77/q71: pipeline and split plan no single-partition funnel") {
-    Seq("t77_curation_pipeline", "q71_split").foreach { q =>
+  test("t77/q71/d56: pipeline, split and containment plan no single-partition funnel") {
+    Seq("t77_curation_pipeline", "q71_split", "d56_containment").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SinglePartition"),
         s"$q funnels through one task:\n$p")
