@@ -285,6 +285,32 @@ class OperatorsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("containment property: prefix filter equals brute-force all-pairs on random corpora") {
+    import org.scalacheck.{Gen, rng}
+    // random docs over a small vocab so containment pairs actually occur
+    val vocab = (1 to 12).map(i => s"v$i")
+    val cases = Gen.listOfN(3, for {
+      nDocs <- Gen.choose(4, 12)
+      docs <- Gen.listOfN(nDocs, Gen.choose(3, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield docs).apply(Gen.Parameters.default, rng.Seed(41L)).get
+    cases.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, col("doc_id"), col("text"), threshold = 0.8)
+        .select("contained", "container").as[(Long, Long)].collect().toSet
+      // brute force over the same hashed shingle sets
+      val sets = Dedup.shingleHashFrame(df, col("doc_id"), col("text"))
+        .select(col("doc_id"), array_distinct(col("h")))
+        .as[(Long, Seq[Long])].collect().toMap
+        .filter(_._2.nonEmpty).view.mapValues(_.toSet).toMap
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        if (sa & sb).size.toDouble >= 0.8 * sa.size
+      } yield (a, b)).toSet
+      assert(got == want, s"corpus=${texts.mkString("|")}")
+    }
+  }
+
   test("incremental dedup equals the batch path's crossing pairs") {
     // dedupAgainstIndex(corpus-index, delta) must produce exactly the
     // corpus↔delta pairs that rerunning nearDuplicates over the full
