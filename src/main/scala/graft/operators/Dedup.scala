@@ -314,6 +314,30 @@ object Dedup {
         (col("graft_ni").cast("double") / col("na")).as("containment"))
   }
 
+  /** Apply form of [[containmentPairs]]: drop every doc contained (at
+    * `threshold`) in some OTHER doc — the curation step that removes
+    * quotes, boilerplate fragments, and embedded copies while keeping
+    * the containers. Mutual containment (near-identical sets in both
+    * directions) keeps the smaller id, matching the exact-dedup
+    * canonical-row rule: a doc is dropped only if its container
+    * survives it (no empty clusters). The corpus scan never joins
+    * anything larger than the contained-id set (an id-narrow
+    * anti-join side). */
+  def dropContained(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val pairs = containmentPairs(docs, id, text, n, threshold)
+    // mutual pairs: keep min id — drop (a in b) only when NOT (b in a
+    // with b > a), i.e. a is dropped unless it is the canonical side
+    // of a mutual pair
+    val mutual = pairs.select(col("contained"), col("container"))
+      .intersect(pairs.select(col("container").as("contained"),
+        col("contained").as("container")))
+    val dropped = pairs.select(col("contained"), col("container"))
+      .except(mutual.filter(col("contained") < col("container")))
+      .select(col("contained").as("graft_drop")).distinct()
+    docs.join(dropped, id === col("graft_drop"), "left_anti")
+  }
+
   /** Prebuilt corpus-side state for INCREMENTAL dedup: `buckets` =
     * LSH band buckets (the join key of candidate generation), `sets` =
     * sorted distinct shingle hashes (the verify operand). Built once

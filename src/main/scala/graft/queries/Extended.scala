@@ -614,9 +614,11 @@ object Extended {
     * against the full inverted index — exact recall at t); the oracle
     * restates the same filter + exact verify, so candidate-generation
     * AND verification are both hash-checked. */
-  val d56Containment: Q = Q(
-    "d56_containment",
-    s"""WITH halves AS (
+  /** The containment fixture + prefix-filter + verified-pairs chain
+    * shared by d56 (pairs) and d57 (apply) — one generator so the two
+    * oracles cannot drift. */
+  private val containmentCtes =
+    s"""halves AS (
        |  SELECT doc_id + 2000000 AS doc_id,
        |    array_to_string(t[1:CAST((len(t)+1)//2 AS BIGINT)], ' ') AS text
        |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
@@ -637,20 +639,50 @@ object Extended {
        |probes AS (SELECT doc_id AS a, h FROM pr
        |  WHERE rn <= sz - floor(0.9 * sz) + 1),
        |cand AS (SELECT DISTINCT a, p.doc_id AS b
-       |  FROM probes JOIN post p USING (h) WHERE a <> p.doc_id)
-       |SELECT a AS contained, b AS container,
-       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s) AS containment
-       |FROM cand JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
-       |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.9 * len(sa.s)
-       |ORDER BY contained, container""".stripMargin) { (s, dir) =>
+       |  FROM probes JOIN post p USING (h) WHERE a <> p.doc_id),
+       |pairs AS (
+       |  SELECT a, b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s) AS containment
+       |  FROM cand JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.9 * len(sa.s))""".stripMargin
+
+  /** The d56/d57 corpus on the engine side (documents + injected
+    * first-half token-prefix docs). */
+  private def containmentCorpus(s: SparkSession, dir: String) = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val t = tokens(col("text"))
-    val halves = base.filter(col("doc_id") % 11 === 0)
+    base.unionAll(base.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 2000000).as("doc_id"),
-        array_join(slice(t, lit(1), (size(t) + 1) / 2), " ").as("text"))
-    Dedup.containmentPairs(base.unionAll(halves), col("doc_id"), col("text"),
+        array_join(slice(t, lit(1), (size(t) + 1) / 2), " ").as("text")))
+  }
+
+  val d56Containment: Q = Q(
+    "d56_containment",
+    s"""WITH $containmentCtes
+       |SELECT a AS contained, b AS container, containment
+       |FROM pairs ORDER BY contained, container""".stripMargin) { (s, dir) =>
+    Dedup.containmentPairs(containmentCorpus(s, dir), col("doc_id"), col("text"),
         n = 3, threshold = 0.9)
       .orderBy(col("contained"), col("container"))
+  }
+
+  /** d57 — containment dedup APPLIED (Dedup.dropContained): contained
+    * docs drop, containers survive, mutual containment keeps the
+    * smaller id (the exact-dedup canonical-row rule). The oracle is
+    * d56's pairs chain + the same set algebra as NOT IN / EXISTS. */
+  val d57DropContained: Q = Q(
+    "d57_drop_contained",
+    s"""WITH $containmentCtes,
+       |dropped AS (SELECT DISTINCT a FROM pairs p
+       |  WHERE NOT (p.a < p.b AND EXISTS (
+       |    SELECT 1 FROM pairs q WHERE q.a = p.b AND q.b = p.a)))
+       |SELECT c.doc_id FROM corpus c
+       |WHERE c.doc_id NOT IN (SELECT a FROM dropped)
+       |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.dropContained(containmentCorpus(s, dir), col("doc_id"), col("text"),
+        n = 3, threshold = 0.9)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** m75 — REAL audio-codec decode: each document becomes a genuine
@@ -1306,7 +1338,7 @@ object Extended {
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
-    t73ChunkOverlap,
+    d57DropContained, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

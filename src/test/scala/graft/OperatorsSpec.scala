@@ -285,6 +285,19 @@ class OperatorsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("dropContained removes quotes, keeps containers; mutual containment keeps min id") {
+    val words = (1 to 60).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.take(15).mkString(" ")),            // quote of 2 → dropped
+      (2L, words.mkString(" ")),                     // container → kept
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")),// unrelated → kept
+      (4L, words.mkString(" ")))                     // mutual with 2 → 2 kept, 4 dropped
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropContained(corpus, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("containment property: prefix filter equals brute-force all-pairs on random corpora") {
     import org.scalacheck.{Gen, rng}
     // random docs over a small vocab so containment pairs actually occur
