@@ -319,10 +319,15 @@ object Dedup {
     * quotes, boilerplate fragments, and embedded copies while keeping
     * the containers. Mutual containment (near-identical sets in both
     * directions) keeps the smaller id, matching the exact-dedup
-    * canonical-row rule: a doc is dropped only if its container
-    * survives it (no empty clusters). The corpus scan never joins
-    * anything larger than the contained-id set (an id-narrow
-    * anti-join side). */
+    * canonical-row rule. At threshold 1.0 a dropped doc's content
+    * always survives in some kept container (strict-subset chains
+    * terminate at a maximal set); below 1.0 the rule is GREEDY — in a
+    * near-threshold asymmetric chain (A⊂C at t while C loses a mutual
+    * tie elsewhere) a dropped doc's container can itself be dropped,
+    * the standard one-pass set-cover caveat; survivor-aware coverage
+    * needs the cluster loop ([[connectedComponents]] over pairs).
+    * The corpus scan never joins anything larger than the
+    * contained-id set (an id-narrow anti-join side). */
   def dropContained(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, threshold: Double = 0.9): DataFrame = {
     val pairs = containmentPairs(docs, id, text, n, threshold)
