@@ -7,17 +7,22 @@ object Bench {
     * identical code, up to 25x warm-query slowdowns) otherwise read
     * as engine regressions — the ratio makes a throttled measurement
     * self-documenting and normalizable. */
+  // spin results accumulate into a volatile sink: an ignored result
+  // would let HotSpot dead-code-eliminate the pure counted loop after
+  // JIT, silently zeroing the calibration the health field rests on
+  @volatile private var spinSink: Long = 0L
+
   private def effectiveCores(n: Int): Double = {
     def spin(): Long = {
       var x = 0L; var i = 0
       while (i < 30000000) { x += i.toLong * i; i += 1 }
       x
     }
-    spin() // JIT warm-up
-    val t1 = System.nanoTime(); spin()
+    spinSink ^= spin() // JIT warm-up
+    val t1 = System.nanoTime(); spinSink ^= spin()
     val single = System.nanoTime() - t1
     val threads = (1 to n).map(_ => new Thread(new Runnable {
-      def run(): Unit = { spin(); () }
+      def run(): Unit = { spinSink ^= spin(); () }
     }))
     val t2 = System.nanoTime()
     threads.foreach(_.start()); threads.foreach(_.join())
@@ -53,29 +58,55 @@ object Bench {
     // time-until-crash as an ordinary timing, and a whole-catalogue
     // regression would read as a performance win
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolation: several operators persist intra-query frames (their
-      // scaladoc cache contract); across 89 queries in ONE session the
-      // accumulated MEMORY_AND_DISK copies crowd the 8g heap and the
-      // later heavy queries pay eviction + GC instead of compute.
-      // Clearing BETWEEN queries keeps each measurement self-contained
-      // (every query builds its own caches from a cold catalog).
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // isolation: several operators pin intra-query frames (their
+      // scaladoc cache contract); across 100+ queries in ONE session
+      // the accumulated MEMORY_AND_DISK copies crowd the 8g heap and
+      // the later heavy queries pay eviction + GC instead of compute.
+      // Clearing BETWEEN queries keeps each measurement self-contained.
+      // releaseAll drops the library's pins INCLUDING loop-operator
+      // checkpoint blocks (which clearCache cannot reach); clearCache
+      // additionally resets the engine-layer caches (SchemaRegistry,
+      // Normalize file lists) — bench owns this session, so the
+      // session-wide hammer is fine HERE, unlike inside operators.
+      Caches.releaseAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        failed += name
+        if (!failed.contains(name)) failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Dev-only subset filter (SPARK_GRAFT_ONLY=d57,t76); driver never
+    // sets it — full-catalogue numbers are the only recorded ones.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val catalogue = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = catalogue.map { case (name, fn) => name -> timeOne(name, fn) }
+    // host-throttle robustness: the 5 slowest first-run queries get a
+    // SECOND run, and min2 records min(run1, run2) per query (= run1
+    // elsewhere). A hypervisor throttle window that lands on one
+    // query's first run then cannot dominate a round-over-round
+    // comparison — compare min2, not queries, across rounds.
+    val rerun = results.sortBy(-_._2).take(5).map(_._1).toSet
+    val min2 = results.map { case (name, t1) =>
+      if (rerun.contains(name))
+        name -> math.min(t1, timeOne(name, SparkEntry.queries(name)))
+      else name -> t1
     }
     // name-sorted key order: stable, diffable across rounds
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val m2 = min2.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalMin2 = if (min2.nonEmpty) min2.map(_._2).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val health = effectiveCores(cpus.toInt)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"effective_cores":$health,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"total_min2":$totalMin2,"failed":$failedJson,"effective_cores":$health,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get truncated in driver logs (r4 lost 41 of 104
     // per-query timings) — persist the full line for round-over-round

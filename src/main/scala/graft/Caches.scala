@@ -1,0 +1,103 @@
+package graft
+
+import java.lang.ref.WeakReference
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-wide registry of every storage pin the library takes — the
+  * cache-lifetime contract for operator-internal `persist`s and loop
+  * `localCheckpoint`s.
+  *
+  * Several operators pin an intermediate that multiple plan branches
+  * consume (`Dedup.nearDuplicates`' shingle sets, `segmentDedup`'s
+  * per-(hash, doc) groups, `bigramLm`'s bigram counts): without the
+  * pin, one terminal action would re-derive the dominant scan once per
+  * branch. Those frames are returned LAZY, so the operator itself has
+  * no "after the action" moment at which to unpersist — the caller
+  * does. The contract:
+  *
+  *  1. operators pin through [[pin]] / [[checkpoint]], never raw
+  *     `persist`/`localCheckpoint`;
+  *  2. when a caller is completely done with the results of the
+  *     operators it invoked (bench harnesses between queries, a
+  *     streaming micro-batch after its writes, tests in teardown), it
+  *     calls [[releaseAll]] — which drops exactly the library's
+  *     blocks and NOTHING else. A co-tenant's `df.cache()` in the
+  *     same SparkSession survives, which `spark.catalog.clearCache()`
+  *     (the old contract) could not promise.
+  *
+  * After `releaseAll`, frames previously returned by graft operators
+  * are invalid for further actions: persisted ones silently recompute
+  * (correct, just slow), but localCheckpoint-backed ones (the loop
+  * operators' results, `Prefix.runningTotal`) lose their only copy —
+  * lineage was truncated, so a later action fails rather than
+  * recomputing. Release only at a true "done with everything"
+  * boundary.
+  *
+  * Persisted Datasets are held STRONGLY until released — the
+  * CacheManager pins their storage regardless, and a weak handle
+  * would be collected with the operator's local variable, leaving
+  * the cache unreleasable. Checkpoint RDD handles are weak: their
+  * blocks ARE eligible for the ContextCleaner's usual async cleanup
+  * once unreferenced, so a forgotten release degrades to the
+  * pre-registry behavior instead of a stronger leak.
+  */
+object Caches {
+
+  private val pinnedDs =
+    new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val pinnedRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[WeakReference[RDD[_]]]()
+
+  /** Persist `ds` at `level` and register it for [[releaseAll]]. */
+  def pin[T](ds: Dataset[T],
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    ds.persist(level)
+    pinnedDs.add(ds)
+    ds
+  }
+
+  /** `localCheckpoint` whose storage blocks the registry can actually
+    * release: `Dataset.unpersist` reaches only CacheManager entries,
+    * not the RDD-level blocks a checkpoint pins, so the freshly
+    * persisted RDDs are captured by snapshot diff around the call.
+    * Returns the checkpointed frame plus a release thunk for THIS
+    * checkpoint alone — loop operators release round k's blocks as
+    * soon as round k+1 is materialized, bounding the loop's storage
+    * at two rounds instead of all of them. The thunk is idempotent;
+    * [[releaseAll]] also covers these blocks. */
+  def checkpoint(df: DataFrame, eager: Boolean = true)
+      : (DataFrame, () => Unit) = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager)
+    val added = sc.getPersistentRDDs
+      .collect { case (k, r) if !before.contains(k) => r }.toList
+    val refs = added.map(new WeakReference[RDD[_]](_))
+    refs.foreach(pinnedRdds.add)
+    val release: () => Unit = () => refs.foreach { ref =>
+      val r = ref.get()
+      if (r != null) r.unpersist(blocking = false)
+      ref.clear()
+    }
+    (out, release)
+  }
+
+  /** Drop every block the library pinned since the last release —
+    * and only those. See the class doc for when this is safe. */
+  def releaseAll(): Unit = {
+    var ds = pinnedDs.poll()
+    while (ds != null) {
+      ds.unpersist(blocking = false)
+      ds = pinnedDs.poll()
+    }
+    var rddRef = pinnedRdds.poll()
+    while (rddRef != null) {
+      val r = rddRef.get()
+      if (r != null) r.unpersist(blocking = false)
+      rddRef = pinnedRdds.poll()
+    }
+  }
+}

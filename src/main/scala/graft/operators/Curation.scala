@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *  - the final selection is [[Prefix.takeBudget]]'s distributed
   *    two-pass prefix sum — no single-task global window.
   *
-  * The deduped frame is persisted (it feeds three consumers); callers
-  * follow the engine's cache contract (`spark.catalog.clearCache()`
-  * when done, as the dedup operators document).
+  * The deduped frame is pinned through [[graft.Caches]] (it feeds
+  * three consumers); callers call `Caches.releaseAll()` when done
+  * with the results, as the dedup operators document.
   */
 object Curation {
 
@@ -47,7 +47,7 @@ object Curation {
     val keep = Dedup.exact(docs, col("text"), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
     val deduped = docs.join(keep, Seq("doc_id"), "leftsemi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     // stages 2+3: both gates' features from ONE tokenization pass
     // (TextAnalysis.languageQuality — the fused form of
     // qualityFeatures + langId), joined back once on doc_id

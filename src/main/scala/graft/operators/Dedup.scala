@@ -159,7 +159,7 @@ object Dedup {
     val sh = docs.select(bucketCols.map(col) :+ id.as("doc_id") :+ text.as("txt"): _*)
       .select(bucketCols.map(col) :+ col("doc_id") :+
         array_sort(charShingleHashes(col("txt"), n)).as("s"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val light = sh.select(bucketCols.map(col) :+ col("doc_id") :+ size(col("s")).as("ns"): _*)
     val a = light.select(bucketCols.map(col) :+ col("doc_id").as("a") :+ col("ns").as("na"): _*)
     val b = light.select(bucketCols.map(col) :+ col("doc_id").as("b") :+ col("ns").as("nb"): _*)
@@ -236,11 +236,11 @@ object Dedup {
     * oracle applies the same hash so results stay bit-identical). The
     * sorted-distinct hash frame is computed ONCE and persisted — it
     * feeds the signature chain and the verification join; without the
-    * persist each consumer re-hashes the corpus. The cache lives until
-    * the session evicts it (callers running many dedup passes in one
-    * session should `spark.catalog.clearCache()` between passes). At
-    * warehouse scale the same role is played by checkpointing
-    * signatures to parquet between stages. */
+    * persist each consumer re-hashes the corpus. The pin is tracked
+    * by [[graft.Caches]]: call `Caches.releaseAll()` when done with
+    * the results (it drops only the library's blocks, never a
+    * caller's own caches). At warehouse scale the same role is played
+    * by checkpointing signatures to parquet between stages. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
       n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     // repartition BEFORE the per-char kernel: a compact parquet scan
@@ -248,7 +248,7 @@ object Dedup {
     // computation to those few cores
     val sh = shingleHashFrame(docs.repartition(id), id, text, n)
       .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val sig = sh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
     val buckets = bucketsFromSignatures(sig, k, bands)
@@ -283,7 +283,7 @@ object Dedup {
     val sh = shingleHashFrame(docs.repartition(id), id, text, n)
       .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
       .filter(size(col("s")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val postings = sh.select(col("doc_id"), explode(col("s")).as("h"))
     val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("graft_df"))
     // per-doc rarest probes; both windows share one doc_id exchange.
@@ -333,13 +333,114 @@ object Dedup {
     val pairs = containmentPairs(docs, id, text, n, threshold)
     // mutual pairs: keep min id — drop (a in b) only when NOT (b in a
     // with b > a), i.e. a is dropped unless it is the canonical side
-    // of a mutual pair
-    val mutual = pairs.select(col("contained"), col("container"))
-      .intersect(pairs.select(col("container").as("contained"),
-        col("contained").as("container")))
-    val dropped = pairs.select(col("contained"), col("container"))
-      .except(mutual.filter(col("contained") < col("container")))
-      .select(col("contained").as("graft_drop")).distinct()
+    // of a mutual pair. ONE aggregation over the pairs frame: each
+    // unordered pair folds to a canonical (lo, hi) row carrying which
+    // directions were observed, and the drop side falls out per row —
+    // hi when mutual (keep the min id) or when only hi ⊂ lo, lo when
+    // only lo ⊂ hi. Same set algebra as intersect/except over the two
+    // orientations, but the containment chain (DF windows, candidate
+    // join, merge-scan verify) is planned and executed ONCE instead of
+    // three times — at any scale that chain IS the operator's cost.
+    // pinned: when `docs` is a UNION (corpus + derived variants),
+    // PushdownLeftSemiOrAntiJoin replicates the anti-join into every
+    // union branch — without the pin each branch would execute the
+    // whole containment chain again; with it the branches share one
+    // InMemoryRelation of this id-narrow frame (Caches contract)
+    val dropped = pairs.select(
+        least(col("contained"), col("container")).as("lo"),
+        greatest(col("contained"), col("container")).as("hi"),
+        (col("contained") < col("container")).as("graft_fwd"))
+      .groupBy(col("lo"), col("hi"))
+      .agg(max(col("graft_fwd")).as("has_fwd"),
+        max(!col("graft_fwd")).as("has_rev"))
+      .select(when(col("has_fwd") && !col("has_rev"), col("lo"))
+        .otherwise(col("hi")).as("graft_drop"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    docs.join(dropped, id === col("graft_drop"), "left_anti")
+  }
+
+  /** SURVIVOR-AWARE (minimal-drop) variant of [[dropContained]]: a doc
+    * is dropped only when some container of it SURVIVES, so every
+    * dropped doc's content remains represented in a kept doc even in
+    * near-threshold chains below t = 1.0 — the set-cover caveat the
+    * greedy rule documents (in an A⊂B⊂C chain with B⊂C at t but
+    * A⊄C, greedy drops both A and B leaving A's tail unrepresented;
+    * this variant drops B, keeps A and C).
+    *
+    * Semantics (the well-founded fixpoint over the canonical
+    * containment DAG, mutual pairs folded hi→lo first): a doc with no
+    * containers is KEPT; a doc with a KEPT container is DROPPED; a doc
+    * ALL of whose containers are dropped is KEPT. Computed by layer
+    * peeling — each round resolves the current sinks (kept) and their
+    * direct containees (dropped), removes resolved nodes' edges, and
+    * repeats; rounds = alternation depth of the chain structure, which
+    * for near-dup corpora is the (shallow) quote-nesting depth, NOT
+    * corpus size. Every per-round frame is id-narrow (≤ 2 longs), so
+    * at 100 TB the loop costs rounds × (skinny anti-joins), all
+    * checkpoint-released as the loop advances (Caches contract). If
+    * the pair graph contains a containment CYCLE (possible only below
+    * t = 1.0, when every cycle member is near-equal to its neighbors
+    * but mutual thresholds just missed), the unresolved remainder is
+    * conservatively KEPT — never drop without a surviving container. */
+  def dropContainedMinimal(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, threshold: Double = 0.9, maxIter: Int = 20): DataFrame = {
+    val pairs = containmentPairs(docs, id, text, n, threshold)
+    // canonical edge (c contained-in p); mutual pairs fold to hi→lo,
+    // the same keep-min-id rule as dropContained
+    val (edges0, releaseEdges0) = graft.Caches.checkpoint(
+      pairs.select(
+          least(col("contained"), col("container")).as("lo"),
+          greatest(col("contained"), col("container")).as("hi"),
+          (col("contained") < col("container")).as("graft_fwd"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(max(col("graft_fwd")).as("has_fwd"),
+          max(!col("graft_fwd")).as("has_rev"))
+        .select(
+          when(col("has_fwd") && !col("has_rev"), col("lo"))
+            .otherwise(col("hi")).as("c"),
+          when(col("has_fwd") && !col("has_rev"), col("hi"))
+            .otherwise(col("lo")).as("p")))
+    var rem = edges0
+    var releaseRem = releaseEdges0
+    var nRem = rem.count()
+    var (dropped, releaseDropped) = graft.Caches.checkpoint(
+      rem.select(col("c").as("graft_drop")).limit(0))
+    var iter = 0
+    while (nRem > 0 && iter < maxIter) {
+      // sinks: unresolved docs that appear as a container but never as
+      // a containee — nothing above them, so they are KEPT
+      val kept = rem.select(col("p").as("id")).distinct()
+        .join(rem.select(col("c").as("id")).distinct(), Seq("id"), "left_anti")
+      // everything directly contained in a kept doc is DROPPED
+      val (d, releaseD) = graft.Caches.checkpoint(
+        rem.join(kept.select(col("id").as("p")), Seq("p"))
+          .select(col("c").as("graft_drop")).distinct())
+      val nD = d.count()
+      if (nD == 0L) {
+        // no sinks ⇒ the remainder is cyclic: keep it (see scaladoc)
+        releaseD()
+        nRem = 0L
+      } else {
+        // rounds resolve disjoint node sets, so the union needs no
+        // distinct (d is distinct within its round already)
+        val (nextDropped, releaseNextDropped) = graft.Caches.checkpoint(
+          dropped.unionAll(d))
+        val resolved = kept
+          .unionAll(d.select(col("graft_drop").as("id")))
+        val (nextRem, releaseNextRem) = graft.Caches.checkpoint(
+          rem.join(resolved.select(col("id").as("c")), Seq("c"), "left_anti")
+            .join(resolved.select(col("id").as("p")), Seq("p"), "left_anti")
+            .select(col("c"), col("p")))
+        nRem = nextRem.count()
+        releaseRem(); releaseDropped(); releaseD()
+        rem = nextRem; releaseRem = releaseNextRem
+        dropped = nextDropped; releaseDropped = releaseNextDropped
+      }
+      iter += 1
+    }
+    require(nRem == 0L,
+      s"dropContainedMinimal did not resolve in $maxIter rounds — chain depth exceeds the bound; raise maxIter")
     docs.join(dropped, id === col("graft_drop"), "left_anti")
   }
 
@@ -364,7 +465,7 @@ object Dedup {
       n: Int = 3, k: Int = 8, bands: Int = 4): DedupIndex = {
     val sh = shingleHashFrame(docs.repartition(id), id, text, n)
       .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val sig = sh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
     DedupIndex(bucketsFromSignatures(sig, k, bands), sh, n, k, bands)
@@ -389,7 +490,7 @@ object Dedup {
       text: Column, threshold: Double = 0.8): DataFrame = {
     val dsh = shingleHashFrame(delta.repartition(id), id, text, index.n)
       .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val dsig = dsh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("s"), index.k).as("sig"))
     val cand = bucketsFromSignatures(dsig, index.k, index.bands)
@@ -438,9 +539,12 @@ object Dedup {
     * is kept here for its by-construction determinism (min is
     * order-insensitive).
     * Each round's localCheckpoint pins one labels table (2 longs per
-    * node); intermediates are released by the ContextCleaner as the
-    * loop's references drop, so peak extra storage is bounded by
-    * rounds × |nodes| × 16 bytes.
+    * node); the previous round's blocks are released explicitly as
+    * soon as the next round materializes (graft.Caches tracked
+    * checkpoints), so peak extra storage is TWO rounds' labels —
+    * 2 × |nodes| × 16 bytes — regardless of iteration count. The
+    * returned frame is checkpoint-backed: it stays valid until the
+    * caller's Caches.releaseAll() boundary.
     *
     * `nodes` must cover every id appearing in `edges` (pass the whole
     * corpus: singleton docs come out as their own cluster). An edge
@@ -476,21 +580,36 @@ object Dedup {
       require(missing == 0L,
         s"connectedComponents: $missing edge endpoint id(s) absent from nodes — labels would not be component minima")
     }
-    var labels = nodes.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+    // Constant-factor diet for the loop: labels are 2 longs per node,
+    // so checkpointing every round at full shuffle fan-out makes the
+    // loop pure task-scheduling overhead below cluster scale. Pack
+    // each round's materialization into ~64k-row partitions, bounded
+    // above by the session's shuffle parallelism so a billion-node
+    // graph still spreads across the cluster.
+    val nNodes = nodes.count()
+    val parts = math.max(1L, math.min(
+      nodes.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      nNodes / 65536L)).toInt
+    var (labels, releaseLabels) = graft.Caches.checkpoint(
+      nodes.select(col("id"), col("id").as("cluster_id")).coalesce(parts))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(labels("id"),
-          least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id")))
-            .as("cluster_id"),
-          labels("cluster_id").as("graft_prev"))
-        .localCheckpoint()
+      val (next, releaseNext) = graft.Caches.checkpoint(
+        labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(labels("id"),
+            least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id")))
+              .as("cluster_id"),
+            labels("cluster_id").as("graft_prev"))
+          .coalesce(parts))
       changed = next.filter(col("cluster_id") < col("graft_prev")).count()
+      // round k is materialized — round k−1's blocks are dead; loop
+      // storage stays bounded at two rounds instead of all of them
+      releaseLabels()
       labels = next.select(col("id"), col("cluster_id"))
+      releaseLabels = releaseNext
       iter += 1
     }
     sym.unpersist()
@@ -529,10 +648,23 @@ object Dedup {
     * no-loop blocked fast path. */
   def starComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    var cur = edges.select(greatest(col("a"), col("b")).as("hi"),
-        least(col("a"), col("b")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct().localCheckpoint()
+    // same skinny-frame diet as connectedComponents: each round's
+    // edge set is 2 longs per edge — coalesce the checkpointed frame
+    // to ~64k-row partitions (bounded by the session's shuffle
+    // parallelism) using the PREVIOUS round's exact count, so round
+    // cost is the rewiring work, not task scheduling. The initial
+    // checkpoint materializes at natural fan-out (its row count is
+    // unknown until it runs), then narrows once the count exists.
+    val shuffleParts =
+      nodes.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    def parts(rows: Long): Int =
+      math.max(1L, math.min(shuffleParts, rows / 65536L)).toInt
+    var (cur, releaseCur) = graft.Caches.checkpoint(
+      edges.select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct())
     var nEdges = cur.count()
+    cur = cur.coalesce(parts(nEdges))
     var converged = nEdges == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -543,14 +675,22 @@ object Dedup {
       val ls = sym.join(mins, "n").filter(col("x") > col("n"))
         .select(col("x").as("hi"), col("m").as("lo")).distinct()
       val mins2 = ls.groupBy("hi").agg(min(col("lo")).as("m"))
-      val next = ls.join(mins2, "hi")
-        .filter(col("lo") =!= col("m"))
-        .select(col("lo").as("hi"), col("m").as("lo"))
-        .unionAll(mins2.select(col("hi"), col("m").as("lo")))
-        .distinct().localCheckpoint()
+      val (next, releaseNext) = graft.Caches.checkpoint(
+        ls.join(mins2, "hi")
+          .filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionAll(mins2.select(col("hi"), col("m").as("lo")))
+          .distinct().coalesce(parts(nEdges)))
       val nNext = next.count()
+      // the (anti-join) fixpoint probe runs only on a count match —
+      // an edge set that stopped shrinking is almost always the
+      // fixpoint, so this fires ~once per call; deferring it further
+      // (k consecutive matches) would trade the one cheap probe for a
+      // whole extra rewiring round
       converged = nNext == nEdges && next.except(cur).isEmpty
+      releaseCur()
       cur = next
+      releaseCur = releaseNext
       nEdges = nNext
       iter += 1
     }
@@ -670,7 +810,7 @@ object Dedup {
       // both self-join sides consume this frame — persist or each side
       // recomputes the fingerprint derivation (cache contract as in
       // nearDuplicates; `bands` skinny rows per item)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val joinKey = bucketCols ++ Seq("band_idx", "band_val")
     val l = bandsDf.select(joinKey.map(col) :+
       col("doc_id").as("a") :+ col("fp").as("sa"): _*)
@@ -746,7 +886,7 @@ object Dedup {
       .select(col("doc_id"), col("seg_idx"), polyHashFast(col("seg")).as("h"))
       .groupBy(col("h"), col("doc_id"))
       .agg(count(lit(1)).as("cnt"), min(col("seg_idx")).as("mseg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     // level 2: global first occurrence per hash — an ordinary min over
     // structs (struct ordering = lexicographic (doc_id, seg_idx)),
     // partial-aggregated map-side; a hot hash contributes ONE row per

@@ -62,9 +62,16 @@ object ImageCodec {
     val topDown = rawH < 0
     val h = math.abs(rawH)
     require(w > 0 && h > 0, s"bad bmp dimensions ${w}x$rawH")
-    val stride = (w * 3 + 3) & ~3
-    require(off >= 54 && b.length >= off + stride.toLong * h,
-      s"bmp truncated: need ${off + stride.toLong * h} bytes, have ${b.length}")
+    // size arithmetic in Long BEFORE the truncation check: a huge
+    // declared width would overflow `w * 3` to a negative Int stride,
+    // sneak past the length require, and then blow up in array
+    // allocation/indexing instead of the clean require a corrupt
+    // payload must produce (dead-letter contract)
+    val strideL = (w.toLong * 3 + 3) & ~3L
+    require(off >= 54 && off.toLong + strideL * h <= b.length,
+      s"bmp truncated: need ${off.toLong + strideL * h} bytes, have ${b.length}")
+    // the require bounds w·h·3 ≤ stride·h ≤ b.length, so Int is safe
+    val stride = strideL.toInt
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

@@ -123,9 +123,15 @@ object Multimodal {
               ImageCodec.meanRgb(img), ImageCodec.ahash64(img),
               mime, nBytes, null)
           } catch {
-            case e: IllegalArgumentException =>
+            // NonFatal, not just IllegalArgumentException: a corrupt
+            // payload can fail OUTSIDE the codec's requires (index
+            // out of bounds, negative array size from a lying header,
+            // malformed varint...) and every such failure must route
+            // to the dead-letter side rather than kill the task
+            case scala.util.control.NonFatal(e) =>
               AttemptedImage(id, -1, -1, Array.empty, 0L, mime, nBytes,
-                e.getMessage)
+                if (e.getMessage == null) e.getClass.getSimpleName
+                else e.getMessage)
           }
         }
       }

@@ -81,9 +81,10 @@ object Prefix {
     // (self-join dedup defeats ReusedExchange on non-trivial inputs)
     // and re-samples boundaries from nondeterministically ordered
     // upstream output — silently wrong sums.
-    val ranged = df.repartitionByRange(n, order: _*)
-      .withColumn("graft_pid", spark_partition_id())
-      .localCheckpoint(false)
+    val ranged = graft.Caches.checkpoint(
+      df.repartitionByRange(n, order: _*)
+        .withColumn("graft_pid", spark_partition_id()),
+      eager = false)._1
     // pass 1: one total per partition; tiny by construction. A
     // partition whose values are ALL null sums to null — the offset
     // coalesce treats it as 0, matching the window pass (sum-over

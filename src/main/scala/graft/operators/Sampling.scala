@@ -53,7 +53,15 @@ object Sampling {
     * train/test boundary. Proportions hold in expectation over the
     * hash space; exact-count splits need a rank, which is a sort —
     * the hash form is the 100 TB default. Adds column `out` with the
-    * split name. */
+    * split name.
+    *
+    * NULL keys: the hash of null is null, which would fall through
+    * every bucket branch into a null split — a row in NO split,
+    * violating the exactly-one contract. They are instead routed
+    * deterministically to the FIRST split: all null-key rows form one
+    * "entity" and stay on one side of the boundary together. Callers
+    * who consider a null key a data error should assert upstream
+    * (e.g. Enforce's row split). */
   def split(df: DataFrame, key: Column, weights: Seq[(String, Int)],
       out: String = "split"): DataFrame = {
     require(weights.nonEmpty && weights.map(_._2).sum == 100,
@@ -68,7 +76,8 @@ object Sampling {
       when(bucket < assign.head._2, lit(assign.head._1))) {
       case (acc, (name, cut)) => acc.when(bucket < cut, lit(name))
     }
-    df.withColumn(out, labeled)
+    df.withColumn(out,
+      when(key.isNull, lit(weights.head._1)).otherwise(labeled))
   }
 
   /** Stratified hash-Bernoulli sample: per-stratum keep-percentages

@@ -238,10 +238,11 @@ object TextAnalysis {
     // earlier formulation re-tokenized the corpus for each pass and
     // scanned the source a third time for the doc spine (explode_outer
     // keeps zero-token docs instead). Cache contract as elsewhere
-    // (nearDuplicates): lives until the session evicts it.
+    // (nearDuplicates): pinned via graft.Caches, released at the
+    // caller's Caches.releaseAll() boundary.
     val tf = df.select(id.as("doc_id"), explode_outer(tokens(text)).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(col("tok")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val top = tf.filter(col("tok").isNotNull)
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok").asc)
@@ -278,7 +279,8 @@ object TextAnalysis {
     * have no bigrams and drop out, as in the SQL twin.
     *
     * Cache contract as elsewhere: the (doc, bigram) aggregate is
-    * persisted (three consumers), lives until the session evicts it. */
+    * pinned via graft.Caches (three consumers), released at the
+    * caller's Caches.releaseAll() boundary. */
   def bigramLm(df: DataFrame, id: Column, text: Column): DataFrame = {
     // explode_outer (not explode): a plain Generate lets the optimizer
     // infer size(...) > 0 and push it below the staged token chain,
@@ -292,7 +294,7 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
       .filter(col("bg").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val pair = bgc.groupBy(col("bg")).agg(sum(col("n")).as("c2"))
     // left-word counts from the PAIR table: tokens carry no spaces, so
     // the left word is recoverable by split — no second corpus pass

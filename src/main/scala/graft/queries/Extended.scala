@@ -617,16 +617,11 @@ object Extended {
   /** The containment fixture + prefix-filter + verified-pairs chain
     * shared by d56 (pairs) and d57 (apply) — one generator so the two
     * oracles cannot drift. */
-  private val containmentCtes =
-    s"""halves AS (
-       |  SELECT doc_id + 2000000 AS doc_id,
-       |    array_to_string(t[1:CAST((len(t)+1)//2 AS BIGINT)], ' ') AS text
-       |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
-       |  WHERE doc_id % 11 = 0),
-       |corpus AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id, text FROM halves),
-       |toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM corpus),
+  /** The pairs chain (toks→…→pairs) over whatever `corpus` CTE the
+    * caller defines — shared by d56/d57 (documents + halves) and d58
+    * (the chain-structured X/H/P corpus). */
+  private val containmentChainCtes =
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM corpus),
        |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM toks),
        |hs AS (SELECT doc_id, list_transform(s, sg -> ${polyHashSql("sg")}) AS h FROM sh),
        |hd AS (SELECT doc_id, list_distinct(h) AS s FROM hs WHERE len(h) > 0),
@@ -645,6 +640,17 @@ object Extended {
        |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s) AS containment
        |  FROM cand JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.9 * len(sa.s))""".stripMargin
+
+  private val containmentCtes =
+    s"""halves AS (
+       |  SELECT doc_id + 2000000 AS doc_id,
+       |    array_to_string(t[1:CAST((len(t)+1)//2 AS BIGINT)], ' ') AS text
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+       |  WHERE doc_id % 11 = 0),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM halves),
+       |$containmentChainCtes""".stripMargin
 
   /** The d56/d57 corpus on the engine side (documents + injected
     * first-half token-prefix docs). */
@@ -681,6 +687,90 @@ object Extended {
        |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
     Dedup.dropContained(containmentCorpus(s, dir), col("doc_id"), col("text"),
         n = 3, threshold = 0.9)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The d58 corpus: per selected base doc (≥ 20 tokens), three
+    * variants engineered into a containment CHAIN at t = 0.9 —
+    * X = first 20 tokens, H = first 14 tokens + a doc-unique junk
+    * token (containment in X ≈ 12/13), P = tokens 8..14 + the same
+    * junk token (containment in H = 1.0, in X ≈ 5/6 < 0.9). So
+    * P ⊂ H ⊂ X with NO P→X edge — the exact shape where the greedy
+    * drop rule (d57) discards both P and H while the survivor-aware
+    * rule must keep P (its only container H is itself dropped). */
+  private def containmentChainCorpus(s: SparkSession, dir: String) = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(col("doc_id") % 7 === 0 && size(col("t")) >= 20)
+    val junk = concat(lit("zzj"), col("doc_id").cast("string"))
+    base.select(col("doc_id"), array_join(slice(col("t"), 1, 20), " ").as("text"))
+      .unionAll(base.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(array_join(slice(col("t"), 1, 14), " "), lit(" "), junk).as("text")))
+      .unionAll(base.select((col("doc_id") + 2000000).as("doc_id"),
+        concat(array_join(slice(col("t"), 8, 7), " "), lit(" "), junk).as("text")))
+  }
+
+  /** d58 — SURVIVOR-AWARE containment dedup (Dedup
+    * .dropContainedMinimal): drop a doc only if a container of it
+    * SURVIVES — the minimal-drop closure the greedy d57 rule
+    * documents as its caveat. The oracle expresses the same layer
+    * peeling as unrolled rounds of plain CTEs (kept = sinks, dropped
+    * = contained-in-kept, resolved nodes leave the edge set): 6
+    * rounds bounds the fixture's chain depth (X/H/P gives depth 2;
+    * base-doc cross-containments can add a couple more), and BOTH
+    * sides keep any cyclic remainder, so the round bound is the only
+    * divergence risk and the hash compare would catch it. */
+  val d58ContainmentMinimal: Q = Q(
+    "d58_containment_minimal", {
+      val rounds = 6
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, so an unrolled iteration would expand the previous
+      // round's subtree exponentially (observed as thousands of
+      // re-opens of the same parquet file). Materializing each
+      // round's frames keeps the oracle linear in the round count.
+      val peel = (0 until rounds).map { r =>
+        s"""kept$r AS MATERIALIZED (SELECT DISTINCT p AS id FROM rem$r
+           |  WHERE p NOT IN (SELECT c FROM rem$r)),
+           |drop$r AS MATERIALIZED (SELECT DISTINCT c AS id FROM rem$r
+           |  JOIN kept$r ON rem$r.p = kept$r.id),
+           |res$r AS MATERIALIZED (SELECT id FROM kept$r UNION SELECT id FROM drop$r),
+           |rem${r + 1} AS MATERIALIZED (SELECT c, p FROM rem$r
+           |  WHERE c NOT IN (SELECT id FROM res$r)
+           |    AND p NOT IN (SELECT id FROM res$r))""".stripMargin
+      }.mkString(",\n")
+      val dropsAll = (0 until rounds)
+        .map(r => s"SELECT id FROM drop$r").mkString(" UNION ")
+      s"""WITH base58 AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+         |cands58 AS MATERIALIZED (SELECT doc_id, t FROM base58
+         |  WHERE doc_id % 7 = 0 AND len(t) >= 20),
+         |corpus AS MATERIALIZED (
+         |  SELECT doc_id, array_to_string(t[1:20], ' ') AS text FROM cands58
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    array_to_string(t[1:14], ' ') || ' zzj' || CAST(doc_id AS VARCHAR)
+         |  FROM cands58
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    array_to_string(t[8:14], ' ') || ' zzj' || CAST(doc_id AS VARCHAR)
+         |  FROM cands58),
+         |$containmentChainCtes,
+         |edges AS (
+         |  SELECT CASE WHEN has_fwd AND NOT has_rev THEN lo ELSE hi END AS c,
+         |         CASE WHEN has_fwd AND NOT has_rev THEN hi ELSE lo END AS p
+         |  FROM (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+         |          bool_or(a < b) AS has_fwd, bool_or(a > b) AS has_rev
+         |        FROM pairs GROUP BY 1, 2)),
+         |rem0 AS MATERIALIZED (SELECT c, p FROM edges),
+         |$peel,
+         |dropped AS ($dropsAll)
+         |SELECT cr.doc_id FROM corpus cr
+         |WHERE cr.doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY cr.doc_id""".stripMargin
+    }) { (s, dir) =>
+    Dedup.dropContainedMinimal(containmentChainCorpus(s, dir),
+        col("doc_id"), col("text"), n = 3, threshold = 0.9)
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
@@ -1112,16 +1202,21 @@ object Extended {
       .orderBy(col("source"), col("doc_id"))
   }
 
-  /** t76 — heavy-hitter tokens per language via the two-pass sketch
-    * pattern: Misra-Gries (capacity 64, a custom typed Aggregator with
-    * mergeable-summaries combine) generates bounded-memory CANDIDATES,
-    * then only candidates are exactly re-counted (broadcast semi-
-    * filter before the aggregation — the full distinct-token count
-    * table is never built) and thresholded at 2% of the language's
-    * tokens. Exactness: MG undercount ≤ n/65 < 2%·n, so every true
-    * heavy hitter is a candidate, and the exact re-count + threshold
-    * make the output independent of the sketch's merge order —
-    * which is why it can hash-match an exact GROUP BY/HAVING oracle. */
+  /** t76 — heavy-hitter tokens per language via the Misra-Gries
+    * candidate/re-count pattern, with the sketch fed PRE-AGGREGATED
+    * weights: raw occurrences collapse to exact (lang, tok) counts in
+    * a codegen'd hash aggregate first (partial-combinable, map-side),
+    * and the object-buffer MG aggregate (capacity 64, mergeable-
+    * summaries combine) consumes one WEIGHTED row per vocabulary
+    * entry instead of one row per occurrence — the round-6 driver
+    * profile showed the per-occurrence ObjectHashAggregate was the
+    * whole cost of this query. The exact counts that pass 1 already
+    * produced serve as the candidate re-count, so the corpus
+    * tokenizes ONCE. Exactness: weighted MG undercount ≤ n/65 <
+    * 2%·n (see MisraGriesWeighted), so every true heavy hitter is a
+    * candidate, and the exact counts + threshold make the output
+    * independent of the sketch's merge order — which is why it can
+    * hash-match an exact GROUP BY/HAVING oracle. */
   val t76HeavyHitters: Q = Q(
     "t76_heavy_hitters",
     s"""WITH tk AS (SELECT lang, unnest(${tokensSql("text")}) AS tok FROM documents),
@@ -1134,19 +1229,22 @@ object Extended {
     val tk = Tables.documents(s, dir)
       .select(col("lang"), explode_outer(tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull)
-    // pass 1: sketch + language totals in ONE aggregation — the corpus
-    // tokenizes exactly twice overall (pass 1 + the candidate
-    // re-count), the two-pass minimum; pass1 is ≤ langs·(64+1) rows,
-    // persisted so its two consumers don't re-derive the scan
-    val pass1 = tk.groupBy(col("lang"))
-      .agg(graft.functions.FreqSketchAgg.misraGries(64)(col("tok")).as("cand"),
-        count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // occurrences → exact (lang, tok) counts, once, in codegen; both
+    // the sketch pass and the threshold pass below read this frame
+    val cnts = tk.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(d => graft.Caches.pin(d))
+    // sketch + language totals in ONE aggregation over vocabulary-
+    // sized weighted rows; pass1 is ≤ langs·(64+1) rows, pinned so
+    // its two consumers don't re-run the MG aggregate
+    val pass1 = cnts.groupBy(col("lang"))
+      .agg(graft.functions.FreqSketchAgg.misraGriesWeighted(64)(
+          col("tok"), col("cnt")).as("cand"),
+        sum(col("cnt")).as("n"))
+      .transform(d => graft.Caches.pin(d))
     val cands = pass1.select(col("lang"), explode(col("cand")).as("tok"))
     val totals = pass1.select(col("lang"), col("n"))
-    tk.join(broadcast(cands), Seq("lang", "tok"))
-      .groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    cnts.join(broadcast(cands), Seq("lang", "tok"))
       .join(broadcast(totals), "lang")
       .filter(col("cnt") * 50 > col("n"))
       .select(col("lang"), col("tok"), col("cnt"))
@@ -1338,7 +1436,7 @@ object Extended {
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
-    d57DropContained, t73ChunkOverlap,
+    d57DropContained, d58ContainmentMinimal, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

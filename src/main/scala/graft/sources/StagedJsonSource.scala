@@ -206,15 +206,21 @@ final class StagedJsonScan(root: String, required: StructType,
         if (st.isDirectory) {
           val name = st.getPath.getName
           name match {
+            // structure beats name patterns: a league dir's children
+            // are ALWAYS endpoint dirs, so this case must match FIRST
+            // — an endpoint literally named like `season_2` would
+            // otherwise be filtered with the season attribute's pushed
+            // filters and its subtree silently skipped (the exact
+            // file-level check below never runs on unlisted files)
+            case e if parentIsLeague =>
+              if (levelPass("endpoint", 0L, 0L, e))
+                walk(st.getPath, parentIsLeague = false)
             case StagedJsonSource.SeasonDirRe(s) =>
               if (levelPass("season", s.toLong, 0L, ""))
                 walk(st.getPath, parentIsLeague = false)
             case StagedJsonSource.LeagueDirRe(l) =>
               if (levelPass("league", 0L, l.toLong, ""))
                 walk(st.getPath, parentIsLeague = true)
-            case e if parentIsLeague => // league children are endpoint dirs
-              if (levelPass("endpoint", 0L, 0L, e))
-                walk(st.getPath, parentIsLeague = false)
             case _ => // api level / unrecognized: descend, prune deeper
               walk(st.getPath, parentIsLeague = false)
           }

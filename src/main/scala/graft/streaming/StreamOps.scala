@@ -346,7 +346,7 @@ object StreamOps {
       batchId: Long, indexDir: String, outDir: String,
       threshold: Double): Unit = {
     val b = batch.select(col("doc_id"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d => graft.Caches.pin(d))
     val inBatch = graft.operators.Dedup
       .nearDuplicates(b, col("doc_id"), col("text"), threshold = threshold)
       .select(col("b").as("doc_id"), col("a").as("matched_id"))
@@ -392,9 +392,13 @@ object StreamOps {
     novelIdx.sets.write.mode("overwrite")
       .parquet(s"$indexDir/sets/batch=$batchId")
     b.unpersist()
-    // the dedup operators persist their shingle frames (cache
-    // contract); a long-running stream must not accumulate them
-    spark.catalog.clearCache()
+    // the dedup operators pin their shingle frames through
+    // graft.Caches; a long-running stream must not accumulate them
+    // across micro-batches. releaseAll drops exactly the library's
+    // blocks — a co-tenant's cached DataFrame in the shared
+    // SparkSession keeps its storage level (the earlier session-wide
+    // clearCache() silently evicted every cache in the session).
+    graft.Caches.releaseAll()
     ()
   }
 

@@ -298,6 +298,31 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("dropContainedMinimal: drops only docs whose container survives (chain-aware)") {
+    // engineered chain at t=0.9: P ⊂ H ⊂ X but P ⊄ X (the junk token
+    // pushes P's containment in X to 5/6) — greedy drops {H, P},
+    // survivor-aware must drop {H} only (P's sole container dies)
+    val ts = (1 to 20).map(i => f"w$i%02d")
+    val x = ts.mkString(" ")
+    val h = (ts.take(14) :+ "zz").mkString(" ")
+    val p = (ts.slice(7, 14) :+ "zz").mkString(" ")
+    val corpus = Seq((1L, x), (2L, h), (3L, p)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, col("doc_id"), col("text"), threshold = 0.9)
+      .select("contained", "container").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 1L), (3L, 2L)), s"fixture pairs: $pairs")
+    val greedy = Dedup.dropContained(corpus, col("doc_id"), col("text"), threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == Set(1L)) // greedy: both H and P dropped
+    val minimal = Dedup.dropContainedMinimal(corpus, col("doc_id"), col("text"), threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minimal == Set(1L, 3L)) // P survives: its container did not
+    // mutual pair folds to keep-min-id, same as the greedy rule
+    val twins = corpus.unionAll(Seq((10L, x)).toDF("doc_id", "text"))
+    val m = Dedup.dropContainedMinimal(twins, col("doc_id"), col("text"), threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(m == Set(1L, 3L), s"twins: $m") // 10 mutual-loses to 1; H dropped; P kept
+  }
+
   test("containment property: prefix filter equals brute-force all-pairs on random corpora") {
     import org.scalacheck.{Gen, rng}
     // random docs over a small vocab so containment pairs actually occur
@@ -891,6 +916,16 @@ class OperatorsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       graft.operators.Sampling.split(df.withColumn("split", lit("x")), col("id"), w))
       .getMessage.contains("split"))
+    // null keys: hash(null) is null and would fall through every
+    // branch into a null split (a row in NO split); the contract
+    // routes them deterministically to the FIRST split instead
+    val withNull = spark.range(0, 5).toDF("n")
+      .select(when(col("n") === 0, lit(null).cast("long"))
+        .otherwise(col("n")).as("id"))
+    val ns = graft.operators.Sampling.split(withNull, col("id"), w)
+      .select("id", "split").as[(Option[Long], String)].collect().toMap
+    assert(ns.values.forall(_ != null))
+    assert(ns(None) == "train")
   }
 
   test("wav codec: u8 round-trip, s16 negatives, chunk skipping, corrupt rejection") {
@@ -1002,6 +1037,37 @@ class OperatorsSpec extends SparkSpec {
     attempted.unpersist()
   }
 
+  test("bmp with an int-overflowing declared width dead-letters cleanly (Long size arithmetic)") {
+    import graft.operators.{ImageCodec, Multimodal}
+    // craft a 54-byte BMP header claiming width 0x40000000 (w*3
+    // overflows Int to a negative stride): before the Long-arithmetic
+    // fix this passed the truncation require and died with
+    // NegativeArraySizeException in the task body
+    def header(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](54 + 16)
+      b(0) = 'B'; b(1) = 'M'
+      def put32(o: Int, v: Int): Unit = { b(o) = (v & 0xff).toByte
+        b(o + 1) = ((v >> 8) & 0xff).toByte; b(o + 2) = ((v >> 16) & 0xff).toByte
+        b(o + 3) = ((v >> 24) & 0xff).toByte }
+      put32(10, 54); put32(18, w); put32(22, h)
+      b(28) = 24 // bpp (u16 low byte)
+      put32(30, 0) // BI_RGB
+      b
+    }
+    // direct codec call: clean require, not an arithmetic crash
+    val e = intercept[IllegalArgumentException](
+      ImageCodec.decodeBmp24(header(0x40000000, 2)))
+    assert(e.getMessage.contains("truncated"))
+    // and through the dead-letter path both the overflowing-header
+    // payload and a plain-garbage one land on the dead side
+    val payloads = Seq((1L, header(0x40000000, 2)), (2L, header(2, 0x40000000)))
+      .toDF("doc_id", "payload")
+    val assets = Multimodal.toAssets(payloads, "doc_id", "payload", ImageCodec.BmpMime)
+    val (_, dead) = Multimodal.splitDecoded(
+      Multimodal.decodeImagesWithError(spark, assets))
+    assert(dead.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("skew profile: one-pass grouping-sets stats match per-column ground truth") {
     val df = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 3L), ("c", 3L))
@@ -1082,5 +1148,62 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1L) == ((2L, 0L)))
     assert(rows(2L) == ((2L, 1L))) // its first 10-token block repeats doc 1's
     assert(rows(3L) == ((1L, 1L))) // "k l" already occurred as doc 1's tail segment
+  }
+
+  test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
+    // The library-wide cache-lifetime contract (graft.Caches): every
+    // operator-internal persist/localCheckpoint is registered, and
+    // Caches.releaseAll() at the caller's done-with-results boundary
+    // must leave NO storage behind — without leaning on the session-
+    // wide spark.catalog.clearCache() hammer, which would also evict
+    // co-tenant caches. Exercises one representative of each pin
+    // shape: multi-consumer persist (nearDuplicates, segmentDedup,
+    // bigramLm, corpusTopDfRatio), pin-under-union-anti-join
+    // (dropContained), loop checkpoints (connectedComponents,
+    // starComponents), and the lazy boundary checkpoint
+    // (Prefix.runningTotal via curate).
+    import graft.operators.{Curation, Prefix}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (3L, "completely different content about spark engines at scale"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "shingle material for the corpus statistics operators here now")
+    ).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 4L)).toDF("a", "b")
+    val nodes = corpus.select(col("doc_id").as("id"))
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "nearDuplicates" -> (() =>
+        Dedup.nearDuplicates(corpus, col("doc_id"), col("text"), threshold = 0.5)),
+      "dropContained" -> (() =>
+        Dedup.dropContained(corpus.unionAll(corpus.select(col("doc_id") + 100, col("text"))),
+          col("doc_id"), col("text"), threshold = 0.9)),
+      "segmentDedup" -> (() =>
+        Dedup.segmentDedup(corpus, col("doc_id"), col("text"), segTokens = 4)),
+      "bigramLm" -> (() =>
+        TextAnalysis.bigramLm(corpus, col("doc_id"), col("text"))),
+      "corpusTopDfRatio" -> (() =>
+        TextAnalysis.corpusTopDfRatio(corpus, col("doc_id"), col("text"), k = 3)),
+      "connectedComponents" -> (() =>
+        Dedup.connectedComponents(nodes, edges)),
+      "starComponents" -> (() =>
+        Dedup.starComponents(nodes, edges)),
+      "runningTotal" -> (() =>
+        Prefix.runningTotal(corpus.withColumn("n", length(col("text")).cast("long")),
+          Seq(col("doc_id")), col("n"))),
+      "curate" -> (() => Curation.curate(corpus))
+    )
+    // clear residue from earlier tests in this shared session, then
+    // verify the precondition actually holds
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+    ops.foreach { case (name, build) =>
+      assert(build().count() >= 0L) // the caller's terminal action
+      Caches.releaseAll()           // the contract boundary
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persistent RDD(s) past releaseAll: " +
+          leaked.values.map(r => s"id=${r.id} level=${r.getStorageLevel}").mkString(", "))
+    }
   }
 }

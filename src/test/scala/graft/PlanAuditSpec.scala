@@ -156,6 +156,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("d57: the containment chain is planned ONCE (InMemoryRelation reuse through the union anti-join)") {
+    // PushdownLeftSemiOrAntiJoin replicates d57's anti-join into both
+    // union branches of the corpus; dropContained pins the id-narrow
+    // dropped frame so the replicas share one InMemoryRelation. If the
+    // pin regresses, the full containment chain (DF windows, candidate
+    // join, merge-scan verify) executes once PER BRANCH — the round-6
+    // 3x-evaluation bug in a new disguise. Physical instances are
+    // told apart by plan_id: cached-plan reprints inside an
+    // InMemoryTableScan repeat the SAME id, real duplicates get new
+    // ones.
+    val p = plan("d57_drop_contained")
+    val canonAggIds = "Exchange hashpartitioning\\(lo#\\d+L, hi#\\d+L[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(canonAggIds.size == 1,
+      s"expected ONE physical canonical-pair aggregation, got plan_ids $canonAggIds:\n$p")
+    assert(p.contains("InMemoryTableScan [graft_drop#"),
+      s"dropped-id frame is not cached (anti-join branches re-run the chain):\n$p")
+  }
+
   test("q70: skew profile scans the table ONCE via grouping sets (no per-column rescan)") {
     val p = plan("q70_key_skew")
     assert(p.contains("Expand"), s"expected a grouping-sets Expand:\n$p")

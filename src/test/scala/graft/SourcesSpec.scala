@@ -155,6 +155,27 @@ class SourcesSpec extends SparkSpec {
     assert(seasonPruned.count() == 0)
   }
 
+  test("an endpoint directory named like season_N is walked as an endpoint, not season-filtered") {
+    // structure beats name patterns: children of a league dir are
+    // endpoint dirs by construction. Before the walk-order fix,
+    // `season_2` here matched SeasonDirRe first, the season=2023
+    // filter was evaluated against season_2's literal 2, and the
+    // subtree was silently skipped — losing rows the exact file-level
+    // check would have kept.
+    val dir = Files.createTempDirectory("graft_trap").toString
+    write(dir, "api/season_2023/league_1/season_2/run_1.json", """[{"k":"1"}]""")
+    write(dir, "api/season_2023/league_1/teams/run_1.json", """[{"k":"2"}]""")
+    val q = spark.read.format("staged-json").load(dir)
+      .filter(col("season") === 2023)
+    val eps = q.select(col("endpoint")).collect().map(_.getString(0)).sorted.toSeq
+    assert(eps == Seq("season_2", "teams"),
+      s"endpoint dir named season_2 was mis-pruned: got $eps")
+    // and an endpoint filter still prunes it as an endpoint
+    val only = spark.read.format("staged-json").load(dir)
+      .filter(col("endpoint") === "teams")
+    assert(only.rdd.getNumPartitions == 1)
+  }
+
   test("files at non-standard nesting depth are still discovered") {
     // the layout regex allows any prefix depth; the level walk descends
     // through unrecognized dirs, so a wrapped tree keeps working

@@ -430,6 +430,37 @@ class StreamingSpec extends SparkSpec {
     assert(v11 == Map(11L -> Some(1L)))
   }
 
+  test("a co-tenant's cached DataFrame survives a dedup micro-batch with its storage level intact") {
+    // dedupBatch must clean up ONLY the dedup operators' own pins
+    // (graft.Caches.releaseAll) — the earlier session-wide
+    // spark.catalog.clearCache() silently evicted every cache in the
+    // session, so in a long-running app sharing the SparkSession each
+    // micro-batch destroyed co-tenant caches.
+    val base = java.nio.file.Files.createTempDirectory("graft_cotenant")
+    val (indexDir, outDir) = (base.resolve("index").toString, base.resolve("out").toString)
+    // clear residue other tests left in the shared session so the
+    // only-the-co-tenant-remains assertion below is deterministic
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+    val userFrame = Seq((1L, "co-tenant state"), (2L, "more state"))
+      .toDF("k", "v").persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    assert(userFrame.count() == 2L) // materialize the cache
+    StreamOps.dedupBatch(spark,
+      Seq((21L, "the quick brown fox jumps over the lazy dog tonight"),
+        (22L, "a second unrelated document about watermarks and state"))
+        .toDF("doc_id", "text"),
+      0L, indexDir, outDir, 0.8)
+    assert(userFrame.storageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY,
+      s"micro-batch evicted the co-tenant cache (level now ${userFrame.storageLevel})")
+    // and the batch's own pins are gone: the only persistent RDD left
+    // in the session is the co-tenant's
+    val persisted = spark.sparkContext.getPersistentRDDs
+    assert(persisted.size == 1,
+      s"expected only the co-tenant cache to remain, got ${persisted.size}: " +
+        persisted.values.map(r => s"id=${r.id} level=${r.getStorageLevel}").mkString(", "))
+    userFrame.unpersist(blocking = true)
+  }
+
   test("streaming enforce split: per-batch ok/dead routing equals the batch operator") {
     implicit val sqlCtx = spark.sqlContext
     import graft.engine.Enforce.FieldSpec
