@@ -20,6 +20,12 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+      // cache contract boundary between queries: operator pins and
+      // loop checkpoints from the previous query are released (its
+      // result is already on disk), so 100+ queries in one session
+      // can't crowd the heap with dead MEMORY_AND_DISK copies
+      Caches.releaseAll()
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
