@@ -218,6 +218,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("weighted misra-gries keeps the same guarantee over pre-aggregated counts, any partitioning") {
+    // the t76 shape: occurrences collapse to (item, cnt) first, the
+    // sketch consumes weighted rows — the undercount bound (total
+    // cuts ≤ n/(k+1)) must hold exactly as in the per-occurrence form
+    import org.scalacheck.{Gen, rng}
+    val g = for {
+      n <- Gen.choose(50, 400)
+      zipf <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+        3 -> Gen.oneOf("a", "b", "c"), 5 -> Gen.choose(0, 500).map("t" + _)))
+      parts <- Gen.choose(1, 13)
+      k <- Gen.choose(2, 12)
+    } yield (zipf, parts, k)
+    val cases = Gen.listOfN(5, g).apply(Gen.Parameters.default, rng.Seed(53L)).get
+    cases.foreach { case (items, parts, k) =>
+      val cand = items.toDF("tok").repartition(parts)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .agg(graft.functions.FreqSketchAgg.misraGriesWeighted(k)(col("tok"), col("cnt")))
+        .head().getSeq[String](0).toSet
+      assert(cand.size <= k, s"summary exceeded capacity: ${cand.size} > $k")
+      val counts = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = counts.filter(_._2 > items.size.toLong / (k + 1)).keySet
+      assert(mustKeep.subsetOf(cand),
+        s"k=$k parts=$parts lost guaranteed items: ${mustKeep -- cand}")
+    }
+  }
+
   test("grouped discrete percentile matches the naive sorted-scan definition") {
     import org.scalacheck.{Gen, rng}
     val cases = Gen.listOfN(4, for {
