@@ -286,16 +286,19 @@ object Dedup {
       .transform(d => graft.Caches.pin(d))
     val postings = sh.select(col("doc_id"), explode(col("s")).as("h"))
     val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("graft_df"))
-    // per-doc rarest probes; both windows share one doc_id exchange.
+    // per-doc rarest probes. The per-doc shingle count is size(s) —
+    // known BEFORE the explode, so it rides along as a column instead
+    // of a second (count-over-unbounded) window pass re-deriving it.
     // probe count sz − floor(t·sz) + 1 ≥ the pigeonhole bound
     // sz − ⌈t·sz⌉ + 1 for ANY float rounding of t·sz, so recall stays
     // exact even when t·sz lands on an integer boundary in FP.
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("graft_df"), col("h"))
-    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val probes = postings.join(dfreq, "h")
+    val probes = sh
+      .select(col("doc_id"), size(col("s")).as("graft_sz"),
+        explode(col("s")).as("h"))
+      .join(dfreq, "h")
       .withColumn("graft_rn", row_number().over(wRank))
-      .withColumn("graft_sz", count(lit(1)).over(wSz))
       .filter(col("graft_rn") <=
         col("graft_sz") - floor(lit(threshold) * col("graft_sz")) + 1)
       .select(col("doc_id").as("a"), col("h"))

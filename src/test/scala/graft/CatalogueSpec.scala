@@ -21,6 +21,10 @@ class CatalogueSpec extends SparkSpec {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sfDir).count()
       assert(n > 0, s"$name returned 0 rows")
+      // contract boundary: done with this query's results. Also keeps
+      // later suites honest — the session is JVM-shared, and a pin
+      // left materialized here would rewrite plans other suites audit.
+      graft.Caches.releaseAll()
     }
   }
 
@@ -54,6 +58,7 @@ class CatalogueSpec extends SparkSpec {
     val recall = truth.count(cand).toDouble / truth.size
     assert(recall >= 0.9,
       s"fast-kernel banding recall $recall over ${truth.size} verified pairs")
+    graft.Caches.releaseAll()
   }
 
   test("q36 approx sketches land within error bounds of the exact values") {

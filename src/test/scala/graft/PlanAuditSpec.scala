@@ -8,8 +8,16 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  /** Build `name`'s physical plan from a COLD library cache. Suites
+    * share one SparkSession, so a pin left materialized by an earlier
+    * suite (CatalogueSpec executes every query) would substitute its
+    * InMemoryRelation into the audited plan — and a materialized
+    * relation prints BOTH its final and initial adaptive plans,
+    * double-counting every node a regex looks for. */
+  private def plan(name: String): String = {
+    graft.Caches.releaseAll()
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+  }
 
   test("q02: filter is pushed into the parquet scan; read schema is pruned") {
     val p = plan("q02_filter_project")
@@ -46,10 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     val intentional = Set("s50_knn_brute") // broadcast-queries exhaustive baseline
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentional)
-      .filter { name =>
-        val p = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
-        p.contains("CartesianProduct")
-      }
+      .filter { name => plan(name).contains("CartesianProduct") }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
@@ -161,6 +166,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SinglePartition"),
         s"$q funnels through one task:\n$p")
     }
+  }
+
+  test("d56: probe selection plans exactly ONE window — the per-doc shingle count rides the explode") {
+    // the probe rank needs a window (rarest-first within doc), but the
+    // per-doc set size is size(s), known before the explode; a second
+    // count-over-unbounded window re-buffering every posting partition
+    // means the ride-along column regressed
+    val p = plan("d56_containment")
+    // match the NODE line ("+- Window [" / ":- Window [" after tree bars),
+    // not the windowspecdefinition text inside it
+    val windows = "[-+] Window \\[".r.findAllMatchIn(p).size
+    assert(windows == 1, s"expected exactly one Window in the containment plan, got $windows:\n$p")
   }
 
   test("d57: the containment chain is planned ONCE (InMemoryRelation reuse through the union anti-join)") {
