@@ -904,6 +904,88 @@ object Dedup {
           .otherwise(0L)).as("n_dup_segments"))
   }
 
+  /** Cross-document repeated-span detection — the sliding-window
+    * approximation of exact-substring training-data dedup (the
+    * suffix-array method of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", re-expressed relationally):
+    * a `spanTokens`-token window whose token sequence occurred
+    * earlier in the corpus (earlier = smaller (doc_id, start) — the
+    * same first-occurrence rule as segmentDedup) is a duplicated
+    * window, and overlapping/adjacent duplicated windows merge into
+    * MAXIMAL spans — the unit a curator actually cuts. Unlike
+    * segmentDedup's fixed block grid this catches duplicated runs at
+    * ANY token offset (a quote pasted mid-sentence), at the cost of
+    * one window per token position instead of one per block.
+    * Within-doc repeats count: a doc restating its own span
+    * duplicates it, as in the suffix-array formulation.
+    *
+    * Scale shape: one tokenize pass explodes to ~one row per corpus
+    * token (the cardinality every n-gram operator here pays); the
+    * global first occurrence per span hash is a min(struct)
+    * AGGREGATION (map-side partials — never a corpus-wide window);
+    * occurrences re-join their hash's first on the 8-byte hash key
+    * (a viral span's occurrences concentrate in that hash's join
+    * partition — AQE's skew-join split re-plans it, the bigramLm
+    * note); the interval merge is a per-DOC window (partitioned by
+    * doc_id — no single-partition funnel). Span identity is the
+    * hash, Broder-style, as everywhere in this stack.
+    *
+    * Output per doc with duplicated content: `n_spans`,
+    * `n_dup_windows`, `dup_tokens` (tokens covered by merged spans),
+    * `longest_span`. Docs with no duplicated window are absent
+    * (their signals are all zero). */
+  def repeatedSpans(df: DataFrame, id: Column, text: Column,
+      spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be positive, got $spanTokens")
+    // posexplode: the generator position IS the window start (same
+    // determinism argument as segmentDedup — never a row_number over
+    // exploded rows)
+    val wins = df.select(id.as("doc_id"), tokens(text).as("t"))
+      .select(col("doc_id"), posexplode_outer(
+        when(size(col("t")) >= spanTokens,
+          transform(sequence(lit(1), size(col("t")) - (spanTokens - 1)),
+            i => concat_ws(" ",
+              (0 until spanTokens).map(j => element_at(col("t"), i + j)): _*)))
+          .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "pos", "w")
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"),
+        polyHashFast(col("w")).as("h"))
+    val firsts = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("f"),
+        count(lit(1)).as("c"))
+    // duplicated occurrences: hash seen >1 times, minus the single
+    // global first — equivalent to occ > 1 under the (doc_id, start)
+    // total order, without ranking the hash partition
+    val dup = wins.join(firsts, "h")
+      .filter(col("c") > 1 &&
+        !(col("doc_id") === col("f.doc_id") && col("start") === col("f.start")))
+      .select(col("doc_id"), col("start"))
+    // classic interval merge per doc: a window [start, start+k-1]
+    // opens a new span iff it clears the running max end by more than
+    // adjacency; span id = running count of openers
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    val wPrev = wDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    dup
+      .withColumn("graft_prev_end",
+        max(col("start") + (spanTokens - 1)).over(wPrev))
+      .withColumn("graft_opens",
+        when(col("graft_prev_end").isNull ||
+          col("start") > col("graft_prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("graft_span", sum(col("graft_opens")).over(wDoc))
+      .groupBy(col("doc_id"), col("graft_span"))
+      .agg(min(col("start")).as("s0"),
+        (max(col("start")) + (spanTokens - 1)).as("e0"),
+        count(lit(1)).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("nw")).as("n_dup_windows"),
+        sum(col("e0") - col("s0") + 1).as("dup_tokens"),
+        max(col("e0") - col("s0") + 1).as("longest_span"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * one word-n-gram with any document of an evaluation set — the
     * standard n-gram-overlap contamination check run before training

@@ -775,6 +775,50 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** d59 — cross-document repeated-span detection (the sliding-window
+    * form of Lee-et-al exact-substring dedup — Dedup.repeatedSpans):
+    * every 4-token window repeating an earlier corpus occurrence is
+    * duplicated; overlapping/adjacent duplicated windows merge into
+    * maximal spans per doc. The oracle takes the INDEPENDENT window
+    * formulation (row_number over the span hash — occ > 1 exactly
+    * complements the engine's min(struct) global first), then the
+    * same interval-merge algebra as running-max-end islands. Span
+    * width 4 fits the word-soup fixture's duplicate density (~6% of
+    * windows repeat at sf0.01). */
+  val d59RepeatedSpans: Q = Q(
+    "d59_repeated_spans",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
+       |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+       |           array_to_string(t[i : i + 3], ' ') AS s FROM idx),
+       |hs AS (SELECT doc_id, start, ${polyHashSql("s")} AS h FROM wins),
+       |occ AS (SELECT doc_id, start,
+       |          row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS occ
+       |        FROM hs),
+       |dup AS (SELECT doc_id, start FROM occ WHERE occ > 1),
+       |m AS (SELECT doc_id, start,
+       |        max(start + 3) OVER (PARTITION BY doc_id ORDER BY start
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |      FROM dup),
+       |sp AS (SELECT doc_id, start,
+       |         sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+       |             THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY start) AS span_id
+       |       FROM m),
+       |grp AS (SELECT doc_id, span_id, min(start) AS s0, max(start) + 3 AS e0,
+       |          count(*) AS nw
+       |        FROM sp GROUP BY doc_id, span_id)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(sum(nw) AS BIGINT) AS n_dup_windows,
+       |  CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+       |  CAST(max(e0 - s0 + 1) AS BIGINT) AS longest_span
+       |FROM grp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.repeatedSpans(Tables.documents(s, dir), col("doc_id"), col("text"),
+        spanTokens = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** m75 — REAL audio-codec decode: each document becomes a genuine
     * RIFF/WAVE payload (canonical 44-byte PCM header + its first 128
     * text bytes as unsigned 8-bit samples), then
@@ -1436,7 +1480,7 @@ object Extended {
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
-    d57DropContained, d58ContainmentMinimal, t73ChunkOverlap,
+    d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

@@ -1177,6 +1177,30 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(3L) == ((1L, 1L))) // "k l" already occurred as doc 1's tail segment
   }
 
+  test("repeated spans: overlapping/adjacent duplicated windows merge into maximal spans") {
+    // spanTokens = 4. doc 1 owns every global first; doc 2 repeats
+    // three of doc 1's windows in two separated regions; doc 3 is a
+    // 3x self-repeat whose duplicated intervals chain (overlap +
+    // exact adjacency at start 5 = prev_end 4 + 1) into ONE
+    // doc-covering span. doc 4 is too short to window at all.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x c d e f q a b c d e"),
+      (3L, "a b c d a b c d a b c d"),
+      (4L, "a b"))
+      .toDF("id", "txt")
+    val rows = graft.operators.Dedup.repeatedSpans(docs, col("id"), col("txt"), spanTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // doc 2: dup starts {3, 8, 9} → spans [3,6] and [8,12]
+    assert(rows(2L) == ((2L, 3L, 9L, 5L)))
+    // doc 3: dup starts {1, 5, 6, 7, 8, 9} → one span [1,12]
+    assert(rows(3L) == ((1L, 6L, 12L, 12L)))
+    // docs 1 (all firsts) and 4 (no windows) are absent
+    assert(rows.keySet == Set(2L, 3L))
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
