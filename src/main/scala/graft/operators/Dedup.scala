@@ -935,7 +935,20 @@ object Dedup {
     * `longest_span`. Docs with no duplicated window are absent
     * (their signals are all zero). */
   def repeatedSpans(df: DataFrame, id: Column, text: Column,
-      spanTokens: Int = 10): DataFrame = {
+      spanTokens: Int = 10): DataFrame =
+    repeatedSpanIntervals(df, id, text, spanTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("nw")).as("n_dup_windows"),
+        sum(col("e0") - col("s0") + 1).as("dup_tokens"),
+        max(col("e0") - col("s0") + 1).as("longest_span"))
+
+  /** The merged duplicated-span intervals behind `repeatedSpans` /
+    * `dropSpans`: one row per maximal span — (doc_id, s0, e0, nw)
+    * with 1-based inclusive token positions and the window count that
+    * merged into the span. */
+  private[graft] def repeatedSpanIntervals(df: DataFrame, id: Column,
+      text: Column, spanTokens: Int): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be positive, got $spanTokens")
     // posexplode: the generator position IS the window start (same
     // determinism argument as segmentDedup — never a row_number over
@@ -979,11 +992,40 @@ object Dedup {
       .agg(min(col("start")).as("s0"),
         (max(col("start")) + (spanTokens - 1)).as("e0"),
         count(lit(1)).as("nw"))
+  }
+
+  /** Repeated-span dedup APPLIED — the cut step of Lee-et-al
+    * exact-substring dedup: every token covered by a merged
+    * duplicated span (see `repeatedSpans`; global first occurrences
+    * are NOT spans and survive) is removed, and the document is
+    * re-emitted from its surviving tokens. Output per input doc:
+    * `n_tokens`, `n_kept`, `cleaned_text` (surviving tokens joined by
+    * single spaces — token-normalized text, the form every operator
+    * in this stack compares).
+    *
+    * Scale shape: the span side aggregates to AT MOST one row per
+    * doc (collect_list over the doc's few merged intervals — bounded
+    * by doc length, not corpus size), so the apply join is a plain
+    * equi-join on doc_id followed by one narrow per-row HOF filter
+    * (position-indexed) — scan-stage work. The corpus is scanned
+    * twice (span discovery + apply), the unavoidable two-pass of any
+    * first-occurrence-keeping rewrite. */
+  def dropSpans(df: DataFrame, id: Column, text: Column,
+      spanTokens: Int = 10): DataFrame = {
+    val spans = repeatedSpanIntervals(df, id, text, spanTokens)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("nw")).as("n_dup_windows"),
-        sum(col("e0") - col("s0") + 1).as("dup_tokens"),
-        max(col("e0") - col("s0") + 1).as("longest_span"))
+      .agg(collect_list(struct(col("s0"), col("e0"))).as("graft_spans"))
+    df.select(id.as("doc_id"), tokens(text).as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("graft_spans").isNull, col("t"))
+          .otherwise(filter(col("t"), (_, i) =>
+            !exists(col("graft_spans"), sp =>
+              i + 1 >= sp("s0") && i + 1 <= sp("e0")))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned_text"))
   }
 
   /** Benchmark decontamination: training documents sharing at least

@@ -785,9 +785,12 @@ object Extended {
     * same interval-merge algebra as running-max-end islands. Span
     * width 4 fits the word-soup fixture's duplicate density (~6% of
     * windows repeat at sf0.01). */
-  val d59RepeatedSpans: Q = Q(
-    "d59_repeated_spans",
-    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+  /** The d59/d60 oracle CTE chain: 4-token windows → span hash →
+    * global-first rank → duplicated starts → interval merge (the
+    * INDEPENDENT row_number formulation of the engine's min(struct)
+    * rule). Ends with `grp` = one row per maximal merged span. */
+  private val repeatedSpanCtes =
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
        |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
        |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
        |           array_to_string(t[i : i + 3], ' ') AS s FROM idx),
@@ -807,7 +810,11 @@ object Extended {
        |       FROM m),
        |grp AS (SELECT doc_id, span_id, min(start) AS s0, max(start) + 3 AS e0,
        |          count(*) AS nw
-       |        FROM sp GROUP BY doc_id, span_id)
+       |        FROM sp GROUP BY doc_id, span_id)""".stripMargin
+
+  val d59RepeatedSpans: Q = Q(
+    "d59_repeated_spans",
+    s"""WITH $repeatedSpanCtes
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_spans,
        |  CAST(sum(nw) AS BIGINT) AS n_dup_windows,
@@ -815,6 +822,35 @@ object Extended {
        |  CAST(max(e0 - s0 + 1) AS BIGINT) AS longest_span
        |FROM grp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Dedup.repeatedSpans(Tables.documents(s, dir), col("doc_id"), col("text"),
+        spanTokens = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d60 — repeated-span dedup APPLIED (Dedup.dropSpans): tokens
+    * covered by a merged duplicated span are cut and the document
+    * re-emitted from its survivors; first occurrences survive, so
+    * the corpus keeps exactly one copy of every duplicated run. The
+    * oracle re-derives the spans via the independent CTE chain, then
+    * anti-ranges each token position against them. */
+  val d60DropSpans: Q = Q(
+    "d60_drop_spans",
+    s"""WITH $repeatedSpanCtes,
+       |tokpos AS (SELECT doc_id, unnest(t) AS tok,
+       |             CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+       |           FROM toks),
+       |kept AS (SELECT p.doc_id, p.tok, p.pos FROM tokpos p
+       |         WHERE NOT EXISTS (SELECT 1 FROM grp g
+       |           WHERE g.doc_id = p.doc_id AND p.pos BETWEEN g.s0 AND g.e0)),
+       |keptagg AS (SELECT doc_id, count(*) AS n_kept,
+       |              string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |            FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  coalesce(k.cleaned, '') AS cleaned_text
+       |FROM toks t LEFT JOIN keptagg k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.dropSpans(Tables.documents(s, dir), col("doc_id"), col("text"),
         spanTokens = 4)
       .orderBy(col("doc_id"))
   }
@@ -1480,7 +1516,7 @@ object Extended {
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
-    d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, t73ChunkOverlap,
+    d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,

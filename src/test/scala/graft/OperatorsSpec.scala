@@ -1199,6 +1199,17 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(3L) == ((1L, 6L, 12L, 12L)))
     // docs 1 (all firsts) and 4 (no windows) are absent
     assert(rows.keySet == Set(2L, 3L))
+
+    // the apply step: covered tokens cut, first occurrences survive,
+    // span-free docs pass through token-normalized
+    val cleaned = graft.operators.Dedup.dropSpans(docs, col("id"), col("txt"), spanTokens = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(cleaned(1L) == ((8L, 8L, "a b c d e f g h")))
+    assert(cleaned(2L) == ((12L, 3L, "x x q")))   // kept positions 1, 2, 7
+    assert(cleaned(3L) == ((12L, 0L, "")))        // the whole doc was one span
+    assert(cleaned(4L) == ((2L, 2L, "a b")))      // too short to window
   }
 
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
