@@ -161,4 +161,90 @@ object Similarity {
           when(col("scale") > 0,
             floor(x.cast("double") / col("scale") * 127 + 0.5).cast("int"))
             .otherwise(lit(0))).as("qvec"))
+
+  // ---- product quantization ------------------------------------------
+
+  /** Collected (cid, embedding) centroid rows, id-sorted; the same
+    * bounded driver-side build as `centroidAssign`. */
+  private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] = {
+    val cents = centroids.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroid set is empty")
+    cents
+  }
+
+  /** Product-quantization encode — the compression step of PQ-ANN
+    * (Jégou et al. 2011, "Product quantization for nearest neighbor
+    * search"): the embedding splits into `m` equal subvectors, each
+    * encoded as its nearest sub-centroid (argmin squared-L2, spelled
+    * argmax ⟨x_j,c_j⟩ − ‖c_j‖²/2 so the per-element subtraction never
+    * enters the fold; ties prefer the smaller centroid id). A d-dim
+    * float vector compresses to `m` small codes — the layout that
+    * lets a 100 TB embedding corpus live in RAM-sized shards.
+    *
+    * Scale shape: the codebook is a bounded driver-side collect
+    * (k·d floats, like `centroidAssign`); encoding is per-row m·k
+    * dot folds in the scan stage — zero shuffle, nothing scales with
+    * corpus size but the scan. Output: (vec_id, code: array<long>). */
+  def pqEncode(vectors: DataFrame, centroids: DataFrame, m: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val dim = cents.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      val xs = slice(col("embedding"), j * sub + 1, sub)
+      val scored = cents.map { case (cid, ce) =>
+        val cj = ce.slice(j * sub, (j + 1) * sub)
+        // ‖c_j‖²/2 by the same left fold the oracle's dotSql pins
+        var nrm = 0.0d
+        var i = 0
+        while (i < sub) { nrm += cj(i).toDouble * cj(i).toDouble; i += 1 }
+        val cjCol = array(cj.toSeq.map(v => lit(v.toDouble)): _*)
+        struct((dot(xs, cjCol) - nrm / 2).as("score"),
+          lit(-cid).as("neg_cid"), lit(cid).as("cid"))
+      }
+      (if (scored.size == 1) scored.head else greatest(scored: _*))
+        .getField("cid")
+    }
+    vectors.select(col("vec_id"), array(codes: _*).as("code"))
+  }
+
+  /** PQ asymmetric-distance scoring (ADC): the query's per-(subspace,
+    * centroid) dot products form an m×k lookup table computed ONCE
+    * driver-side, and a coded vector's approximate score is m map
+    * lookups summed left-to-right — the corpus is never decoded.
+    * `query` must be a single row; output (vec_id, code_s, adc) with
+    * the code serialized dash-joined (array columns are not
+    * comparator-hashable — the s53 lesson). */
+  def pqAdcScore(vectors: DataFrame, centroids: DataFrame, query: DataFrame,
+      m: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val dim = cents.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val qRows = query.select(col("embedding")).collect()
+    require(qRows.length == 1, s"query must be a single row, got ${qRows.length}")
+    val q = qRows.head.getSeq[Float](0).toArray
+    require(q.length == dim, s"query dim ${q.length} != centroid dim $dim")
+    val table: Seq[Seq[(Long, Double)]] = (0 until m).map { j =>
+      cents.map { case (cid, ce) =>
+        var s = 0.0d
+        var i = 0
+        while (i < sub) {
+          s += q(j * sub + i).toDouble * ce(j * sub + i).toDouble; i += 1
+        }
+        (cid, s)
+      }
+    }
+    val coded = pqEncode(vectors, centroids, m)
+    val adc = (0 until m).map { j =>
+      val lookup = map(table(j).flatMap { case (cid, v) =>
+        Seq(lit(cid), lit(v)) }: _*)
+      element_at(lookup, element_at(col("code"), j + 1))
+    }.reduce(_ + _)
+    coded.select(col("vec_id"),
+      array_join(transform(col("code"), c => c.cast("string")), "-").as("code_s"),
+      adc.as("adc"))
+  }
 }

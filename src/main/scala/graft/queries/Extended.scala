@@ -316,6 +316,56 @@ object Extended {
       .orderBy(col("vec_id"))
   }
 
+  /** s56 — product-quantization encode + asymmetric-distance scoring
+    * (Similarity.pqEncode / pqAdcScore): 4 subspaces of 16 dims,
+    * codebook = the first 8 corpus vectors (the s52 convention),
+    * query = vector 0. The oracle recomputes the sub-centroid argmax
+    * (score DESC, cid — the engine's greatest(struct) tie rule) and
+    * the ADC sum from the same slice-dot left folds, pivoted so the
+    * four lookups add in the engine's fixed left-to-right order. */
+  val s56PqAdc: Q = {
+    val m = 4
+    val sub = 16
+    def sl(e: String, j: Int) = s"($e[${j * sub + 1}:${(j + 1) * sub}])"
+    def subdot(a: String, b: String, j: Int) = dotSql(sl(a, j), sl(b, j))
+    val enc = (0 until m).map { j =>
+      s"""SELECT e.vec_id, $j AS j, c.cid,
+         |  ${subdot("e.embedding", "c.ce", j)} - ${subdot("c.ce", "c.ce", j)}/2 AS score
+         |FROM embeddings e CROSS JOIN c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val pivots = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN cid END) AS c$j").mkString(",\n  ")
+    Q("s56_pq_adc",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |enc AS ($enc),
+         |best AS (SELECT vec_id, j, cid,
+         |    row_number() OVER (PARTITION BY vec_id, j ORDER BY score DESC, cid) AS rn
+         |  FROM enc),
+         |codes AS (SELECT vec_id,
+         |  $pivots
+         |  FROM best WHERE rn = 1 GROUP BY vec_id)
+         |SELECT cd.vec_id,
+         |  array_to_string([CAST(cd.c0 AS VARCHAR), CAST(cd.c1 AS VARCHAR),
+         |    CAST(cd.c2 AS VARCHAR), CAST(cd.c3 AS VARCHAR)], '-') AS code_s,
+         |  ((((${subdot("q.qe", "ca.ce", 0)})
+         |    + (${subdot("q.qe", "cb.ce", 1)}))
+         |    + (${subdot("q.qe", "cc.ce", 2)}))
+         |    + (${subdot("q.qe", "cd2.ce", 3)})) AS adc
+         |FROM codes cd
+         |JOIN c ca ON ca.cid = cd.c0
+         |JOIN c cb ON cb.cid = cd.c1
+         |JOIN c cc ON cc.cid = cd.c2
+         |JOIN c cd2 ON cd2.cid = cd.c3
+         |CROSS JOIN q
+         |ORDER BY cd.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqAdcScore(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") === 0), m = 4)
+        .orderBy(col("vec_id"))
+    }
+  }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1518,6 +1568,7 @@ object Extended {
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
     d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
+    s56PqAdc,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline,

@@ -675,6 +675,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L)._1 == 0.0 && out(2L)._2 == Seq(0, 0, 0))
   }
 
+  test("pq: sub-centroid codes argmin per subspace, ties to smaller id; adc sums table lookups") {
+    // dim 4, m=2 → 16-bit-free toy: integer-valued floats make every
+    // fold exact, so expectations are hand-computable
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (10L, Array(2.0f, 0.0f, 3.0f, 0.0f)), // sub0 → c0 (1.5 vs -0.5), sub1 → c1 (2.5 vs -0.5)
+      (11L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // both subspaces tie at -0.5 → smaller cid
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(vecs, cents, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(10L) == Seq(0L, 1L))
+    assert(codes(11L) == Seq(0L, 0L))
+    // query [2,1,4,8]: table j0 = (c0→2, c1→1), j1 = (c0→8, c1→4)
+    val q = Seq((99L, Array(2.0f, 1.0f, 4.0f, 8.0f))).toDF("vec_id", "embedding")
+    val adc = Similarity.pqAdcScore(vecs, cents, q, m = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(adc(10L) == (("0-1", 6.0))) // 2 + 4
+    assert(adc(11L) == (("0-0", 10.0))) // 2 + 8
+  }
+
   test("redaction scrubs emails and phones and counts matches") {
     val d = Seq((1L, "write to bob.x@host.org or 555-0199 now"),
       (2L, "nothing here on 2023-08-12"),             // ISO date must NOT be mangled
