@@ -247,4 +247,37 @@ object Similarity {
       array_join(transform(col("code"), c => c.cast("string")), "-").as("code_s"),
       adc.as("adc"))
   }
+
+  /** IVF+PQ top-k — the FAISS-style IVFADC layout that production ANN
+    * runs at corpus scale: the query probes its coarse cell (`label`,
+    * as in `ivfTopK`) and the cell's members are scored by PQ
+    * asymmetric distance (`pqAdcScore`) instead of full-precision
+    * dots — the corpus stays compressed end to end. Recall loses both
+    * the out-of-cell neighbors (the IVF trade) and code-quantization
+    * precision (the PQ trade); re-ranking survivors with exact dots
+    * is the standard refinement and composes as `bruteForceTopK` over
+    * this output.
+    *
+    * Scale shape: one bounded driver-side collect of the single query
+    * row (id + cell); candidates = one cell's partition-local scan;
+    * scoring = per-row map lookups; the only wide op is the top-k
+    * rank over ONE cell's scored members — the same bounded funnel
+    * `ivfTopK` documents. Output: (query_id, rank, neighbor_id,
+    * score) with score = the ADC approximation. */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, query: DataFrame,
+      k: Int, m: Int = 4): DataFrame = {
+    val qRows = query.select(col("vec_id").cast("long"), col("label")).collect()
+    require(qRows.length == 1, s"query must be a single row, got ${qRows.length}")
+    val (qid, qcell) = (qRows.head.getLong(0), qRows.head.get(1))
+    val cand = corpus.filter(col("label") === lit(qcell) &&
+      col("vec_id") =!= qid)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pqAdcScore(cand, centroids, query, m)
+      .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+        col("adc").as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
 }

@@ -323,40 +323,59 @@ object Extended {
     * (score DESC, cid — the engine's greatest(struct) tie rule) and
     * the ADC sum from the same slice-dot left folds, pivoted so the
     * four lookups add in the engine's fixed left-to-right order. */
-  val s56PqAdc: Q = {
+  /** Shared SQL builders for the s56/s57 PQ oracles: the per-subspace
+    * encode chain and the pivoted 4-lookup ADC sum, both over a
+    * parameterized candidate source so the IVF+PQ twin restricts the
+    * same chain to one cell. */
+  private object PqSql {
     val m = 4
     val sub = 16
     def sl(e: String, j: Int) = s"($e[${j * sub + 1}:${(j + 1) * sub}])"
     def subdot(a: String, b: String, j: Int) = dotSql(sl(a, j), sl(b, j))
-    val enc = (0 until m).map { j =>
-      s"""SELECT e.vec_id, $j AS j, c.cid,
-         |  ${subdot("e.embedding", "c.ce", j)} - ${subdot("c.ce", "c.ce", j)}/2 AS score
-         |FROM embeddings e CROSS JOIN c""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    val pivots = (0 until m)
-      .map(j => s"max(CASE WHEN j = $j THEN cid END) AS c$j").mkString(",\n  ")
-    Q("s56_pq_adc",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |enc AS ($enc),
+    /** enc/best/codes CTEs encoding every vector of `src` (needs CTE
+      * `c(cid, ce)` in scope; `src` must expose vec_id + embedding). */
+    def chain(src: String): String = {
+      val enc = (0 until m).map { j =>
+        s"""SELECT e.vec_id, $j AS j, c.cid,
+           |  ${subdot("e.embedding", "c.ce", j)} - ${subdot("c.ce", "c.ce", j)}/2 AS score
+           |FROM $src e CROSS JOIN c""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val pivots = (0 until m)
+        .map(j => s"max(CASE WHEN j = $j THEN cid END) AS c$j").mkString(",\n  ")
+      s"""enc AS ($enc),
          |best AS (SELECT vec_id, j, cid,
          |    row_number() OVER (PARTITION BY vec_id, j ORDER BY score DESC, cid) AS rn
          |  FROM enc),
          |codes AS (SELECT vec_id,
          |  $pivots
-         |  FROM best WHERE rn = 1 GROUP BY vec_id)
+         |  FROM best WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+    }
+    /** The ADC sum in the engine's fixed left-to-right lookup order
+      * (needs codes alias `cd`, centroid aliases ca/cb/cc/cd2, and a
+      * query CTE exposing `qe`). */
+    val adc: String =
+      s"""((((${subdot("q.qe", "ca.ce", 0)})
+         |    + (${subdot("q.qe", "cb.ce", 1)}))
+         |    + (${subdot("q.qe", "cc.ce", 2)}))
+         |    + (${subdot("q.qe", "cd2.ce", 3)}))""".stripMargin
+    val codeJoins: String =
+      s"""JOIN c ca ON ca.cid = cd.c0
+         |JOIN c cb ON cb.cid = cd.c1
+         |JOIN c cc ON cc.cid = cd.c2
+         |JOIN c cd2 ON cd2.cid = cd.c3""".stripMargin
+  }
+
+  val s56PqAdc: Q =
+    Q("s56_pq_adc",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |${PqSql.chain("embeddings")}
          |SELECT cd.vec_id,
          |  array_to_string([CAST(cd.c0 AS VARCHAR), CAST(cd.c1 AS VARCHAR),
          |    CAST(cd.c2 AS VARCHAR), CAST(cd.c3 AS VARCHAR)], '-') AS code_s,
-         |  ((((${subdot("q.qe", "ca.ce", 0)})
-         |    + (${subdot("q.qe", "cb.ce", 1)}))
-         |    + (${subdot("q.qe", "cc.ce", 2)}))
-         |    + (${subdot("q.qe", "cd2.ce", 3)})) AS adc
+         |  ${PqSql.adc} AS adc
          |FROM codes cd
-         |JOIN c ca ON ca.cid = cd.c0
-         |JOIN c cb ON cb.cid = cd.c1
-         |JOIN c cc ON cc.cid = cd.c2
-         |JOIN c cd2 ON cd2.cid = cd.c3
+         |${PqSql.codeJoins}
          |CROSS JOIN q
          |ORDER BY cd.vec_id""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
@@ -364,7 +383,35 @@ object Extended {
           emb.filter(col("vec_id") === 0), m = 4)
         .orderBy(col("vec_id"))
     }
-  }
+
+  /** s57 — IVF+PQ top-k (FAISS-style IVFADC: Similarity.ivfPqTopK):
+    * the query probes its coarse cell and the cell's members rank by
+    * the PQ asymmetric-distance score — the corpus stays compressed
+    * end to end. Oracle: the s56 encode chain restricted to the
+    * query's cell, ranked (score DESC, vec_id). */
+  val s57IvfPqTopK: Q =
+    Q("s57_ivfpq_topk",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS qid, label AS qcell, embedding AS qe
+         |      FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.embedding FROM embeddings e, q
+         |         WHERE e.label = q.qcell AND e.vec_id <> q.qid),
+         |${PqSql.chain("cand")},
+         |scored AS (SELECT cd.vec_id, ${PqSql.adc} AS score
+         |  FROM codes cd
+         |  ${PqSql.codeJoins}
+         |  CROSS JOIN q),
+         |rk AS (SELECT vec_id, score,
+         |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(0 AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, score
+         |FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") === 0), k = 10, m = 4)
+        .orderBy(col("rank"))
+    }
 
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1568,7 +1615,7 @@ object Extended {
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
     d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
-    s56PqAdc,
+    s56PqAdc, s57IvfPqTopK,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline,

@@ -695,6 +695,18 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
     assert(adc(10L) == (("0-1", 6.0))) // 2 + 4
     assert(adc(11L) == (("0-0", 10.0))) // 2 + 8
+
+    // IVFADC: query probes cell 1 only; out-of-cell 12 is invisible
+    // even though its ADC would win, and the query excludes itself
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f, 3.0f, 0.0f), 1),
+      (11L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1),
+      (12L, Array(9.0f, 9.0f, 9.0f, 9.0f), 2),
+      (99L, Array(2.0f, 1.0f, 4.0f, 8.0f), 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfPqTopK(corpus,
+        cents, corpus.filter(col("vec_id") === 99), k = 10, m = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(top.toSeq == Seq((1L, 11L, 10.0), (2L, 10L, 6.0)))
   }
 
   test("redaction scrubs emails and phones and counts matches") {

@@ -199,6 +199,30 @@ class PlanAuditSpec extends SparkSpec {
       s"dropped-id frame is not cached (anti-join branches re-run the chain):\n$p")
   }
 
+  test("d59/d60: span discovery ranks by aggregation — every window is per-doc") {
+    // the global first occurrence per span hash must be a min(struct)
+    // aggregation; a row_number window partitioned by the hash would
+    // funnel a viral span's occurrences through one task at full
+    // multiplicity (the segmentDedup skew argument). Only the
+    // interval merge may window, and it partitions by doc_id.
+    Seq("d59_repeated_spans", "d60_drop_spans").foreach { q =>
+      val p = plan(q)
+      val specs = "windowspecdefinition\\((\\w+)#".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      assert(specs.subsetOf(Set("doc_id")),
+        s"$q windows partition by $specs, expected doc_id only:\n$p")
+    }
+  }
+
+  test("s56: PQ encode + ADC is pure scan-stage work — no join, no hash shuffle") {
+    // codebook and lookup table are driver-side literals; the corpus
+    // is scanned once, scored per-row, and only the final orderBy may
+    // exchange (range partitioning)
+    val p = plan("s56_pq_adc")
+    assert(!p.contains("Join"), s"PQ plans a join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"PQ hash-shuffles:\n$p")
+  }
+
   test("q70: skew profile scans the table ONCE via grouping sets (no per-column rescan)") {
     val p = plan("q70_key_skew")
     assert(p.contains("Expand"), s"expected a grouping-sets Expand:\n$p")
