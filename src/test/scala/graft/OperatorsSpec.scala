@@ -376,6 +376,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("repeated-spans property: engine equals brute-force first-occurrence + interval merge") {
+    import org.scalacheck.{Gen, rng}
+    val k = 3
+    // tiny vocab → windows repeat, within and across docs
+    val vocab = Seq("aa", "bb", "cc", "dd")
+    val cases = Gen.listOfN(4, for {
+      nDocs <- Gen.choose(3, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(4, 20).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    } yield docs).apply(Gen.Parameters.default, rng.Seed(43L)).get
+    cases.foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.repeatedSpans(df, col("doc_id"), col("text"), spanTokens = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // brute force over the window STRINGS (the engine groups by the
+      // Broder fingerprint — equal here absent 30-bit collisions on
+      // a few hundred windows)
+      val wins = for {
+        (t, d) <- texts.map(_.split(" ").filter(_.nonEmpty).toSeq).zipWithIndex
+        i <- 0 to t.length - k
+      } yield (d.toLong, i + 1, t.slice(i, i + k).mkString(" "))
+      val byWin = wins.groupBy(_._3)
+      val dups = wins.filter(w => byWin(w._3).size > 1 &&
+        byWin(w._3).minBy(x => (x._1, x._2)) != w)
+      val want = dups.groupBy(_._1).map { case (d, ws) =>
+        var spans = List.empty[(Int, Int, Int)] // s0, e0, nw (reversed order)
+        ws.map(_._2).sorted.foreach { s =>
+          spans match {
+            case (s0, e0, nw) :: rest if s <= e0 + 1 =>
+              spans = (s0, math.max(e0, s + k - 1), nw + 1) :: rest
+            case _ => spans = (s, s + k - 1, 1) :: spans
+          }
+        }
+        d -> ((spans.size.toLong, spans.map(_._3.toLong).sum,
+          spans.map(sp => (sp._2 - sp._1 + 1).toLong).sum,
+          spans.map(sp => (sp._2 - sp._1 + 1).toLong).max))
+      }
+      assert(got == want, s"corpus=${texts.mkString("|")}")
+    }
+  }
+
   test("incremental dedup equals the batch path's crossing pairs") {
     // dedupAgainstIndex(corpus-index, delta) must produce exactly the
     // corpus↔delta pairs that rerunning nearDuplicates over the full
