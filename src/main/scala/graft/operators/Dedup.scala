@@ -964,6 +964,12 @@ object Dedup {
       .filter(col("w").isNotNull)
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"),
         polyHashFast(col("w")).as("h"))
+    // wins feeds two consumers (the firsts aggregation and the
+    // occurrence join) and is DELIBERATELY recomputed, not pinned:
+    // unlike d57's id-narrow frame this is corpus-token-sized, and
+    // materializing it measured ~25% slower (normalized) than
+    // re-running the narrow scan→explode→hash codegen chain — the
+    // classic cache-vs-recompute call, decided by measurement.
     val firsts = wins.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("start"))).as("f"),
         count(lit(1)).as("c"))

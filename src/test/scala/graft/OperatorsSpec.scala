@@ -1319,6 +1319,10 @@ class OperatorsSpec extends SparkSpec {
           col("doc_id"), col("text"), threshold = 0.9)),
       "segmentDedup" -> (() =>
         Dedup.segmentDedup(corpus, col("doc_id"), col("text"), segTokens = 4)),
+      "repeatedSpans" -> (() =>
+        Dedup.repeatedSpans(corpus, col("doc_id"), col("text"), spanTokens = 4)),
+      "dropSpans" -> (() =>
+        Dedup.dropSpans(corpus, col("doc_id"), col("text"), spanTokens = 4)),
       "bigramLm" -> (() =>
         TextAnalysis.bigramLm(corpus, col("doc_id"), col("text"))),
       "corpusTopDfRatio" -> (() =>
