@@ -259,6 +259,60 @@ object TextAnalysis {
           .otherwise(lit(0.0d)).as("top_df_ratio"))
   }
 
+  /** Count-min sketch over corpus token frequencies — the
+    * bounded-memory frequency summary (Cormode & Muthukrishnan 2005)
+    * whose table is a MERGEABLE, partial-aggregable artifact: row i,
+    * bucket ((a_i·H + b_i) mod P) mod `w` over the portable hash
+    * family (TextHash.A/B — the same affine mixers MinHash uses), so
+    * the whole construction is exact integer arithmetic an
+    * independent engine can replay. Counts are fed PRE-AGGREGATED
+    * (the t76 lesson: occurrences collapse to vocabulary-sized
+    * (token, cnt) rows in a codegen'd hash aggregate first), and the
+    * sketch aggregation is an ordinary groupBy — map-side combinable,
+    * which IS the mergeable-summaries property: per-shard sketches
+    * sum cell-wise into the corpus sketch without rescanning.
+    * Output: (row_idx, bucket, cnt), d·w rows total. */
+  def cmSketch(df: DataFrame, text: Column, d: Int = 4, w: Int = 64): DataFrame =
+    cmSketchFromCounts(
+      df.select(explode(tokens(text)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+      d, w)
+
+  /** Same sketch from an already-aggregated (tok, cnt) frame — the
+    * entry point when the caller owns the token counts (one
+    * tokenization serving the sketch, the probe set, and the exact
+    * re-check). */
+  def cmSketchFromCounts(cnts: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    require(d >= 1 && d <= TextHash.A.size, s"d must be in [1, ${TextHash.A.size}]")
+    require(w >= 1, s"w must be positive, got $w")
+    val hashed = cnts.select(polyHashFast(col("tok")).as("hh"), col("cnt"))
+    val rows = (0 until d).map { i =>
+      hashed.select(lit(i.toLong).as("row_idx"),
+        ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w).as("bucket"),
+        col("cnt"))
+    }.reduce(_ unionAll _)
+    rows.groupBy(col("row_idx"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point estimates from a count-min sketch: est(tok) = min over
+    * rows of the token's bucket cell — never an underestimate, over
+    * by at most the collision mass (≤ n/w per row in expectation).
+    * `probes` is (tok) — the small side; the d·w-cell sketch
+    * broadcasts, so probing is shuffle-free regardless of probe
+    * count. Output: (tok, cm_est). */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame, d: Int = 4,
+      w: Int = 64): DataFrame = {
+    val pr = probes.select(col("tok"), polyHashFast(col("tok")).as("hh"))
+    val keyed = (0 until d).map { i =>
+      pr.select(col("tok"), lit(i.toLong).as("row_idx"),
+        ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w).as("bucket"))
+    }.reduce(_ unionAll _)
+    keyed.join(broadcast(sketch), Seq("row_idx", "bucket"))
+      .groupBy(col("tok"))
+      .agg(min(col("cnt")).as("cm_est"))
+  }
+
   /** Corpus-bigram language-model fit signals — the shape of an
     * n-gram-LM quality filter (KenLM-style scoring, reduced to the
     * engine-checkable core): a bigram count table is trained on the

@@ -1428,6 +1428,61 @@ object Extended {
       .orderBy(col("lang"), col("tok"))
   }
 
+  /** t78 — count-min sketch + point estimates cross-checked against
+    * exact counts (TextAnalysis.cmSketch/cmEstimate): the d×w sketch
+    * table is exact integer arithmetic over the portable hash family,
+    * so the ENTIRE construction — cells, merge, min-over-rows
+    * estimate — replays in DuckDB and hash-matches. Probes = tokens
+    * above 1% of the corpus; cm_est ≥ exact_cnt by construction (the
+    * oracle equality proves both engines' collision mass identical). */
+  val t78CmSketch: Q = {
+    val d = 4
+    val w = 64
+    val P = graft.operators.TextHash.P
+    def bucket(i: Int) = {
+      val a = graft.operators.TextHash.A(i)
+      val b = graft.operators.TextHash.B(i)
+      s"((h * $a + $b) % $P) % $w"
+    }
+    val cellRows = (0 until d).map(i =>
+      s"SELECT $i AS row_idx, ${bucket(i)} AS bucket, cnt FROM hh")
+      .mkString("\nUNION ALL\n")
+    val probeRows = (0 until d).map(i =>
+      s"SELECT tok, $i AS row_idx, ${bucket(i)} AS bucket FROM pr")
+      .mkString("\nUNION ALL\n")
+    Q("t78_cm_sketch",
+      s"""WITH tk AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+         |hh AS (SELECT tok, cnt, ${polyHashSql("tok")} AS h FROM cnt),
+         |cells AS ($cellRows),
+         |sk AS (SELECT row_idx, bucket, sum(cnt) AS c FROM cells GROUP BY row_idx, bucket),
+         |tot AS (SELECT sum(cnt) AS n FROM cnt),
+         |pr AS (SELECT tok, cnt, h FROM hh, tot WHERE cnt * 100 > n),
+         |pk AS ($probeRows),
+         |est AS (SELECT pk.tok, min(sk.c) AS cm_est
+         |        FROM pk JOIN sk ON pk.row_idx = sk.row_idx AND pk.bucket = sk.bucket
+         |        GROUP BY pk.tok)
+         |SELECT pr.tok AS tok, CAST(pr.cnt AS BIGINT) AS exact_cnt,
+         |  CAST(est.cm_est AS BIGINT) AS cm_est
+         |FROM pr JOIN est ON pr.tok = est.tok
+         |ORDER BY tok""".stripMargin) { (s, dir) =>
+      // one tokenization: the pinned counts serve the sketch build,
+      // the probe selection, and the exact column
+      val cnt = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .transform(d2 => graft.Caches.pin(d2))
+      val tot = cnt.agg(sum(col("cnt")).as("n"))
+      val probes = cnt.crossJoin(broadcast(tot))
+        .filter(col("cnt") * 100 > col("n"))
+        .select(col("tok"), col("cnt").as("exact_cnt"))
+      val sk = TextAnalysis.cmSketchFromCounts(cnt)
+      probes.join(TextAnalysis.cmEstimate(sk, probes.select(col("tok"))), "tok")
+        .select(col("tok"), col("exact_cnt"), col("cm_est"))
+        .orderBy(col("tok"))
+    }
+  }
+
   val t71BigramLm: Q = Q(
     "t71_bigram_lm",
     s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
@@ -1618,7 +1673,7 @@ object Extended {
     s56PqAdc, s57IvfPqTopK,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
-    t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline,
+    t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)

@@ -376,6 +376,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("count-min sketch: never underestimates; row mass conserved; shard sketches merge cell-wise") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b c d d d d")).toDF("doc_id", "text")
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 4L) // total 13
+    val probes = exact.keys.toSeq.toDF("tok")
+    for (w <- Seq(2, 64)) {
+      val sk = TextAnalysis.cmSketch(docs, col("text"), d = 4, w = w)
+      val mass = sk.groupBy(col("row_idx")).agg(sum(col("cnt")).as("m"))
+        .select("m").as[Long].collect()
+      assert(mass.length == 4 && mass.forall(_ == 13L), s"w=$w mass=${mass.toSeq}")
+      val est = TextAnalysis.cmEstimate(sk, probes, d = 4, w = w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (t, c) => assert(est(t) >= c, s"w=$w tok=$t underestimated") }
+      // w=64, 4 tokens: the fixed hash family separates them in at
+      // least one row, so the min recovers every exact count
+      if (w == 64) assert(est == exact, s"est=$est")
+    }
+    val s1 = TextAnalysis.cmSketch(docs.filter(col("doc_id") === 1), col("text"), 4, 8)
+    val s2 = TextAnalysis.cmSketch(docs.filter(col("doc_id") === 2), col("text"), 4, 8)
+    val merged = s1.unionAll(s2).groupBy(col("row_idx"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = TextAnalysis.cmSketch(docs, col("text"), 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == full)
+  }
+
   test("repeated-spans property: engine equals brute-force first-occurrence + interval merge") {
     import org.scalacheck.{Gen, rng}
     val k = 3
