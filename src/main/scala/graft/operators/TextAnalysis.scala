@@ -308,9 +308,12 @@ object TextAnalysis {
       pr.select(col("tok"), lit(i.toLong).as("row_idx"),
         ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w).as("bucket"))
     }.reduce(_ unionAll _)
-    keyed.join(broadcast(sketch), Seq("row_idx", "bucket"))
+    // LEFT join + coalesce-0: an EMPTY cell means count 0 in CM
+    // semantics — an inner join would silently drop (or overestimate)
+    // a probe the corpus never saw, instead of answering 0
+    keyed.join(broadcast(sketch), Seq("row_idx", "bucket"), "left")
       .groupBy(col("tok"))
-      .agg(min(col("cnt")).as("cm_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
   }
 
   /** Corpus-bigram language-model fit signals — the shape of an

@@ -393,6 +393,14 @@ class OperatorsSpec extends SparkSpec {
       // least one row, so the min recovers every exact count
       if (w == 64) assert(est == exact, s"est=$est")
     }
+    // unseen probe: at w=64 at least one of its cells is empty → 0,
+    // not a dropped row and not a min over only-occupied cells
+    val unseen = TextAnalysis.cmEstimate(
+        TextAnalysis.cmSketch(docs, col("text"), d = 4, w = 64),
+        Seq("zzz").toDF("tok"), d = 4, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unseen == Map("zzz" -> 0L), s"unseen probe: $unseen")
+
     val s1 = TextAnalysis.cmSketch(docs.filter(col("doc_id") === 1), col("text"), 4, 8)
     val s2 = TextAnalysis.cmSketch(docs.filter(col("doc_id") === 2), col("text"), 4, 8)
     val merged = s1.unionAll(s2).groupBy(col("row_idx"), col("bucket"))
