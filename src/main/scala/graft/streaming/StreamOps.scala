@@ -269,6 +269,28 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Streaming count-min sketch — the twin of
+    * `TextAnalysis.cmSketch`, and the op where the mergeable-summary
+    * property pays twice: the d×w cell table is an ordinary groupBy
+    * count, so Spark maintains it INCREMENTALLY per micro-batch (the
+    * state store holds d·w counters, nothing grows with the stream),
+    * and the batch and streaming constructions are the same
+    * aggregation — complete-mode output equals the batch sketch over
+    * the same tokens (pinned in StreamingSpec). `tokens` needs a
+    * `token` string column. */
+  def cmSketchStream(tokens: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
+    import graft.operators.TextHash
+    require(d >= 1 && d <= TextHash.A.size, s"d must be in [1, ${TextHash.A.size}]")
+    require(w >= 1, s"w must be positive, got $w")
+    val hashed = tokens.select(TextHash.polyHashFast(col("token")).as("hh"))
+    (0 until d).map { i =>
+      hashed.select(lit(i.toLong).as("row_idx"),
+        ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w).as("bucket"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("row_idx"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * `Interval.joinLookback` (q41): right-side rows of the same key
     * within `lookbackSec` BEFORE a left row. Both sides carry

@@ -181,6 +181,28 @@ class StreamingSpec extends SparkSpec {
     assert(out(None) == Some("missing_required:pk"))
   }
 
+  test("streaming count-min sketch equals the batch sketch after all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamOps.cmSketchStream(mem.toDF().toDF("token"), d = 4, w = 8)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val b1 = Seq("a", "a", "b", "c")
+    val b2 = Seq("a", "b", "d", "d", "d")
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cm_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.TextAnalysis.cmSketchFromCounts(
+        (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .toDF("tok", "cnt"), d = 4, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
