@@ -1034,6 +1034,51 @@ object Dedup {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
+  /** Approximate containment SCREENING from MinHash signatures plus
+    * exact distinct-shingle counts — the cheap lossy pre-filter to
+    * `containmentPairs`' exact pigeonhole path (Broder's resemblance
+    * estimation, turned directional): for LSH-banded candidate pairs,
+    * Ĵ = signature agreement / k, and containment of the smaller set
+    * A in the larger B follows as Ĉ = Ĵ·(|A|+|B|) / ((1+Ĵ)·|A|)
+    * (from |A∩B| = Ĵ/(1+Ĵ)·(|A|+|B|), with |A|,|B| exact). Estimator
+    * semantics: banding recall < 1 and Ĵ carries k-sample noise (Ĉ
+    * may exceed 1); use d56's exact operator when recall must be
+    * provable — this screen costs one signature pass + the band
+    * self-join, nothing touching shingle SETS pairwise.
+    *
+    * One shingle-hash pass feeds both the signatures and the exact
+    * sizes (pinned; cache contract as everywhere). Output per
+    * candidate pair with Ĉ ≥ threshold: (contained, container,
+    * est_containment), contained = the smaller set (ties keep the
+    * a < b candidate order). */
+  def containmentScreen(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val hs = shingleHashFrame(docs, id, text, n)
+      .transform(d => graft.Caches.pin(d))
+    val sig = hs.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("h"), k).as("sig"))
+    val sz = hs.select(col("doc_id"),
+      size(array_distinct(col("h"))).cast("long").as("sz"))
+    val cand = candidatePairs(bucketsFromSignatures(sig, k, bands))
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .withColumn("graft_j",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          p => p)).cast("double") / k)
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .select(
+        when(col("sza") <= col("szb"), col("a")).otherwise(col("b")).as("contained"),
+        when(col("sza") <= col("szb"), col("b")).otherwise(col("a")).as("container"),
+        ((col("graft_j") * (col("sza") + col("szb")).cast("double")) /
+          ((lit(1.0) + col("graft_j")) *
+            least(col("sza"), col("szb")).cast("double")))
+          .as("est_containment"))
+      .filter(col("est_containment") >= threshold)
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * one word-n-gram with any document of an evaluation set — the
     * standard n-gram-overlap contamination check run before training

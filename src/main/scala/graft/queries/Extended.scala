@@ -33,11 +33,14 @@ object Extended {
 
   private val sigCtes = sigCtesOver("documents")
 
-  private val minhashCtes =
-    s"""$sigCtes,
-       |bb AS (SELECT doc_id, CAST(b AS BIGINT) AS band,
+  private val bbCte =
+    s"""bb AS (SELECT doc_id, CAST(b AS BIGINT) AS band,
        |         (sig[2*b+1]*$BandMix + sig[2*b+2]) % $P AS bucket
        |       FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
+
+  private val minhashCtes =
+    s"""$sigCtes,
+       |$bbCte""".stripMargin
 
   /** The d42 near-dup pair set as a reusable CTE chain (candidates →
     * exact-Jaccard filter), feeding the clustering oracle. */
@@ -738,7 +741,7 @@ object Extended {
        |  FROM cand JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.9 * len(sa.s))""".stripMargin
 
-  private val containmentCtes =
+  private val containmentCorpusCtes =
     s"""halves AS (
        |  SELECT doc_id + 2000000 AS doc_id,
        |    array_to_string(t[1:CAST((len(t)+1)//2 AS BIGINT)], ' ') AS text
@@ -746,7 +749,10 @@ object Extended {
        |  WHERE doc_id % 11 = 0),
        |corpus AS (
        |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id, text FROM halves),
+       |  UNION ALL SELECT doc_id, text FROM halves)""".stripMargin
+
+  private val containmentCtes =
+    s"""$containmentCorpusCtes,
        |$containmentChainCtes""".stripMargin
 
   /** The d56/d57 corpus on the engine side (documents + injected
@@ -921,6 +927,40 @@ object Extended {
     Dedup.repeatedSpans(Tables.documents(s, dir), col("doc_id"), col("text"),
         spanTokens = 4)
       .orderBy(col("doc_id"))
+  }
+
+  /** d61 — approximate containment SCREEN (Dedup.containmentScreen):
+    * Broder-style directional estimate from the minhash signatures
+    * plus exact distinct-shingle sizes, over LSH-banded candidates of
+    * the d56 corpus (injected half-docs guarantee real containments).
+    * Estimator — NOT the exact path (that's d56); the oracle replays
+    * signature agreement, the Ĵ→Ĉ algebra, and the size tie rule. */
+  val d61ContainmentScreen: Q = Q(
+    "d61_containment_screen",
+    s"""WITH $containmentCorpusCtes,
+       |${sigCtesOver("corpus")},
+       |$bbCte,
+       |hd AS (SELECT doc_id, len(list_distinct(h)) AS sz FROM hs),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bb l JOIN bb r
+       |           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |jj AS (SELECT cand.a, cand.b,
+       |    CAST(list_sum(list_transform(range(1, 9),
+       |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 8 AS j
+       |  FROM cand JOIN sig sa ON cand.a = sa.doc_id
+       |            JOIN sig sb ON cand.b = sb.doc_id),
+       |est AS (SELECT
+       |    CASE WHEN za.sz <= zb.sz THEN a ELSE b END AS contained,
+       |    CASE WHEN za.sz <= zb.sz THEN b ELSE a END AS container,
+       |    (j * CAST(za.sz + zb.sz AS DOUBLE))
+       |      / ((1.0 + j) * CAST(least(za.sz, zb.sz) AS DOUBLE)) AS est_containment
+       |  FROM jj JOIN hd za ON jj.a = za.doc_id JOIN hd zb ON jj.b = zb.doc_id)
+       |SELECT contained, container, est_containment FROM est
+       |WHERE est_containment >= 0.5
+       |ORDER BY contained, container""".stripMargin) { (s, dir) =>
+    Dedup.containmentScreen(containmentCorpus(s, dir), col("doc_id"), col("text"),
+        threshold = 0.5)
+      .orderBy(col("contained"), col("container"))
   }
 
   /** d60 — repeated-span dedup APPLIED (Dedup.dropSpans): tokens
@@ -1668,7 +1708,8 @@ object Extended {
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
-    d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans, t73ChunkOverlap,
+    d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans,
+    d61ContainmentScreen, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     s56PqAdc, s57IvfPqTopK,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,

@@ -350,6 +350,23 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Set(1L, 3L), s"twins: $m") // 10 mutual-loses to 1; H dropped; P kept
   }
 
+  test("containment screen: catches a sub-threshold-Jaccard containment near-dup misses; twins estimate 1.0") {
+    val big = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
+    val part = (1 to 14).map(i => s"w$i").mkString(" ")  // 12 shingles, all shared → J = 2/3
+    val docs = Seq((1L, big), (2L, part), (3L, big)).toDF("doc_id", "text")
+    // symmetric near-dup at 0.8 misses the J=2/3 containment pair
+    val nd = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(!nd.contains((1L, 2L)) && !nd.contains((2L, 1L)))
+    val screen = Dedup.containmentScreen(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact twins: J = 1 → Ĉ = 1 exactly, contained keeps the a < b order
+    assert(screen((1L, 3L)) == 1.0)
+    // the contained prefix is screened with Ĉ ≥ threshold; true C = 1
+    assert(screen.contains((2L, 1L)) || screen.contains((2L, 3L)),
+      s"containment pair not screened: $screen")
+  }
+
   test("containment property: prefix filter equals brute-force all-pairs on random corpora") {
     import org.scalacheck.{Gen, rng}
     // random docs over a small vocab so containment pairs actually occur
