@@ -61,4 +61,30 @@ object Curation {
     Prefix.takeBudget(gated,
       Seq(col("quality").desc, col("doc_id")), col("n_tokens"), tokenBudget)
   }
+
+  /** Span-cut curation: repeated-span (substring) dedup applied
+    * BEFORE the standard pipeline — duplicated runs are CUT from
+    * documents ([[Dedup.dropSpans]]; a verbatim re-ingest collapses
+    * to the empty string, a pasted boilerplate block disappears from
+    * every doc but its first), and the survivors' token-normalized
+    * text flows through `curate` unchanged. The stages are
+    * complementary, not redundant: span-cut only sees docs with ≥
+    * `spanTokens` tokens, so short verbatim copies survive it and
+    * the exact-dedup stage mops them up — the ordering a production
+    * flow wants (cut content first, then dedup what remains).
+    *
+    * Text downstream of this operator is token-normalized
+    * (case-folded, single-space-joined) — the form every operator in
+    * this stack compares. */
+  def curateSpanCut(docs: DataFrame, spanTokens: Int = 4,
+      minTokens: Long = 5L, minQuality: Double = 0.02,
+      tokenBudget: Long = 15000L): DataFrame = {
+    Seq("doc_id", "text").foreach { c =>
+      require(docs.columns.contains(c), s"curateSpanCut input needs a '$c' column")
+    }
+    val cleaned = Dedup.dropSpans(docs, col("doc_id"), col("text"), spanTokens)
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    curate(docs.drop("text").join(cleaned, Seq("doc_id")),
+      minTokens, minQuality, tokenBudget)
+  }
 }

@@ -892,28 +892,31 @@ object Extended {
     * global-first rank → duplicated starts → interval merge (the
     * INDEPENDENT row_number formulation of the engine's min(struct)
     * rule). Ends with `grp` = one row per maximal merged span. */
-  private val repeatedSpanCtes =
-    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
-       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i FROM toks),
-       |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
-       |           array_to_string(t[i : i + 3], ' ') AS s FROM idx),
-       |hs AS (SELECT doc_id, start, ${polyHashSql("s")} AS h FROM wins),
-       |occ AS (SELECT doc_id, start,
+  private def repeatedSpanCtesOver(table: String, p: String = ""): String =
+    s"""${p}toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $table),
+       |${p}idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i FROM ${p}toks),
+       |${p}wins AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+       |           array_to_string(t[i : i + 3], ' ') AS s FROM ${p}idx),
+       |${p}hs AS (SELECT doc_id, start, ${polyHashSql("s")} AS h FROM ${p}wins),
+       |${p}occ AS (SELECT doc_id, start,
        |          row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS occ
-       |        FROM hs),
-       |dup AS (SELECT doc_id, start FROM occ WHERE occ > 1),
-       |m AS (SELECT doc_id, start,
+       |        FROM ${p}hs),
+       |${p}dup AS (SELECT doc_id, start FROM ${p}occ WHERE occ > 1),
+       |${p}m AS (SELECT doc_id, start,
        |        max(start + 3) OVER (PARTITION BY doc_id ORDER BY start
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-       |      FROM dup),
-       |sp AS (SELECT doc_id, start,
+       |      FROM ${p}dup),
+       |${p}sp AS (SELECT doc_id, start,
        |         sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1
        |             THEN 1 ELSE 0 END)
        |           OVER (PARTITION BY doc_id ORDER BY start) AS span_id
-       |       FROM m),
-       |grp AS (SELECT doc_id, span_id, min(start) AS s0, max(start) + 3 AS e0,
+       |       FROM ${p}m),
+       |${p}grp AS (SELECT doc_id, span_id, min(start) AS s0, max(start) + 3 AS e0,
        |          count(*) AS nw
-       |        FROM sp GROUP BY doc_id, span_id)""".stripMargin
+       |        FROM ${p}sp GROUP BY doc_id, span_id)""".stripMargin
+
+  /** The d59/d60 chain over the plain corpus (unprefixed names). */
+  private val repeatedSpanCtes = repeatedSpanCtesOver("documents")
 
   val d59RepeatedSpans: Q = Q(
     "d59_repeated_spans",
@@ -1661,22 +1664,29 @@ object Extended {
     * as one CTE cascade, so the composition — not just each stage — is
     * hash-verified. quality := the en-stopword ratio (the same number
     * qualityFeatures emits as stopword_ratio). */
-  val t77CurationPipeline: Q = Q(
-    "t77_curation_pipeline",
-    s"""WITH corpus AS (
-       |  SELECT doc_id, text, source FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0),
-       |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+  /** The t77/t79 corpus CTE: documents plus every-7th-doc verbatim
+    * re-ingests under shifted ids. */
+  private val curationCorpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** The Curation.curate cascade (exact dedup → fused gates → global
+    * budget) over a (doc_id, text, source) CTE — ONE generator shared
+    * by t77 (raw corpus) and t79 (span-cut corpus) so the pipeline
+    * oracle cannot drift between them. Ends with `sel`. */
+  private def curationCascadeSql(src: String): String =
+    s"""keep AS (SELECT min(doc_id) AS doc_id FROM $src GROUP BY text),
        |s1 AS (SELECT c.doc_id, c.text, c.source
-       |       FROM corpus c JOIN keep k ON c.doc_id = k.doc_id),
-       |toks AS (SELECT doc_id, source, ${tokensSql("text")} AS t FROM s1),
+       |       FROM $src c JOIN keep k ON c.doc_id = k.doc_id),
+       |ctoks AS (SELECT doc_id, source, ${tokensSql("text")} AS t FROM s1),
        |feat AS (SELECT doc_id, source,
        |  CAST(len(t) AS BIGINT) AS n_tokens,
        |  ${ratioSql("en")} AS en_score,
        |  ${ratioSql("de")} AS de_score,
        |  ${ratioSql("es")} AS es_score
-       |FROM toks),
+       |FROM ctoks),
        |gate AS (SELECT doc_id, source, n_tokens, en_score AS quality,
        |    CASE WHEN greatest(en_score, de_score, es_score) < 0.02 THEN 'unknown'
        |         WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
@@ -1687,17 +1697,60 @@ object Extended {
        |sel AS (SELECT doc_id, source, predicted_lang, n_tokens,
        |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM gate WHERE predicted_lang <> 'unknown')
-       |SELECT doc_id, source, predicted_lang AS lang_pred, n_tokens,
-       |  CAST(cum AS BIGINT) AS cum_tokens
-       |FROM sel WHERE cum <= 15000
-       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |  FROM gate WHERE predicted_lang <> 'unknown')""".stripMargin
+
+  private val curationSelect =
+    """SELECT doc_id, source, predicted_lang AS lang_pred, n_tokens,
+      |  CAST(cum AS BIGINT) AS cum_tokens
+      |FROM sel WHERE cum <= 15000
+      |ORDER BY doc_id""".stripMargin
+
+  val t77CurationPipeline: Q = Q(
+    "t77_curation_pipeline",
+    s"""WITH $curationCorpusCte,
+       |${curationCascadeSql("corpus")}
+       |$curationSelect""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("source"))
     val corpus = docs.unionAll(
       docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("source")))
     graft.operators.Curation.curate(corpus)
+      .select(col("doc_id"), col("source"),
+        col("predicted_lang").as("lang_pred"), col("n_tokens"),
+        col("cum").cast("long").as("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t79 — span-cut curation (Curation.curateSpanCut): repeated-span
+    * dedup CUTS duplicated runs first (a verbatim re-ingest collapses
+    * to the empty string where it has ≥ 4 tokens; shorter copies
+    * survive the cut and the exact-dedup stage mops them up), then
+    * the t77 cascade runs over the token-normalized survivors — the
+    * SAME cascade generator, so only the span stage differs between
+    * the two pipeline oracles. */
+  val t79CurationSpans: Q = Q(
+    "t79_curation_spans",
+    s"""WITH $curationCorpusCte,
+       |${repeatedSpanCtesOver("corpus", "s")},
+       |stokpos AS (SELECT doc_id, unnest(t) AS tok,
+       |             CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos
+       |           FROM stoks),
+       |skept AS (SELECT p.doc_id, p.tok, p.pos FROM stokpos p
+       |         WHERE NOT EXISTS (SELECT 1 FROM sgrp g
+       |           WHERE g.doc_id = p.doc_id AND p.pos BETWEEN g.s0 AND g.e0)),
+       |skeptagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |            FROM skept GROUP BY doc_id),
+       |cleaned AS (SELECT c.doc_id, coalesce(k.cleaned, '') AS text, c.source
+       |            FROM corpus c LEFT JOIN skeptagg k USING (doc_id)),
+       |${curationCascadeSql("cleaned")}
+       |$curationSelect""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("source")))
+    graft.operators.Curation.curateSpanCut(corpus)
       .select(col("doc_id"), col("source"),
         col("predicted_lang").as("lang_pred"), col("n_tokens"),
         col("cum").cast("long").as("cum_tokens"))
@@ -1715,6 +1768,7 @@ object Extended {
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
+    t79CurationSpans,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)

@@ -1293,6 +1293,28 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("quality"))
   }
 
+  test("span-cut curation: long copies collapse to empty and vanish; short copies fall to exact dedup") {
+    val long1 = "the cat is in the house and the dog is in the garden today"
+    val docs = Seq(
+      (1L, long1, "web"),
+      (11L, long1, "web"),        // verbatim re-ingest, ≥4 tokens → cut to ""
+      (2L, "the cat", "web"),     // too short to window...
+      (12L, "the cat", "web"),    // ...so its copy survives the cut; exact dedup drops it
+      (3L, "a fox runs in the field and the birds fly to the trees", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Curation.curateSpanCut(docs, tokenBudget = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    // 11 cut to empty (fails gates); 2/12 fail minTokens anyway but
+    // only ONE of them could ever survive (exact dedup keeps min id);
+    // 1 and 3 survive with their full text
+    assert(out == Set(1L, 3L))
+    // the surviving docs kept their (token-normalized) text intact:
+    // within-doc "the ... the" repeats are only 1 token, not a 4-window
+    val kept = graft.operators.Curation.curateSpanCut(docs, tokenBudget = 1000L)
+      .filter(col("doc_id") === 1).select("n_tokens").as[Long].head()
+    assert(kept == long1.split(" ").length.toLong)
+  }
+
   test("segment dedup: shared blocks count as duplicates of the first occurrence only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),          // segs: [a..j], [k l]
