@@ -804,6 +804,44 @@ class OperatorsSpec extends SparkSpec {
     assert(top.toSeq == Seq((1L, 11L, 10.0), (2L, 10L, 6.0)))
   }
 
+  test("pq property: engine codes equal a driver-side argmax over random float vectors") {
+    import org.scalacheck.{Gen, rng}
+    val dim = 8
+    val m = 2
+    val sub = dim / m
+    val floatGen = Gen.choose(-1000, 1000).map(_ / 256.0f)
+    val (centRows, vecRows) = (for {
+      cents <- Gen.listOfN(4, Gen.listOfN(dim, floatGen))
+      vecs <- Gen.listOfN(30, Gen.listOfN(dim, floatGen))
+    } yield (cents, vecs)).apply(Gen.Parameters.default, rng.Seed(47L)).get
+    val cDf = centRows.zipWithIndex.map { case (e, i) => (i.toLong, e.toArray) }
+      .toDF("vec_id", "embedding")
+    val vDf = vecRows.zipWithIndex.map { case (e, i) => ((i + 100).toLong, e.toArray) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(vDf, cDf, m = m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // driver-side twin: same fold order (left-to-right, double), same
+    // argmax score − ‖c‖²/2 with ties to the smaller cid
+    def score(x: Seq[Float], c: Seq[Float], j: Int): Double = {
+      var dot = 0.0d; var nrm = 0.0d; var i = 0
+      while (i < sub) {
+        dot += x(j * sub + i).toDouble * c(j * sub + i).toDouble
+        nrm += c(j * sub + i).toDouble * c(j * sub + i).toDouble
+        i += 1
+      }
+      dot - nrm / 2
+    }
+    vecRows.zipWithIndex.foreach { case (x, vi) =>
+      val want = (0 until m).map { j =>
+        centRows.zipWithIndex
+          .map { case (c, cid) => (score(x, c, j), cid.toLong) }
+          .reduceLeft((a, b) => if (b._1 > a._1 || (b._1 == a._1 && b._2 < a._2)) b else a)
+          ._2
+      }
+      assert(got((vi + 100).toLong) == want, s"vec $vi")
+    }
+  }
+
   test("redaction scrubs emails and phones and counts matches") {
     val d = Seq((1L, "write to bob.x@host.org or 555-0199 now"),
       (2L, "nothing here on 2023-08-12"),             // ISO date must NOT be mangled
