@@ -161,7 +161,8 @@ class PlanAuditSpec extends SparkSpec {
     // their own partition count
     assume(spark.sessionState.conf.numShufflePartitions > 1,
       "single-partition-funnel audit needs shuffle parallelism > 1")
-    Seq("t77_curation_pipeline", "q71_split", "d56_containment").foreach { q =>
+    Seq("t77_curation_pipeline", "t79_curation_spans", "q71_split",
+      "d56_containment").foreach { q =>
       val p = plan(q)
       assert(!p.contains("SinglePartition"),
         s"$q funnels through one task:\n$p")
