@@ -50,7 +50,10 @@ object GraftFunctions {
     "sorted_intersect_count" -> arity("sorted_intersect_count", Set(2))(exprs =>
       SortedIntersectCount(exprs.head, exprs(1))),
     "simhash_fold" -> arity("simhash_fold", Set(1))(exprs =>
-      SimHashFold(exprs.head)))
+      SimHashFold(exprs.head)),
+    "cdc_chunks" -> arity("cdc_chunks", Set(3))(exprs =>
+      CdcChunks(exprs.head, intArg(exprs(1), "window width"),
+        intArg(exprs(2), "boundary mask").toLong)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -966,6 +966,56 @@ object Extended {
       .orderBy(col("contained"), col("container"))
   }
 
+  /** d62 — content-defined chunking (the graft.functions.CdcChunks
+    * native kernel): Rabin/FastCDC-style boundaries where the rolling
+    * 8-char window hash has its low 6 bits zero (expected chunk ≈ 64
+    * chars) — the insertion-stable chunk identity payload dedup needs
+    * (fixed-size chunking shifts EVERY later chunk after one edit).
+    * One output row per chunk. The oracle is the relational twin:
+    * per-position substring hashes, boundary flags, running-count
+    * chunk ids — the kernel's rolling arithmetic must reproduce it
+    * bit-for-bit. Plus cross-doc chunk dedup over the chunk hash:
+    * n_dups = occurrences of this chunk's content seen earlier. */
+  val d62CdcChunks: Q = Q(
+    "d62_cdc_chunks",
+    s"""WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+       |            FROM documents),
+       |bnd AS (SELECT doc_id, p,
+       |    CASE WHEN p >= 8 AND (${polyHashSql("substring(text, p - 7, 8)")} & 63) = 0
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM pos),
+       |cid AS (SELECT doc_id, p,
+       |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+       |  FROM bnd),
+       |chunks AS (SELECT doc_id, chunk_idx,
+       |    CAST(min(p) AS BIGINT) AS start, CAST(count(*) AS BIGINT) AS len
+       |  FROM cid GROUP BY doc_id, chunk_idx),
+       |hashed AS (SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+       |    c.start, c.len,
+       |    ${polyHashSql("substring(d.text, CAST(c.start AS INTEGER), CAST(c.len AS INTEGER))")} AS chash
+       |  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id),
+       |ranked AS (SELECT doc_id, chunk_idx, start, len, chash,
+       |    row_number() OVER (PARTITION BY chash ORDER BY doc_id, chunk_idx) AS occ
+       |  FROM hashed)
+       |SELECT doc_id, chunk_idx, start, len, chash,
+       |  CAST(occ - 1 AS BIGINT) AS n_earlier
+       |FROM ranked ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CdcChunks.cdcChunks(col("text"), 8, 64L)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col.start").as("start"), col("col.len").as("len"),
+        col("col.chash").as("chash"))
+    // cross-doc dedup rank over the chunk hash — the same
+    // first-occurrence window rule as t72's oracle twin
+    val wOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chash")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("n_earlier", (row_number().over(wOcc) - 1).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** d60 — repeated-span dedup APPLIED (Dedup.dropSpans): tokens
     * covered by a merged duplicated span are cut and the document
     * re-emitted from its survivors; first occurrences survive, so
@@ -1762,7 +1812,7 @@ object Extended {
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
     d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans,
-    d61ContainmentScreen, t73ChunkOverlap,
+    d61ContainmentScreen, d62CdcChunks, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     s56PqAdc, s57IvfPqTopK,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,

@@ -495,6 +495,41 @@ class OperatorsSpec extends SparkSpec {
     assert(exact.length == delta.count() && exact.forall(_ == 1.0))
   }
 
+  test("cdc chunks: kernel equals brute-force boundaries; chunks tile; prefix edits keep tail identities") {
+    import org.scalacheck.{Gen, rng}
+    val P = 1000000007L
+    def ph(x: String): Long = x.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    def brute(s: String): Seq[(Long, Long, Long)] = {
+      val n = s.length
+      if (n == 0) return Seq.empty
+      val bounds = (1 to n).filter(p => p >= 8 && (ph(s.substring(p - 8, p)) & 63) == 0)
+      val ends = (bounds :+ n).distinct
+      ends.zip(1L +: ends.map(_ + 1L).dropRight(1)).map { case (e, st) =>
+        (st, e - st + 1, ph(s.substring(st.toInt - 1, e)))
+      }
+    }
+    val strs = Gen.listOfN(12, Gen.choose(0, 400).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(('a' to 'f') :+ ' ')).map(_.mkString)))
+      .apply(Gen.Parameters.default, rng.Seed(51L)).get
+    strs.filter(_.nonEmpty).foreach { s =>
+      val got = Seq(Tuple1(s)).toDF("txt")
+        .select(explode(graft.functions.CdcChunks.cdcChunks(col("txt"), 8, 64L)).as("c"))
+        .select(col("c.start"), col("c.len"), col("c.chash"))
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == brute(s), s"s=$s")
+      assert(got.map(_._2).sum == s.length.toLong) // chunks tile exactly
+    }
+    // insertion stability: a prefix edit disturbs only the chunks that
+    // overlap it — the tail re-synchronizes on the same boundaries
+    val doc = strs.filter(_.length > 300).headOption.getOrElse(strs.maxBy(_.length))
+    val edited = "zzzzz" + doc
+    val a = brute(doc).map(_._3)
+    val b = brute(edited).map(_._3).toSet
+    val shared = a.count(b.contains)
+    assert(shared >= a.length - 2,
+      s"prefix edit disturbed ${a.length - shared} of ${a.length} chunks")
+  }
+
   test("image codec: encode/decode round-trips random rasters bit-exactly") {
     import graft.operators.ImageCodec
     import org.scalacheck.{Gen, rng}

@@ -153,9 +153,11 @@ class PolyHashSpec extends SparkSpec {
         |  size(minhash_sig(token_shingle_hashes('a b c d', 3))) AS n_sig,
         |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
-        |  size(poly_hash_shingles('abcd', 2)) AS n_cs""".stripMargin).head()
+        |  size(poly_hash_shingles('abcd', 2)) AS n_cs,
+        |  aggregate(cdc_chunks('abcdefgh', 8, 64), 0L, (a, c) -> a + c.len) AS cdc_total""".stripMargin).head()
     assert(row.getInt(0) == 2 && row.getInt(1) == 2 && row.getInt(2) == 8)
     assert(row.getDouble(3) == 11.0 && row.getLong(4) == 2L && row.getInt(5) == 3)
+    assert(row.getLong(6) == 8L) // chunks tile the input
   }
 
   test("whole-stage codegen path produces the same values as interpreted eval") {
