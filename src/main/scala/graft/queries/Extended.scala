@@ -999,7 +999,7 @@ object Extended {
        |    row_number() OVER (PARTITION BY chash ORDER BY doc_id, chunk_idx) AS occ
        |  FROM hashed)
        |SELECT doc_id, chunk_idx, start, len, chash,
-       |  CAST(occ - 1 AS BIGINT) AS n_earlier
+       |  CAST(CASE WHEN occ = 1 THEN 0 ELSE 1 END AS BIGINT) AS dup
        |FROM ranked ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
     val chunks = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -1007,12 +1007,18 @@ object Extended {
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         col("col.start").as("start"), col("col.len").as("len"),
         col("col.chash").as("chash"))
-    // cross-doc dedup rank over the chunk hash — the same
-    // first-occurrence window rule as t72's oracle twin
-    val wOcc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chash")).orderBy(col("doc_id"), col("chunk_idx"))
-    chunks
-      .withColumn("n_earlier", (row_number().over(wOcc) - 1).cast("long"))
+    // first occurrence per chunk hash as a min(struct) AGGREGATION —
+    // a row_number window over chash would funnel a viral chunk (the
+    // boilerplate-footer case) through one task; same skew argument
+    // as segmentDedup/repeatedSpans. The oracle keeps the window
+    // formulation as the independent twin.
+    val firsts = chunks.groupBy(col("chash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    chunks.join(firsts, "chash")
+      .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+        col("chash"),
+        when(col("doc_id") === col("f.doc_id") &&
+          col("chunk_idx") === col("f.chunk_idx"), 0L).otherwise(1L).as("dup"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
