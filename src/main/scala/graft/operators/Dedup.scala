@@ -1034,6 +1034,41 @@ object Dedup {
         array_join(col("kept"), " ").as("cleaned_text"))
   }
 
+  /** CDC chunk dedup APPLIED — documents rebuilt from only the
+    * globally-first occurrence of each content-defined chunk (the
+    * payload analog of `dropSpans`' token-span cut): chunk boundaries
+    * come from the [[graft.functions.CdcChunks]] rolling-hash kernel,
+    * so a shared run disappears from every doc but its first
+    * REGARDLESS of its byte offset — the insertion-stable property
+    * fixed-size chunking lacks. First occurrence = min(struct(doc_id,
+    * chunk_idx)), an aggregation (viral-chunk skew argument as in
+    * segmentDedup); the rebuild sorts the collected (chunk_idx, text)
+    * structs — never collect_list arrival order, which is
+    * partition-nondeterministic. Output per doc: n_chunks, n_kept,
+    * cleaned_text. Empty docs have no chunks and are absent. */
+  def dropDupChunks(df: DataFrame, id: Column, text: Column,
+      w: Int = 8, mask: Long = 64L): DataFrame = {
+    val chunks = df.select(id.as("doc_id"), text.as("graft_text"))
+      .select(col("doc_id"), col("graft_text"),
+        posexplode(graft.functions.CdcChunks.cdcChunks(col("graft_text"), w, mask)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("graft_text").substr(col("col.start").cast("int"),
+          col("col.len").cast("int")).as("cstr"),
+        col("col.chash").as("chash"))
+    val firsts = chunks.groupBy(col("chash"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    chunks.join(firsts, "chash")
+      .withColumn("graft_keep",
+        col("doc_id") === col("f.doc_id") && col("chunk_idx") === col("f.chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("graft_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_idx").as("i"),
+            when(col("graft_keep"), col("cstr")).otherwise(lit("")).as("t")))),
+          s2 => s2("t")), "").as("cleaned_text"))
+  }
+
   /** Approximate containment SCREENING from MinHash signatures plus
     * exact distinct-shingle counts — the cheap lossy pre-filter to
     * `containmentPairs`' exact pigeonhole path (Broder's resemblance

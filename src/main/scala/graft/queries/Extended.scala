@@ -976,14 +976,16 @@ object Extended {
     * chunk ids — the kernel's rolling arithmetic must reproduce it
     * bit-for-bit. Plus cross-doc chunk dedup over the chunk hash:
     * n_dups = occurrences of this chunk's content seen earlier. */
-  val d62CdcChunks: Q = Q(
-    "d62_cdc_chunks",
-    s"""WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
+  /** The d62/d63 oracle CTE chain: per-position window hashes →
+    * boundary flags → running-count chunk ids → chunk table with
+    * content hash and text → global-first rank (`occ`). */
+  private val cdcCtes =
+    s"""cpos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS p
        |            FROM documents),
        |bnd AS (SELECT doc_id, p,
        |    CASE WHEN p >= 8 AND (${polyHashSql("substring(text, p - 7, 8)")} & 63) = 0
        |         THEN 1 ELSE 0 END AS b
-       |  FROM pos),
+       |  FROM cpos),
        |cid AS (SELECT doc_id, p,
        |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY p
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
@@ -993,11 +995,16 @@ object Extended {
        |  FROM cid GROUP BY doc_id, chunk_idx),
        |hashed AS (SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
        |    c.start, c.len,
+       |    substring(d.text, CAST(c.start AS INTEGER), CAST(c.len AS INTEGER)) AS cstr,
        |    ${polyHashSql("substring(d.text, CAST(c.start AS INTEGER), CAST(c.len AS INTEGER))")} AS chash
        |  FROM chunks c JOIN documents d ON c.doc_id = d.doc_id),
-       |ranked AS (SELECT doc_id, chunk_idx, start, len, chash,
+       |ranked AS (SELECT doc_id, chunk_idx, start, len, cstr, chash,
        |    row_number() OVER (PARTITION BY chash ORDER BY doc_id, chunk_idx) AS occ
-       |  FROM hashed)
+       |  FROM hashed)""".stripMargin
+
+  val d62CdcChunks: Q = Q(
+    "d62_cdc_chunks",
+    s"""WITH $cdcCtes
        |SELECT doc_id, chunk_idx, start, len, chash,
        |  CAST(CASE WHEN occ = 1 THEN 0 ELSE 1 END AS BIGINT) AS dup
        |FROM ranked ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
@@ -1020,6 +1027,26 @@ object Extended {
         when(col("doc_id") === col("f.doc_id") &&
           col("chunk_idx") === col("f.chunk_idx"), 0L).otherwise(1L).as("dup"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** d63 — CDC chunk dedup APPLIED: documents rebuilt from only the
+    * globally-first occurrence of each chunk's content — the payload
+    * analog of d60's token-span cut, at content-defined boundaries
+    * (so a shared boilerplate run disappears from every doc but its
+    * first regardless of its offset). Rebuild order is made
+    * deterministic by sorting the collected (chunk_idx, text) structs
+    * — never the collect_list arrival order. */
+  val d63CdcApply: Q = Q(
+    "d63_cdc_apply",
+    s"""WITH $cdcCtes
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  string_agg(CASE WHEN occ = 1 THEN cstr ELSE '' END, '' ORDER BY chunk_idx) AS cleaned_text
+       |FROM ranked GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.dropDupChunks(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
   }
 
   /** d60 — repeated-span dedup APPLIED (Dedup.dropSpans): tokens
@@ -1818,7 +1845,7 @@ object Extended {
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
     d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans,
-    d61ContainmentScreen, d62CdcChunks, t73ChunkOverlap,
+    d61ContainmentScreen, d62CdcChunks, d63CdcApply, t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     s56PqAdc, s57IvfPqTopK,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,

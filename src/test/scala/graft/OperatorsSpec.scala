@@ -530,6 +530,20 @@ class OperatorsSpec extends SparkSpec {
       s"prefix edit disturbed ${a.length - shared} of ${a.length} chunks")
   }
 
+  test("cdc apply: a verbatim copy loses every chunk; unique content keeps all") {
+    // non-repeating content: internal repetition would make doc 1
+    // deduplicate against ITSELF (the technique working as intended)
+    val t = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t), (3L, "completely different and unrepeated"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropDupChunks(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L)._3 == t && out(1L)._1 == out(1L)._2) // original intact
+    assert(out(2L)._2 == 0L && out(2L)._3 == "")        // copy fully cut
+    assert(out(3L)._3 == "completely different and unrepeated")
+  }
+
   test("image codec: encode/decode round-trips random rasters bit-exactly") {
     import graft.operators.ImageCodec
     import org.scalacheck.{Gen, rng}
