@@ -53,7 +53,9 @@ object GraftFunctions {
       SimHashFold(exprs.head)),
     "cdc_chunks" -> arity("cdc_chunks", Set(3))(exprs =>
       CdcChunks(exprs.head, intArg(exprs(1), "window width"),
-        intArg(exprs(2), "boundary mask").toLong)))
+        intArg(exprs(2), "boundary mask").toLong)),
+    "winnow_positions" -> arity("winnow_positions", Set(2))(exprs =>
+      WinnowPositions(exprs.head, intArg(exprs(1), "winnow window"))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

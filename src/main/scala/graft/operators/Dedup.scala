@@ -171,6 +171,42 @@ object Dedup {
     verifyJaccardOnSortedHashes(sh.select(col("doc_id"), col("s")), candidates, threshold)
   }
 
+  /** Local-overlap pairs by shared winnowed fingerprints — the MOSS
+    * detection step over TextAnalysis.winnowIndex: two docs pair when
+    * they share ≥ `minShared` distinct fingerprint hashes, each
+    * weighted equally. Complements the Jaccard family: winnowing
+    * guarantees any shared run of ≥ w+k−1 characters leaves a shared
+    * fingerprint, so it catches LOCAL overlap (a copied paragraph in
+    * an otherwise-different doc) that whole-doc Jaccard dilutes away.
+    *
+    * `maxDf` drops fingerprints present in more than that many docs —
+    * MOSS's "too common to be meaningful" rule, and simultaneously the
+    * skew bound: the fp-keyed self-join's per-key fan-out is capped at
+    * maxDf², so a boilerplate shingle (page header, license line)
+    * cannot form a hot key or an O(n²) pair blow-up. The only wide ops
+    * are the DF aggregation and the self-join, both shuffled on `fp`;
+    * the pair aggregation shuffles on (a, b). Nothing is corpus²
+    * anywhere. Output: (a, b, shared), a < b. */
+  def fingerprintOverlapPairs(docs: DataFrame, id: Column, text: Column,
+      k: Int = 4, w: Int = 8, minShared: Int = 2, maxDf: Int = 8): DataFrame = {
+    val idx = graft.operators.TextAnalysis.winnowIndex(docs, id, text, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+      .transform(d => graft.Caches.pin(d))
+    // df >= 2 is pure pruning (a df-1 fingerprint cannot pair);
+    // df <= maxDf is the semantic cap mirrored by the oracle
+    val keep = idx.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("fp"))
+    val pruned = idx.join(keep, Seq("fp"))
+    pruned.select(col("fp"), col("doc_id").as("a"))
+      .join(pruned.select(col("fp"), col("doc_id").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Candidate pairs from LSH buckets: distinct (a < b) ids sharing a
     * (band, bucket). The self-join shuffles on (band, bucket) only. */
   def candidatePairs(buckets: DataFrame): DataFrame = {

@@ -280,4 +280,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
   }
+
+  /** IVF+PQ with exact re-ranking — the standard ADC refinement
+    * (Jégou et al. §V): the compressed index proposes a `shortlist` of
+    * candidates by asymmetric distance, then ONLY those rows pay a
+    * full-precision dot against the query and the top `k` re-rank by
+    * the exact score. Recovers the PQ quantization error on the final
+    * ordering while still scanning the corpus compressed — at 100 TB
+    * the exact pass touches `shortlist` rows, not the cell.
+    *
+    * Scale shape: the shortlist (≤ `shortlist` rows) broadcasts into
+    * a hash join against the query's cell — the corpus side never
+    * shuffles; the re-rank window orders ≤ `shortlist` rows. Output:
+    * (query_id, rank, neighbor_id, adc, score) — `adc` the
+    * compressed-domain score that proposed the row, `score` the exact
+    * dot that ranked it. */
+  def ivfPqRerank(corpus: DataFrame, centroids: DataFrame, query: DataFrame,
+      k: Int, shortlist: Int, m: Int = 4): DataFrame = {
+    val qRows = query.select(col("vec_id").cast("long"), col("label"),
+      col("embedding")).collect()
+    require(qRows.length == 1, s"query must be a single row, got ${qRows.length}")
+    val (qid, qcell) = (qRows.head.getLong(0), qRows.head.get(1))
+    val qe = qRows.head.getSeq[Float](2).toArray
+    val qCol = array(qe.toSeq.map(v => lit(v.toDouble)): _*)
+    val short = ivfPqTopK(corpus, centroids, query, shortlist, m)
+      .select(col("neighbor_id"), col("score").as("adc"))
+    val cell = corpus.filter(col("label") === lit(qcell) && col("vec_id") =!= qid)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cell.join(broadcast(short), cell("vec_id") === short("neighbor_id"))
+      .select(lit(qid).as("query_id"), col("neighbor_id"), col("adc"),
+        dot(col("embedding"), qCol).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"),
+        col("score"))
+  }
 }

@@ -107,6 +107,37 @@ object TextAnalysis {
     df.select(id.as("doc_id"),
       polyHashFast(graft.operators.TextHash.asciiLower(text)).as("fingerprint"))
 
+  /** Winnowed fingerprint index (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): k-gram rolling hashes (PolyHashShingles, one
+    * O(len) pass), then every w-hash sliding window selects its
+    * rightmost-minimum position (WinnowPositions, O(len) monotonic
+    * deque). Output rows (doc_id, pos, fp) — pos the 1-based k-gram
+    * start, fp its hash: the fingerprint INDEX that powers plagiarism/
+    * local-overlap detection, at a guaranteed sampling density of
+    * ~2/(w+1) with every shared run of ≥ w+k−1 chars represented.
+    *
+    * Scale shape: both kernels are per-row codegen'd expressions in
+    * the scan stage — the only post-scan op is the explode; nothing
+    * shuffles. The (pos, fp) pairs are zipped into a selection-sized
+    * struct array BEFORE the explode: exploding the positions and
+    * recovering the hash afterwards would carry the full O(len) hash
+    * array through every generated row (O(len²/w) bytes per doc — the
+    * d62 lesson applied pre-emptively). The two hash consumers
+    * (winnow arg + the zip lookup) reference the staged `hs` alias,
+    * which CollapseProject keeps materialized (non-cheap expression
+    * referenced twice), so the rolling-hash pass runs once per row. */
+  def winnowIndex(df: DataFrame, id: Column, text: Column,
+      k: Int = 4, w: Int = 8): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.PolyHashShingles.polyHashShingles(text, k).as("hs"))
+      .select(col("doc_id"),
+        transform(
+          graft.functions.WinnowPositions.winnowPositions(col("hs"), w),
+          p => struct(p.as("pos"),
+            element_at(col("hs"), p.cast("int")).as("fp"))).as("sel"))
+      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
     * repeated content is the strongest single low-quality indicator):
     * distinct-token ratio, most-frequent-token fraction, duplicate
@@ -338,12 +369,14 @@ object TextAnalysis {
     * Cache contract as elsewhere: the (doc, bigram) aggregate is
     * pinned via graft.Caches (three consumers), released at the
     * caller's Caches.releaseAll() boundary. */
-  def bigramLm(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // explode_outer (not explode): a plain Generate lets the optimizer
-    // infer size(...) > 0 and push it below the staged token chain,
-    // re-inlining the tokenize into the filter (round-1 lesson); the
-    // null rows of short docs are dropped AFTER the aggregate instead
-    val bgc = df.select(id.as("doc_id"), tokens(text).as("t"))
+  /** Per-(doc, bigram) occurrence counts — the shared front of the
+    * bigram-LM family (explode_outer, not explode: a plain Generate
+    * lets the optimizer infer size(...) > 0 and push it below the
+    * staged token chain, re-inlining the tokenize into the filter —
+    * the round-1 lesson; short docs' null rows drop after the
+    * aggregate instead). */
+  private def bigramCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), tokens(text).as("t"))
       .select(col("doc_id"), explode_outer(
         when(size(col("t")) >= 2,
           transform(sequence(lit(1), size(col("t")) - 1),
@@ -351,6 +384,9 @@ object TextAnalysis {
           .otherwise(array().cast("array<string>"))).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
       .filter(col("bg").isNotNull)
+
+  def bigramLm(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val bgc = bigramCounts(df, id, text)
       .transform(d => graft.Caches.pin(d))
     val pair = bgc.groupBy(col("bg")).agg(sum(col("n")).as("c2"))
     // left-word counts from the PAIR table: tokens carry no spaces, so
@@ -366,5 +402,69 @@ object TextAnalysis {
       .agg(sum(col("n")).cast("long").as("n_bigrams"),
         sum(col("n") * col("c2")).cast("long").as("sum_pair"),
         sum(col("n") * col("c1")).cast("long").as("sum_left"))
+  }
+
+  /** KenLM/CCNet-style LM quality gate: a bigram count table is fit on
+    * a trusted REFERENCE corpus `ref`, every doc of `df` is scored
+    * against it, and docs whose fit ratio sum_pair/sum_left reaches
+    * (num/den)× the corpus-aggregate fit Σsp/Σsl survive.
+    *
+    * Training on the reference — not on `df` itself — is what makes
+    * this a quality signal: scored against a self-trained LM, a doc of
+    * unique-token soup is a PERFECT fit (each singleton bigram is
+    * deterministic given its unique left word — p(w2|w1)=1), so
+    * self-fit rewards exactly the docs a filter must drop (found by
+    * this operator's own unit fixture). Against a reference LM its
+    * bigrams are simply unseen: both probe joins are LEFT joins with
+    * count 0 for misses, gibberish scores 0, and a doc with NO
+    * reference-attested left context (sum_left = 0) fails the gate
+    * outright — no evidence is not good evidence.
+    *
+    * The threshold is corpus-RELATIVE because the absolute ratio
+    * shrinks as corpus and vocabulary grow — a fixed cut that splits
+    * a 1 GB corpus keeps nothing at 100 TB; the relative form is
+    * scale-free (measured: ~47% kept at sf0.01, ~50% at sf0.1, same
+    * gate). The decision sp·Σsl·den ≥ sl·Σsp·num is exact rational
+    * cross-multiplication in decimal(38,0) — no float division, so
+    * every engine decides every doc identically, and products of two
+    * count sums (past 2⁶³ at corpus scale) can't overflow. num = 0
+    * disables the gate (every scored doc survives).
+    *
+    * Plan shape: two bigram-count aggregations (probe + reference;
+    * the reference tables are vocabulary²-sized, so the probe joins
+    * shuffle rather than broadcast — the t71 skew note applies), one
+    * broadcast 1-row total, a per-row filter. The reference pair table
+    * and the lm frame pin via graft.Caches (two consumers each). */
+  def lmQualityGate(df: DataFrame, id: Column, text: Column,
+      ref: DataFrame, refId: Column, refText: Column,
+      num: Long = 1, den: Long = 1): DataFrame = {
+    require(num >= 0 && den > 0, s"threshold $num/$den must be >= 0 with den > 0")
+    val bgc = bigramCounts(df, id, text)
+    val pair = bigramCounts(ref, refId, refText)
+      .groupBy(col("bg")).agg(sum(col("n")).as("c2"))
+      .transform(d => graft.Caches.pin(d))
+    val lft = pair
+      .select(element_at(split(col("bg"), " "), 1).as("w1"), col("c2"))
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val lm = bgc
+      .join(pair, Seq("bg"), "left")
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(lft, Seq("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        sum(col("n") * coalesce(col("c2"), lit(0L))).cast("long").as("sum_pair"),
+        sum(col("n") * coalesce(col("c1"), lit(0L))).cast("long").as("sum_left"))
+      .transform(d => graft.Caches.pin(d))
+    val tot = lm.agg(
+      sum(col("sum_pair").cast("decimal(38,0)")).as("tsp"),
+      sum(col("sum_left").cast("decimal(38,0)")).as("tsl"))
+    val pass =
+      if (num == 0) lit(true)
+      else col("sum_left") > 0 &&
+        col("sum_pair").cast("decimal(38,0)") * col("tsl") * lit(den) >=
+        col("sum_left").cast("decimal(38,0)") * col("tsp") * lit(num)
+    lm.crossJoin(broadcast(tot))
+      .filter(pass)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_pair"), col("sum_left"))
   }
 }

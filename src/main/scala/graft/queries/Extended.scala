@@ -416,6 +416,43 @@ object Extended {
         .orderBy(col("rank"))
     }
 
+  /** s58 — IVF+PQ with exact re-ranking (Similarity.ivfPqRerank, the
+    * ADC refinement of Jégou et al. §V): the compressed index proposes
+    * a 30-candidate shortlist, only those rows pay a full-precision
+    * dot, and the top 10 re-rank by the exact score. Oracle = the s57
+    * chain extended by the exact-dot re-rank over the same shortlist;
+    * both scores ride through (adc proposed, score decided). */
+  val s58PqRerank: Q =
+    Q("s58_pq_rerank",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS qid, label AS qcell, embedding AS qe
+         |      FROM embeddings WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.embedding FROM embeddings e, q
+         |         WHERE e.label = q.qcell AND e.vec_id <> q.qid),
+         |${PqSql.chain("cand")},
+         |scored AS (SELECT cd.vec_id, ${PqSql.adc} AS score
+         |  FROM codes cd
+         |  ${PqSql.codeJoins}
+         |  CROSS JOIN q),
+         |rk AS (SELECT vec_id, score,
+         |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored),
+         |short AS (SELECT vec_id, score AS adc FROM rk WHERE rank <= 30),
+         |ex AS (SELECT sh.vec_id, sh.adc, ${dotSql("e.embedding", "q.qe")} AS score
+         |       FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+         |       CROSS JOIN q),
+         |rk2 AS (SELECT vec_id, adc, score,
+         |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+         |  FROM ex)
+         |SELECT CAST(0 AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, adc, score
+         |FROM rk2 WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqRerank(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") === 0), k = 10, shortlist = 30, m = 4)
+        .orderBy(col("rank"))
+    }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1337,6 +1374,76 @@ object Extended {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Winnowing CTE chain (k=4-gram hashes → per-window rightmost-min
+    * selection), shared by d64/d65 — the relational twin of the O(n)
+    * WinnowPositions deque kernel: every w-window ranks its positions
+    * by (hash ASC, pos DESC) and keeps rank 1; DISTINCT collapses
+    * consecutive windows agreeing on a position. The outer lambda
+    * variable must not be `i` — polyHashSql's inner fold binds `i`
+    * and would shadow it. */
+  private def winnowCtes(k: Int, w: Int): String =
+    s"""wh AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(length(text)-${k - 1}, 0)+1),
+       |      p -> ${polyHashSql(s"substring(text, p, $k)")}) AS hs
+       |  FROM documents),
+       |wph AS (SELECT doc_id, CAST(unnest(range(1, len(hs)+1)) AS BIGINT) AS i,
+       |          unnest(hs) AS hv
+       |        FROM wh WHERE len(hs) > 0),
+       |wwin AS (SELECT doc_id, unnest(range(1, greatest(len(hs)-$w, 0)+2)) AS j
+       |         FROM wh WHERE len(hs) > 0),
+       |wsel AS (SELECT w.doc_id, w.j, p.i, p.hv,
+       |           row_number() OVER (PARTITION BY w.doc_id, w.j
+       |             ORDER BY p.hv ASC, p.i DESC) AS rn
+       |         FROM wwin w JOIN wph p
+       |           ON p.doc_id = w.doc_id AND p.i >= w.j AND p.i < w.j + $w),
+       |wfp AS (SELECT DISTINCT doc_id, i AS pos, CAST(hv AS BIGINT) AS fp
+       |        FROM wsel WHERE rn = 1)""".stripMargin
+
+  /** d64 — winnowed fingerprint index (TextAnalysis.winnowIndex; the
+    * MOSS selection): one row per selected (position, k-gram hash).
+    * Engine = two native O(n) kernels in the scan stage; oracle = the
+    * positions×windows relational unroll above — same selection rule,
+    * opposite cost shape. */
+  val d64Winnowing: Q = Q(
+    "d64_winnowing",
+    s"""WITH ${winnowCtes(4, 8)}
+       |SELECT doc_id, pos, fp FROM wfp
+       |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    TextAnalysis.winnowIndex(Tables.documents(s, dir), col("doc_id"), col("text"),
+        k = 4, w = 8)
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** d65 — local-overlap pairs by shared winnowed fingerprints
+    * (Dedup.fingerprintOverlapPairs): docs sharing ≥ 2 distinct
+    * fingerprint hashes pair, fingerprints in > 8 docs are dropped
+    * (MOSS's too-common rule — and the self-join's skew cap: per-key
+    * fan-out ≤ maxDf²). Winnowing's guarantee makes this the LOCAL
+    * overlap detector — a copied ≥ w+k−1-char run always leaves a
+    * shared fingerprint, however different the rest of the docs.
+    * k = 20 (not d64's dense 4): detection fingerprints must be
+    * doc-discriminative — at k=4 every selected hash is a common
+    * English 4-gram, its DF blows the cap, and the pair set is empty
+    * (measured); at k=20 a shared fingerprint means a verbatim
+    * ≥ 27-char run. */
+  val d65FpOverlap: Q = Q(
+    "d65_fp_overlap",
+    s"""WITH ${winnowCtes(20, 8)},
+       |fpd AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |keep AS (SELECT fp FROM fpd GROUP BY fp
+       |         HAVING count(*) >= 2 AND count(*) <= 8),
+       |pr AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+       |       FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       JOIN keep k ON k.fp = a.fp
+       |       GROUP BY a.doc_id, b.doc_id
+       |       HAVING count(*) >= 2)
+       |SELECT a, b, CAST(shared AS BIGINT) AS shared FROM pr
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Dedup.fingerprintOverlapPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"), k = 20, w = 8, minShared = 2, maxDf = 8)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** d49 — duplicate CLUSTERS: the near-dup pairs closed into
     * connected components (distributed min-label propagation; see
     * Dedup.connectedComponents), cluster_id = canonical min doc_id.
@@ -1609,15 +1716,26 @@ object Extended {
     }
   }
 
+  /** The bigram-count chain over any (doc_id, text) source as shared
+    * fragments (prefix-parameterized like the t79 span CTEs): t71 and
+    * t80 build on the SAME extraction, so the bigram definition cannot
+    * drift between the self-fit stats and the reference-fit gate. */
+  private def bigramCountCtes(src: String, p: String): String =
+    s"""${p}toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $src),
+       |${p}bg0 AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       |        FROM ${p}toks),
+       |${p}bgc AS (SELECT doc_id, bg, count(*) AS n FROM ${p}bg0 GROUP BY doc_id, bg)""".stripMargin
+
+  /** pair / left-word count tables fitted on a bigram-count CTE. */
+  private def pairLftCtes(bgc: String): String =
+    s"""pair AS (SELECT bg, sum(n) AS c2 FROM $bgc GROUP BY bg),
+       |lft AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM pair GROUP BY 1)""".stripMargin
+
   val t71BigramLm: Q = Q(
     "t71_bigram_lm",
-    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
-       |bg0 AS (SELECT doc_id,
-       |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
-       |        FROM toks),
-       |bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg0 GROUP BY doc_id, bg),
-       |pair AS (SELECT bg, sum(n) AS c2 FROM bgc GROUP BY bg),
-       |lft AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM pair GROUP BY 1)
+    s"""WITH ${bigramCountCtes("documents", "")},
+       |${pairLftCtes("bgc")}
        |SELECT bgc.doc_id,
        |  CAST(sum(bgc.n) AS BIGINT) AS n_bigrams,
        |  CAST(sum(bgc.n * pair.c2) AS BIGINT) AS sum_pair,
@@ -1627,6 +1745,43 @@ object Extended {
        |GROUP BY bgc.doc_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.bigramLm(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t80 — reference-fit LM quality gate (TextAnalysis.lmQualityGate,
+    * the KenLM/CCNet shape): the bigram table is fitted on a trusted
+    * reference subset (here the deterministic doc_id % 3 = 0 slice —
+    * standing in for "the curated corpus"), every doc scores against
+    * it via LEFT joins (unseen bigrams count 0), and docs at or above
+    * the corpus-aggregate fit survive; sum_left = 0 fails outright.
+    * The decision is exact rational cross-multiplication (HUGEINT /
+    * decimal(38,0)) — no float division, so both engines decide every
+    * doc identically; the threshold is corpus-RELATIVE, which is what
+    * survives scale (an absolute cut that splits sf0.01 keeps 0.4% at
+    * sf0.1 — measured before this design was chosen). */
+  val t80LmGate: Q = Q(
+    "t80_lm_gate",
+    s"""WITH ${bigramCountCtes("documents", "")},
+       |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |${bigramCountCtes("ref", "r")},
+       |${pairLftCtes("rbgc")},
+       |lm AS (SELECT bgc.doc_id,
+       |    CAST(sum(bgc.n) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(bgc.n * coalesce(pair.c2, 0)) AS BIGINT) AS sum_pair,
+       |    CAST(sum(bgc.n * coalesce(lft.c1, 0)) AS BIGINT) AS sum_left
+       |  FROM bgc LEFT JOIN pair USING (bg)
+       |  LEFT JOIN lft ON string_split(bgc.bg, ' ')[1] = lft.w1
+       |  GROUP BY bgc.doc_id),
+       |tot AS (SELECT sum(sum_pair) AS tsp, sum(sum_left) AS tsl FROM lm)
+       |SELECT doc_id, n_bigrams, sum_pair, sum_left
+       |FROM lm, tot
+       |WHERE sum_left > 0
+       |  AND CAST(sum_pair AS HUGEINT) * CAST(tsl AS HUGEINT) >=
+       |      CAST(sum_left AS HUGEINT) * CAST(tsp AS HUGEINT)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.lmQualityGate(docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 3 === 0), col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1845,13 +2000,14 @@ object Extended {
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
     d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans,
-    d61ContainmentScreen, d62CdcChunks, d63CdcApply, t73ChunkOverlap,
+    d61ContainmentScreen, d62CdcChunks, d63CdcApply, d64Winnowing, d65FpOverlap,
+    t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
-    s56PqAdc, s57IvfPqTopK,
+    s56PqAdc, s57IvfPqTopK, s58PqRerank,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
-    t79CurationSpans,
+    t79CurationSpans, t80LmGate,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)

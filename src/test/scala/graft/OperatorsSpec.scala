@@ -1450,6 +1450,102 @@ class OperatorsSpec extends SparkSpec {
     assert(cleaned(4L) == ((2L, 2L, "a b")))      // too short to window
   }
 
+  test("winnow overlap: a copied >= w+k-1 char run always pairs; common fingerprints capped") {
+    // k=8, w=4: guarantee threshold w+k-1 = 11 chars. Docs 1/2 share a
+    // 24-char verbatim run inside otherwise-different text; doc 3 is
+    // unrelated. The winnowing guarantee says SOME fingerprint of the
+    // run is selected in both docs → (1,2) pairs even at minShared=1.
+    val run = "xqzvkwjpmrtyulsbnghcdefa" // 24 chars, no common English 4-grams
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon words here"),
+      (2L, s"totally other prefix text $run and a different tail entirely"),
+      (3L, "unrelated content with no copied material anywhere at all in it")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fingerprintOverlapPairs(corpus, col("doc_id"), col("text"),
+        k = 8, w = 4, minShared = 1, maxDf = 8)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.releaseAll()
+    assert(pairs.contains((1L, 2L)), s"copied-run pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+    // DF cap: the same run copied into 9 docs exceeds maxDf=8 — its
+    // fingerprints are "too common" and produce NO pairs
+    val many = (1L to 9L).map(i => (i, s"doc number $i carries $run padding"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.fingerprintOverlapPairs(many, col("doc_id"), col("text"),
+      k = 8, w = 4, minShared = 1, maxDf = 8)
+    val cappedRows = capped.count()
+    Caches.releaseAll()
+    // pairs may only arise from the per-doc distinct parts ("doc number i"
+    // differs per doc; "padding"/"carries" appear in all 9 > maxDf)
+    assert(cappedRows == 0L, s"expected DF cap to suppress all pairs, got $cappedRows")
+  }
+
+  test("lm gate: reference-fit scoring keeps fluent docs, zeroes out token soup") {
+    // The LM fits on the reference (docs 1-2); doc 3 shares their
+    // bigrams (kept), doc 4 is unique-token soup whose bigrams the
+    // reference never saw — scored against a SELF-trained LM it would
+    // be a perfect fit (each singleton bigram is deterministic given
+    // its unique left word: the trap this operator's design note
+    // documents), but against the reference it scores sum_left = 0
+    // and fails outright.
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the dog sat too"),
+      (3L, "the cat sat on the mat near the dog"),
+      (4L, "zq wv xk jp mr ty ul sb ng hc")
+    ).toDF("doc_id", "text")
+    val ref = corpus.filter(col("doc_id") <= 2)
+    // strict gate (the corpus-aggregate fit itself): the aggregate is
+    // boosted by the in-reference docs, so only the best-fit doc stays
+    val strict = TextAnalysis.lmQualityGate(corpus, col("doc_id"), col("text"),
+        ref, col("doc_id"), col("text"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    Caches.releaseAll()
+    assert(strict.contains(1L) && !strict.contains(4L), s"strict kept=$strict")
+    // half the aggregate fit: the mid-fit out-of-reference doc 3 now
+    // clears the bar; the soup still fails outright (sum_left = 0)
+    val scored = TextAnalysis.lmQualityGate(corpus, col("doc_id"), col("text"),
+        ref, col("doc_id"), col("text"), num = 1, den = 2)
+      .select(col("doc_id")).as[Long].collect().toSet
+    Caches.releaseAll()
+    assert(scored.contains(3L) && !scored.contains(4L), s"kept=$scored")
+    // num=0 disables the gate: every doc with >= 2 tokens survives,
+    // including the soup (its score rows exist, all-zero sums)
+    val all = TextAnalysis.lmQualityGate(corpus, col("doc_id"), col("text"),
+      ref, col("doc_id"), col("text"), num = 0, den = 1)
+    val soup = all.filter(col("doc_id") === 4L)
+      .select(col("sum_pair"), col("sum_left")).collect()
+    val n = all.count()
+    Caches.releaseAll()
+    assert(n == 4L)
+    assert(soup.head.getLong(0) == 0L && soup.head.getLong(1) == 0L)
+  }
+
+  test("pq rerank: full-cell shortlist reproduces the exact in-cell top-k") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val query = emb.filter(col("vec_id") === 0)
+    val cellSize = emb.as("e").join(query.as("q"), col("e.label") === col("q.label"))
+      .count().toInt // includes the query row itself; fine as a bound
+    val rerank = Similarity.ivfPqRerank(emb, centroids, query,
+        k = 5, shortlist = cellSize, m = 4)
+      .select(col("rank"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = Similarity.ivfTopK(emb, query, k = 5)
+      .select(col("rank"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rerank.sortBy(_._1).toSeq == exact.sortBy(_._1).toSeq,
+      s"rerank=${rerank.mkString(",")} exact=${exact.mkString(",")}")
+    // and the proposing adc differs from the exact score (it IS the
+    // compressed approximation — equality would mean the exact pass
+    // never ran)
+    val both = Similarity.ivfPqRerank(emb, centroids, query,
+        k = 5, shortlist = cellSize, m = 4)
+      .filter(col("adc") =!= col("score")).count()
+    assert(both > 0L)
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
@@ -1486,6 +1582,12 @@ class OperatorsSpec extends SparkSpec {
         Dedup.dropSpans(corpus, col("doc_id"), col("text"), spanTokens = 4)),
       "bigramLm" -> (() =>
         TextAnalysis.bigramLm(corpus, col("doc_id"), col("text"))),
+      "lmQualityGate" -> (() =>
+        TextAnalysis.lmQualityGate(corpus, col("doc_id"), col("text"),
+          corpus.filter(col("doc_id") <= 3), col("doc_id"), col("text"))),
+      "fingerprintOverlapPairs" -> (() =>
+        Dedup.fingerprintOverlapPairs(corpus, col("doc_id"), col("text"),
+          k = 8, w = 4, minShared = 1, maxDf = 8)),
       "corpusTopDfRatio" -> (() =>
         TextAnalysis.corpusTopDfRatio(corpus, col("doc_id"), col("text"), k = 3)),
       "connectedComponents" -> (() =>

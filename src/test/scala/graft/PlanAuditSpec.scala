@@ -224,6 +224,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"PQ hash-shuffles:\n$p")
   }
 
+  test("d64: the winnow index is scan-stage work — both kernels per-row, no pre-sort shuffle") {
+    // rolling k-gram hashes + deque selection are codegen'd
+    // expressions; the only exchange the plan may contain is the
+    // output orderBy's range partitioning — never a hash shuffle or
+    // a join
+    val p = plan("d64_winnowing")
+    assert(!p.contains("Join"), s"winnow index plans a join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"winnow index hash-shuffles:\n$p")
+  }
+
+  test("d65: fingerprint overlap joins on fp and aggregates — no window anywhere") {
+    // the DF cap and the pair count are aggregations (map-side
+    // partials); a window over fp occurrences would funnel a common
+    // fingerprint through one task — the segmentDedup skew argument
+    val p = plan("d65_fp_overlap")
+    assert(!p.contains("Window"), s"fp overlap plans a window:\n$p")
+    assert(p.toLowerCase.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("s58/t80: the small derived side broadcasts (shortlist, corpus total)") {
+    // s58's 30-row shortlist must broadcast into the cell scan — the
+    // corpus side never shuffles for the exact re-rank; t80's 1-row
+    // total must broadcast back over the scored docs
+    assert(plan("s58_pq_rerank").contains("BroadcastHashJoin"))
+    assert(plan("t80_lm_gate").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q70: skew profile scans the table ONCE via grouping sets (no per-column rescan)") {
     val p = plan("q70_key_skew")
     assert(p.contains("Expand"), s"expected a grouping-sets Expand:\n$p")

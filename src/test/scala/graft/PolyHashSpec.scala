@@ -154,10 +154,45 @@ class PolyHashSpec extends SparkSpec {
         |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
         |  size(poly_hash_shingles('abcd', 2)) AS n_cs,
-        |  aggregate(cdc_chunks('abcdefgh', 8, 64), 0L, (a, c) -> a + c.len) AS cdc_total""".stripMargin).head()
+        |  aggregate(cdc_chunks('abcdefgh', 8, 64), 0L, (a, c) -> a + c.len) AS cdc_total,
+        |  winnow_positions(array(5L, 1L, 1L, 9L), 2) AS wp""".stripMargin).head()
     assert(row.getInt(0) == 2 && row.getInt(1) == 2 && row.getInt(2) == 8)
     assert(row.getDouble(3) == 11.0 && row.getLong(4) == 2L && row.getInt(5) == 3)
     assert(row.getLong(6) == 8L) // chunks tile the input
+    // windows: [5,1]→pos2, [1,1]→pos3 (rightmost tie), [1,9]→pos3
+    assert(row.getSeq[Long](7) == Seq(2L, 3L))
+  }
+
+  test("winnow positions == brute-force rightmost-min per window on tie-heavy arrays") {
+    // small value range FORCES ties — the rule under test; lengths
+    // cover 0, 1, < w, = w, > w for both window widths
+    val gen = Gen.listOfN(400, Gen.oneOf(
+      Gen.const(List.empty[Long]),
+      Gen.listOfN(1, Gen.choose(0L, 3L)),
+      Gen.nonEmptyListOf(Gen.choose(0L, 3L)).map(_.take(30)),
+      Gen.nonEmptyListOf(Gen.choose(0L, graft.operators.TextHash.P - 1)).map(_.take(30))))
+    val arrays = gen.apply(Gen.Parameters.default, Seed(23L)).get
+    def brute(hs: List[Long], w: Int): Seq[Long] = {
+      val n = hs.size
+      if (n == 0) Seq.empty
+      else (0 to math.max(n - w, 0)).map { j =>
+        val hi = math.min(j + w - 1, n - 1)
+        (j to hi).minBy(i => (hs(i), -i)) + 1L
+      }.distinct
+    }
+    for (w <- Seq(1, 4, 8)) {
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "hs")
+      val got = df.select(col("id"),
+          graft.functions.WinnowPositions.winnowPositions(col("hs"), w).as("ps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      arrays.zipWithIndex.foreach { case (a, i) =>
+        val exp = brute(a, w)
+        assert(got(i.toLong) == exp,
+          s"w=$w input=$a got=${got(i.toLong)} expected=$exp")
+        // positions strictly increasing (distinct + sorted by construction)
+        assert(got(i.toLong) == got(i.toLong).distinct.sorted)
+      }
+    }
   }
 
   test("whole-stage codegen path produces the same values as interpreted eval") {
