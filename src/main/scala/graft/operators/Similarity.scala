@@ -113,6 +113,34 @@ object Similarity {
       .select(col("cell"), col("a"), col("b"), col("score"))
   }
 
+  /** Embedding (semantic) dedup APPLIED: near-dup pairs (same-cell
+    * cosine ≥ threshold) close into duplicate clusters and only each
+    * cluster's canonical representative (min vec_id) survives, with
+    * its cluster size — the SemDeDup-style embedding-space dedup
+    * counterpart of `Dedup.dedupApply`. Because pairs are keyed on
+    * the IVF cell, clustering is `Dedup.blockedComponents`: ONE
+    * cogroup shuffle + per-cell union-find, no iterative global loop.
+    *
+    * Scale shape: the pair join is O(Σ cell²) partition-local work;
+    * the size aggregation and the representative join shuffle
+    * cluster-count-sized frames. The cluster frame is pinned for its
+    * two consumers (sizes + the representative filter) per the Caches
+    * contract. Output: (vec_id, cluster_id, cluster_size), kept
+    * representatives only — vec_id == cluster_id by the min-label
+    * construction. */
+  def embedDedupApply(vectors: DataFrame, threshold: Double): DataFrame = {
+    val pairs = nearDupPairsWithCell(vectors, threshold)
+      .select(col("cell").as("block"), col("a"), col("b"))
+    val clusters = graft.operators.Dedup.blockedComponents(
+        vectors.select(col("label").as("block"), col("vec_id").as("id")), pairs)
+      .transform(d => graft.Caches.pin(d))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.filter(col("id") === col("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Nearest-centroid assignment — the k-means assignment step that
     * builds/maintains an IVF layout (and, iterated with a mean-update
     * step, k-means itself). The centroid set is collected once at plan

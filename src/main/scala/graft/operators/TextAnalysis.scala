@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextHash._
@@ -402,6 +403,101 @@ object TextAnalysis {
       .agg(sum(col("n")).cast("long").as("n_bigrams"),
         sum(col("n") * col("c2")).cast("long").as("sum_pair"),
         sum(col("n") * col("c1")).cast("long").as("sum_left"))
+  }
+
+  // ---- BPE tokenizer training ----------------------------------------
+
+  /** (word, freq) over the case-folded token stream — the vocabulary
+    * pre-aggregation every BPE pass runs on (corpus-sized occurrences
+    * collapse to vocab-sized rows BEFORE any per-character work — the
+    * t76 heavy-hitters lesson applied to tokenizer training). */
+  private def wordFreq(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(tokens(text)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  private def charsOf(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — the
+    * statistic a BPE training step maximizes (Sennrich et al. 2016).
+    * Word boundaries block pairs (classic BPE: merges never cross
+    * words), so counting is per-DISTINCT-word work times a weight.
+    * Output: (a, b, cnt), the `topK` most frequent pairs ranked
+    * (cnt DESC, a, b) — the tie rule that makes training runs
+    * reproducible across engines and cluster layouts. */
+  def bpePairStats(df: DataFrame, text: Column, topK: Int = 10): DataFrame = {
+    val pc = bpePairCounts(wordFreq(df, text))
+    val w = Window.orderBy(col("cnt").desc, col("a"), col("b"))
+    // rank AFTER the top-k limit: the single-partition window sees
+    // topK rows, never the pair table
+    pc.orderBy(col("cnt").desc, col("a"), col("b")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("a"), col("b"), col("cnt"))
+  }
+
+  private def bpePairCounts(wf: DataFrame): DataFrame =
+    wf.select(col("freq"), charsOf(col("word")).as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(col("freq"), explode(
+        transform(sequence(lit(1), size(col("cs")) - 1),
+          i => struct(element_at(col("cs"), i).as("a"),
+            element_at(col("cs"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One greedy left-to-right merge pass of `pair` over a symbol
+    * array: scan with a one-symbol carry — merge when (carry, next)
+    * is the pair, else emit the carry. The overlapping-run case
+    * (a == b) falls out of the carry reset: "aaa" merges once. */
+  private[graft] def mergeFold(cs: Column, a: Column, b: Column): Column = {
+    val zero = struct(
+      array().cast("array<string>").as("r"),
+      lit(null).cast("string").as("c"))
+    aggregate(cs, zero,
+      (acc, x) => {
+        val r = acc.getField("r")
+        val c = acc.getField("c")
+        when(c.isNull, struct(r.as("r"), x.as("c")))
+          .when(c === a && x === b,
+            struct(concat(r, array(concat(a, b))).as("r"),
+              lit(null).cast("string").as("c")))
+          .otherwise(struct(concat(r, array(c)).as("r"), x.as("c")))
+      },
+      acc => when(acc.getField("c").isNull, acc.getField("r"))
+        .otherwise(concat(acc.getField("r"), array(acc.getField("c")))))
+  }
+
+  /** One full BPE training step: find the most frequent adjacent
+    * symbol pair (ties → lexicographically smallest, via the
+    * min(struct(-cnt, a, b)) aggregation — never a global window) and
+    * apply its merge greedily left-to-right to every vocabulary word.
+    * Returns the AFFECTED words (symbol count shrank):
+    * (word, freq, merged_s) with the merged symbols '|'-joined.
+    *
+    * The engine applies the merge as a per-word carry fold
+    * (interpreted HOF — vocab-sized × word-length, not corpus-sized);
+    * the oracle applies it through an independent runs-parity
+    * relational formulation (match positions → overlap runs → odd
+    * ranks merge). Two formulations of greedy agreeing IS the check,
+    * the d49 closure-twin pattern. Iterating this step k times (with
+    * the learned symbol inventory threaded back through) is BPE
+    * training; the single distributed step is the engine primitive.
+    *
+    * Scale shape: one corpus tokenize + vocab aggregation; the pair
+    * table aggregates map-side; the 1-row top pair broadcasts into
+    * the per-word fold. Nothing but the tokenize touches corpus
+    * scale. The vocab frame pins (pair counting + merge apply — two
+    * consumers) per the Caches contract. */
+  def bpeMergeStep(df: DataFrame, text: Column): DataFrame = {
+    val wf = wordFreq(df, text).transform(d => graft.Caches.pin(d))
+    val top = bpePairCounts(wf)
+      .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("t"))
+      .select(col("t.a").as("ta"), col("t.b").as("tb"))
+    wf.crossJoin(broadcast(top))
+      .select(col("word"), col("freq"),
+        mergeFold(charsOf(col("word")), col("ta"), col("tb")).as("m"))
+      .filter(size(col("m")) < length(col("word")))
+      .select(col("word"), col("freq"), array_join(col("m"), "|").as("merged_s"))
   }
 
   /** KenLM/CCNet-style LM quality gate: a bigram count table is fit on

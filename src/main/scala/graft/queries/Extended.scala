@@ -1785,6 +1785,76 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** The BPE vocabulary + pair-count chain shared by t81/t82: word
+    * frequencies (corpus collapses to vocab FIRST — the t76 lesson),
+    * per-word character arrays, adjacent-pair counts weighted by word
+    * frequency. */
+  private val bpeCtes =
+    s"""bwf AS (SELECT tok AS word, count(*) AS freq
+       |        FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
+       |        GROUP BY tok),
+       |bwc AS (SELECT word, freq,
+       |          list_transform(range(1, length(word)+1), p -> substring(word, p, 1)) AS cs
+       |        FROM bwf),
+       |bpc AS (SELECT cs[i] AS a, cs[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |        FROM (SELECT freq, cs, unnest(range(1, len(cs))) AS i
+       |              FROM bwc WHERE len(cs) >= 2)
+       |        GROUP BY cs[i], cs[i+1])""".stripMargin
+
+  /** t81 — BPE pair statistics (TextAnalysis.bpePairStats): the
+    * frequency-weighted adjacent-symbol pair table a BPE training
+    * step maximizes over, top 10 ranked (cnt DESC, a, b). */
+  val t81BpePairs: Q = Q(
+    "t81_bpe_pairs",
+    s"""WITH $bpeCtes
+       |SELECT rank, a, b, cnt FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank,
+       |    a, b, cnt
+       |  FROM bpc) r
+       |WHERE rank <= 10
+       |ORDER BY rank""".stripMargin) { (s, dir) =>
+    TextAnalysis.bpePairStats(Tables.documents(s, dir), col("text"), topK = 10)
+  }
+
+  /** t82 — one BPE merge step applied (TextAnalysis.bpeMergeStep):
+    * the top pair merges greedily left-to-right in every vocabulary
+    * word; affected words come back with their '|'-joined symbols.
+    * The engine merges with a carry FOLD; the oracle merges with a
+    * runs-parity RELATIONAL formulation (consecutive match positions
+    * group into overlap runs — only possible when a = b — and the
+    * odd-ranked position of each run merges). Greedy expressed two
+    * independent ways must agree — the d49 twin pattern. */
+  val t82BpeMerge: Q = Q(
+    "t82_bpe_merge",
+    s"""WITH $bpeCtes,
+       |btop AS (SELECT a, b FROM bpc ORDER BY cnt DESC, a, b LIMIT 1),
+       |bsym AS (SELECT word, freq, i, cs[i] AS s,
+       |           CASE WHEN i < len(cs) THEN cs[i+1] END AS nx
+       |         FROM (SELECT word, freq, cs, unnest(range(1, len(cs)+1)) AS i FROM bwc)),
+       |bm AS (SELECT y.word, y.i FROM bsym y, btop t WHERE y.s = t.a AND y.nx = t.b),
+       |bruns AS (SELECT word, i,
+       |            i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+       |          FROM bm),
+       |bsel AS (SELECT word, i FROM (
+       |           SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+       |           FROM bruns) x
+       |         WHERE rn % 2 = 1),
+       |bemit AS (SELECT y.word, y.freq, y.i,
+       |            CASE WHEN se.i IS NOT NULL THEN t.a || t.b ELSE y.s END AS o
+       |          FROM bsym y CROSS JOIN btop t
+       |          LEFT JOIN bsel se ON se.word = y.word AND se.i = y.i
+       |          LEFT JOIN bsel sp ON sp.word = y.word AND sp.i = y.i - 1
+       |          WHERE sp.i IS NULL),
+       |bmg AS (SELECT word, freq, string_agg(o, '|' ORDER BY i) AS merged_s,
+       |          count(*) AS n_sym
+       |        FROM bemit GROUP BY word, freq)
+       |SELECT word, CAST(freq AS BIGINT) AS freq, merged_s
+       |FROM bmg WHERE n_sym < length(word)
+       |ORDER BY word""".stripMargin) { (s, dir) =>
+    TextAnalysis.bpeMergeStep(Tables.documents(s, dir), col("text"))
+      .orderBy(col("word"))
+  }
+
   /** t72 — segment-level exact dedup (C4-style line dedup over
     * 10-token blocks): per doc, how many of its segments occurred
     * earlier in the corpus (first occurrence = smallest
@@ -1819,9 +1889,11 @@ object Extended {
     * Dedup.blockedComponents — ONE cogroup shuffle + per-cell
     * union-find, no iterative global loop (the cell graph here is
     * 20+ hops deep: label propagation took 21 rounds on it). */
-  val s55EmbedClusters: Q = Q(
-    "s55_embed_clusters",
-    s"""WITH RECURSIVE pairs AS (
+  /** The embedding duplicate-cluster closure as a shared CTE chain
+    * (cosine-0.3 same-cell pairs → symmetric closure → recursive
+    * reachability): s55 reads the cluster map, s59 applies it. */
+  private val embClusterCtes =
+    s"""pairs AS (
        |  SELECT a.vec_id AS a, b.vec_id AS b
        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE ${dotSql("a.embedding", "b.embedding")} >= 0.3),
@@ -1829,9 +1901,14 @@ object Extended {
        |reach(src, node) AS (
        |  SELECT vec_id, vec_id FROM embeddings
        |  UNION
-       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node)
-       |SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS cluster_id
-       |FROM reach GROUP BY src
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node),
+       |cl AS (SELECT src AS vec_id, CAST(min(node) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY src)""".stripMargin
+
+  val s55EmbedClusters: Q = Q(
+    "s55_embed_clusters",
+    s"""WITH RECURSIVE $embClusterCtes
+       |SELECT vec_id, cluster_id FROM cl
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val pairs = Similarity.nearDupPairsWithCell(emb, 0.3)
@@ -1839,6 +1916,23 @@ object Extended {
     Dedup.blockedComponents(
         emb.select(col("label").as("block"), col("vec_id").as("id")), pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s59 — semantic dedup APPLIED (Similarity.embedDedupApply, the
+    * SemDeDup shape): s55's clusters collapse to their min-vec_id
+    * representative, each carrying its cluster size; the oracle runs
+    * the same closure and keeps the fixpoint's self-labeled rows. */
+  val s59EmbedDedupApply: Q = Q(
+    "s59_embed_dedup_apply",
+    s"""WITH RECURSIVE $embClusterCtes,
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM cl GROUP BY cluster_id)
+       |SELECT cl.vec_id, cl.cluster_id, sz.cluster_size
+       |FROM cl JOIN sz USING (cluster_id)
+       |WHERE cl.vec_id = cl.cluster_id
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.embedDedupApply(Tables.embeddings(s, dir), 0.3)
       .orderBy(col("vec_id"))
   }
 
@@ -2003,11 +2097,11 @@ object Extended {
     d61ContainmentScreen, d62CdcChunks, d63CdcApply, d64Winnowing, d65FpOverlap,
     t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
-    s56PqAdc, s57IvfPqTopK, s58PqRerank,
+    s56PqAdc, s57IvfPqTopK, s58PqRerank, s59EmbedDedupApply,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
-    t79CurationSpans, t80LmGate,
+    t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)

@@ -1546,6 +1546,51 @@ class OperatorsSpec extends SparkSpec {
     assert(both > 0L)
   }
 
+  test("bpe merge fold property: equals the brute-force greedy scan, incl. a==b runs") {
+    import org.scalacheck.{Gen, rng}
+    // the engine's carry fold and the oracle's runs-parity SQL are two
+    // formulations of the same greedy pass; pin the fold against a
+    // third, driver-side scan on run-heavy strings ("aaaa" is where
+    // greedy semantics bite: 2 merges, not 3)
+    def brute(s: String, a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i).toString == a && s(i + 1).toString == b) {
+          out += (a + b); i += 2
+        } else { out += s(i).toString; i += 1 }
+      }
+      out.toSeq
+    }
+    val gen = Gen.listOfN(300, for {
+      s <- Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString.take(16))
+      a <- Gen.oneOf("a", "b", "c")
+      b <- Gen.oneOf("a", "b", "c")
+    } yield (s, a, b))
+    val cases = gen.apply(Gen.Parameters.default, rng.Seed(31L)).get
+    val df = cases.zipWithIndex.map { case ((s, a, b), i) => (i.toLong, s, a, b) }
+      .toDF("id", "word", "ta", "tb")
+    // the OPERATOR'S fold (package-private), not a rebuilt copy — the
+    // test must fail if mergeFold's semantics drift
+    val merged = df.select(col("id"),
+        TextAnalysis.mergeFold(
+          transform(sequence(lit(1), length(col("word"))),
+            i => col("word").substr(i, lit(1))),
+          col("ta"), col("tb")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case ((s, a, b), i) =>
+      val exp = brute(s, a, b)
+      assert(merged(i.toLong) == exp,
+        s"word=$s pair=($a,$b) got=${merged(i.toLong)} expected=$exp")
+    }
+    // and end-to-end: a corpus where the top pair is an a==b run
+    val corpus = Seq((1L, "aaaa aaaa baca")).toDF("doc_id", "text")
+    val step = TextAnalysis.bpeMergeStep(corpus, col("text"))
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    Caches.releaseAll()
+    assert(step("aaaa") == "aa|aa", s"got $step")
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
@@ -1588,6 +1633,11 @@ class OperatorsSpec extends SparkSpec {
       "fingerprintOverlapPairs" -> (() =>
         Dedup.fingerprintOverlapPairs(corpus, col("doc_id"), col("text"),
           k = 8, w = 4, minShared = 1, maxDf = 8)),
+      "bpeMergeStep" -> (() =>
+        TextAnalysis.bpeMergeStep(corpus, col("text"))),
+      "embedDedupApply" -> (() =>
+        Similarity.embedDedupApply(
+          graft.engine.Tables.embeddings(spark, sfDir), 0.3)),
       "corpusTopDfRatio" -> (() =>
         TextAnalysis.corpusTopDfRatio(corpus, col("doc_id"), col("text"), k = 3)),
       "connectedComponents" -> (() =>

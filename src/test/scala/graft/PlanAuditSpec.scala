@@ -251,6 +251,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("t80_lm_gate").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("t82: the BPE top pair is an aggregation broadcast into the per-word fold — no corpus window") {
+    // min(struct(-cnt, a, b)) picks the merge deterministically; a
+    // row_number window over the pair table would funnel it through
+    // one task. The 1-row winner broadcasts over the vocabulary.
+    val p = plan("t82_bpe_merge")
+    assert(!p.contains("Window"), s"bpe merge plans a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"top pair does not broadcast:\n$p")
+  }
+
   test("q70: skew profile scans the table ONCE via grouping sets (no per-column rescan)") {
     val p = plan("q70_key_skew")
     assert(p.contains("Expand"), s"expected a grouping-sets Expand:\n$p")
