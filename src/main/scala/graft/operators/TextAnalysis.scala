@@ -435,8 +435,10 @@ object TextAnalysis {
       .select(col("rank"), col("a"), col("b"), col("cnt"))
   }
 
-  private def bpePairCounts(wf: DataFrame): DataFrame =
-    wf.select(col("freq"), charsOf(col("word")).as("cs"))
+  /** Adjacent-pair counts over a (freq, syms) symbolized vocabulary —
+    * the per-round statistic of BPE training. */
+  private def symPairCounts(withSyms: DataFrame): DataFrame =
+    withSyms.select(col("freq"), col("syms").as("cs"))
       .filter(size(col("cs")) >= 2)
       .select(col("freq"), explode(
         transform(sequence(lit(1), size(col("cs")) - 1),
@@ -444,6 +446,9 @@ object TextAnalysis {
             element_at(col("cs"), i + 1).as("b")))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
+
+  private def bpePairCounts(wf: DataFrame): DataFrame =
+    symPairCounts(wf.select(col("freq"), charsOf(col("word")).as("syms")))
 
   /** One greedy left-to-right merge pass of `pair` over a symbol
     * array: scan with a one-symbol carry — merge when (carry, next)
@@ -498,6 +503,51 @@ object TextAnalysis {
         mergeFold(charsOf(col("word")), col("ta"), col("tb")).as("m"))
       .filter(size(col("m")) < length(col("word")))
       .select(col("word"), col("freq"), array_join(col("m"), "|").as("merged_s"))
+  }
+
+  /** Full BPE tokenizer training (Sennrich et al. 2016): `merges`
+    * iterations of pair-count → deterministic top pair → greedy merge
+    * over the symbolized vocabulary. Returns the learned merge table
+    * (step, a, b, cnt) — the artifact a tokenizer ships.
+    *
+    * The loop never collects: each round's winner is a 1-row frame
+    * picked by the min(struct(-cnt, a, b)) aggregation and broadcast
+    * into the next symbolization; rounds are eager `Caches.checkpoint`s
+    * (a lazily-chained loop doubles the plan per iteration — the
+    * round-3 lesson), with round k−1's blocks released as soon as
+    * round k materializes, so loop storage stays bounded at two
+    * vocab-sized frames. Per-round cost after the one corpus tokenize
+    * is vocabulary-sized — the corpus is never rescanned.
+    *
+    * Result frames are checkpoint-backed: invalid after the caller's
+    * `Caches.releaseAll()` boundary (the library-wide contract). */
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 64, s"merges $merges out of [1, 64]")
+    var (vocab, releaseVocab) = graft.Caches.checkpoint(
+      wordFreq(df, text)
+        .select(col("word"), col("freq"), charsOf(col("word")).as("syms")))
+    var out: DataFrame = null
+    for (step <- 1 to merges) {
+      val top = symPairCounts(vocab)
+        .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("t"))
+        .select(lit(step.toLong).as("step"), col("t.a").as("a"),
+          col("t.b").as("b"), (-col("t.nc")).as("cnt"))
+      // materialize the winner NOW (1 row): later rounds and the final
+      // union must not re-derive it from a released vocab
+      val (topC, _) = graft.Caches.checkpoint(top)
+      out = if (out == null) topC else out.union(topC)
+      if (step < merges) {
+        val (nextVocab, releaseNext) = graft.Caches.checkpoint(
+          vocab.crossJoin(broadcast(
+              topC.select(col("a").as("ta"), col("b").as("tb"))))
+            .select(col("word"), col("freq"),
+              mergeFold(col("syms"), col("ta"), col("tb")).as("syms")))
+        releaseVocab()
+        vocab = nextVocab
+        releaseVocab = releaseNext
+      } else releaseVocab()
+    }
+    out
   }
 
   /** KenLM/CCNet-style LM quality gate: a bigram count table is fit on

@@ -1785,32 +1785,67 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
-  /** The BPE vocabulary + pair-count chain shared by t81/t82: word
-    * frequencies (corpus collapses to vocab FIRST — the t76 lesson),
-    * per-word character arrays, adjacent-pair counts weighted by word
-    * frequency. */
-  private val bpeCtes =
+  /** The BPE base CTEs shared by t81/t82/t83: word frequencies
+    * (corpus collapses to vocab FIRST — the t76 lesson) and the
+    * round-0 character symbolization. */
+  private val bpeBaseCtes =
     s"""bwf AS (SELECT tok AS word, count(*) AS freq
        |        FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM documents)
        |        GROUP BY tok),
-       |bwc AS (SELECT word, freq,
-       |          list_transform(range(1, length(word)+1), p -> substring(word, p, 1)) AS cs
-       |        FROM bwf),
-       |bpc AS (SELECT cs[i] AS a, cs[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-       |        FROM (SELECT freq, cs, unnest(range(1, len(cs))) AS i
-       |              FROM bwc WHERE len(cs) >= 2)
-       |        GROUP BY cs[i], cs[i+1])""".stripMargin
+       |r0v AS MATERIALIZED (SELECT word, freq,
+       |          list_transform(range(1, length(word)+1), p -> substring(word, p, 1)) AS syms
+       |        FROM bwf)""".stripMargin
+
+  /** ONE BPE training round over the previous round's symbolization:
+    * pair counts, the deterministic winner, and the runs-parity greedy
+    * merge (consecutive match positions — only possible when a = b —
+    * group into runs; odd ranks merge). One generator powers the pair
+    * stats (t81 reads r1pc), the single step (t82 reads r1v) and the
+    * training loop (t83 unrolls 4 rounds), so the three entries
+    * cannot drift. MATERIALIZED is load-bearing on the per-round
+    * frames — plain CTEs inline per reference and the unrolled
+    * recursion expands exponentially (the d58 lesson). */
+  private def bpeRoundCtes(round: Int): String = {
+    val r = s"r$round"
+    val prev = s"r${round - 1}v"
+    s"""${r}pc AS MATERIALIZED (
+       |  SELECT cs[i] AS a, cs[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, syms AS cs, unnest(range(1, len(syms))) AS i
+       |        FROM $prev WHERE len(syms) >= 2)
+       |  GROUP BY cs[i], cs[i+1]),
+       |${r}top AS MATERIALIZED (SELECT a, b, cnt FROM ${r}pc ORDER BY cnt DESC, a, b LIMIT 1),
+       |${r}sym AS (SELECT word, freq, i, syms[i] AS s,
+       |             CASE WHEN i < len(syms) THEN syms[i+1] END AS nx
+       |           FROM (SELECT word, freq, syms, unnest(range(1, len(syms)+1)) AS i FROM $prev)),
+       |${r}m AS (SELECT y.word, y.i FROM ${r}sym y, ${r}top t WHERE y.s = t.a AND y.nx = t.b),
+       |${r}runs AS (SELECT word, i,
+       |              i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+       |            FROM ${r}m),
+       |${r}sel AS (SELECT word, i FROM (
+       |             SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
+       |             FROM ${r}runs) x
+       |           WHERE rn % 2 = 1),
+       |${r}emit AS (SELECT y.word, y.freq, y.i,
+       |              CASE WHEN se.i IS NOT NULL THEN t.a || t.b ELSE y.s END AS o
+       |            FROM ${r}sym y CROSS JOIN ${r}top t
+       |            LEFT JOIN ${r}sel se ON se.word = y.word AND se.i = y.i
+       |            LEFT JOIN ${r}sel sp ON sp.word = y.word AND sp.i = y.i - 1
+       |            WHERE sp.i IS NULL),
+       |${r}v AS MATERIALIZED (SELECT word, freq, list(o ORDER BY i) AS syms
+       |         FROM ${r}emit GROUP BY word, freq)""".stripMargin
+  }
 
   /** t81 — BPE pair statistics (TextAnalysis.bpePairStats): the
     * frequency-weighted adjacent-symbol pair table a BPE training
     * step maximizes over, top 10 ranked (cnt DESC, a, b). */
   val t81BpePairs: Q = Q(
     "t81_bpe_pairs",
-    s"""WITH $bpeCtes
+    s"""WITH $bpeBaseCtes,
+       |${bpeRoundCtes(1)}
        |SELECT rank, a, b, cnt FROM (
        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, a, b) AS BIGINT) AS rank,
        |    a, b, cnt
-       |  FROM bpc) r
+       |  FROM r1pc) r
        |WHERE rank <= 10
        |ORDER BY rank""".stripMargin) { (s, dir) =>
     TextAnalysis.bpePairStats(Tables.documents(s, dir), col("text"), topK = 10)
@@ -1826,33 +1861,38 @@ object Extended {
     * independent ways must agree — the d49 twin pattern. */
   val t82BpeMerge: Q = Q(
     "t82_bpe_merge",
-    s"""WITH $bpeCtes,
-       |btop AS (SELECT a, b FROM bpc ORDER BY cnt DESC, a, b LIMIT 1),
-       |bsym AS (SELECT word, freq, i, cs[i] AS s,
-       |           CASE WHEN i < len(cs) THEN cs[i+1] END AS nx
-       |         FROM (SELECT word, freq, cs, unnest(range(1, len(cs)+1)) AS i FROM bwc)),
-       |bm AS (SELECT y.word, y.i FROM bsym y, btop t WHERE y.s = t.a AND y.nx = t.b),
-       |bruns AS (SELECT word, i,
-       |            i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
-       |          FROM bm),
-       |bsel AS (SELECT word, i FROM (
-       |           SELECT word, i, row_number() OVER (PARTITION BY word, g ORDER BY i) AS rn
-       |           FROM bruns) x
-       |         WHERE rn % 2 = 1),
-       |bemit AS (SELECT y.word, y.freq, y.i,
-       |            CASE WHEN se.i IS NOT NULL THEN t.a || t.b ELSE y.s END AS o
-       |          FROM bsym y CROSS JOIN btop t
-       |          LEFT JOIN bsel se ON se.word = y.word AND se.i = y.i
-       |          LEFT JOIN bsel sp ON sp.word = y.word AND sp.i = y.i - 1
-       |          WHERE sp.i IS NULL),
-       |bmg AS (SELECT word, freq, string_agg(o, '|' ORDER BY i) AS merged_s,
-       |          count(*) AS n_sym
-       |        FROM bemit GROUP BY word, freq)
-       |SELECT word, CAST(freq AS BIGINT) AS freq, merged_s
-       |FROM bmg WHERE n_sym < length(word)
+    s"""WITH $bpeBaseCtes,
+       |${bpeRoundCtes(1)}
+       |SELECT word, CAST(freq AS BIGINT) AS freq,
+       |  array_to_string(syms, '|') AS merged_s
+       |FROM r1v WHERE len(syms) < length(word)
        |ORDER BY word""".stripMargin) { (s, dir) =>
     TextAnalysis.bpeMergeStep(Tables.documents(s, dir), col("text"))
       .orderBy(col("word"))
+  }
+
+  /** t83 — BPE training, 4 merges (TextAnalysis.bpeTrain): the
+    * pair-count → winner → greedy-merge round ITERATED, emitting the
+    * learned merge table a tokenizer ships. Engine: an eager
+    * checkpoint loop (round k−1's blocks released as k materializes,
+    * the CC-loop discipline) with the 1-row winner broadcast into the
+    * next symbolization — no collect anywhere. Oracle: the same 4
+    * rounds unrolled from the shared round generator as MATERIALIZED
+    * CTEs. Later rounds genuinely depend on earlier merges (merged
+    * symbols pair with their neighbors), so this checks the LOOP, not
+    * 4 independent steps. */
+  val t83BpeTrain: Q = Q(
+    "t83_bpe_train",
+    s"""WITH $bpeBaseCtes,
+       |${(1 to 4).map(bpeRoundCtes).mkString(",\n")}
+       |SELECT step, a, b, cnt FROM (
+       |  ${(1 to 4).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS step, a, b, cnt FROM r${k}top")
+            .mkString("\n  UNION ALL\n  ")}
+       |) u
+       |ORDER BY step""".stripMargin) { (s, dir) =>
+    TextAnalysis.bpeTrain(Tables.documents(s, dir), col("text"), merges = 4)
+      .orderBy(col("step"))
   }
 
   /** t72 — segment-level exact dedup (C4-style line dedup over
@@ -2101,7 +2141,7 @@ object Extended {
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
-    t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge,
+    t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge, t83BpeTrain,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)

@@ -1591,6 +1591,24 @@ class OperatorsSpec extends SparkSpec {
     assert(step("aaaa") == "aa|aa", s"got $step")
   }
 
+  test("bpe training: merges chain (later rounds pair previously merged symbols)") {
+    // "the"×3, "cat"×1: round 1 merges (h,e) — tied 3-3 with (t,h),
+    // lexicographic rule picks it; round 2 pairs t with the MERGED
+    // "he" (impossible without the loop's re-symbolization); rounds
+    // 3-4 finish "cat" the same way
+    val corpus = Seq((1L, "the the the cat")).toDF("doc_id", "text")
+    val learned = TextAnalysis.bpeTrain(corpus, col("text"), merges = 4)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    Caches.releaseAll()
+    assert(learned == Seq(
+      (1L, "h", "e", 3L),
+      (2L, "t", "he", 3L),
+      (3L, "a", "t", 1L),
+      (4L, "c", "at", 1L)), s"learned=$learned")
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
@@ -1635,6 +1653,8 @@ class OperatorsSpec extends SparkSpec {
           k = 8, w = 4, minShared = 1, maxDf = 8)),
       "bpeMergeStep" -> (() =>
         TextAnalysis.bpeMergeStep(corpus, col("text"))),
+      "bpeTrain" -> (() =>
+        TextAnalysis.bpeTrain(corpus, col("text"), merges = 3)),
       "embedDedupApply" -> (() =>
         Similarity.embedDedupApply(
           graft.engine.Tables.embeddings(spark, sfDir), 0.3)),
