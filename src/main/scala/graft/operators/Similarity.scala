@@ -171,6 +171,57 @@ object Similarity {
         col("best.score").as("score"))
   }
 
+  /** Multi-probe IVF top-k — the standard recall fix for single-cell
+    * IVF (`ivfTopK` loses every neighbor assigned to another cell):
+    * the query ranks all coarse centroids by dot product and probes
+    * the `nProbe` best cells; candidates are the corpus rows whose
+    * ASSIGNED centroid (the `centroidAssign` argmax, computed per row
+    * in the scan stage) falls in the probed set, scored by exact dot.
+    *
+    * Scale shape: centroid ranking is driver-side bounded math over
+    * the k collected centroids (the same left-fold dot the oracle
+    * pins); the probed-cell filter is a per-row IN over scan-stage
+    * work — no join, no shuffle until the bounded top-k rank. At a
+    * real deployment the corpus is PARTITIONED by assigned cell, so
+    * the filter prunes partitions instead of scanning. Output:
+    * (query_id, rank, neighbor_id, cell, score). */
+  def ivfMultiProbeTopK(corpus: DataFrame, centroids: DataFrame,
+      query: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe $nProbe must be >= 1")
+    val qRows = query.select(col("vec_id").cast("long"), col("embedding")).collect()
+    require(qRows.length == 1, s"query must be a single row, got ${qRows.length}")
+    val qid = qRows.head.getLong(0)
+    val qe = qRows.head.getSeq[Float](1).toArray
+    val cents = collectCentroids(centroids)
+    // rank cells by the SAME left-fold dot the oracle's dotSql pins
+    val probed = cents.map { case (cid, ce) =>
+      var s = 0.0d
+      var i = 0
+      val n = math.min(qe.length, ce.length)
+      while (i < n) { s += qe(i).toDouble * ce(i).toDouble; i += 1 }
+      (cid, s)
+    }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+    val qCol = array(qe.toSeq.map(v => lit(v.toDouble)): _*)
+    val bestCell = {
+      val scored = cents.map { case (cid, ce) =>
+        val ceCol = array(ce.toSeq.map(v => lit(v.toDouble)): _*)
+        struct(dot(col("embedding"), ceCol).as("score"),
+          lit(-cid).as("neg_cid"), lit(cid).as("cid"))
+      }
+      (if (scored.size == 1) scored.head else greatest(scored: _*)).getField("cid")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus.select(col("vec_id"), col("embedding"), bestCell.as("cell"))
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= qid)
+      .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), dot(col("embedding"), qCol).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        col("score"))
+  }
+
   /** Scalar int8 quantization with a per-vector max-abs scale — the
     * storage/compression step of a large embedding corpus (4× smaller
     * than float32; dequantize ≈ q/127·scale). Quantized values use

@@ -521,7 +521,14 @@ object TextAnalysis {
     *
     * Result frames are checkpoint-backed: invalid after the caller's
     * `Caches.releaseAll()` boundary (the library-wide contract). */
-  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, text: Column, merges: Int): DataFrame =
+    bpeTrainLoop(df, text, merges)._1
+
+  /** The training loop, also returning the FINAL symbolized vocabulary
+    * (word, freq, syms) — what `bpeEncode` tokenizes the corpus with.
+    * Both frames are checkpoint-backed (invalid past releaseAll). */
+  private def bpeTrainLoop(df: DataFrame, text: Column,
+      merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1 && merges <= 64, s"merges $merges out of [1, 64]")
     var (vocab, releaseVocab) = graft.Caches.checkpoint(
       wordFreq(df, text)
@@ -536,18 +543,39 @@ object TextAnalysis {
       // union must not re-derive it from a released vocab
       val (topC, _) = graft.Caches.checkpoint(top)
       out = if (out == null) topC else out.union(topC)
-      if (step < merges) {
-        val (nextVocab, releaseNext) = graft.Caches.checkpoint(
-          vocab.crossJoin(broadcast(
-              topC.select(col("a").as("ta"), col("b").as("tb"))))
-            .select(col("word"), col("freq"),
-              mergeFold(col("syms"), col("ta"), col("tb")).as("syms")))
-        releaseVocab()
-        vocab = nextVocab
-        releaseVocab = releaseNext
-      } else releaseVocab()
+      val (nextVocab, releaseNext) = graft.Caches.checkpoint(
+        vocab.crossJoin(broadcast(
+            topC.select(col("a").as("ta"), col("b").as("tb"))))
+          .select(col("word"), col("freq"),
+            mergeFold(col("syms"), col("ta"), col("tb")).as("syms")))
+      releaseVocab()
+      vocab = nextVocab
+      releaseVocab = releaseNext
     }
-    out
+    (out, vocab)
+  }
+
+  /** BPE encode: tokenize the corpus with a freshly trained merge
+    * table — the apply side of `bpeTrain`, reporting per-doc token
+    * statistics (whitespace words, post-merge BPE symbols, raw
+    * characters). The corpus's token occurrences join the symbolized
+    * vocabulary on the word key (vocabulary is unbounded at corpus
+    * scale, so this is a shuffle join, not a broadcast — same
+    * argument as t71's probe joins), then per-doc sums. Nothing but
+    * the tokenize and the (doc, word) aggregation touches corpus
+    * scale. Output: (doc_id, n_words, n_syms, n_chars). */
+  def bpeEncode(df: DataFrame, id: Column, text: Column,
+      merges: Int): DataFrame = {
+    val vocab = bpeTrainLoop(df, text, merges)._2
+    val docTok = df.select(id.as("doc_id"), explode(tokens(text)).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    docTok
+      .join(vocab.select(col("word"), size(col("syms")).as("nsym"),
+        length(col("word")).as("nchr")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_words"),
+        sum(col("n") * col("nsym")).cast("long").as("n_syms"),
+        sum(col("n") * col("nchr")).cast("long").as("n_chars"))
   }
 
   /** KenLM/CCNet-style LM quality gate: a bigram count table is fit on

@@ -1895,6 +1895,30 @@ object Extended {
       .orderBy(col("step"))
   }
 
+  /** t84 — BPE encode (TextAnalysis.bpeEncode): the corpus tokenized
+    * with the 4-merge table t83 just learned — per-doc whitespace
+    * words, post-merge BPE symbols, raw chars. The doc-token
+    * occurrences join the final symbolization r4v on the word key
+    * (shuffle join: vocabulary is unbounded at corpus scale). */
+  val t84BpeEncode: Q = Q(
+    "t84_bpe_encode",
+    s"""WITH $bpeBaseCtes,
+       |${(1 to 4).map(bpeRoundCtes).mkString(",\n")},
+       |dt AS (SELECT doc_id, tok AS word, count(*) AS n
+       |       FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents)
+       |       GROUP BY doc_id, tok)
+       |SELECT dt.doc_id,
+       |  CAST(sum(dt.n) AS BIGINT) AS n_words,
+       |  CAST(sum(dt.n * len(v.syms)) AS BIGINT) AS n_syms,
+       |  CAST(sum(dt.n * length(v.word)) AS BIGINT) AS n_chars
+       |FROM dt JOIN r4v v USING (word)
+       |GROUP BY dt.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.bpeEncode(Tables.documents(s, dir), col("doc_id"), col("text"),
+        merges = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** t72 — segment-level exact dedup (C4-style line dedup over
     * 10-token blocks): per doc, how many of its segments occurred
     * earlier in the corpus (first occurrence = smallest
@@ -1957,6 +1981,47 @@ object Extended {
         emb.select(col("label").as("block"), col("vec_id").as("id")), pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
+  }
+
+  /** s60 — multi-probe IVF top-k (Similarity.ivfMultiProbeTopK): the
+    * query ranks the coarse centroids and probes the best 3 cells;
+    * candidates are rows whose ASSIGNED centroid (s52's argmax) is
+    * probed, scored by exact dot. Restores the out-of-cell neighbors
+    * single-probe IVF loses — the standard recall/latency dial. */
+  val s60MultiProbe: Q = Q(
+    "s60_multiprobe",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cr AS (SELECT c.centroid_id,
+       |         row_number() OVER (ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT centroid_id FROM cr WHERE crk <= 3),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         CROSS JOIN q
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT cand.vec_id, cand.cell, ${dotSql("cand.embedding", "q.qe")} AS score
+       |       FROM cand CROSS JOIN q),
+       |rk AS (SELECT vec_id, cell, score,
+       |         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+       |       FROM sc)
+       |SELECT CAST(0 AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 10
+       |ORDER BY rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfMultiProbeTopK(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") === 0), k = 10, nProbe = 3)
+      .orderBy(col("rank"))
   }
 
   /** s59 — semantic dedup APPLIED (Similarity.embedDedupApply, the
@@ -2137,11 +2202,11 @@ object Extended {
     d61ContainmentScreen, d62CdcChunks, d63CdcApply, d64Winnowing, d65FpOverlap,
     t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
-    s56PqAdc, s57IvfPqTopK, s58PqRerank, s59EmbedDedupApply,
+    s56PqAdc, s57IvfPqTopK, s58PqRerank, s59EmbedDedupApply, s60MultiProbe,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
-    t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge, t83BpeTrain,
+    t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge, t83BpeTrain, t84BpeEncode,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)

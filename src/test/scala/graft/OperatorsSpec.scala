@@ -1609,6 +1609,34 @@ class OperatorsSpec extends SparkSpec {
       (4L, "c", "at", 1L)), s"learned=$learned")
   }
 
+  test("multi-probe IVF: probing every cell equals the brute-force top-k; fewer probes are a subset of cells") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val query = emb.filter(col("vec_id") === 0)
+    val all = Similarity.ivfMultiProbeTopK(emb, centroids, query, k = 5, nProbe = 8)
+      .select(col("rank"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val brute = Similarity.bruteForceTopK(emb, query, k = 5)
+      .select(col("rank"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(all.sortBy(_._1) == brute.sortBy(_._1),
+      s"all-cells multiprobe=$all brute=$brute")
+    // nProbe=1 candidates come from exactly one assigned cell
+    val one = Similarity.ivfMultiProbeTopK(emb, centroids, query, k = 50, nProbe = 1)
+      .select(col("cell")).distinct().count()
+    assert(one == 1L)
+  }
+
+  test("bpe encode: counts match the hand-trained merge table exactly") {
+    // same fixture as the training test: after 4 merges "the" and
+    // "cat" are single symbols — 4 words, 4 symbols, 12 chars
+    val corpus = Seq((1L, "the the the cat")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(corpus, col("doc_id"), col("text"), merges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    Caches.releaseAll()
+    assert(enc.toSeq == Seq((1L, 4L, 4L, 12L)), s"got ${enc.toSeq}")
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
