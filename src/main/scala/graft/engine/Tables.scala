@@ -22,15 +22,29 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = t(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = t(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = t(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and convert to a
-    * micros timestamp. The driver data is micros-aligned so no
-    * precision is lost (DuckDB's TIMESTAMP cast agrees).
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) across testdata generations. Spark's vectorized
+    * reader rejects NANOS outright, so the nanos generation is read as
+    * a long (legacy conf) and converted; the micros generation arrives
+    * as a real timestamp already. Branch on the arriving type instead
+    * of assuming a generation — the conversion is exact either way
+    * (the nanos data is micros-aligned; DuckDB's TIMESTAMP cast
+    * agrees).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // micros arrives as TIMESTAMP_NTZ; cast to the session-local
+        // TIMESTAMP every downstream query has always seen (session
+        // TZ is pinned UTC, so the instant is unchanged)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")

@@ -1919,6 +1919,97 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** t85 — BM25-family retrieval (TextAnalysis.bm25TopDocs): rank the
+    * corpus against a 3-term topic probe, keep the top 10. Exact
+    * fixed-point scoring — rational odds idf (the monotone ln dropped,
+    * per the t80 no-float-decision rule), k1 = 6/5, b = 3/4 folded
+    * into one integer fraction per (doc, term), floor(10⁶·num/den) in
+    * decimal(38,0)/HUGEINT, per-doc score = exact BIGINT sum. The
+    * oracle replays the identical arithmetic, so scores hash-match
+    * bit-for-bit. */
+  val t85Bm25: Q = {
+    val terms = Seq("spark", "stream", "window")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    Q(
+      "t85_bm25",
+      s"""WITH dl AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS nn FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents)
+         |       WHERE tok IN ($inList) GROUP BY doc_id, tok),
+         |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |c AS (SELECT tf.doc_id,
+         |        (CAST(22000000 AS HUGEINT) * tt * tf * (2*nn - 2*df + 1)) //
+         |        (CAST(2*df + 1 AS HUGEINT) * (10*tf*tt + 3*tt + 9*dl.dl*nn)) AS contrib
+         |      FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
+         |FROM c GROUP BY doc_id
+         |ORDER BY score_fp DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      TextAnalysis.bm25TopDocs(Tables.documents(s, dir), col("doc_id"), col("text"),
+        terms, k = 10)
+    }
+  }
+
+  /** t86 — vocabulary-growth (Heaps-law) curve: distinct-token count
+    * vs corpus size at doc-count checkpoints. First-occurrence
+    * attribution (min doc_id per token — the t65/t72 aggregation
+    * pattern, never a corpus-ordered window), then each checkpoint
+    * counts tokens whose first doc precedes it. The 5-mark explode is
+    * constant fan-out on the VOCABULARY frame, not the corpus. The
+    * curve is the standard diagnostic for tokenizer sizing and
+    * dedup-health monitoring (a flattening curve on a growing corpus
+    * signals duplication). */
+  val t86VocabGrowth: Q = Q(
+    "t86_vocab_growth",
+    s"""WITH marks AS (SELECT unnest([100, 200, 300, 400, 500]) AS mark),
+       |tk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |firsts AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok),
+       |v AS (SELECT m.mark, CAST(count(*) AS BIGINT) AS vocab
+       |      FROM marks m JOIN firsts f ON f.first_doc < m.mark GROUP BY m.mark),
+       |d AS (SELECT m.mark, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS total_tokens
+       |      FROM marks m JOIN documents ON doc_id < m.mark GROUP BY m.mark)
+       |SELECT d.mark, d.n_docs, d.total_tokens, v.vocab
+       |FROM d JOIN v USING (mark) ORDER BY mark""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val marks = array((1 to 5).map(m => lit(m * 100L)): _*)
+    val firsts = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val vocab = firsts.select(explode(marks).as("mark"), col("first_doc"))
+      .filter(col("first_doc") < col("mark"))
+      .groupBy(col("mark")).agg(count(lit(1)).as("vocab"))
+    val sizes = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("ntok"))
+      .select(explode(marks).as("mark"), col("doc_id"), col("ntok"))
+      .filter(col("doc_id") < col("mark"))
+      .groupBy(col("mark"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"))
+    sizes.join(vocab, "mark")
+      .select(col("mark"), col("n_docs"), col("total_tokens"), col("vocab"))
+      .orderBy(col("mark"))
+  }
+
+  /** t87 — hashed-linear-model scoring (TextAnalysis.hashedLinearScore):
+    * the fasttext-style quality-classifier apply step. The "model" here
+    * is a deterministic 1024-bucket integer weight table (wgt = bucket
+    * mod 7 − 3) so the oracle can rebuild it from range(); a real
+    * deployment broadcasts trained quantized weights through the same
+    * operator. Scores are exact BIGINT sums — bit-identical across
+    * engines. */
+  val t87LinearScore: Q = Q(
+    "t87_linear_score",
+    s"""WITH w AS (SELECT r AS bucket, r % 7 - 3 AS wgt FROM range(1024) t(r)),
+       |tk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |b AS (SELECT doc_id, ((${polyHashSql("tok")}) % 1024 + 1024) % 1024 AS bucket FROM tk)
+       |SELECT b.doc_id, CAST(sum(w.wgt) AS BIGINT) AS score
+       |FROM b JOIN w USING (bucket)
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val weights = s.range(1024).select(col("id").as("bucket"),
+      (col("id") % 7 - 3).as("wgt"))
+    TextAnalysis.hashedLinearScore(Tables.documents(s, dir),
+      col("doc_id"), col("text"), 1024, weights)
+      .orderBy(col("doc_id"))
+  }
+
   /** t72 — segment-level exact dedup (C4-style line dedup over
     * 10-token blocks): per doc, how many of its segments occurred
     * earlier in the corpus (first occurrence = smallest
@@ -2207,6 +2298,7 @@ object Extended {
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
     t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge, t83BpeTrain, t84BpeEncode,
+    t85Bm25, t86VocabGrowth, t87LinearScore,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)
