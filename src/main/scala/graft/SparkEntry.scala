@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Extended.all ++
       graft.queries.Advanced.all ++
       graft.queries.Scale.all ++
-      graft.queries.Subqueries.all
+      graft.queries.Subqueries.all ++
+      graft.queries.Graphs.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

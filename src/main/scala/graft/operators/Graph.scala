@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative numeric graph analytics — PageRank-family fixpoints over
+  * edge lists, in EXACT 64-bit fixed-point arithmetic so results
+  * hash-match across engines (the t80/t85 design rule: no float enters
+  * any comparison or any accumulated state).
+  *
+  * Scale shape: the graph lives as a distributed (src, dst) edge
+  * frame; every round is two shuffles (contribution groupBy + rank
+  * join) over skinny 2–3-long-column frames, localCheckpointed via
+  * [[graft.Caches]] to truncate lineage (the d49/d54 loop discipline:
+  * round k's blocks are released as soon as round k+1 materializes,
+  * and frames coalesce to ~64k-row partitions bounded by the session's
+  * shuffle parallelism, so fixture-scale rounds are not pure task
+  * scheduling while a 1e9-node graph still spreads). No collect, no
+  * driver-side graph state: the dangling-mass total rides as a 1-row
+  * broadcast cross join, exactly like the corpus totals in
+  * `TextAnalysis.bm25TopDocs`.
+  */
+object Graph {
+
+  /** PageRank in exact fixed point. `edges` is a directed simple-graph
+    * edge list (`src`, `dst` — both integral; duplicates and self-loops
+    * are dropped here). Ranks are BIGINT multiples of 1/`unit` (default
+    * picounits, 1e-12): r₀ = unit div n, and each of `iters` rounds
+    * computes
+    *
+    *   r'(v) = (15·base) div 100
+    *         + (85·(Σ_{u→v} r(u) div outdeg(u) + dang div n)) div 100
+    *
+    * where base = unit div n and dang = Σ over dangling (outdeg-0)
+    * nodes of r(u) — the standard damping-0.85 update with dangling
+    * mass redistributed uniformly, every operation an integer add /
+    * multiply / truncating division on non-negative operands (where
+    * Spark's `div` and DuckDB's `//` agree bit-for-bit; 85·unit ≪ 2⁶³
+    * so nothing overflows). Truncation loses ≤ 1 unit per division —
+    * total mass drifts below 1.0 by parts-per-trillion, which is the
+    * price of cross-engine exactness and is identical in both engines.
+    *
+    * Output: (id, rank_fp) for every node incident to an edge.
+    * Isolated nodes (no edges at all) are not modeled — at 100 TB the
+    * edge list IS the graph; a caller who wants them ranked can union
+    * `(id, base)` rows afterwards.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val outdeg = e.groupBy(col("src").as("deg_id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .transform(d => graft.Caches.pin(d))
+
+    val spark = edges.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val parts = math.max(1L, math.min(shuffleParts, n / 65536L)).toInt
+    val base = unit / n
+
+    var (ranks, releaseRanks) = graft.Caches.checkpoint(
+      nodes.select(col("id"), lit(base).as("rank_fp")).coalesce(parts))
+    // all shared-lineage frames are re-selected under fresh names per
+    // use (nodes, e and ranks descend from one edge scan — qualified
+    // df("col") references across them trip DetectAmbiguousSelfJoin)
+    val eRenamed = e.select(col("src").as("edge_src"), col("dst").as("edge_dst"))
+    var iter = 0
+    while (iter < iters) {
+      val withDeg = ranks
+        .join(outdeg, col("id") === col("deg_id"), "left")
+        .select(col("id"), col("rank_fp"), col("outdeg"))
+      // per-edge contribution: r(u) div outdeg(u), summed at the target
+      val contribs = withDeg.filter(col("outdeg").isNotNull)
+        .join(eRenamed, col("id") === col("edge_src"))
+        .groupBy(col("edge_dst"))
+        .agg(sum(expr("rank_fp div outdeg")).as("contrib"))
+        .select(col("edge_dst").as("cid"), col("contrib"))
+      // dangling mass as a 1-row frame (NO collect): nodes with no
+      // out-edges leak their rank; redistribute it uniformly
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+      val (next, releaseNext) = graft.Caches.checkpoint(
+        nodes.join(contribs, col("id") === col("cid"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (lit(15L * base / 100L) + expr(
+              s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dang div CAST($n AS BIGINT))) div 100"))
+              .as("rank_fp"))
+          .coalesce(parts))
+      releaseRanks()
+      ranks = next
+      releaseRanks = releaseNext
+      iter += 1
+    }
+    ranks
+  }
+}

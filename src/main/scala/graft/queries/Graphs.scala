@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Q, Tables}
+import graft.operators.Graph
+
+/** Iterative graph-analytics catalogue entries. The oracle strategy is
+  * the d58 one: the engine's checkpoint-bounded loop is unrolled into
+  * MATERIALIZED DuckDB CTEs (one per round) replaying the identical
+  * exact-integer update, so the fixpoint trajectory — not just some
+  * final invariant — is hash-verified. MATERIALIZED is load-bearing
+  * (the d58 lesson): plain CTEs inline per reference and an unrolled
+  * recursion expands exponentially.
+  */
+object Graphs {
+
+  /** g01 — PageRank (3 rounds, damping 0.85, exact picounit fixed
+    * point) over the symmetric customer⇄supplier trade graph
+    * (customer c traded with supplier s iff some order of c has a
+    * lineitem of s; ids disambiguated as 2c / 2s+1). Symmetric edges
+    * mean no dangling nodes, so the engine's dangling-redistribution
+    * term contributes exactly 0 and the oracle omits it. Sums are
+    * CAST to BIGINT (DuckDB SUM(BIGINT) is HUGEINT) so both engines
+    * carry the same 64-bit values.
+    */
+  val g01PageRank: Q = Q(
+    "g01_pagerank",
+    """WITH eraw AS MATERIALIZED (
+      |  SELECT DISTINCT o.o_custkey*2 AS src, l.l_suppkey*2+1 AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS MATERIALIZED (
+      |  SELECT src, dst FROM eraw
+      |  UNION SELECT dst AS src, src AS dst FROM eraw),
+      |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+      |deg AS MATERIALIZED (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+      |p AS MATERIALIZED (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(1000000000000 AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS base
+      |  FROM nodes),
+      |r0 AS MATERIALIZED (SELECT id, (SELECT base FROM p) AS rank_fp FROM nodes),
+      |r1 AS MATERIALIZED (
+      |  SELECT nd.id, CAST((15 * (SELECT base FROM p)) // 100
+      |    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_fp
+      |  FROM nodes nd LEFT JOIN (
+      |    SELECT e.dst AS id, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS s
+      |    FROM e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY e.dst) c ON c.id = nd.id),
+      |r2 AS MATERIALIZED (
+      |  SELECT nd.id, CAST((15 * (SELECT base FROM p)) // 100
+      |    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_fp
+      |  FROM nodes nd LEFT JOIN (
+      |    SELECT e.dst AS id, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS s
+      |    FROM e JOIN r1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY e.dst) c ON c.id = nd.id),
+      |r3 AS MATERIALIZED (
+      |  SELECT nd.id, CAST((15 * (SELECT base FROM p)) // 100
+      |    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_fp
+      |  FROM nodes nd LEFT JOIN (
+      |    SELECT e.dst AS id, CAST(SUM(r.rank_fp // d.outdeg) AS BIGINT) AS s
+      |    FROM e JOIN r2 r ON r.id = e.src JOIN deg d ON d.src = e.src
+      |    GROUP BY e.dst) c ON c.id = nd.id)
+      |SELECT id, rank_fp FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val fwd = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.pageRank(edges, iters = 3).orderBy(col("id"))
+  }
+
+  /** g02 — first-order Markov transition matrix over the event stream:
+    * per user, consecutive (prev_type → next_type) transitions counted
+    * corpus-wide; probabilities ride as exact rational (cnt, out_total)
+    * pairs — no float division enters the output. The per-user lag
+    * window is the sessionization shuffle shape (state bounded by a
+    * user's events); the matrix itself is |types|² rows, so the
+    * out-total window on the AGGREGATED frame is constant-sized at any
+    * corpus scale. */
+  val g02MarkovTransitions: Q = Q(
+    "g02_markov_transitions",
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type)
+      |SELECT prev_type, next_type, cnt,
+      |       CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS out_total
+      |FROM c ORDER BY prev_type, next_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("event_type", "next_type")
+      .withColumn("out_total",
+        sum(col("cnt")).over(Window.partitionBy(col("prev_type"))))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions)
+}

@@ -269,6 +269,49 @@ object StreamOps {
       }.toDF()
   }
 
+  final case class LastEvent(tsMs: Long, tsNanos: Int, eventId: Long,
+      eventType: String)
+  final case class Transition(user_id: Long, prev_type: String,
+      next_type: String)
+
+  /** Streaming per-user transition extraction — the stateful half of
+    * the Markov transition matrix (g02's batch lag window re-expressed
+    * as O(1)-per-user state): state is ONLY the user's last event
+    * (timestamp + id + type), each micro-batch sorts its own rows by
+    * the batch twin's (ts, event_id) order, chains them behind the
+    * remembered last event, and emits one (prev → next) row per
+    * consecutive pair. Append mode; downstream counting is an ordinary
+    * aggregation (Spark restricts stateful-after-stateful, so the
+    * count lives in the consumer — the test aggregates the memory
+    * sink).
+    *
+    * Exactness contract: equals the batch lag window when each user's
+    * events arrive in event-time order ACROSS micro-batches (in-batch
+    * disorder is repaired by the sort). A cross-batch straggler would
+    * need the full event history to splice into place — that is the
+    * batch twin's job; this operator is the forward-only streaming
+    * approximation every event-sequence pipeline runs. */
+  def transitionsStream(spark: SparkSession,
+      events: Dataset[Event]): Dataset[Transition] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = rows.toArray.sortBy(e =>
+            (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val types = state.getOption.map(_.eventType).toList :::
+            sorted.map(_.event_type).toList
+          if (sorted.nonEmpty) {
+            val l = sorted.last
+            state.update(LastEvent(l.ts.getTime, l.ts.getNanos,
+              l.event_id, l.event_type))
+          }
+          types.zip(types.drop(1)).iterator
+            .map { case (a, b) => Transition(uid, a, b) }
+      }
+  }
+
   /** Streaming count-min sketch — the twin of
     * `TextAnalysis.cmSketch`, and the op where the mergeable-summary
     * property pays twice: the d×w cell table is an ordinary groupBy

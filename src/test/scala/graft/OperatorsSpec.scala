@@ -1637,6 +1637,30 @@ class OperatorsSpec extends SparkSpec {
     assert(enc.toSeq == Seq((1L, 4L, 4L, 12L)), s"got ${enc.toSeq}")
   }
 
+  test("pageRank: exact fixed-point update matches hand computation; dangling mass redistributes") {
+    // 1→2, 1→3, 2→3; node 3 is dangling. n=3, base = 10^12 div 3 =
+    // 333333333333. Round 1 by hand (all ops truncating division):
+    //   contribs: 1 sends base div 2 = 166666666666 to {2,3};
+    //             2 sends base = 333333333333 to 3
+    //   dang = r(3) = 333333333333; share = dang div 3 = 111111111111
+    //   (15·base) div 100 = 49999999999
+    //   r(1) = 49999999999 + (85·111111111111) div 100        = 144444444443
+    //   r(2) = 49999999999 + (85·277777777777) div 100        = 286111111109
+    //   r(3) = 49999999999 + (85·611111111110) div 100        = 569444444442
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = graft.operators.Graph.pageRank(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 144444444443L, 2L -> 286111111109L, 3L -> 569444444442L))
+    Caches.releaseAll()
+    val r3 = graft.operators.Graph.pageRank(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dangling redistribution conserves mass up to truncation drift
+    // (≤ a few units per division per round); the sink outranks all
+    assert(r3.values.sum <= 1000000000000L && r3.values.sum > 999999900000L)
+    assert(r3(3L) > r3(2L) && r3(2L) > r3(1L))
+    Caches.releaseAll()
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
@@ -1690,6 +1714,9 @@ class OperatorsSpec extends SparkSpec {
         TextAnalysis.corpusTopDfRatio(corpus, col("doc_id"), col("text"), k = 3)),
       "connectedComponents" -> (() =>
         Dedup.connectedComponents(nodes, edges)),
+      "pageRank" -> (() =>
+        graft.operators.Graph.pageRank(
+          Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst"))),
       "starComponents" -> (() =>
         Dedup.starComponents(nodes, edges)),
       "runningTotal" -> (() =>

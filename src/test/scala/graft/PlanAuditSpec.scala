@@ -81,6 +81,20 @@ class PlanAuditSpec extends SparkSpec {
       "expected a range repartition carrying the global order")
   }
 
+  test("g02: both windows stay key-partitioned; transition counts aggregate map-side") {
+    // the lag window must partition by user (sessionization shape) and
+    // the out-total window by prev_type (constant-sized matrix frame) —
+    // an unpartitioned window would funnel the event stream through one
+    // task; the transition count must combine map-side
+    val p = plan("g02_markov_transitions")
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange in the transition plan:\n$p")
+    val windows = p.linesIterator.count(_.matches(""".*[-+] Window \[.*"""))
+    assert(windows == 2, s"expected exactly 2 windows, saw $windows:\n$p")
+    assert(p.toLowerCase.contains("partial_count"),
+      s"expected map-side partial count:\n$p")
+  }
+
   test("q63/q65: upsert anti-join broadcasts; salted agg plans two aggregate levels") {
     val p63 = plan("q63_upsert")
     assert(p63.contains("BroadcastHashJoin") && p63.contains("LeftAnti"),

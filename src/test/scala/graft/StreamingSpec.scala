@@ -181,6 +181,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(None) == Some("missing_required:pk"))
   }
 
+  test("streaming transition extraction equals the batch lag window under in-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.transitionsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode(OutputMode.Append()).start()
+    // in-batch disorder (event 2 added before event 1) must be repaired
+    // by the per-batch sort; the cross-batch chain rides the state
+    mem.addData(
+      Event(2, ts("2024-01-01 10:01:00"), 1, "view", 1.0),
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(10, ts("2024-01-01 10:00:30"), 2, "view", 1.0))
+    q.processAllAvailable()
+    mem.addData(
+      Event(3, ts("2024-01-01 10:02:00"), 1, "purchase", 1.0),
+      Event(11, ts("2024-01-01 10:03:00"), 2, "click", 1.0),
+      Event(12, ts("2024-01-01 10:04:00"), 2, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("trans_stream")
+      .select("user_id", "prev_type", "next_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    // the batch lag window over the union of both batches, by hand
+    val expected = Seq(
+      (1L, "click", "view"), (1L, "view", "purchase"),
+      (2L, "view", "click"), (2L, "click", "click")).sorted
+    assert(streamed == expected)
+  }
+
   test("streaming count-min sketch equals the batch sketch after all batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
