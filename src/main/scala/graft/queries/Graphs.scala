@@ -104,5 +104,36 @@ object Graphs {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
-  val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions)
+  /** g03 — per-node triangle counts over the supplier co-occurrence
+    * graph (two suppliers are adjacent iff some order contains
+    * lineitems of both). The engine runs the degree-ordered
+    * orientation (wedge volume O(m^{3/2}), each triangle found once
+    * from its lowest-(degree, id) corner); the oracle is the
+    * INDEPENDENT naive formulation — the a<b<c canonical triple join —
+    * so the optimization is verified against untransformed semantics,
+    * not against itself. */
+  val g03Triangles: Q = Q(
+    "g03_triangles",
+    """WITH raw AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_suppkey AS x, l2.l_suppkey AS y
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      |  FROM raw e1 JOIN raw e2 ON e2.x = e1.y
+      |  JOIN raw e3 ON e3.x = e1.x AND e3.y = e2.y),
+      |nodes AS (SELECT x AS id FROM raw UNION SELECT y FROM raw),
+      |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+      |        FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+      |SELECT n.id, COALESCE(c.n_tri, 0) AS n_tri
+      |FROM nodes n LEFT JOIN cnt c USING (id) ORDER BY id""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+    val edges = li.join(l2, "l_orderkey")
+      .filter(col("l_suppkey") < col("s2"))
+      .select(col("l_suppkey").as("a"), col("s2").as("b"))
+    Graph.triangleCounts(edges).orderBy(col("id"))
+  }
+
+  val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles)
 }

@@ -1661,6 +1661,18 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("triangleCounts: K4 plus a pendant — 3 per clique node, 0 for the pendant; duplicate/reversed edges collapse") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 3L), (2L, 1L), // reversed duplicates must not double-count
+      (4L, 5L), (5L, 5L)  // pendant + self-loop (dropped)
+    ).toDF("a", "b")
+    val out = graft.operators.Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    Caches.releaseAll()
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
@@ -1717,6 +1729,9 @@ class OperatorsSpec extends SparkSpec {
       "pageRank" -> (() =>
         graft.operators.Graph.pageRank(
           Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst"))),
+      "triangleCounts" -> (() =>
+        graft.operators.Graph.triangleCounts(
+          Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b"))),
       "starComponents" -> (() =>
         Dedup.starComponents(nodes, edges)),
       "runningTotal" -> (() =>
