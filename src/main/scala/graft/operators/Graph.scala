@@ -165,4 +165,57 @@ object Graph {
       .join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Multi-source BFS: exact hop distance from a seed set, frontier
+    * style — each round joins ONLY the newly discovered frontier
+    * against the edge list (never the full distance table), anti-joins
+    * away already-labeled nodes, and stops when the frontier empties
+    * or `maxHops` is reached. First discovery IS the minimum distance
+    * (BFS invariant), so no min-aggregation or re-labeling pass is
+    * needed and the result is deterministic under any partitioning.
+    *
+    * The loop discipline is `connectedComponents`' (checkpoint per
+    * round, release round k−1, coalesce skinny frames); rounds =
+    * min(eccentricity, maxHops), each round two hash shuffles (edge
+    * join + anti-join) proportional to the FRONTIER, which is the
+    * textbook distributed-BFS cost model. `edges` is directed (src,
+    * dst) — symmetrize for undirected graphs. `seeds`: (id) at
+    * distance 0. Output: (id, dist) for every node within `maxHops`;
+    * unreachable nodes are absent. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "bfsDistances: maxHops must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val spark = edges.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
+    def parts(rows: Long): Int =
+      math.max(1L, math.min(shuffleParts, rows / 65536L)).toInt
+    val seed0 = seeds.select(col("id").cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+    var (dist, releaseDist) = graft.Caches.checkpoint(seed0)
+    var (frontier, releaseFrontier) = (dist, () => ())
+    var n = dist.count()
+    var hop = 1
+    while (n > 0 && hop <= maxHops) {
+      val (next, releaseNext) = graft.Caches.checkpoint(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(e("dst").as("id")).distinct()
+          .join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(hop.toLong).as("dist"))
+          .coalesce(parts(n)))
+      n = next.count()
+      val (merged, releaseMerged) = graft.Caches.checkpoint(
+        dist.unionAll(next).coalesce(parts(n + 1)))
+      releaseDist(); releaseFrontier()
+      dist = merged
+      releaseDist = releaseMerged
+      frontier = next
+      releaseFrontier = releaseNext
+      hop += 1
+    }
+    dist
+  }
 }

@@ -135,5 +135,34 @@ object Graphs {
     Graph.triangleCounts(edges).orderBy(col("id"))
   }
 
-  val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles)
+  /** g04 — multi-source BFS over the symmetrized supplier
+    * co-occurrence graph: hop distance from the nation-0 suppliers,
+    * capped at 3 hops. The oracle is DuckDB's semi-naive
+    * WITH RECURSIVE UNION walk (set semantics dedupe (id, d) pairs,
+    * so the cyclic graph cannot blow up the recursion) reduced by
+    * min(d) — an independent fixpoint formulation of the same
+    * distances, the d49 oracle pattern. */
+  val g04Bfs: Q = Q(
+    "g04_bfs",
+    """WITH RECURSIVE raw AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_suppkey AS x, l2.l_suppkey AS y
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey),
+      |walk(id, d) AS (
+      |  SELECT s_suppkey, 0 FROM supplier WHERE s_nationkey = 0
+      |  UNION
+      |  SELECT r.y, w.d + 1 FROM walk w JOIN raw r ON r.x = w.id WHERE w.d < 3)
+      |SELECT id, CAST(min(d) AS BIGINT) AS dist
+      |FROM walk GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+    val edges = li.join(l2, "l_orderkey")
+      .filter(col("l_suppkey") =!= col("s2"))
+      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+    val seeds = Tables.supplier(s, dir).filter(col("s_nationkey") === 0)
+      .select(col("s_suppkey").as("id"))
+    Graph.bfsDistances(edges, seeds, maxHops = 3).orderBy(col("id"))
+  }
+
+  val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles, g04Bfs)
 }

@@ -1673,6 +1673,21 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("bfsDistances: first discovery is the min hop; cap stops the frontier; two seeds meet in the middle") {
+    import graft.operators.Graph
+    // path 1—2—3—4—5, symmetrized
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val fromOne = Graph.bfsDistances(edges, Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromOne == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 is beyond the cap
+    Caches.releaseAll()
+    val fromEnds = Graph.bfsDistances(edges, Seq(1L, 5L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromEnds == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    Caches.releaseAll()
+  }
+
   test("cache contract: zero persistent RDDs after each pinning operator's action + releaseAll") {
     // The library-wide cache-lifetime contract (graft.Caches): every
     // operator-internal persist/localCheckpoint is registered, and
@@ -1732,6 +1747,10 @@ class OperatorsSpec extends SparkSpec {
       "triangleCounts" -> (() =>
         graft.operators.Graph.triangleCounts(
           Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b"))),
+      "bfsDistances" -> (() =>
+        graft.operators.Graph.bfsDistances(
+          Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+          Seq(1L).toDF("id"), maxHops = 4)),
       "starComponents" -> (() =>
         Dedup.starComponents(nodes, edges)),
       "runningTotal" -> (() =>
