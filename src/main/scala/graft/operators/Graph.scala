@@ -68,41 +68,44 @@ object Graph {
     val parts = math.max(1L, math.min(shuffleParts, n / 65536L)).toInt
     val base = unit / n
 
-    var (ranks, releaseRanks) = graft.Caches.checkpoint(
-      nodes.select(col("id"), lit(base).as("rank_fp")).coalesce(parts))
-    // all shared-lineage frames are re-selected under fresh names per
-    // use (nodes, e and ranks descend from one edge scan — qualified
-    // df("col") references across them trip DetectAmbiguousSelfJoin)
+    // outdeg is loop-INVARIANT — it rides the checkpointed state (one
+    // extra long per node) instead of re-joining every round, saving a
+    // shuffle join per iteration. All shared-lineage frames are
+    // re-selected under fresh names per use (nodes, e and the state
+    // descend from one edge scan — qualified df("col") references
+    // across them trip DetectAmbiguousSelfJoin).
+    var (state, releaseState) = graft.Caches.checkpoint(
+      nodes.join(outdeg, col("id") === col("deg_id"), "left")
+        .select(col("id"), col("outdeg"), lit(base).as("rank_fp"))
+        .coalesce(parts))
     val eRenamed = e.select(col("src").as("edge_src"), col("dst").as("edge_dst"))
     var iter = 0
     while (iter < iters) {
-      val withDeg = ranks
-        .join(outdeg, col("id") === col("deg_id"), "left")
-        .select(col("id"), col("rank_fp"), col("outdeg"))
       // per-edge contribution: r(u) div outdeg(u), summed at the target
-      val contribs = withDeg.filter(col("outdeg").isNotNull)
+      val contribs = state.filter(col("outdeg").isNotNull)
         .join(eRenamed, col("id") === col("edge_src"))
         .groupBy(col("edge_dst"))
         .agg(sum(expr("rank_fp div outdeg")).as("contrib"))
         .select(col("edge_dst").as("cid"), col("contrib"))
       // dangling mass as a 1-row frame (NO collect): nodes with no
       // out-edges leak their rank; redistribute it uniformly
-      val dangling = withDeg.filter(col("outdeg").isNull)
+      val dangling = state.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
       val (next, releaseNext) = graft.Caches.checkpoint(
-        nodes.join(contribs, col("id") === col("cid"), "left")
+        state.select(col("id"), col("outdeg"))
+          .join(contribs, col("id") === col("cid"), "left")
           .crossJoin(broadcast(dangling))
-          .select(col("id"),
+          .select(col("id"), col("outdeg"),
             (lit(15L * base / 100L) + expr(
               s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dang div CAST($n AS BIGINT))) div 100"))
               .as("rank_fp"))
           .coalesce(parts))
-      releaseRanks()
-      ranks = next
-      releaseRanks = releaseNext
+      releaseState()
+      state = next
+      releaseState = releaseNext
       iter += 1
     }
-    ranks
+    state.select(col("id"), col("rank_fp"))
   }
 
   /** Per-node triangle counts by DEGREE-ORDERED ORIENTATION (the
@@ -195,27 +198,30 @@ object Graph {
       math.max(1L, math.min(shuffleParts, rows / 65536L)).toInt
     val seed0 = seeds.select(col("id").cast("long").as("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
-    var (dist, releaseDist) = graft.Caches.checkpoint(seed0)
-    var (frontier, releaseFrontier) = (dist, () => ())
-    var n = dist.count()
+    // the distance table is the UNION of per-hop checkpointed
+    // frontiers — never re-materialized per round (each union leg is a
+    // checkpoint scan, so the plan stays flat); only the frontier
+    // itself checkpoints each hop
+    var frontier = graft.Caches.checkpoint(seed0)._1
+    var layers = List(frontier)
+    var n = frontier.count()
     var hop = 1
     while (n > 0 && hop <= maxHops) {
-      val (next, releaseNext) = graft.Caches.checkpoint(
+      val dist = layers.reduce(_ unionAll _)
+      // releasing a superseded frontier would orphan its layer in the
+      // union (checkpoints have no lineage to recompute) — layers stay
+      // pinned until the caller's Caches.releaseAll() boundary
+      val next = graft.Caches.checkpoint(
         frontier.join(e, frontier("id") === e("src"))
           .select(e("dst").as("id")).distinct()
           .join(dist, Seq("id"), "left_anti")
           .select(col("id"), lit(hop.toLong).as("dist"))
-          .coalesce(parts(n)))
+          .coalesce(parts(n)))._1
       n = next.count()
-      val (merged, releaseMerged) = graft.Caches.checkpoint(
-        dist.unionAll(next).coalesce(parts(n + 1)))
-      releaseDist(); releaseFrontier()
-      dist = merged
-      releaseDist = releaseMerged
       frontier = next
-      releaseFrontier = releaseNext
+      layers = layers :+ next
       hop += 1
     }
-    dist
+    layers.reduce(_ unionAll _)
   }
 }
