@@ -1150,6 +1150,30 @@ object Dedup {
       .filter(col("est_containment") >= threshold)
   }
 
+  /** Quality-aware cluster canonicalization: per duplicate cluster,
+    * the surviving representative is the member with the BEST quality
+    * (ties → smallest id) — the curator's upgrade over min-id
+    * canonical (d53): when a cluster holds a truncated copy and the
+    * full document, keep the full one. Implemented as a skew-safe
+    * ARG-MAX AGGREGATION — `max(struct(q, -id))` is partial-combinable
+    * and order-insensitive, so a million-member viral cluster costs
+    * one shuffle row per upstream partition; a per-cluster rank window
+    * would funnel the whole cluster through one task (the t72/d59 skew
+    * argument).
+    *
+    * `labels`: (id, cluster_id) from any of the components operators;
+    * `quality`: (id, q) integral. Output: (cluster_id, rep_id, rep_q,
+    * n_members). */
+  def clusterRepresentatives(labels: DataFrame,
+      quality: DataFrame): DataFrame =
+    labels.select(col("id"), col("cluster_id"))
+      .join(quality.select(col("id"), col("q")), "id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), (-col("best.negid")).as("rep_id"),
+        col("best.q").as("rep_q"), col("n_members"))
+
   /** Benchmark decontamination: training documents sharing at least
     * one word-n-gram with any document of an evaluation set — the
     * standard n-gram-overlap contamination check run before training

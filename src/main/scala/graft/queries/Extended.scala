@@ -2185,6 +2185,69 @@ object Extended {
       .orderBy(col("lang"))
   }
 
+  /** d66 — quality-aware cluster canonicalization
+    * (Dedup.clusterRepresentatives): near-dup clusters (d49's closure)
+    * each keep their highest-quality member (quality = token count;
+    * ties → smallest doc_id) instead of blind min-id. Engine side is
+    * the skew-safe arg-max aggregation; the oracle ranks with a
+    * window — two formulations, one answer. */
+  val d66CanonicalPick: Q = Q(
+    "d66_canonical_pick",
+    s"""WITH RECURSIVE $pairsCtes,
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node),
+       |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+       |q AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS q FROM documents),
+       |r AS (SELECT l.cluster_id, q.doc_id, q.q,
+       |        row_number() OVER (PARTITION BY l.cluster_id ORDER BY q.q DESC, q.doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+       |      FROM lab l JOIN q ON q.doc_id = l.doc_id)
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id AS rep_id,
+       |       q AS rep_q, CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("a"), col("b"))
+    val labels = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    val quality = docs.select(col("doc_id").as("id"),
+      size(tokens(col("text"))).cast("long").as("q"))
+    Dedup.clusterRepresentatives(labels, quality).orderBy(col("cluster_id"))
+  }
+
+  /** d67 — cluster-aware leakage-safe split: q71 hashes the DOC key,
+    * which still leaks near-duplicate content across the train/test
+    * boundary (a paraphrase in train, its twin in test). Splitting on
+    * the CLUSTER id instead keeps every near-dup cluster on one side —
+    * the contamination-safe evaluation protocol. Composition of the
+    * standing operators: components closure → Sampling.split on
+    * cluster_id. */
+  val d67ClusterSplit: Q = Q(
+    "d67_cluster_split",
+    s"""WITH RECURSIVE $pairsCtes,
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node),
+       |lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src),
+       |b AS (SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       |        ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 100 AS h FROM lab)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("a"), col("b"))
+    val labels = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    graft.operators.Sampling.split(labels, col("cluster_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t77 — the END-TO-END curation pipeline (Curation.curate): exact
     * dedup (injected every-7th-doc copies are removed, min-id row
     * kept) → language gate → quality gate → global token budget, each
@@ -2291,6 +2354,7 @@ object Extended {
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
     d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans,
     d61ContainmentScreen, d62CdcChunks, d63CdcApply, d64Winnowing, d65FpOverlap,
+    d66CanonicalPick, d67ClusterSplit,
     t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     s56PqAdc, s57IvfPqTopK, s58PqRerank, s59EmbedDedupApply, s60MultiProbe,

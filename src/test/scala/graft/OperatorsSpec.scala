@@ -1673,6 +1673,16 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("clusterRepresentatives: best quality wins; ties break to the smallest id; singletons keep themselves") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "cluster_id")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 2L)).toDF("id", "q")
+    val out = Dedup.clusterRepresentatives(labels, quality)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster 1: docs 2 and 3 tie at q=9 → smaller id 2 wins, 3 members
+    assert(out == Map(1L -> ((2L, 9L, 3L)), 9L -> ((9L, 2L, 1L))))
+  }
+
   test("bfsDistances: first discovery is the min hop; cap stops the frontier; two seeds meet in the middle") {
     import graft.operators.Graph
     // path 1—2—3—4—5, symmetrized
