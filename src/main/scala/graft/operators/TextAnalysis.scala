@@ -692,6 +692,29 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("wgt")).cast("long").as("score"))
 
+  /** Exact phrase search over a positional posting list — the
+    * retrieval-side complement of `bm25TopDocs` (BM25 ranks bags of
+    * words; phrases need POSITIONS). Each phrase term's postings are
+    * normalized to the would-be phrase START (pos − term offset) and
+    * the legs intersect on (doc, start): a surviving row is a genuine
+    * consecutive occurrence. Only postings of the phrase's terms leave
+    * the scan stage (term filter on the explode), joins are keyed
+    * (doc, start) — per-term-frequency bounded, never corpus-bounded.
+    * Output: (doc_id, n_hits > 0). */
+  def phraseSearch(df: DataFrame, id: Column, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val pos = df.select(id.as("doc_id"),
+      posexplode(tokens(text)).as(Seq("pos", "tok")))
+    val legs = phrase.zipWithIndex.map { case (w, i) =>
+      pos.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   def bm25TopDocs(df: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")

@@ -2010,6 +2010,32 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** t88 — exact phrase search (TextAnalysis.phraseSearch): positional
+    * postings intersected on (doc, normalized start). One Scala Seq
+    * generates BOTH the Spark legs and the oracle's leg CTEs (the
+    * TextHash emitter rule), so the phrase cannot drift between
+    * engines. */
+  val t88PhraseSearch: Q = {
+    val phrase = Seq("table", "table")
+    val legSql = phrase.zipWithIndex.map { case (w, i) =>
+      s"l$i AS (SELECT doc_id, pos - $i AS start FROM p WHERE tok = '$w')"
+    }.mkString(",\n")
+    val joins = (1 until phrase.size)
+      .map(i => s"JOIN l$i USING (doc_id, start)").mkString(" ")
+    Q(
+      "t88_phrase_search",
+      s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+         |p AS (SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM toks),
+         |$legSql,
+         |m AS (SELECT l0.doc_id, l0.start FROM l0 $joins)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.phraseSearch(Tables.documents(s, dir),
+          col("doc_id"), col("text"), phrase)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** t72 — segment-level exact dedup (C4-style line dedup over
     * 10-token blocks): per doc, how many of its segments occurred
     * earlier in the corpus (first occurrence = smallest
@@ -2362,7 +2388,7 @@ object Extended {
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
     t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge, t83BpeTrain, t84BpeEncode,
-    t85Bm25, t86VocabGrowth, t87LinearScore,
+    t85Bm25, t86VocabGrowth, t87LinearScore, t88PhraseSearch,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)

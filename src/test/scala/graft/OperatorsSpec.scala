@@ -1673,6 +1673,16 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("phraseSearch: overlapping repeated-term occurrences each count; non-adjacent words do not match") {
+    val d = Seq((1L, "a a a b"), (2L, "a c b"), (3L, "b a")).toDF("doc_id", "text")
+    def run(phrase: String*) =
+      TextAnalysis.phraseSearch(d, col("doc_id"), col("text"), phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("a", "a") == Map(1L -> 2L))        // starts 0 and 1 overlap
+    assert(run("a", "b") == Map(1L -> 1L)) // doc 3 is "b a" — reversed, no match
+    assert(run("a", "c", "b") == Map(2L -> 1L))
+  }
+
   test("clusterRepresentatives: best quality wins; ties break to the smallest id; singletons keep themselves") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
       .toDF("id", "cluster_id")
