@@ -81,31 +81,40 @@ object Graph {
     val eRenamed = e.select(col("src").as("edge_src"), col("dst").as("edge_dst"))
     var iter = 0
     while (iter < iters) {
-      // per-edge contribution: r(u) div outdeg(u), summed at the target
-      val contribs = state.filter(col("outdeg").isNotNull)
-        .join(eRenamed, col("id") === col("edge_src"))
-        .groupBy(col("edge_dst"))
-        .agg(sum(expr("rank_fp div outdeg")).as("contrib"))
-        .select(col("edge_dst").as("cid"), col("contrib"))
-      // dangling mass as a 1-row frame (NO collect): nodes with no
-      // out-edges leak their rank; redistribute it uniformly
-      val dangling = state.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
       val (next, releaseNext) = graft.Caches.checkpoint(
-        state.select(col("id"), col("outdeg"))
-          .join(contribs, col("id") === col("cid"), "left")
-          .crossJoin(broadcast(dangling))
-          .select(col("id"), col("outdeg"),
-            (lit(15L * base / 100L) + expr(
-              s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dang div CAST($n AS BIGINT))) div 100"))
-              .as("rank_fp"))
-          .coalesce(parts))
+        pageRankRound(state, eRenamed, n, base).coalesce(parts))
       releaseState()
       state = next
       releaseState = releaseNext
       iter += 1
     }
     state.select(col("id"), col("rank_fp"))
+  }
+
+  /** One PageRank round as a pure plan over the (id, outdeg, rank_fp)
+    * state — split out so the per-round plan shape is auditable
+    * (PlanAuditSpec pins: partial-combinable contribution aggregate,
+    * the dangling total as a 1-row BROADCAST nest-loop — not a
+    * cartesian — and no window anywhere). */
+  private[graft] def pageRankRound(state: DataFrame, eRenamed: DataFrame,
+      n: Long, base: Long): DataFrame = {
+    // per-edge contribution: r(u) div outdeg(u), summed at the target
+    val contribs = state.filter(col("outdeg").isNotNull)
+      .join(eRenamed, col("id") === col("edge_src"))
+      .groupBy(col("edge_dst"))
+      .agg(sum(expr("rank_fp div outdeg")).as("contrib"))
+      .select(col("edge_dst").as("cid"), col("contrib"))
+    // dangling mass as a 1-row frame (NO collect): nodes with no
+    // out-edges leak their rank; redistribute it uniformly
+    val dangling = state.filter(col("outdeg").isNull)
+      .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+    state.select(col("id"), col("outdeg"))
+      .join(contribs, col("id") === col("cid"), "left")
+      .crossJoin(broadcast(dangling))
+      .select(col("id"), col("outdeg"),
+        (lit(15L * base / 100L) + expr(
+          s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dang div CAST($n AS BIGINT))) div 100"))
+          .as("rank_fp"))
   }
 
   /** Per-node triangle counts by DEGREE-ORDERED ORIENTATION (the

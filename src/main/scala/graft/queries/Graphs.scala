@@ -136,8 +136,9 @@ object Graphs {
   }
 
   /** g04 — multi-source BFS over the symmetrized supplier
-    * co-occurrence graph: hop distance from the nation-0 suppliers,
-    * capped at 3 hops. The oracle is DuckDB's semi-naive
+    * co-occurrence graph: hop distance from the three lowest-keyed
+    * suppliers (a seed predicate non-empty at EVERY scale factor —
+    * nation membership is not), capped at 3 hops. The oracle is DuckDB's semi-naive
     * WITH RECURSIVE UNION walk (set semantics dedupe (id, d) pairs,
     * so the cyclic graph cannot blow up the recursion) reduced by
     * min(d) — an independent fixpoint formulation of the same
@@ -149,7 +150,7 @@ object Graphs {
       |  FROM lineitem l1 JOIN lineitem l2
       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey),
       |walk(id, d) AS (
-      |  SELECT s_suppkey, 0 FROM supplier WHERE s_nationkey = 0
+      |  SELECT s_suppkey, 0 FROM supplier WHERE s_suppkey < 3
       |  UNION
       |  SELECT r.y, w.d + 1 FROM walk w JOIN raw r ON r.x = w.id WHERE w.d < 3)
       |SELECT id, CAST(min(d) AS BIGINT) AS dist
@@ -159,7 +160,7 @@ object Graphs {
     val edges = li.join(l2, "l_orderkey")
       .filter(col("l_suppkey") =!= col("s2"))
       .select(col("l_suppkey").as("src"), col("s2").as("dst"))
-    val seeds = Tables.supplier(s, dir).filter(col("s_nationkey") === 0)
+    val seeds = Tables.supplier(s, dir).filter(col("s_suppkey") < 3)
       .select(col("s_suppkey").as("id"))
     Graph.bfsDistances(edges, seeds, maxHops = 3).orderBy(col("id"))
   }
