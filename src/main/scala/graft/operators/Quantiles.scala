@@ -49,6 +49,36 @@ object Quantiles {
       .agg(min(col("graft_v")).as("threshold"))
   }
 
+  /** Per-group discrete quantile CUT SET: the k/q lower quantiles for
+    * every k in 1..q−1, from ONE value-distribution pass (the
+    * `discretePercentile` shape with an exact RATIONAL rank compare —
+    * `cum·q ≥ tot·k` — so q need not divide 100). The distribution
+    * explodes by the constant q−1, never the corpus. Output: group
+    * columns + (k, cut); the cut set is the input to equi-depth
+    * bucketing (q73): bucket of v = |{cuts < v}|, which keeps tied
+    * values together (value-based assignment — the deterministic
+    * cross-engine alternative to ntile's arbitrary row splits). */
+  def discreteQuantileCuts(df: DataFrame, group: Seq[String], value: Column,
+      q: Int): DataFrame = {
+    require(q >= 2, s"q must be at least 2, got $q")
+    Seq("graft_v", "graft_c", "graft_cum", "graft_tot", "graft_k").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
+    val counts = df.groupBy(group.map(col) :+ value.as("graft_v"): _*)
+      .agg(count(lit(1)).as("graft_c"))
+    val wCum = Window.partitionBy(group.map(col): _*).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(group.map(col): _*)
+    counts
+      .withColumn("graft_cum", sum(col("graft_c")).over(wCum))
+      .withColumn("graft_tot", sum(col("graft_c")).over(wTot))
+      .select(group.map(col) :+ col("graft_v") :+ col("graft_cum") :+ col("graft_tot") :+
+        explode(array((1 until q).map(k => lit(k.toLong)): _*)).as("graft_k"): _*)
+      .filter(col("graft_cum") * q >= col("graft_tot") * col("graft_k"))
+      .groupBy(group.map(col) :+ col("graft_k").as("k"): _*)
+      .agg(min(col("graft_v")).as("cut"))
+  }
+
   /** Quantile-threshold filter: rows at or above their group's
     * `pct`-percentile value. The threshold table is group-cardinality
     * sized, so the application join broadcasts — the corpus scan

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series shaping: downsampling to DENSE fixed-width buckets with
+  * gap fill — the feature-engineering step between raw event streams
+  * and per-entity model inputs (a gap is information; a missing row is
+  * a bug).
+  */
+object TimeSeries {
+
+  /** Resample per-key events into dense `bucketSec`-wide buckets:
+    * every key covers its own [min, max] bucket range with NO holes —
+    * absent buckets emit (n_events = 0, sum_value = null) and `filled`
+    * carries the last seen sum forward (q53's IGNORE-NULLS running
+    * window).
+    *
+    * The dense spine is generated PER KEY from its own min/max bucket
+    * index (`sequence` + explode — an agg plus a generator, never a
+    * cross join against a global calendar), so spine size is
+    * Σ_key(span_k) and the shuffles stay keyed. Bucket identity is the
+    * integer epoch-microsecond index div bucket width — exact integer
+    * arithmetic on both engines; values route through DECIMAL(18,2)
+    * BEFORE summation (the q01 float-sum rule).
+    *
+    * Output: (key, idx, n_events, sum_value, filled). */
+  def resample(df: DataFrame, key: Column, ts: Column, value: Column,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val bucketUs = bucketSec * 1000000L
+    val base = df
+      .select(key.as("key"), unix_micros(ts).as("graft_us"),
+        value.cast(DecimalType(18, 2)).as("v"))
+      .select(col("key"),
+        expr(s"graft_us div CAST($bucketUs AS BIGINT)").as("idx"), col("v"))
+    val agg = base.groupBy(col("key"), col("idx"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).cast(DecimalType(18, 2)).as("sum_value"))
+    val spine = base.groupBy(col("key"))
+      .agg(min(col("idx")).as("mn"), max(col("idx")).as("mx"))
+      .select(col("key"), explode(sequence(col("mn"), col("mx"))).as("idx"))
+    val w = Window.partitionBy(col("key")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(agg, Seq("key", "idx"), "left")
+      .select(col("key"), col("idx"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("sum_value"))
+      .withColumn("filled", last(col("sum_value"), ignoreNulls = true).over(w))
+  }
+}

@@ -375,8 +375,76 @@ object Scale {
       .orderBy(col("doc_id"))
   }
 
+  /** q72 — dense per-user hourly resampling with gap fill
+    * (TimeSeries.resample): every user's bucket range is hole-free,
+    * absent buckets carry n_events = 0 and a forward-filled running
+    * sum. The spine generates per key from its own min/max (agg +
+    * generator — never a cross join against a global calendar); sums
+    * route through DECIMAL(18,2) before aggregation. */
+  val q72Resample: Q = Q(
+    "q72_resample",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx,
+      |         CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |a AS (SELECT user_id, idx, CAST(count(*) AS BIGINT) AS n_events,
+      |             CAST(sum(v) AS DECIMAL(18,2)) AS sum_value
+      |      FROM e GROUP BY user_id, idx),
+      |sp AS (SELECT user_id, unnest(range(mn, mx + 1)) AS idx
+      |       FROM (SELECT user_id, min(idx) AS mn, max(idx) AS mx FROM e GROUP BY user_id)),
+      |j AS (SELECT sp.user_id, sp.idx, COALESCE(a.n_events, 0) AS n_events, a.sum_value
+      |      FROM sp LEFT JOIN a ON a.user_id = sp.user_id AND a.idx = sp.idx)
+      |SELECT user_id, idx, n_events, sum_value,
+      |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM j ORDER BY user_id, idx""".stripMargin) { (s, dir) =>
+    graft.operators.TimeSeries.resample(Tables.events(s, dir),
+        col("user_id").as("user_id"), col("ts"), col("value"), bucketSec = 3600L)
+      .withColumnRenamed("key", "user_id")
+      .orderBy(col("user_id"), col("idx"))
+  }
+
+  /** q73 — grouped EQUI-DEPTH histogram (quartiles per return flag)
+    * from broadcast quantile cuts (Quantiles.discreteQuantileCuts):
+    * bucket of v = |{cuts < v}|, assigned by an array probe against
+    * the broadcast per-group cut set — value-based, so tied values
+    * stay together and engines cannot disagree the way ntile's
+    * arbitrary row splits would; the corpus scan never shuffles for
+    * the assignment. q60 is the fixed-WIDTH twin. */
+  val q73EquiDepth: Q = Q(
+    "q73_equidepth",
+    """WITH d AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+      |           FROM lineitem GROUP BY g, v),
+      |w AS (SELECT g, v, c,
+      |        sum(c) OVER (PARTITION BY g ORDER BY v
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(c) OVER (PARTITION BY g) AS tot
+      |      FROM d),
+      |ks AS (SELECT unnest([1, 2, 3]) AS k),
+      |cuts AS (SELECT g, k, min(v) AS cut FROM w JOIN ks ON cum*4 >= tot*k GROUP BY g, k),
+      |b AS (SELECT l.l_returnflag AS g, l.l_extendedprice AS v,
+      |        (SELECT count(*) FROM cuts c WHERE c.g = l.l_returnflag AND c.cut < l.l_extendedprice) AS bucket
+      |      FROM lineitem l)
+      |SELECT g AS l_returnflag, CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS n_rows, min(v) AS min_v, max(v) AS max_v
+      |FROM b GROUP BY g, bucket ORDER BY l_returnflag, bucket""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val cuts = graft.operators.Quantiles.discreteQuantileCuts(
+      li, Seq("l_returnflag"), col("l_extendedprice"), q = 4)
+    val cutArr = cuts.groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("cut"))).as("cuts"))
+    li.join(broadcast(cutArr), "l_returnflag")
+      .withColumn("bucket",
+        size(filter(col("cuts"), c => c < col("l_extendedprice"))).cast("long"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("min_v"),
+        max(col("l_extendedprice")).as("max_v"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
-    q71Split)
+    q71Split, q72Resample, q73EquiDepth)
 }
