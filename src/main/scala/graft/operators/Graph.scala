@@ -91,18 +91,73 @@ object Graph {
     state.select(col("id"), col("rank_fp"))
   }
 
+  /** Weighted PageRank: same fixed-point arithmetic as [[pageRank]]
+    * but each out-edge carries an integral weight `w` and u's rank
+    * splits proportionally — contribution along u→v is
+    * (r(u)·w(u,v)) div W(u) with W(u) = Σ out-weights. The weighted
+    * split loses ≤ 1 unit per EDGE to truncation (vs per node
+    * unweighted) — still deterministic and identical cross-engine
+    * (all operands non-negative). `edges`: (src, dst, w), w > 0;
+    * parallel edges pre-summed here. r(u)·w must stay < 2⁶³: unit
+    * 1e12 leaves 9.2e6 of weight headroom per edge, enough for
+    * count-style weights; scale weights down if yours are larger. */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 3,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "pageRankWeighted needs at least one iteration")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst") && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .transform(d => graft.Caches.pin(d))
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val outw = e.groupBy(col("src").as("deg_id"))
+      .agg(sum(col("w")).as("outdeg"))
+      .transform(d => graft.Caches.pin(d))
+    val spark = edges.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val n = nodes.count()
+    require(n > 0, "pageRankWeighted: empty graph")
+    val parts = math.max(1L, math.min(shuffleParts, n / 65536L)).toInt
+    val base = unit / n
+    var (state, releaseState) = graft.Caches.checkpoint(
+      nodes.join(outw, col("id") === col("deg_id"), "left")
+        .select(col("id"), col("outdeg"), lit(base).as("rank_fp"))
+        .coalesce(parts))
+    val eRenamed = e.select(col("src").as("edge_src"),
+      col("dst").as("edge_dst"), col("w").as("edge_w"))
+    var iter = 0
+    while (iter < iters) {
+      val (next, releaseNext) = graft.Caches.checkpoint(
+        pageRankRound(state, eRenamed, n, base, weighted = true)
+          .coalesce(parts))
+      releaseState()
+      state = next
+      releaseState = releaseNext
+      iter += 1
+    }
+    state.select(col("id"), col("rank_fp"))
+  }
+
   /** One PageRank round as a pure plan over the (id, outdeg, rank_fp)
     * state — split out so the per-round plan shape is auditable
     * (PlanAuditSpec pins: partial-combinable contribution aggregate,
     * the dangling total as a 1-row BROADCAST nest-loop — not a
-    * cartesian — and no window anywhere). */
+    * cartesian — and no window anywhere). `weighted` switches the
+    * per-edge contribution from r div outdeg (outdeg = out-edge
+    * count) to (r·w) div outdeg (outdeg = out-WEIGHT total). */
   private[graft] def pageRankRound(state: DataFrame, eRenamed: DataFrame,
-      n: Long, base: Long): DataFrame = {
-    // per-edge contribution: r(u) div outdeg(u), summed at the target
+      n: Long, base: Long, weighted: Boolean = false): DataFrame = {
+    // per-edge contribution, summed at the target
+    val perEdge =
+      if (weighted) expr("(rank_fp * edge_w) div outdeg")
+      else expr("rank_fp div outdeg")
     val contribs = state.filter(col("outdeg").isNotNull)
       .join(eRenamed, col("id") === col("edge_src"))
       .groupBy(col("edge_dst"))
-      .agg(sum(expr("rank_fp div outdeg")).as("contrib"))
+      .agg(sum(perEdge).as("contrib"))
       .select(col("edge_dst").as("cid"), col("contrib"))
     // dangling mass as a 1-row frame (NO collect): nodes with no
     // out-edges leak their rank; redistribute it uniformly

@@ -165,5 +165,55 @@ object Graphs {
     Graph.bfsDistances(edges, seeds, maxHops = 3).orderBy(col("id"))
   }
 
-  val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles, g04Bfs)
+  /** g05 — WEIGHTED PageRank over the customer⇄supplier trade graph,
+    * edge weight = lineitem count between the pair (trade volume):
+    * u's rank splits proportionally to out-weights,
+    * (r·w) div W(u) per edge. The three unrolled oracle rounds are
+    * GENERATED from one template (the shared-generator rule), weighted
+    * contribution sub-CTE included. Symmetric weights → no dangling
+    * nodes, as in g01. */
+  val g05PageRankWeighted: Q = {
+    def round(i: Int) =
+      s"""r$i AS MATERIALIZED (
+         |  SELECT nd.id, CAST((15 * (SELECT base FROM p)) // 100
+         |    + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_fp
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM((r.rank_fp * e.w) // d.outdeg) AS BIGINT) AS s
+         |    FROM e JOIN r${i - 1} r ON r.id = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.id = nd.id)""".stripMargin
+    Q(
+      "g05_pagerank_weighted",
+      s"""WITH eraw AS MATERIALIZED (
+         |  SELECT o.o_custkey*2 AS src, l.l_suppkey*2+1 AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY src, dst),
+         |e AS MATERIALIZED (
+         |  SELECT src, dst, w FROM eraw
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM eraw),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         |deg AS MATERIALIZED (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         |p AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(1000000000000 AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS base
+         |  FROM nodes),
+         |r0 AS MATERIALIZED (SELECT id, (SELECT base FROM p) AS rank_fp FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id, rank_fp FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = fwd.unionAll(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      Graph.pageRankWeighted(edges, iters = 3).orderBy(col("id"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles, g04Bfs,
+    g05PageRankWeighted)
 }

@@ -1661,6 +1661,22 @@ class OperatorsSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("pageRankWeighted: rank splits proportionally to out-weights (hand-computed round)") {
+    // 1→2 w=1, 1→3 w=3 (W(1)=4); nodes 2,3 dangling. n=3,
+    // base = 333333333333, base15 = 49999999999.
+    //   contrib(2) = (base·1) div 4 = 83333333333
+    //   contrib(3) = (base·3) div 4 = 249999999999
+    //   dang = 2·base; share = dang div 3 = 222222222222
+    //   r(1) = 49999999999 + (85·222222222222) div 100  = 238888888887
+    //   r(2) = 49999999999 + (85·305555555555) div 100  = 309722222220
+    //   r(3) = 49999999999 + (85·472222222221) div 100  = 451388888886
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L)).toDF("src", "dst", "w")
+    val r1 = graft.operators.Graph.pageRankWeighted(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 238888888887L, 2L -> 309722222220L, 3L -> 451388888886L))
+    Caches.releaseAll()
+  }
+
   test("triangleCounts: K4 plus a pendant — 3 per clique node, 0 for the pendant; duplicate/reversed edges collapse") {
     val edges = Seq(
       (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
