@@ -55,7 +55,11 @@ object GraftFunctions {
       CdcChunks(exprs.head, intArg(exprs(1), "window width"),
         intArg(exprs(2), "boundary mask").toLong)),
     "winnow_positions" -> arity("winnow_positions", Set(2))(exprs =>
-      WinnowPositions(exprs.head, intArg(exprs(1), "winnow window"))))
+      WinnowPositions(exprs.head, intArg(exprs(1), "winnow window"))),
+    "delta_varint_encode" -> arity("delta_varint_encode", Set(1))(exprs =>
+      DeltaVarintEncode(exprs.head)),
+    "delta_varint_decode" -> arity("delta_varint_decode", Set(1))(exprs =>
+      DeltaVarintDecode(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (name, builder) =>

@@ -2274,6 +2274,44 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** d68 — posting-list compression accounting: per-term sorted
+    * doc-id postings packed by the delta+ULEB128 kernel
+    * (functions.VarintPostings — the layout inverted indexes ship at
+    * scale: gaps are small, so entries cost ~1 byte instead of 8).
+    * The oracle recomputes the packed size ARITHMETICALLY — per-delta
+    * varint width via a generated CASE over the 2^(7k) bounds — so
+    * the kernel's byte-exact output is hash-verified without DuckDB
+    * ever seeing a varint. Roundtrip/rejection properties live in
+    * PolyHashSpec. */
+  val d68VarintPostings: Q = {
+    val byteCase = (1 to 9)
+      .map(k => s"WHEN v < ${1L << (7 * k)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 10 END")
+    Q(
+      "d68_varint_postings",
+      s"""WITH tk AS (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |pl AS (SELECT tok, list_sort(list(DISTINCT doc_id)) AS p FROM tk GROUP BY tok),
+         |d AS (SELECT tok, len(p) AS n,
+         |        list_transform(range(1, len(p) + 1),
+         |          i -> CASE WHEN i = 1 THEN p[1] ELSE p[i] - p[i-1] END) AS ds
+         |      FROM pl)
+         |SELECT tok, CAST(n AS BIGINT) AS n_postings, CAST(8*n AS BIGINT) AS raw_bytes,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(ds, v -> CAST($byteCase AS BIGINT))), (a, b) -> a + b) AS BIGINT)
+         |    AS packed_bytes
+         |FROM d ORDER BY tok""".stripMargin) { (s, dir) =>
+      import graft.functions.VarintPostings
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("tok"), col("doc_id"))
+        .groupBy(col("tok"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("p"))
+        .select(col("tok"), size(col("p")).cast("long").as("n_postings"),
+          (size(col("p")) * 8).cast("long").as("raw_bytes"),
+          length(VarintPostings.encodeNative(col("p"))).cast("long").as("packed_bytes"))
+        .orderBy(col("tok"))
+    }
+  }
+
   /** t77 — the END-TO-END curation pipeline (Curation.curate): exact
     * dedup (injected every-7th-doc copies are removed, min-id row
     * kept) → language gate → quality gate → global token budget, each
@@ -2380,7 +2418,7 @@ object Extended {
     d52SimhashNearDup, d53DedupApply, d54StarClusters, d55DeltaDedup, d56Containment,
     d57DropContained, d58ContainmentMinimal, d59RepeatedSpans, d60DropSpans,
     d61ContainmentScreen, d62CdcChunks, d63CdcApply, d64Winnowing, d65FpOverlap,
-    d66CanonicalPick, d67ClusterSplit,
+    d66CanonicalPick, d67ClusterSplit, d68VarintPostings,
     t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     s56PqAdc, s57IvfPqTopK, s58PqRerank, s59EmbedDedupApply, s60MultiProbe,

@@ -155,12 +155,14 @@ class PolyHashSpec extends SparkSpec {
         |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic,
         |  size(poly_hash_shingles('abcd', 2)) AS n_cs,
         |  aggregate(cdc_chunks('abcdefgh', 8, 64), 0L, (a, c) -> a + c.len) AS cdc_total,
-        |  winnow_positions(array(5L, 1L, 1L, 9L), 2) AS wp""".stripMargin).head()
+        |  winnow_positions(array(5L, 1L, 1L, 9L), 2) AS wp,
+        |  delta_varint_decode(delta_varint_encode(array(7L, 300L, 301L))) AS dv""".stripMargin).head()
     assert(row.getInt(0) == 2 && row.getInt(1) == 2 && row.getInt(2) == 8)
     assert(row.getDouble(3) == 11.0 && row.getLong(4) == 2L && row.getInt(5) == 3)
     assert(row.getLong(6) == 8L) // chunks tile the input
     // windows: [5,1]→pos2, [1,1]→pos3 (rightmost tie), [1,9]→pos3
     assert(row.getSeq[Long](7) == Seq(2L, 3L))
+    assert(row.getSeq[Long](8) == Seq(7L, 300L, 301L))
   }
 
   test("winnow positions == brute-force rightmost-min per window on tie-heavy arrays") {
@@ -193,6 +195,37 @@ class PolyHashSpec extends SparkSpec {
         assert(got(i.toLong) == got(i.toLong).distinct.sorted)
       }
     }
+  }
+
+  test("delta-varint codec: roundtrip on generated sorted lists; known bytes; rejects unsorted/negative/truncated") {
+    import graft.functions.VarintPostings
+    // roundtrip property over generated sorted non-negative lists
+    val rnd = new scala.util.Random(42)
+    val lists = (0 until 200).map { _ =>
+      val n = rnd.nextInt(30)
+      Seq.fill(n)(math.abs(rnd.nextLong()) % 3000000L).sorted
+    } :+ Seq.empty[Long] :+ Seq(0L, 0L, 0L) :+ Seq(Long.MaxValue - 1, Long.MaxValue)
+    val df = lists.toDF("p")
+    val bad = df.select(col("p"),
+        VarintPostings.decodeNative(VarintPostings.encodeNative(col("p"))).as("rt"))
+      .filter(not(col("p") <=> col("rt"))).count()
+    assert(bad == 0L, s"$bad roundtrip mismatches")
+    // known byte layouts: [0] -> 00; [300] -> AC 02; [1,2,3] -> 01 01 01
+    def enc(xs: Seq[Long]): Seq[Int] = Seq(xs).toDF("p")
+      .select(VarintPostings.encodeNative(col("p"))).collect()
+      .head.getAs[Array[Byte]](0).toSeq.map(_ & 0xff)
+    assert(enc(Seq(0L)) == Seq(0x00))
+    assert(enc(Seq(300L)) == Seq(0xac, 0x02))
+    assert(enc(Seq(1L, 2L, 3L)) == Seq(0x01, 0x01, 0x01))
+    // rejections: unsorted and negative -> null blob; truncated -> null list
+    val rejects = Seq(Seq(3L, 1L), Seq(-1L)).toDF("p")
+      .select(VarintPostings.encodeNative(col("p")).as("b"))
+      .filter(col("b").isNotNull).count()
+    assert(rejects == 0L)
+    val trunc = Seq(Array[Byte](0x80.toByte)).toDF("b")
+      .select(VarintPostings.decodeNative(col("b")).as("d"))
+      .collect().head
+    assert(trunc.isNullAt(0))
   }
 
   test("whole-stage codegen path produces the same values as interpreted eval") {
