@@ -241,6 +241,42 @@ object Similarity {
             floor(x.cast("double") / col("scale") * 127 + 0.5).cast("int"))
             .otherwise(lit(0))).as("qvec"))
 
+  /** One distributed k-means M-step with EXACT arithmetic: vectors
+    * assign to their argmax centroid (`centroidAssign`'s struct rule),
+    * then per (centroid, dim) the update accumulates INTEGER
+    * statistics over per-tensor int8-quantized values — one corpus
+    * max-abs scale (a 1-row broadcast), codes
+    * floor(x/scale·127 + 0.5), then (n, Σq) per cell. Float summation
+    * order is what makes naive distributed k-means nondeterministic
+    * across partitionings and engines; integer sums are
+    * order-insensitive, so the update is bit-reproducible — the new
+    * centroid dequantizes OUTSIDE the exactness boundary as
+    * (Σq/n)·scale/127. Per-tensor (not per-vector) scale is the
+    * standard quantized-training layout and is what makes codes
+    * summable across vectors.
+    *
+    * Shuffles: the 1-row scale broadcast, the bounded centroid
+    * collect (s52's), and ONE partial-combinable aggregation keyed
+    * (centroid, dim) — dims explode in the scan stage. */
+  def kmeansStepQuantized(corpus: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val gscale = corpus.agg(
+      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .as("gscale"))
+    val asg = centroidAssign(corpus, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    corpus.crossJoin(broadcast(gscale))
+      .select(col("vec_id"), col("gscale"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("gscale") > 0,
+          floor(col("x").cast("double") / col("gscale") * 127 + 0.5).cast("long"))
+          .otherwise(0L).as("qv"))
+      .join(asg, "vec_id")
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
+  }
+
   // ---- product quantization ------------------------------------------
 
   /** Collected (cid, embedding) centroid rows, id-sorted; the same

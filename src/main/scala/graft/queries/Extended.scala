@@ -319,6 +319,39 @@ object Extended {
       .orderBy(col("vec_id"))
   }
 
+  /** s61 — exact quantized k-means M-step
+    * (Similarity.kmeansStepQuantized): assignments by the s52 argmax,
+    * update statistics as (n, Σq) integer sums over per-tensor
+    * int8-quantized values — the order-insensitive form of the
+    * distributed centroid update (float sums would differ by
+    * partitioning AND engine). Centroids = first 8 vectors, the s52
+    * convention. */
+  val s61KmeansStep: Q = Q(
+    "s61_kmeans_step",
+    s"""WITH g AS (SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS gscale
+       |           FROM embeddings),
+       |c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |sc AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |       FROM embeddings e CROSS JOIN c),
+       |rk AS (SELECT vec_id, centroid_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |       FROM sc),
+       |asg AS (SELECT vec_id, centroid_id FROM rk WHERE rn = 1),
+       |q AS (SELECT e.vec_id, unnest(range(0, len(e.embedding))) AS dim,
+       |        CASE WHEN g.gscale > 0
+       |          THEN CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) / g.gscale * 127 + 0.5) AS BIGINT)
+       |          ELSE 0 END AS qv
+       |      FROM embeddings e CROSS JOIN g)
+       |SELECT a.centroid_id, CAST(q.dim AS BIGINT) AS dim,
+       |       CAST(count(*) AS BIGINT) AS n, CAST(sum(q.qv) AS BIGINT) AS sum_q
+       |FROM q JOIN asg a ON a.vec_id = q.vec_id
+       |GROUP BY a.centroid_id, q.dim
+       |ORDER BY centroid_id, dim""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.kmeansStepQuantized(emb, emb.filter(col("vec_id") < 8))
+      .orderBy(col("centroid_id"), col("dim"))
+  }
+
   /** s56 — product-quantization encode + asymmetric-distance scoring
     * (Similarity.pqEncode / pqAdcScore): 4 subspaces of 16 dims,
     * codebook = the first 8 corpus vectors (the s52 convention),
@@ -2422,6 +2455,7 @@ object Extended {
     t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     s56PqAdc, s57IvfPqTopK, s58PqRerank, s59EmbedDedupApply, s60MultiProbe,
+    s61KmeansStep,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
