@@ -413,7 +413,7 @@ object Scale {
     * the assignment. q60 is the fixed-WIDTH twin. */
   val q73EquiDepth: Q = Q(
     "q73_equidepth",
-    """WITH d AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+    """WITH d AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
       |           FROM lineitem GROUP BY g, v),
       |w AS (SELECT g, v, c,
       |        sum(c) OVER (PARTITION BY g ORDER BY v
@@ -422,24 +422,24 @@ object Scale {
       |      FROM d),
       |ks AS (SELECT unnest([1, 2, 3]) AS k),
       |cuts AS (SELECT g, k, min(v) AS cut FROM w JOIN ks ON cum*4 >= tot*k GROUP BY g, k),
-      |b AS (SELECT l.l_returnflag AS g, l.l_extendedprice AS v,
-      |        (SELECT count(*) FROM cuts c WHERE c.g = l.l_returnflag AND c.cut < l.l_extendedprice) AS bucket
+      |b AS (SELECT l.l_returnflag AS g, l.l_quantity AS v,
+      |        (SELECT count(*) FROM cuts c WHERE c.g = l.l_returnflag AND c.cut < l.l_quantity) AS bucket
       |      FROM lineitem l)
       |SELECT g AS l_returnflag, CAST(bucket AS BIGINT) AS bucket,
       |       CAST(count(*) AS BIGINT) AS n_rows, min(v) AS min_v, max(v) AS max_v
       |FROM b GROUP BY g, bucket ORDER BY l_returnflag, bucket""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val cuts = graft.operators.Quantiles.discreteQuantileCuts(
-      li, Seq("l_returnflag"), col("l_extendedprice"), q = 4)
+      li, Seq("l_returnflag"), col("l_quantity"), q = 4)
     val cutArr = cuts.groupBy(col("l_returnflag"))
       .agg(sort_array(collect_list(col("cut"))).as("cuts"))
     li.join(broadcast(cutArr), "l_returnflag")
       .withColumn("bucket",
-        size(filter(col("cuts"), c => c < col("l_extendedprice"))).cast("long"))
+        size(filter(col("cuts"), c => c < col("l_quantity"))).cast("long"))
       .groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
-        min(col("l_extendedprice")).as("min_v"),
-        max(col("l_extendedprice")).as("max_v"))
+        min(col("l_quantity")).as("min_v"),
+        max(col("l_quantity")).as("max_v"))
       .orderBy(col("l_returnflag"), col("bucket"))
   }
 
