@@ -2069,6 +2069,65 @@ object Extended {
     }
   }
 
+  /** t90 — PORTABLE HyperLogLog distinct-token estimate, fully
+    * oracle-hash-matched — the counterexample to "HLL sketches are not
+    * SQL-expressible" (q36's no_oracle carve-out): with the portable
+    * polynomial hash, 64 registers, a GENERATED first-one-bit CASE
+    * (identical SQL text on both engines), and 2^-rho spelled as
+    * 1/(1<<rho) — every term a power of two, so the register sum is
+    * EXACT in binary FP regardless of accumulation order — even the
+    * raw estimate (alpha·m²/s, two IEEE ops on exact inputs) is
+    * bit-reproducible. Engine-native sketches (q36) remain the
+    * production path; this is the portable, verifiable twin. No
+    * small/large-range corrections: they need ln(), which is libm —
+    * est_raw is the uncorrected HLL estimator, emitted next to the
+    * exact count so the differential also documents its error. */
+  val t90HllDistinct: Q = {
+    // rho = 1-based position of the first 1-bit in the 24-bit window
+    // w = h div 64 (P = 1e9+7 < 2^30); w = 0 → 25. One generated CASE,
+    // shared verbatim by Spark and DuckDB.
+    val rhoCase = (0 until 24)
+      .map(k => s"WHEN w >= ${1L << (23 - k)} THEN ${k + 1}")
+      .mkString("CASE ", " ", " ELSE 25 END")
+    Q(
+      "t90_hll_distinct",
+      s"""WITH tk AS (SELECT lang, unnest(${tokensSql("text")}) AS tok FROM documents),
+         |h AS (SELECT lang, ${polyHashSql("tok")} AS hh FROM tk),
+         |b AS (SELECT lang, hh % 64 AS reg, hh // 64 AS w FROM h),
+         |r AS (SELECT lang, reg, $rhoCase AS rho FROM b),
+         |m AS (SELECT lang, reg, max(rho) AS max_rho FROM r GROUP BY lang, reg),
+         |e AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_regs,
+         |        sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s_present
+         |      FROM m GROUP BY lang),
+         |x AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact FROM tk GROUP BY lang)
+         |SELECT e.lang, e.n_regs,
+         |  CAST('0.709' AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |    / (e.s_present + (64 - e.n_regs)) AS est_raw,
+         |  x.n_exact
+         |FROM e JOIN x USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      val regs = toks
+        .select(col("lang"), polyHashFast(col("tok")).as("h"))
+        .select(col("lang"), pmod(col("h"), lit(64L)).as("reg"),
+          expr("h div 64").as("w"))
+        .select(col("lang"), col("reg"), expr(rhoCase).as("rho"))
+        .groupBy(col("lang"), col("reg")).agg(max(col("rho")).as("max_rho"))
+      val est = regs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_regs"),
+          sum(expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), max_rho)"))
+            .as("s_present"))
+        .select(col("lang"), col("n_regs"),
+          (lit(0.709) * lit(4096.0) /
+            (col("s_present") + (lit(64) - col("n_regs")))).as("est_raw"))
+      val exact = toks.groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("n_exact"))
+      est.join(exact, "lang")
+        .select(col("lang"), col("n_regs"), col("est_raw"), col("n_exact"))
+        .orderBy(col("lang"))
+    }
+  }
+
   /** t72 — segment-level exact dedup (C4-style line dedup over
     * 10-token blocks): per doc, how many of its segments occurred
     * earlier in the corpus (first occurrence = smallest
@@ -2460,7 +2519,7 @@ object Extended {
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
     t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge, t83BpeTrain, t84BpeEncode,
-    t85Bm25, t86VocabGrowth, t87LinearScore, t88PhraseSearch,
+    t85Bm25, t86VocabGrowth, t87LinearScore, t88PhraseSearch, t90HllDistinct,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)
