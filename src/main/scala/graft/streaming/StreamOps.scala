@@ -334,6 +334,30 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming portable HyperLogLog — the twin of t90's batch sketch,
+    * and the same mergeable-summary payoff as `cmSketchStream`: the
+    * register table IS an incremental (lang, reg) → max(rho)
+    * aggregation, so Spark maintains it per micro-batch with bounded
+    * state (64 registers per group, nothing grows with the stream),
+    * and complete-mode output equals the batch construction over the
+    * same tokens (pinned in StreamingSpec). The estimate is a
+    * downstream stateless projection — consumers fold the register
+    * table exactly as the batch query does. `tokens` needs (lang,
+    * token) string columns. */
+  def hllStream(tokens: DataFrame): DataFrame = {
+    import graft.operators.TextHash
+    val rhoCase = (0 until 24)
+      .map(k => s"WHEN w >= ${1L << (23 - k)} THEN ${k + 1}")
+      .mkString("CASE ", " ", " ELSE 25 END")
+    tokens
+      .select(col("lang"), TextHash.polyHashFast(col("token")).as("h"))
+      .select(col("lang"), pmod(col("h"), lit(64L)).as("reg"),
+        expr("h div 64").as("w"))
+      .select(col("lang"), col("reg"), expr(rhoCase).as("rho"))
+      .groupBy(col("lang"), col("reg"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * `Interval.joinLookback` (q41): right-side rows of the same key
     * within `lookbackSec` BEFORE a left row. Both sides carry

@@ -211,6 +211,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("streaming HLL registers equal the batch construction after all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.hllStream(mem.toDF().toDF("lang", "token"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val b1 = Seq(("en", "alpha"), ("en", "beta"), ("de", "alpha"))
+    val b2 = Seq(("en", "gamma"), ("de", "delta"), ("de", "alpha"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = StreamOps.hllStream((b1 ++ b2).toDF("lang", "token"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming count-min sketch equals the batch sketch after all batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
