@@ -97,6 +97,47 @@ object Multimodal {
       }
   }
 
+  final case class PatchHash(id: Long, patch_row: Int, patch_col: Int,
+      ahash: Long)
+
+  /** Patch-grid perceptual hashing — the prep step of patch-based
+    * image pipelines (ViT-style patch embeddings, regional near-dup):
+    * decode ONCE, slice the raster into `grid`×`grid` equal patches,
+    * and hash each patch with the same aHash kernel as the full-image
+    * path, so regional duplicates (a copied logo, a shared border)
+    * band-join exactly like whole images do (`Dedup.hammingJoin` over
+    * (patch_row, patch_col, ahash)). Pure per-row fan-out of
+    * grid² — stays in the scan stage, no shuffle. Dimensions must be
+    * divisible by `grid` (resize first — `resizeImages` — otherwise). */
+  def patchAHashes(spark: SparkSession, assets: DataFrame,
+      grid: Int): Dataset[PatchHash] = {
+    require(grid >= 1, s"grid must be positive, got $grid")
+    import spark.implicits._
+    assets.select(col("id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload, mime) =>
+          val img = ImageCodec.decode(mime, payload)
+          require(img.width % grid == 0 && img.height % grid == 0,
+            s"image ${img.width}x${img.height} not divisible into ${grid}x$grid patches")
+          val pw = img.width / grid
+          val ph = img.height / grid
+          for (pr <- 0 until grid; pc <- 0 until grid) yield {
+            val rgb = new Array[Byte](pw * ph * 3)
+            var y = 0
+            while (y < ph) {
+              System.arraycopy(img.rgb,
+                (((pr * ph + y) * img.width) + pc * pw) * 3,
+                rgb, y * pw * 3, pw * 3)
+              y += 1
+            }
+            PatchHash(id, pr, pc,
+              ImageCodec.ahash64(ImageCodec.Image(pw, ph, rgb)))
+          }
+        }
+      }
+  }
+
   final case class AttemptedImage(id: Long, width: Int, height: Int,
       meanRgb: Array[Float], ahash: Long, mime: String, nBytes: Long,
       error: String)

@@ -774,6 +774,50 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** m76 — patch-grid aHash (Multimodal.patchAHashes): a 16×16 P6
+    * image built from document bytes splits into a 2×2 grid of 8×8
+    * patches, each perceptually hashed — the regional near-dup /
+    * patch-embedding prep step. On an 8×8 patch the aHash sample grid
+    * degenerates to per-pixel luma ((2r+1)·8/16 = r exactly), so the
+    * oracle replays ALL 64 patch pixels through the same integer
+    * BT.601 luma, mean, and bit-fold, with the patch offset folded
+    * into the byte position: px(i) = 3·((pr·8 + i÷8)·16 + pc·8 + i%8).
+    * Same ahash63 convention as m72/m74 (bit 63 dropped — DuckDB `<<`
+    * overflows signed at 63). */
+  val m76PatchAhash: Q = Q(
+    "m76_patch_ahash",
+    s"""WITH px AS (
+       |  SELECT doc_id, rpad(substring(text, 1, 768), 768, ' ') AS p FROM documents),
+       |patches AS (
+       |  SELECT doc_id, p, pr, pc FROM px
+       |  CROSS JOIN (SELECT unnest([0, 1]) AS pr)
+       |  CROSS JOIN (SELECT unnest([0, 1]) AS pc)),
+       |g AS (SELECT doc_id, pr, pc,
+       |  list_transform(range(0, 64), i ->
+       |    (77 * CAST(ascii(substring(p, CAST(3*((pr*8 + i//8)*16 + pc*8 + i%8) + 1 AS BIGINT), 1)) AS BIGINT)
+       |     + 150 * CAST(ascii(substring(p, CAST(3*((pr*8 + i//8)*16 + pc*8 + i%8) + 2 AS BIGINT), 1)) AS BIGINT)
+       |     + 29 * CAST(ascii(substring(p, CAST(3*((pr*8 + i//8)*16 + pc*8 + i%8) + 3 AS BIGINT), 1)) AS BIGINT)) // 256) AS lum
+       |  FROM patches),
+       |m AS (SELECT doc_id, pr, pc, lum,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), lum), (a, x) -> a + x) // 64 AS mean
+       |  FROM g)
+       |SELECT doc_id, CAST(pr AS BIGINT) AS patch_row, CAST(pc AS BIGINT) AS patch_col,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63),
+       |    i -> CASE WHEN lum[i+1] > mean THEN (CAST(1 AS BIGINT) << i)
+       |              ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash63
+       |FROM m ORDER BY doc_id, patch_row, patch_col""".stripMargin) { (s, dir) =>
+    import graft.operators.{ImageCodec, Multimodal}
+    val payloads = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("P6\n16 16\n255\n"),
+        rpad(substring(col("text"), 1, 768), 768, " ")).cast("binary").as("payload"))
+    val assets = Multimodal.toAssets(payloads, "doc_id", "payload", ImageCodec.PpmMime)
+    Multimodal.patchAHashes(s, assets, grid = 2).toDF()
+      .select(col("id").as("doc_id"),
+        col("patch_row").cast("long"), col("patch_col").cast("long"),
+        col("ahash").bitwiseAND(lit(Long.MaxValue)).as("ahash63"))
+      .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+  }
+
   /** d56 — CONTAINMENT dedup (Dedup.containmentPairs): doc-inside-doc
     * pairs symmetric-Jaccard LSH structurally misses (J ≈ |A|/|B| for
     * a short doc quoted whole in a long one). Fixture: every 11th
@@ -2522,5 +2566,6 @@ object Extended {
     t85Bm25, t86VocabGrowth, t87LinearScore, t88PhraseSearch, t90HllDistinct,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
-    m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, d45MinhashFast)
+    m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
+    d45MinhashFast)
 }
