@@ -443,8 +443,52 @@ object Scale {
       .orderBy(col("l_returnflag"), col("bucket"))
   }
 
+  /** q74 — snapshot diff (Diff.diff): the "after" version is derived
+    * deterministically from orders in BOTH engines (every 101st key
+    * dropped = removed, every 97th price bumped = changed, keys
+    * shifted above the max = added), so the differ's three verdicts
+    * are each exercised and hash-checked. One key-join shuffle;
+    * output is change-proportional. */
+  val q74TableDiff: Q = Q(
+    "q74_table_diff",
+    """WITH before AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+      |after AS (
+      |  SELECT o_orderkey,
+      |         o_custkey,
+      |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 101 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 103 = 0)
+      |SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |       WHEN a.o_orderkey IS NULL THEN 'removed'
+      |       WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+      |         OR b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN 'changed'
+      |       END AS change_type
+      |FROM before b FULL OUTER JOIN after a ON b.o_orderkey = a.o_orderkey
+      |WHERE (CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |       WHEN a.o_orderkey IS NULL THEN 'removed'
+      |       WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+      |         OR b.o_totalprice IS DISTINCT FROM a.o_totalprice THEN 'changed'
+      |       END) IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val before = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val after = before.filter(col("o_orderkey") % 101 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionAll(before.filter(col("o_orderkey") % 103 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+    graft.operators.Diff.diff(before, after, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
-    q71Split, q72Resample, q73EquiDepth)
+    q71Split, q72Resample, q73EquiDepth, q74TableDiff)
 }
