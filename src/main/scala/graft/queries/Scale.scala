@@ -487,8 +487,44 @@ object Scale {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q75 — grouped MEDIAN ABSOLUTE DEVIATION, exactly: the robust
+    * dispersion statistic (outlier-immune, unlike stddev) as two
+    * passes of the discrete-quantile machinery — median from the value
+    * distribution, then the median of |x − median| from the deviation
+    * distribution. Both medians are percentile_disc lower medians with
+    * integer-exact rank compares; each pass's threshold table is
+    * group-sized and broadcasts. */
+  val q75Mad: Q = Q(
+    "q75_mad",
+    """WITH v AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      |c1 AS (SELECT g, q, count(*) AS c FROM v GROUP BY g, q),
+      |w1 AS (SELECT g, q, sum(c) OVER (PARTITION BY g ORDER BY q) AS cum,
+      |       sum(c) OVER (PARTITION BY g) AS tot FROM c1),
+      |med AS (SELECT g, min(q) AS median FROM w1 WHERE cum*100 >= tot*50 GROUP BY g),
+      |d AS (SELECT v.g, abs(v.q - m.median) AS dv FROM v JOIN med m ON m.g = v.g),
+      |c2 AS (SELECT g, dv, count(*) AS c FROM d GROUP BY g, dv),
+      |w2 AS (SELECT g, dv, sum(c) OVER (PARTITION BY g ORDER BY dv) AS cum,
+      |       sum(c) OVER (PARTITION BY g) AS tot FROM c2),
+      |mad AS (SELECT g, min(dv) AS mad FROM w2 WHERE cum*100 >= tot*50 GROUP BY g)
+      |SELECT m.g AS l_returnflag, CAST(m.median AS BIGINT) AS median,
+      |       CAST(x.mad AS BIGINT) AS mad
+      |FROM med m JOIN mad x USING (g) ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import graft.operators.Quantiles
+    val v = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+    val med = Quantiles.discretePercentile(v, Seq("l_returnflag"), col("q"), 50)
+      .withColumnRenamed("threshold", "median")
+    val dev = v.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), abs(col("q") - col("median")).as("dv"))
+    val mad = Quantiles.discretePercentile(dev, Seq("l_returnflag"), col("dv"), 50)
+      .withColumnRenamed("threshold", "mad")
+    med.join(mad, "l_returnflag")
+      .select(col("l_returnflag"), col("median"), col("mad"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
-    q71Split, q72Resample, q73EquiDepth, q74TableDiff)
+    q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad)
 }
