@@ -68,6 +68,7 @@ object Extended {
       |FROM corpus GROUP BY text
       |ORDER BY keep_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 120)
     val corpus = docs.unionAll(
       docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
@@ -784,28 +785,41 @@ object Extended {
     * into the byte position: px(i) = 3·((pr·8 + i÷8)·16 + pc·8 + i%8).
     * Same ahash63 convention as m72/m74 (bit 63 dropped — DuckDB `<<`
     * overflows signed at 63). */
-  val m76PatchAhash: Q = Q(
-    "m76_patch_ahash",
-    s"""WITH px AS (
-       |  SELECT doc_id, rpad(substring(text, 1, 768), 768, ' ') AS p FROM documents),
+  /** The m76/d69 patch-hash CTE chain over any (doc_id, text)
+    * relation — one generator so the two oracles cannot drift.
+    * Produces CTEs px→patches→g→mchain ending with per-(doc, pr, pc)
+    * `lum` + `mean`; consumers fold ahash63 from them. */
+  private def patchChainSql(table: String): String = {
+    def pos(channel: Int) =
+      s"CAST(3*((pr*8 + i//8)*16 + pc*8 + i%8) + $channel AS BIGINT)"
+    s"""px AS (
+       |  SELECT doc_id, rpad(substring(text, 1, 768), 768, ' ') AS p FROM $table),
        |patches AS (
        |  SELECT doc_id, p, pr, pc FROM px
        |  CROSS JOIN (SELECT unnest([0, 1]) AS pr)
        |  CROSS JOIN (SELECT unnest([0, 1]) AS pc)),
        |g AS (SELECT doc_id, pr, pc,
        |  list_transform(range(0, 64), i ->
-       |    (77 * CAST(ascii(substring(p, CAST(3*((pr*8 + i//8)*16 + pc*8 + i%8) + 1 AS BIGINT), 1)) AS BIGINT)
-       |     + 150 * CAST(ascii(substring(p, CAST(3*((pr*8 + i//8)*16 + pc*8 + i%8) + 2 AS BIGINT), 1)) AS BIGINT)
-       |     + 29 * CAST(ascii(substring(p, CAST(3*((pr*8 + i//8)*16 + pc*8 + i%8) + 3 AS BIGINT), 1)) AS BIGINT)) // 256) AS lum
+       |    (77 * CAST(ascii(substring(p, ${pos(1)}, 1)) AS BIGINT)
+       |     + 150 * CAST(ascii(substring(p, ${pos(2)}, 1)) AS BIGINT)
+       |     + 29 * CAST(ascii(substring(p, ${pos(3)}, 1)) AS BIGINT)) // 256) AS lum
        |  FROM patches),
-       |m AS (SELECT doc_id, pr, pc, lum,
+       |mchain AS (SELECT doc_id, pr, pc, lum,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), lum), (a, x) -> a + x) // 64 AS mean
-       |  FROM g)
+       |  FROM g)""".stripMargin
+  }
+
+  private val ahash63FoldSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63),
+      |    i -> CASE WHEN lum[i+1] > mean THEN (CAST(1 AS BIGINT) << i)
+      |              ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)""".stripMargin
+
+  val m76PatchAhash: Q = Q(
+    "m76_patch_ahash",
+    s"""WITH ${patchChainSql("documents")}
        |SELECT doc_id, CAST(pr AS BIGINT) AS patch_row, CAST(pc AS BIGINT) AS patch_col,
-       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63),
-       |    i -> CASE WHEN lum[i+1] > mean THEN (CAST(1 AS BIGINT) << i)
-       |              ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash63
-       |FROM m ORDER BY doc_id, patch_row, patch_col""".stripMargin) { (s, dir) =>
+       |  $ahash63FoldSql AS ahash63
+       |FROM mchain ORDER BY doc_id, patch_row, patch_col""".stripMargin) { (s, dir) =>
     import graft.operators.{ImageCodec, Multimodal}
     val payloads = Tables.documents(s, dir).select(col("doc_id"),
       concat(lit("P6\n16 16\n255\n"),
@@ -816,6 +830,73 @@ object Extended {
         col("patch_row").cast("long"), col("patch_col").cast("long"),
         col("ahash").bitwiseAND(lit(Long.MaxValue)).as("ahash63"))
       .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+  }
+
+  /** d69 — REGIONAL near-dup pairs: m76's patch hashes through the
+    * generic hamming band join, bucketed by PATCH POSITION — two docs
+    * pair where any region matches within hamming ≤ 3, even when the
+    * whole images differ (the m73 whole-payload check structurally
+    * misses a shared logo/border). Fixture: an ABSOLUTE 120-doc slice
+    * (text-as-pixels luma is only mildly dispersive, so pair density
+    * at hamming ≤ 3 is high — an absolute slice keeps the pair set
+    * bounded at every scale factor), plus every 13th slice doc
+    * re-ingested with ONE char changed (position 5 → patch (0,0))
+    * under a shifted id — the other three patches stay byte-identical,
+    * so guaranteed pairs exist at every scale. Oracle = the shared
+    * patch chain over the injected corpus + the m73 banding SQL
+    * shape. */
+  val d69PatchNearDup: Q = Q(
+    "d69_patch_neardup",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 120
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |         substring(text, 1, 4) || 'X' || substring(text, 6, 2000000)
+       |  FROM documents WHERE doc_id < 120 AND doc_id % 13 = 0 AND length(text) >= 6),
+       |${patchChainSql("corpus")},
+       |ah AS (SELECT doc_id, pr, pc, $ahash63FoldSql AS ahash FROM mchain),
+       |bands AS (SELECT doc_id, pr, pc, ahash, b, (ahash >> (16*b)) & 65535 AS bv
+       |          FROM ah CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+       |cand AS (SELECT l.pr, l.pc, l.doc_id AS a, r.doc_id AS b,
+       |                l.ahash AS sa, r.ahash AS sb
+       |         FROM bands l JOIN bands r
+       |           ON l.pr = r.pr AND l.pc = r.pc
+       |          AND l.b = r.b AND l.bv = r.bv AND l.doc_id < r.doc_id
+       |         WHERE (l.b <= 0 OR ((l.ahash >> 0) & 65535) <> ((r.ahash >> 0) & 65535))
+       |           AND (l.b <= 1 OR ((l.ahash >> 16) & 65535) <> ((r.ahash >> 16) & 65535))
+       |           AND (l.b <= 2 OR ((l.ahash >> 32) & 65535) <> ((r.ahash >> 32) & 65535)))
+       |SELECT CAST(pr AS BIGINT) AS patch_row, CAST(pc AS BIGINT) AS patch_col,
+       |       a, b, CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 3
+       |ORDER BY patch_row, patch_col, a, b""".stripMargin) { (s, dir) =>
+    import graft.operators.{ImageCodec, Multimodal}
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 120)
+    val corpus = docs.unionAll(
+      docs.filter(col("doc_id") % 13 === 0 && length(col("text")) >= 6)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("X"),
+            substring(col("text"), 6, 2000000)).as("text")))
+    val payloads = corpus.select(col("doc_id"),
+      concat(lit("P6\n16 16\n255\n"),
+        rpad(substring(col("text"), 1, 768), 768, " ")).cast("binary").as("payload"))
+    val assets = Multimodal.toAssets(payloads, "doc_id", "payload", ImageCodec.PpmMime)
+    // hammingJoin's output is (a, b, hamming) without the bucket —
+    // encode the patch cell INTO the item id (composite id·4 + cell;
+    // same-bucket pairs share the cell, so it decodes from either side)
+    val fps = Multimodal.patchAHashes(s, assets, grid = 2).toDF()
+      .select(
+        (col("id") * 4 + col("patch_row").cast("long") * 2 +
+          col("patch_col").cast("long")).as("doc_id"),
+        (col("patch_row").cast("long") * 2 + col("patch_col").cast("long")).as("cell"),
+        graft.functions.ComputeOnce.once(
+          col("ahash").bitwiseAND(lit(Long.MaxValue))).as("fp"))
+    Dedup.hammingJoin(fps, bucketCols = Seq("cell"),
+        bands = 4, bandBits = 16, maxHamming = 3)
+      .select(expr("(a % 4) div 2").as("patch_row"), expr("a % 2").as("patch_col"),
+        expr("a div 4").as("a"), expr("b div 4").as("b"), col("hamming"))
+      .orderBy(col("patch_row"), col("patch_col"), col("a"), col("b"))
   }
 
   /** d56 — CONTAINMENT dedup (Dedup.containmentPairs): doc-inside-doc
@@ -2567,5 +2648,5 @@ object Extended {
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
-    d45MinhashFast)
+    d69PatchNearDup, d45MinhashFast)
 }
