@@ -44,7 +44,7 @@ object Merge {
       if (nonKey.isEmpty) updates.distinct()
       else {
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(struct(nonKey.map(col): _*).desc)
+          .orderBy(struct(nonKey.toIndexedSeq.map(col): _*).desc)
         updates.withColumn("graft_rn", row_number().over(w))
           .filter(col("graft_rn") === 1).drop("graft_rn")
       }

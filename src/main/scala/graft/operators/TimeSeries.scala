@@ -26,7 +26,13 @@ object TimeSeries {
     * arithmetic on both engines; values route through DECIMAL(18,2)
     * BEFORE summation (the q01 float-sum rule).
     *
-    * Output: (key, idx, n_events, sum_value, filled). */
+    * Output: (key, idx, n_events, sum_value, filled).
+    *
+    * Bucket indexing uses TRUNCATING division on epoch micros, which
+    * agrees with floor only at or after 1970-01-01 — pre-epoch
+    * timestamps would bucket differently across engines (Spark `div`
+    * truncates toward zero, SQL `//` floors); guard upstream if your
+    * data predates the epoch. */
   def resample(df: DataFrame, key: Column, ts: Column, value: Column,
       bucketSec: Long): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
