@@ -68,7 +68,6 @@ object Extended {
       |FROM corpus GROUP BY text
       |ORDER BY keep_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      .filter(col("doc_id") < 120)
     val corpus = docs.unionAll(
       docs.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
