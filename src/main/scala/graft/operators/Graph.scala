@@ -233,6 +233,56 @@ object Graph {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** Seeded label propagation — semi-supervised label spreading over a
+    * similarity graph (propagate known quality/class labels from a
+    * small labeled seed set to the unlabeled mass through near-dup /
+    * similarity edges): each round, every UNLABELED node adjacent to a
+    * labeled one adopts the majority label of its labeled neighbors
+    * (vote count desc, label asc — the deterministic tie rule);
+    * labeled nodes are hard-clamped (never re-vote). Exact integer
+    * votes, argmax as the skew-safe `max(struct(cnt, -label))`
+    * aggregation (d66's rule, never a per-node rank window over raw
+    * votes... the vote table is (node, label)-aggregated first), loop
+    * checkpointed per round with release-previous.
+    *
+    * `edges`: undirected (a, b); `seeds`: (id, label) integral.
+    * Output: (id, label) for seeds plus every node reached within
+    * `rounds` hops of one. */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagate needs at least one round")
+    val sym = edges.select(col("a").cast("long").as("na"),
+        col("b").cast("long").as("nb"))
+      .unionAll(edges.select(col("b").cast("long").as("na"),
+        col("a").cast("long").as("nb")))
+      .filter(col("na") =!= col("nb"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    var (labels, releaseLabels) = graft.Caches.checkpoint(
+      seeds.select(col("id").cast("long").as("id"),
+        col("label").cast("long").as("label")).distinct())
+    var round = 0
+    while (round < rounds) {
+      val votes = sym
+        .join(labels.select(col("id").as("na"), col("label")), "na")
+        .select(col("nb").as("vid"), col("label"))
+        .join(labels.select(col("id").as("vid")), Seq("vid"), "left_anti")
+        .groupBy(col("vid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val adopted = votes
+        .groupBy(col("vid"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neglabel"))).as("best"))
+        .select(col("vid").as("id"), (-col("best.neglabel")).as("label"))
+      val (next, releaseNext) = graft.Caches.checkpoint(
+        labels.unionAll(adopted))
+      releaseLabels()
+      labels = next
+      releaseLabels = releaseNext
+      round += 1
+    }
+    labels
+  }
+
   /** Multi-source BFS: exact hop distance from a seed set, frontier
     * style — each round joins ONLY the newly discovered frontier
     * against the edge list (never the full distance table), anti-joins

@@ -183,6 +183,48 @@ object Extended {
       .orderBy(col("a"), col("b"))
   }
 
+  /** g06 — seeded label propagation (Graph.labelPropagate): a small
+    * labeled seed set (vec_id < 50, class = vec_id % 3 — an arbitrary
+    * but deterministic attribute, deliberately NOT the cell id the
+    * edges are bucketed by) spreads 2 rounds through the
+    * cosine-similarity graph; unlabeled nodes adopt the majority
+    * neighbor label (count desc, label asc), labeled nodes are
+    * hard-clamped. Oracle = the d44 pair chain + 2 unrolled
+    * MATERIALIZED vote/argmax/union rounds. */
+  val g06LabelProp: Q = {
+    def voteRound(i: Int) =
+      s"""v$i AS MATERIALIZED (
+         |  SELECT s.b AS id, l.cls, count(*) AS c
+         |  FROM sym s JOIN l${i - 1} l ON l.id = s.a
+         |  WHERE NOT EXISTS (SELECT 1 FROM l${i - 1} x WHERE x.id = s.b)
+         |  GROUP BY s.b, l.cls),
+         |w$i AS MATERIALIZED (SELECT id, cls FROM (
+         |  SELECT id, cls, row_number() OVER (PARTITION BY id ORDER BY c DESC, cls) AS rn
+         |  FROM v$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT id, cls FROM l${i - 1} UNION ALL SELECT id, cls FROM w$i)""".stripMargin
+    Q(
+      "g06_label_prop",
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${dotSql("a.embedding", "b.embedding")} >= 0.3),
+         |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+         |l0 AS MATERIALIZED (
+         |  SELECT vec_id AS id, vec_id % 3 AS cls FROM embeddings WHERE vec_id < 50),
+         |${voteRound(1)},
+         |${voteRound(2)}
+         |SELECT id, CAST(cls AS BIGINT) AS label FROM l2 ORDER BY id""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        val pairs = Similarity.nearDupPairs(emb, 0.3).select(col("a"), col("b"))
+        val seeds = emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("id"), (col("vec_id") % 3).as("label"))
+        graft.operators.Graph.labelPropagate(pairs, seeds, rounds = 2)
+          .orderBy(col("id"))
+    }
+  }
+
   // ---- shared ANN oracle fragments: ONE query-set definition and ONE
   // score/rank shape for s50 (brute), s51 (IVF) and s54 (recall), so
   // the recall metric is by construction measured against the same
@@ -2638,7 +2680,7 @@ object Extended {
     t73ChunkOverlap,
     s50KnnBrute, s51KnnIvf, s52CentroidAssign, s53Int8Quant, s54AnnRecall, s55EmbedClusters,
     s56PqAdc, s57IvfPqTopK, s58PqRerank, s59EmbedDedupApply, s60MultiProbe,
-    s61KmeansStep,
+    s61KmeansStep, g06LabelProp,
     t60TextQuality, t61LangId, t62TokenStats, t63Fingerprint, t64Repetition, t65CorpusDf,
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,

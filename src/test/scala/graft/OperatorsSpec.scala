@@ -1709,6 +1709,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 9L, 3L)), 9L -> ((9L, 2L, 1L))))
   }
 
+  test("labelPropagate: majority wins, ties break to the smaller label, clamped seeds never re-vote, reach grows per round") {
+    import graft.operators.Graph
+    // 1—2, 2—3, 4—2; seeds 1→10, 4→20. Round 1: node 2 ties 10 vs 20
+    // → 10. Round 2: node 3 reaches the newly labeled 2 → 10.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 2L)).toDF("a", "b")
+    val seeds = Seq((1L, 10L), (4L, 20L)).toDF("id", "label")
+    val one = Graph.labelPropagate(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 10L, 4L -> 20L, 2L -> 10L)) // 3 not yet reached
+    Caches.releaseAll()
+    val two = Graph.labelPropagate(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(1L -> 10L, 4L -> 20L, 2L -> 10L, 3L -> 10L))
+    Caches.releaseAll()
+  }
+
   test("bfsDistances: first discovery is the min hop; cap stops the frontier; two seeds meet in the middle") {
     import graft.operators.Graph
     // path 1—2—3—4—5, symmetrized
