@@ -1803,6 +1803,10 @@ class OperatorsSpec extends SparkSpec {
         graft.operators.Graph.bfsDistances(
           Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
           Seq(1L).toDF("id"), maxHops = 4)),
+      "labelPropagate" -> (() =>
+        graft.operators.Graph.labelPropagate(
+          Seq((1L, 2L), (2L, 3L)).toDF("a", "b"),
+          Seq((1L, 7L)).toDF("id", "label"), rounds = 2)),
       "starComponents" -> (() =>
         Dedup.starComponents(nodes, edges)),
       "runningTotal" -> (() =>
