@@ -523,8 +523,54 @@ object Scale {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q76 — DYNAMIC partition pruning, end to end: the fact table is
+    * written PARTITIONED on the join key (hive layout), the dimension
+    * side's predicate is an aggregate threshold (runtime-only — not
+    * foldable to a static partition filter), and Spark's DPP injects
+    * the dim's surviving keys into the fact scan's partition filters
+    * at execution, so pruned partitions are never read. The oracle
+    * computes the same join from the unpartitioned original — pruning
+    * must change the WORK, never the answer (the q43 bloom rule, at
+    * the partition-layout level). PlanAuditSpec pins the
+    * `dynamicpruning` subquery in the executed scan. */
+  val q76DppPrune: Q = Q(
+    "q76_dpp_prune",
+    """WITH flags AS (
+      |  SELECT l_returnflag, sum(l_quantity) AS flag_qty
+      |  FROM lineitem GROUP BY l_returnflag),
+      |dim AS (
+      |  SELECT l_returnflag FROM flags
+      |  WHERE flag_qty >= (SELECT max(flag_qty) FROM flags))
+      |SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN dim USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val fact = s.read.parquet(tmp)
+    val flags = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("flag_qty"))
+      .transform(d => graft.Caches.pin(d))
+    // keep the heaviest flag(s): runtime-only w.r.t. the PARTITION
+    // column (the surviving keys are unknowable statically) yet
+    // non-empty at every sf. The 1-row max collects to a driver
+    // literal (bounded scalar, the centroid-collect class) because
+    // Spark's DPP insertion heuristic (isLikelySelective) requires a
+    // literal comparison on the pruning side — an attribute-vs-
+    // attribute filter never qualifies.
+    val bestQty = flags.agg(max(col("flag_qty"))).head.getDouble(0)
+    val dim = flags.filter(col("flag_qty") >= lit(bestQty))
+      .select(col("l_returnflag"))
+    fact.join(dim, "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
-    q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad)
+    q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune)
 }

@@ -97,6 +97,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window in the round plan:\n$p")
   }
 
+  test("q76: dynamic partition pruning reaches the partitioned fact scan") {
+    val df = SparkEntry.queries("q76_dpp_prune")(spark, sfDir)
+    df.collect() // DPP is injected at execution — audit the EXECUTED plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in the fact scan:\n$p")
+  }
+
   test("g02: both windows stay key-partitioned; transition counts aggregate map-side") {
     // the lag window must partition by user (sessionization shape) and
     // the out-total window by prev_type (constant-sized matrix frame) —
