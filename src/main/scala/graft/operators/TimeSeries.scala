@@ -23,8 +23,17 @@ object TimeSeries {
     * cross join against a global calendar), so spine size is
     * Σ_key(span_k) and the shuffles stay keyed. Bucket identity is the
     * integer epoch-microsecond index div bucket width — exact integer
-    * arithmetic on both engines; values route through DECIMAL(18,2)
-    * BEFORE summation (the q01 float-sum rule).
+    * arithmetic on both engines; values route through exact integer
+    * CENTS (`CAST(round(value·100) AS BIGINT)`) before ANY
+    * accumulation — summation, gap fill and the final render all
+    * operate on BIGINT, and the DECIMAL(18,2) output is produced by
+    * one exact decimal multiply (cents · 0.01) at the very end. No
+    * float and no engine-version-sensitive construct (DOUBLE→DECIMAL
+    * cast rounding, IGNORE-NULLS window frames) ever touches
+    * accumulated state — the t80/t85 rule, which cross-engine
+    * differential testing showed q72's earlier DECIMAL-sum +
+    * IGNORE-NULLS formulation violating under oracle-engine version
+    * drift.
     *
     * Output: (key, idx, n_events, sum_value, filled).
     *
@@ -39,20 +48,28 @@ object TimeSeries {
     val bucketUs = bucketSec * 1000000L
     val base = df
       .select(key.as("key"), unix_micros(ts).as("graft_us"),
-        value.cast(DecimalType(18, 2)).as("v"))
+        round(value.cast("double") * lit(100)).cast("long").as("cents"))
       .select(col("key"),
-        expr(s"graft_us div CAST($bucketUs AS BIGINT)").as("idx"), col("v"))
+        expr(s"graft_us div CAST($bucketUs AS BIGINT)").as("idx"),
+        col("cents"))
     val agg = base.groupBy(col("key"), col("idx"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("v")).cast(DecimalType(18, 2)).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
     val spine = base.groupBy(col("key"))
       .agg(min(col("idx")).as("mn"), max(col("idx")).as("mx"))
       .select(col("key"), explode(sequence(col("mn"), col("mx"))).as("idx"))
     val w = Window.partitionBy(col("key")).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cents · 0.01 as DECIMAL(3,2) is an EXACT decimal multiply (never
+    // a float op, never a DOUBLE→DECIMAL cast) — the render step.
+    def asDecimal(c: Column): Column =
+      (c * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2))
     spine.join(agg, Seq("key", "idx"), "left")
       .select(col("key"), col("idx"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"), col("sum_value"))
-      .withColumn("filled", last(col("sum_value"), ignoreNulls = true).over(w))
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("sum_cents"))
+      .withColumn("fill_cents",
+        last(col("sum_cents"), ignoreNulls = true).over(w))
+      .select(col("key"), col("idx"), col("n_events"),
+        asDecimal(col("sum_cents")).as("sum_value"),
+        asDecimal(col("fill_cents")).as("filled"))
   }
 }

@@ -270,17 +270,81 @@ object Advanced {
       .orderBy(col("nation"))
   }
 
-  /** q36 — approximate sketches (HLL distinct count, approximate
-    * percentile): rows-only gate (sketch internals are engine-specific
-    * so no cross-engine hash-match is possible — which is exactly why
-    * the exact twins q12/q25 exist). */
-  val q36ApproxSketches: Q = Q.noOracle("q36_approx_sketches") { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
-      .orderBy(col("l_returnflag"))
+  /** q36 — approximate sketches, fully oracle-hash-matched: the
+    * PORTABLE 64-register HyperLogLog (t90's construction — every
+    * register term a power of two so the sum is exact in binary FP
+    * regardless of accumulation order; the raw estimator α·m²/s is two
+    * IEEE ops on exact inputs, hence bit-reproducible cross-engine)
+    * over `l_partkey`, next to the exact rational-rank discrete median
+    * of `l_extendedprice` (Quantiles.discretePercentile — integer rank
+    * compare, `percentile_disc` semantics). BIGINT keys hash with a
+    * modmul LCG over P = 1e9+7 (operands < 2³⁰ so the product fits
+    * int64 on both engines — no string round-trip per row). This
+    * retires q36's original `no_oracle` carve-out: engine-native
+    * `approx_count_distinct`/`percentile_approx` remain the opaque
+    * production alternatives, but the sketch SEMANTICS are portably
+    * SQL-expressible, so the catalogue entry is now a real
+    * rows/schema/hash row. Exact twins: q12/q25 (distinct counts),
+    * q73 (equi-depth). */
+  val q36ApproxSketches: Q = {
+    // rho = 1-based first-one-bit position in the 24-bit window
+    // w = h div 64 (h < P = 1e9+7 < 2^30 ⇒ w < 2^24); w = 0 → 25.
+    // One generated CASE, shared verbatim by Spark and DuckDB.
+    val rhoCase = (0 until 24)
+      .map(k => s"WHEN w >= ${1L << (23 - k)} THEN ${k + 1}")
+      .mkString("CASE ", " ", " ELSE 25 END")
+    val hashSql = "((l_partkey % 1000000007) * 1103515245 + 12345) % 1000000007"
+    Q(
+      "q36_approx_sketches",
+      s"""WITH h AS (SELECT l_returnflag AS flag, $hashSql AS hh FROM lineitem),
+         |b AS (SELECT flag, hh % 64 AS reg, hh // 64 AS w FROM h),
+         |r AS (SELECT flag, reg, $rhoCase AS rho FROM b),
+         |m AS (SELECT flag, reg, max(rho) AS max_rho FROM r GROUP BY flag, reg),
+         |e AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_regs,
+         |        sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s_present
+         |      FROM m GROUP BY flag),
+         |x AS (SELECT l_returnflag AS flag,
+         |        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+         |      FROM lineitem GROUP BY flag),
+         |d AS (SELECT l_returnflag AS flag, l_extendedprice AS v, count(*) AS c
+         |      FROM lineitem GROUP BY flag, v),
+         |w2 AS (SELECT flag, v, c,
+         |        sum(c) OVER (PARTITION BY flag ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |        sum(c) OVER (PARTITION BY flag) AS tot
+         |      FROM d),
+         |med AS (SELECT flag, min(v) AS median_price
+         |        FROM w2 WHERE cum * 100 >= tot * 50 GROUP BY flag)
+         |SELECT e.flag AS l_returnflag, e.n_regs,
+         |  CAST('0.709' AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |    / (e.s_present + (64 - e.n_regs)) AS est_parts,
+         |  x.exact_parts, med.median_price
+         |FROM e JOIN x USING (flag) JOIN med USING (flag)
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val regs = li
+        .select(col("l_returnflag").as("flag"), expr(hashSql).as("hh"))
+        .select(col("flag"), expr("hh % 64").as("reg"), expr("hh div 64").as("w"))
+        .select(col("flag"), col("reg"), expr(rhoCase).as("rho"))
+        .groupBy(col("flag"), col("reg")).agg(max(col("rho")).as("max_rho"))
+      val est = regs.groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_regs"),
+          sum(expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), max_rho)"))
+            .as("s_present"))
+        .select(col("flag"), col("n_regs"),
+          (lit(0.709) * lit(4096.0) /
+            (col("s_present") + (lit(64) - col("n_regs")))).as("est_parts"))
+      val exact = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val med = graft.operators.Quantiles
+        .discretePercentile(li.select(col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), col("l_extendedprice"), 50)
+        .select(col("l_returnflag").as("flag"), col("threshold").as("median_price"))
+      est.join(exact, "flag").join(med, "flag")
+        .select(col("flag").as("l_returnflag"), col("n_regs"), col("est_parts"),
+          col("exact_parts"), col("median_price"))
+        .orderBy(col("l_returnflag"))
+    }
   }
 
   /** q40 — session windows (30-min inactivity gap) per user: Spark's

@@ -379,25 +379,35 @@ object Scale {
     * (TimeSeries.resample): every user's bucket range is hole-free,
     * absent buckets carry n_events = 0 and a forward-filled running
     * sum. The spine generates per key from its own min/max (agg +
-    * generator — never a cross join against a global calendar); sums
-    * route through DECIMAL(18,2) before aggregation. */
+    * generator — never a cross join against a global calendar). All
+    * accumulation is in exact integer CENTS on both legs (the t80/t85
+    * rule), and the oracle's forward fill is gaps-and-islands (a
+    * non-null-count group id + one max per group) rather than
+    * `last_value(... IGNORE NULLS)` — both the DECIMAL-sum and the
+    * IGNORE-NULLS window proved sensitive to the oracle engine's
+    * version (cell-identical outputs hash-mismatched under a different
+    * DuckDB build), so neither construct appears on either leg. */
   val q72Resample: Q = Q(
     "q72_resample",
     """WITH e AS (
       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS idx,
-      |         CAST(value AS DECIMAL(18,2)) AS v
+      |         CAST(round(value * 100) AS BIGINT) AS cents
       |  FROM events),
       |a AS (SELECT user_id, idx, CAST(count(*) AS BIGINT) AS n_events,
-      |             CAST(sum(v) AS DECIMAL(18,2)) AS sum_value
+      |             CAST(sum(cents) AS BIGINT) AS c
       |      FROM e GROUP BY user_id, idx),
       |sp AS (SELECT user_id, unnest(range(mn, mx + 1)) AS idx
       |       FROM (SELECT user_id, min(idx) AS mn, max(idx) AS mx FROM e GROUP BY user_id)),
-      |j AS (SELECT sp.user_id, sp.idx, COALESCE(a.n_events, 0) AS n_events, a.sum_value
-      |      FROM sp LEFT JOIN a ON a.user_id = sp.user_id AND a.idx = sp.idx)
-      |SELECT user_id, idx, n_events, sum_value,
-      |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY idx
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-      |FROM j ORDER BY user_id, idx""".stripMargin) { (s, dir) =>
+      |j AS (SELECT sp.user_id, sp.idx, COALESCE(a.n_events, 0) AS n_events, a.c
+      |      FROM sp LEFT JOIN a ON a.user_id = sp.user_id AND a.idx = sp.idx),
+      |g AS (SELECT user_id, idx, n_events, c,
+      |        count(c) OVER (PARTITION BY user_id ORDER BY idx
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |      FROM j)
+      |SELECT user_id, idx, n_events,
+      |  CAST(c * 0.01 AS DECIMAL(18,2)) AS sum_value,
+      |  CAST(max(c) OVER (PARTITION BY user_id, grp) * 0.01 AS DECIMAL(18,2)) AS filled
+      |FROM g ORDER BY user_id, idx""".stripMargin) { (s, dir) =>
     graft.operators.TimeSeries.resample(Tables.events(s, dir),
         col("user_id").as("user_id"), col("ts"), col("value"), bucketSec = 3600L)
       .withColumnRenamed("key", "user_id")

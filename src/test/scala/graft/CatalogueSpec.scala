@@ -62,12 +62,15 @@ class CatalogueSpec extends SparkSpec {
   }
 
   test("q36 approx sketches land within error bounds of the exact values") {
-    // q36 is rows-only at the oracle gate (HLL/KLL internals are
-    // engine-specific) — bound-check it here instead: HLL default
-    // rsd is 5% (allow 3σ), and the approx median must sit between
-    // the exact 40th and 60th percentiles given accuracy 1000.
-    val approx = SparkEntry.queries("q36_approx_sketches")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // q36 is now fully oracle-hash-matched (portable HLL + exact
+    // rational-rank median) — this test checks the SEMANTIC quality of
+    // the sketch, not portability: the raw 64-register HLL estimate
+    // must land within 3σ of the exact distinct count (rsd = 1.04/√64
+    // = 13%, 3σ = 39%), and the percentile_disc median must sit
+    // between the exact 40th and 60th percentiles.
+    val rows = SparkEntry.queries("q36_approx_sketches")(spark, sfDir).collect()
+    val approx = rows.map(r => r.getString(0) ->
+      (r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
     val exact = graft.engine.Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("parts"),
@@ -75,12 +78,14 @@ class CatalogueSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getSeq[Double](2))).toMap
     assert(approx.keySet == exact.keySet)
-    approx.foreach { case (flag, (aParts, aMedian)) =>
+    approx.foreach { case (flag, (estParts, exactParts, median)) =>
       val (eParts, p) = exact(flag)
-      assert(math.abs(aParts - eParts).toDouble / eParts <= 0.15,
-        s"$flag: approx distinct $aParts vs exact $eParts")
-      assert(aMedian >= p.head && aMedian <= p.last,
-        s"$flag: approx median $aMedian outside [${p.head}, ${p.last}]")
+      assert(exactParts == eParts,
+        s"$flag: q36's own exact_parts $exactParts vs recomputed $eParts")
+      assert(math.abs(estParts - eParts) / eParts <= 0.39,
+        s"$flag: HLL estimate $estParts vs exact $eParts")
+      assert(median >= p.head && median <= p.last,
+        s"$flag: median $median outside [${p.head}, ${p.last}]")
     }
   }
 }

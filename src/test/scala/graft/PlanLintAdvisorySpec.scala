@@ -22,7 +22,6 @@ class PlanLintAdvisorySpec extends SparkSpec {
     val reviewed = Set(
       "q25_percentile",      // exact percentile: value-buffer agg IS the semantics
       "q26_array_agg",       // collect over per-group arrays, group-bounded
-      "q36_approx_sketches", // engine-native sketch aggregates (HLL/KLL)
       "q48_topk_agg",        // bounded-heap TopKAgg: k-item buffer by design
       "t75_source_cap",      // same TopKAgg, per-source cap
       "t76_heavy_hitters",   // weighted MG over PRE-AGGREGATED vocab (the fix)
