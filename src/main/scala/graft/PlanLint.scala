@@ -50,6 +50,12 @@ object PlanLint {
     * structurally-safe producer of a single-partition exchange. */
   private def isGlobalPartialAgg(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+    // stop the descent at exchange boundaries: a nested exchange means
+    // whatever partial agg sits BELOW it converged a different data
+    // flow — exempting through it would let an unrelated
+    // single-partition funnel hide behind a deep global agg (lint
+    // false negative)
+    case _: org.apache.spark.sql.execution.exchange.Exchange => false
     case _ if p.children.size == 1 => isGlobalPartialAgg(p.children.head)
     case _ => false
   }

@@ -30,9 +30,16 @@ object Tables {
     * of assuming a generation — the conversion is exact either way
     * (the nanos data is micros-aligned; DuckDB's TIMESTAMP cast
     * agrees).
+    *
+    * The `spark.sql.legacy.parquet.nanosAsLong` conf that unlocks the
+    * nanos generation is set by the HARNESS sessions (Verify / Bench /
+    * Explain / the test spec), never here: a library table reader must
+    * not flip session-global semantics under a co-tenant (their own
+    * nanos parquet would silently start arriving as longs). On a
+    * session without the flag, nanos-generation data fails loudly at
+    * the scan — the correct failure mode for an un-opted-in session.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -48,6 +55,26 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
+}
+
+/** Deterministic scratch directories for catalogue queries that must
+  * MATERIALIZE a layout to demonstrate an end-to-end path (q69's
+  * staged-write round-trip, q76's hive-partitioned DPP fact). A fresh
+  * `createTempDirectory` per construction accumulated one full copy
+  * per run (bench constructs every query at least twice); a
+  * deterministic per-(label, sfDir) path + `mode("overwrite")` bounds
+  * disk to ONE live copy per fixture. Single-process use (Verify /
+  * Bench / tests) — two sessions writing the same sfDir concurrently
+  * would race, which no harness does.
+  */
+object WorkDirs {
+  def path(label: String, sfDir: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work",
+      s"${label}_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    java.nio.file.Files.createDirectories(root.getParent)
+    root.toString
+  }
 }
 
 /** One catalogue entry: a named query plus (optionally) its DuckDB

@@ -120,6 +120,12 @@ object VarintPostings {
       acc |= (byte & 0x7fL) << shift
       if ((byte & 0x80) == 0) {
         val v = if (first) acc else prev + acc
+        // a negative term (bit 63 set in the varint) or an additive
+        // wrap past Long.MaxValue is structurally valid bytes but not
+        // a sorted non-negative posting list — NULL, matching the
+        // encode-side rejection convention (a wrap would otherwise
+        // return a garbage non-sorted array)
+        if (acc < 0L || v < prev) return null
         out += v
         prev = v
         first = false

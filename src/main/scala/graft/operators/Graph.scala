@@ -46,8 +46,9 @@ object Graph {
     * `(id, base)` rows afterwards.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      unit: Long = 1000000000000L): DataFrame = {
+      unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    require(epsUnits >= 0L, "epsUnits must be non-negative")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -79,14 +80,23 @@ object Graph {
         .select(col("id"), col("outdeg"), lit(base).as("rank_fp"))
         .coalesce(parts))
     val eRenamed = e.select(col("src").as("edge_src"), col("dst").as("edge_dst"))
+    // convergence early-exit: stop once max |Δrank| ≤ epsUnits. At the
+    // default ε = 0 this fires only at the EXACT fixed point — every
+    // remaining round would reproduce the same state bit-for-bit, so
+    // exiting early is output-identical to the full `iters` unroll
+    // (the oracle's unrolled rounds stay valid); ε > 0 is the
+    // approximate opt-in. At 100× scale wasted post-convergence rounds
+    // are the dominant cost of a fixed-iters loop.
     var iter = 0
-    while (iter < iters) {
+    var converged = false
+    while (iter < iters && !converged) {
       val (next, releaseNext) = graft.Caches.checkpoint(
         pageRankRound(state, eRenamed, n, base).coalesce(parts))
       releaseState()
       state = next
       releaseState = releaseNext
       iter += 1
+      if (iter < iters) converged = maxDelta(state) <= epsUnits
     }
     state.select(col("id"), col("rank_fp"))
   }
@@ -102,8 +112,9 @@ object Graph {
     * 1e12 leaves 9.2e6 of weight headroom per edge, enough for
     * count-style weights; scale weights down if yours are larger. */
   def pageRankWeighted(edges: DataFrame, iters: Int = 3,
-      unit: Long = 1000000000000L): DataFrame = {
+      unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame = {
     require(iters >= 1, "pageRankWeighted needs at least one iteration")
+    require(epsUnits >= 0L, "epsUnits must be non-negative")
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") > 0)
@@ -128,8 +139,10 @@ object Graph {
         .coalesce(parts))
     val eRenamed = e.select(col("src").as("edge_src"),
       col("dst").as("edge_dst"), col("w").as("edge_w"))
+    // same ε-convergence early-exit as pageRank (exact at ε = 0)
     var iter = 0
-    while (iter < iters) {
+    var converged = false
+    while (iter < iters && !converged) {
       val (next, releaseNext) = graft.Caches.checkpoint(
         pageRankRound(state, eRenamed, n, base, weighted = true)
           .coalesce(parts))
@@ -137,6 +150,7 @@ object Graph {
       state = next
       releaseState = releaseNext
       iter += 1
+      if (iter < iters) converged = maxDelta(state) <= epsUnits
     }
     state.select(col("id"), col("rank_fp"))
   }
@@ -163,14 +177,23 @@ object Graph {
     // out-edges leak their rank; redistribute it uniformly
     val dangling = state.filter(col("outdeg").isNull)
       .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
-    state.select(col("id"), col("outdeg"))
+    state.select(col("id"), col("outdeg"), col("rank_fp").as("prev_fp"))
       .join(contribs, col("id") === col("cid"), "left")
       .crossJoin(broadcast(dangling))
-      .select(col("id"), col("outdeg"),
+      .select(col("id"), col("outdeg"), col("prev_fp"),
         (lit(15L * base / 100L) + expr(
           s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dang div CAST($n AS BIGINT))) div 100"))
           .as("rank_fp"))
   }
+
+  /** Convergence probe for the fixed-point loops: max |Δrank| over the
+    * just-checkpointed round output. The round carries the previous
+    * rank as `prev_fp`, so this is ONE scan of an already-materialized
+    * cached frame (a map + max reduce — no join, no extra shuffle),
+    * not a state-vs-state join. */
+  private def maxDelta(next: DataFrame): Long =
+    next.agg(coalesce(max(abs(col("rank_fp") - col("prev_fp"))), lit(0L)))
+      .head().getLong(0)
 
   /** Per-node triangle counts by DEGREE-ORDERED ORIENTATION (the
     * classic MapReduce trick — Suri & Vassilvitskii 2011, "Counting
@@ -261,8 +284,15 @@ object Graph {
     var (labels, releaseLabels) = graft.Caches.checkpoint(
       seeds.select(col("id").cast("long").as("id"),
         col("label").cast("long").as("label")).distinct())
+    // frontier-exhaustion early-exit: labeled nodes are clamped, so if
+    // a round adopts nothing the vote table is identical next round —
+    // every remaining round is a no-op and exiting is output-identical
+    // to the full unroll. The probe is a count() on the
+    // just-checkpointed label frame (cached blocks, no recompute).
+    var prevCount = labels.count()
     var round = 0
-    while (round < rounds) {
+    var exhausted = false
+    while (round < rounds && !exhausted) {
       val votes = sym
         .join(labels.select(col("id").as("na"), col("label")), "na")
         .select(col("nb").as("vid"), col("label"))
@@ -279,6 +309,11 @@ object Graph {
       labels = next
       releaseLabels = releaseNext
       round += 1
+      if (round < rounds) {
+        val cnt = labels.count()
+        exhausted = cnt == prevCount
+        prevCount = cnt
+      }
     }
     labels
   }

@@ -642,35 +642,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("sum_pair"), col("sum_left"))
   }
 
-  /** BM25-family relevance ranking of the corpus against a small
-    * query-term set, in EXACT fixed-point arithmetic — the retrieval
-    * step of retrieval-augmented curation (rank the corpus against a
-    * topic probe, keep/inspect the head). Okapi BM25 with k1 = 6/5,
-    * b = 3/4 and the RATIONAL odds idf (2N − 2df + 1)/(2df + 1): the
-    * standard formulation wraps that odds in ln(·), a transcendental
-    * whose last-ulp value is implementation-defined — per-term doc
-    * ranking is unchanged by the (monotone) ln, and dropping it keeps
-    * every comparison bit-reproducible across engines and platforms
-    * (the t80 design rule: no float enters any decision). With
-    * avgdl = T/N (T = corpus tokens, N = corpus docs) the per-term
-    * contribution folds to one exact integer fraction:
-    *
-    *   idf_r · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))
-    *     = 22·T·tf·(2N − 2df + 1) / ((2df + 1)·(10·tf·T + 3·T + 9·dl·N))
-    *
-    * scored as floor(10⁶·num/den) in decimal(38,0) (the products pass
-    * 2⁶³ at corpus scale; the quotient is micro-units ≤ ~10¹²·so a
-    * long), and per-doc scores are exact BIGINT sums of those units.
-    *
-    * Plan shape at 100 TB: dl is a NARROW size(tokens) projection (no
-    * explode); only postings matching the query terms are shuffled
-    * (the isin filter runs in the scan stage, so the (doc, term)
-    * aggregate sees query-matched occurrences, not the corpus); the
-    * df table is ≤ |terms| rows and broadcast; corpus totals ride in
-    * as a broadcast 1-row cross join; the final top-k is an
-    * orderBy·limit (TakeOrderedAndProject — per-partition heaps, no
-    * global sort). Docs matching no query term score 0 and are
-    * absent, the sparse-retrieval convention. */
   /** Linear model scoring over hashed bag-of-words features — the
     * fasttext-style quality-classifier apply step. Tokens hash into
     * `buckets` feature slots (polynomial rolling hash, the corpus-wide
@@ -715,6 +686,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** BM25-family relevance ranking of the corpus against a small
+    * query-term set, in EXACT fixed-point arithmetic — the retrieval
+    * step of retrieval-augmented curation (rank the corpus against a
+    * topic probe, keep/inspect the head). Okapi BM25 with k1 = 6/5,
+    * b = 3/4 and the RATIONAL odds idf (2N − 2df + 1)/(2df + 1): the
+    * standard formulation wraps that odds in ln(·), a transcendental
+    * whose last-ulp value is implementation-defined — per-term doc
+    * ranking is unchanged by the (monotone) ln, and dropping it keeps
+    * every comparison bit-reproducible across engines and platforms
+    * (the t80 design rule: no float enters any decision). With
+    * avgdl = T/N (T = corpus tokens, N = corpus docs) the per-term
+    * contribution folds to one exact integer fraction:
+    *
+    *   idf_r · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))
+    *     = 22·T·tf·(2N − 2df + 1) / ((2df + 1)·(10·tf·T + 3·T + 9·dl·N))
+    *
+    * scored as floor(10⁶·num/den) in decimal(38,0) (the products pass
+    * 2⁶³ at corpus scale; the quotient is micro-units ≤ ~10¹²·so a
+    * long), and per-doc scores are exact BIGINT sums of those units.
+    *
+    * Plan shape at 100 TB: dl is a NARROW size(tokens) projection (no
+    * explode); only postings matching the query terms are shuffled
+    * (the isin filter runs in the scan stage, so the (doc, term)
+    * aggregate sees query-matched occurrences, not the corpus); the
+    * df table is ≤ |terms| rows and broadcast; corpus totals ride in
+    * as a broadcast 1-row cross join; the final top-k is an
+    * orderBy·limit (TakeOrderedAndProject — per-partition heaps, no
+    * global sort). Docs matching no query term score 0 and are
+    * absent, the sparse-retrieval convention. */
   def bm25TopDocs(df: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")

@@ -220,7 +220,7 @@ object Advanced {
       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
       |FROM documents WHERE doc_id < 150 AND doc_id % 5 + 2020 = 2023
       |GROUP BY 1, 2 ORDER BY league, endpoint""".stripMargin) { (s, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q69").toString
+    val tmp = graft.engine.WorkDirs.path("q69", dir)
     // deterministic bounded subset: the layout is one row per file, so
     // an uncapped stage writes |documents| files — the cap keeps the
     // materialized tree sf-independent (the connector's own scaling is

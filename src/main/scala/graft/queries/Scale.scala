@@ -556,7 +556,7 @@ object Scale {
       |FROM lineitem l JOIN dim USING (l_returnflag)
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val tmp = graft.engine.WorkDirs.path("dpp", dir)
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     val fact = s.read.parquet(tmp)
     val flags = li.groupBy(col("l_returnflag"))

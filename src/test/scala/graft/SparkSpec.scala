@@ -18,6 +18,9 @@ object TestSpark {
       sys.env.getOrElse("GRAFT_TEST_SHUFFLE", "4"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // harness opt-in for the nanos-generation events parquet
+    // (see Tables.events — the library never sets this itself)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
 
