@@ -87,4 +87,55 @@ object PlanLint {
       case _ => None
     }
   }
+
+  /** Mechanized probe for the `driver-action` advisory class: runs
+    * `build` (typically a catalogue query CONSTRUCTION — not its
+    * execution) inside a dedicated job group and returns the CALL-SITE
+    * SIGNATURES of every Spark job it submitted. A construction that
+    * triggers jobs beyond scan setup (`spark.read.parquet` schema
+    * inference submits its own listing job — infrastructure, not a
+    * driver action) is doing driver-side work — collect/head/count
+    * folded into plan building. The sanctioned uses are the
+    * bounded-scalar class (centroid/query-set builds, DPP's 1-row
+    * literal) and loop-control counts; everything else is an
+    * undistributed loop hiding in an operator. The advisory suite pins
+    * the reviewed set the way the object-hash-aggregate guard pins its
+    * users.
+    *
+    * Signatures are read AFTER a listener-bus flush (job-start events
+    * post asynchronously; without the flush the probe races its own
+    * signal). Job groups are thread-local, so the group id isolates
+    * this probe from unrelated concurrent jobs. */
+  def constructionJobSites[A](spark: org.apache.spark.sql.SparkSession,
+      tag: String)(build: => A): (A, Seq[String]) = {
+    val sc = spark.sparkContext
+    val seen = new scala.collection.mutable.ArrayBuffer[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = js.properties
+        if (p != null && tag == p.getProperty("spark.jobGroup.id")) {
+          // the job's call site rides on its RESULT stage's name
+          // ("collect at Similarity.scala:158", "parquet at
+          // Tables.scala:16") — properties don't carry it for SQL jobs
+          val site = js.stageInfos.sortBy(_.stageId).lastOption
+            .map(_.name).getOrElse("<unknown>")
+          seen.synchronized { seen += site }
+        }
+      }
+    }
+    sc.addSparkListener(listener)
+    // null description: a non-null one would be copied into EVERY
+    // job's `spark.job.description`, masking the per-job call site
+    // this probe exists to read
+    sc.setJobGroup(tag, null, interruptOnCancel = false)
+    try {
+      val r = build
+      org.apache.spark.GraftListenerBridge.waitUntilListenerBusEmpty(sc)
+      (r, seen.synchronized(seen.toList))
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
 }

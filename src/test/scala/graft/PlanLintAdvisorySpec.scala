@@ -35,4 +35,74 @@ class PlanLintAdvisorySpec extends SparkSpec {
     assert(users == reviewed,
       s"object-agg set drifted.\n+ ${(users -- reviewed).toSeq.sorted.mkString(", ")}\n- ${(reviewed -- users).toSeq.sorted.mkString(", ")}")
   }
+
+  test("construction-time driver jobs happen only in the reviewed set") {
+    // The "bounded driver action" class — collect/head/count folded
+    // into query CONSTRUCTION — was previously policed by review only;
+    // this probe mechanizes it (PlanLint.constructionJobCount): any
+    // catalogue query whose construction submits Spark jobs must be on
+    // this list with a justification. Two sanctioned shapes exist:
+    //  - bounded-scalar collects: centroid / query-set / threshold
+    //    builds whose size is dimension- or k-bounded, never
+    //    corpus-bounded (ANN family, q76's 1-row DPP literal);
+    //  - loop control: iterative operators (CC / PageRank / BFS /
+    //    layer peeling) count checkpointed skinny frames to decide
+    //    convergence — scalars again, never data.
+    // Anything new failing here is an undistributed driver loop until
+    // reviewed.
+    // scan infrastructure, not driver actions: DataFrameReader schema
+    // inference ("parquet at …"/"json at …" against the reader call
+    // site) and file listing submit jobs on every table load
+    def infrastructure(site: String): Boolean =
+      site.startsWith("parquet at") || site.startsWith("json at") ||
+        site.startsWith("load at") || site.contains("Listing leaf files")
+    val sites = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        graft.Caches.releaseAll()
+        spark.catalog.clearCache()
+        val (_, s) = PlanLint.constructionJobSites(spark, s"ca-$name")(
+          fn(spark, sfDir))
+        name -> s.filterNot(infrastructure).distinct.sorted
+    }
+    val users = sites.collect { case (n, s) if s.nonEmpty => n }.toSet
+    val reviewed = DriverActionReviewed.set
+    assert(users == reviewed,
+      s"driver-action set drifted.\n+ ${sites.filter(kv => kv._2.nonEmpty && !reviewed(kv._1)).map(kv => s"${kv._1}: ${kv._2.mkString("; ")}").mkString("\n  ")}\n- ${(reviewed -- users).toSeq.sorted.mkString(", ")}")
+  }
+}
+
+/** The reviewed construction-time driver-action set (see the probe
+  * test above for the two sanctioned shapes). Observed sites per
+  * entry, so drift in the SHAPE (not just membership) is reviewable:
+  *
+  *  - loop checkpoints (`localCheckpoint at Caches.scala` + the
+  *    broadcast-exchange future): iterative operators materialize each
+  *    round's skinny state frame — connected-components family (d49,
+  *    d53, d54, d66, d67), layer peeling (d58), graph fixed points
+  *    (g01, g04, g05, g06 — g01/g05 also `count at Graph.scala`, the
+  *    convergence probe), curation/BPE loops (t77, t79, t83, t84).
+  *  - bounded-scalar collects (`collect at Similarity.scala`): ANN
+  *    centroid / codebook / query-set builds — k·d-bounded, never
+  *    corpus-bounded (s52, s56, s57, s58, s60, s61).
+  *  - `head at Scale.scala`: q76's 1-row DPP literal (the
+  *    isLikelySelective requirement, documented at the site).
+  *  - `save at Advanced.scala`: q69 materializes the staged layout it
+  *    then reads back — the round-trip IS the query.
+  *  - broadcast-exchange future only: q43's `stat.bloomFilter` (a
+  *    dimension-bounded driver sketch by design) and the prefix-sum
+  *    family's per-partition-totals triangular broadcast (t67, t70 —
+  *    n = partition count rows).
+  */
+object DriverActionReviewed {
+  val set: Set[String] = Set(
+    "d49_dedup_clusters", "d53_dedup_apply", "d54_star_clusters",
+    "d58_containment_minimal", "d66_canonical_pick", "d67_cluster_split",
+    "g01_pagerank", "g04_bfs", "g05_pagerank_weighted", "g06_label_prop",
+    "t77_curation_pipeline", "t79_curation_spans", "t83_bpe_train",
+    "t84_bpe_encode",
+    "s52_centroid_assign", "s56_pq_adc", "s57_ivfpq_topk", "s58_pq_rerank",
+    "s60_multiprobe", "s61_kmeans_step",
+    "q76_dpp_prune", "q69_staged_roundtrip", "q43_bloom_join",
+    "t67_token_budget", "t70_pack_sequences"
+  )
 }
