@@ -373,4 +373,62 @@ object Graph {
     }
     layers.reduce(_ unionAll _)
   }
+
+  /** Nearest-seed LABEL assignment: every node within `maxHops` of a
+    * seed gets the label of its closest seed, ties at equal distance
+    * broken by the SMALLEST label — i.e. per node the lexicographic
+    * minimum of (hops-to-seed, seed label). Unlike [[labelPropagate]]'s
+    * majority vote (whose adoption depends on round boundaries), this
+    * semantics is a pure MIN-LATTICE over paths: the answer is a
+    * function of the graph alone, independent of evaluation order —
+    * which is exactly what makes it the batch twin of the streaming
+    * incremental frontier (`StreamOps.incrementalBfsStream`): min-merge
+    * is idempotent, commutative and associative, so edges may arrive
+    * in any micro-batch order and converge to this same table.
+    *
+    * Implementation is [[bfsDistances]]' frontier loop carrying the
+    * label: the BFS invariant (all discoveries of a node happen in its
+    * minimal round) means one per-round `min(label)` aggregation over
+    * the frontier's candidates resolves ties and finalizes the node —
+    * no re-labeling pass. By induction the propagated label IS the
+    * min label over the node's nearest seeds (a node's candidates come
+    * from neighbors whose own label is already their nearest-seed
+    * min). `edges` directed (src, dst); `seeds`: (id, label) integral,
+    * duplicate seed ids fold to their min label. Output:
+    * (id, dist, label); unreachable nodes absent. */
+  def nearestSeedLabels(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "nearestSeedLabels: maxHops must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val spark = edges.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
+    def parts(rows: Long): Int =
+      math.max(1L, math.min(shuffleParts, rows / 65536L)).toInt
+    val seed0 = seeds
+      .select(col("id").cast("long").as("id"), col("label").cast("long").as("label"))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+      .select(col("id"), lit(0L).as("dist"), col("label"))
+    var frontier = graft.Caches.checkpoint(seed0)._1
+    var layers = List(frontier)
+    var n = frontier.count()
+    var hop = 1
+    while (n > 0 && hop <= maxHops) {
+      val known = layers.reduce(_ unionAll _).select(col("id"))
+      val next = graft.Caches.checkpoint(
+        frontier.join(e, frontier("id") === e("src"))
+          .select(e("dst").as("id"), frontier("label").as("label"))
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .join(known, Seq("id"), "left_anti")
+          .select(col("id"), lit(hop.toLong).as("dist"), col("label"))
+          .coalesce(parts(n)))._1
+      n = next.count()
+      frontier = next
+      layers = layers :+ next
+      hop += 1
+    }
+    layers.reduce(_ unionAll _)
+  }
 }

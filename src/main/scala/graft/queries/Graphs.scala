@@ -214,6 +214,39 @@ object Graphs {
     }
   }
 
+  /** g07 — nearest-seed label assignment (Graph.nearestSeedLabels):
+    * g04's BFS frontier carrying a LABEL, ties at equal distance to
+    * the smallest label — the deterministic min-lattice semantics
+    * whose streaming twin (StreamOps.incrementalBfsStream) converges
+    * to the identical table under any edge arrival order. The oracle
+    * extends g04's recursive UNION walk with the label column and
+    * reduces by (min dist, then min label at that dist) — an
+    * independent fixpoint formulation. Seed labels are s_suppkey % 2
+    * so distance ties genuinely exercise the label tiebreak. */
+  val g07NearestSeed: Q = Q(
+    "g07_nearest_seed",
+    """WITH RECURSIVE raw AS MATERIALIZED (
+      |  SELECT DISTINCT l1.l_suppkey AS x, l2.l_suppkey AS y
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey),
+      |walk(id, d, lab) AS (
+      |  SELECT s_suppkey, 0, s_suppkey % 2 FROM supplier WHERE s_suppkey < 3
+      |  UNION
+      |  SELECT r.y, w.d + 1, w.lab FROM walk w JOIN raw r ON r.x = w.id WHERE w.d < 3),
+      |m AS (SELECT id, min(d) AS md FROM walk GROUP BY id)
+      |SELECT w.id, CAST(m.md AS BIGINT) AS dist, CAST(min(w.lab) AS BIGINT) AS label
+      |FROM walk w JOIN m ON w.id = m.id AND w.d = m.md
+      |GROUP BY w.id, m.md ORDER BY w.id""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+    val edges = li.join(l2, "l_orderkey")
+      .filter(col("l_suppkey") =!= col("s2"))
+      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+    val seeds = Tables.supplier(s, dir).filter(col("s_suppkey") < 3)
+      .select(col("s_suppkey").as("id"), (col("s_suppkey") % 2).as("label"))
+    Graph.nearestSeedLabels(edges, seeds, maxHops = 3).orderBy(col("id"))
+  }
+
   val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles, g04Bfs,
-    g05PageRankWeighted)
+    g05PageRankWeighted, g07NearestSeed)
 }

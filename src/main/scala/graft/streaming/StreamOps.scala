@@ -491,6 +491,140 @@ object StreamOps {
     ()
   }
 
+  /** Incremental multi-source frontier expansion over STREAMING edges —
+    * the streaming twin of `Graph.nearestSeedLabels` (and of
+    * `bfsDistances` when labels are ignored): edges arrive in
+    * micro-batches, and after every batch the state table equals the
+    * batch operator run over ALL edges seen so far. That equality is
+    * exact in ANY arrival order because the per-node value
+    * (dist, label) is a pure MIN-LATTICE: merge is idempotent,
+    * commutative, associative, so incremental relaxation and the batch
+    * fixpoint meet at the same table (the reason the deterministic
+    * nearest-seed semantics — not `labelPropagate`'s round-dependent
+    * majority vote — is the streamable one).
+    *
+    * The cross-batch state (distance table + accumulated edge set) is
+    * graph-sized — far too large for the state store — so this is
+    * `foreachBatch` over parquet state partitions, the
+    * [[incrementalDedupStream]] architecture: every write is
+    * `overwrite` into a `batch=<id>` directory and every read excludes
+    * the current batch's own partitions, so a replayed micro-batch
+    * rewrites identical paths — idempotent, making at-least-once
+    * delivery exactly-once end-to-end. State reads min-merge across
+    * partitions (an improvement row in a later partition supersedes by
+    * lattice order, it never has to rewrite the older partition).
+    * Production compacts old partitions periodically and
+    * bucket-partitions both tables by id; the per-batch logic is
+    * identical.
+    *
+    * Per-batch cost: improvements cascade only through the AFFECTED
+    * region (each relaxation round joins the improvement frontier —
+    * not the full table — against the edge set), which is the
+    * incremental-BFS cost model; the full-table min-merge scan per
+    * batch is the read-side price of append-only state. */
+  def incrementalBfsStream(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxHops: Int, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    edges.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        bfsBatch(spark, batch.toDF(), batchId, seeds, maxHops, stateDir)
+      }
+      .start()
+  }
+
+  /** The stream's current (id, dist, label) table: min-merge over
+    * every `batch=<id>` state partition. Empty before the first
+    * batch. */
+  def bfsState(spark: SparkSession, stateDir: String): DataFrame = {
+    val distPath = new org.apache.hadoop.fs.Path(s"$stateDir/dist")
+    val fs = distPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(distPath))
+      spark.range(0).select(col("id"), col("id").as("dist"), col("id").as("label"))
+    else
+      spark.read.parquet(s"$stateDir/dist")
+        .groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("label"))).as("m"))
+        .select(col("id"), col("m.dist").as("dist"), col("m.label").as("label"))
+  }
+
+  /** One micro-batch of [[incrementalBfsStream]], exposed so replay
+    * idempotence is directly testable (same `batchId` twice ⇒
+    * identical state content — the loads below exclude the batch's own
+    * partitions, the dedupBatch guard). */
+  private[graft] def bfsBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, seeds: DataFrame, maxHops: Int,
+      stateDir: String): Unit = {
+    val newEdges = batch
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def loadExclSelf(name: String, cols: Seq[String], empty: DataFrame) = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
+      if (!fs.exists(p)) empty
+      else spark.read.parquet(p.toString)
+        .filter(col("batch") =!= batchId)
+        .select(cols.map(col): _*)
+    }
+    val emptyState =
+      spark.range(0).select(col("id"), col("id").as("dist"), col("id").as("label"))
+    val standing = loadExclSelf("dist", Seq("id", "dist", "label"), emptyState)
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("label"))).as("m"))
+      .select(col("id"), col("m.dist").as("dist"), col("m.label").as("label"))
+      .transform(d => graft.Caches.pin(d))
+    val allEdges = loadExclSelf("edges", Seq("src", "dst"),
+        spark.range(0).select(col("id").as("src"), col("id").as("dst")))
+      .unionByName(newEdges).distinct()
+      .transform(d => graft.Caches.pin(d))
+    // frontier ⋈ edges → (dst, dist+1, label), capped at maxHops
+    def expand(f: DataFrame, e: DataFrame) =
+      f.join(e, f("id") === e("src"))
+        .filter(f("dist") + 1 <= maxHops)
+        .select(e("dst").as("id"), (f("dist") + 1).as("dist"),
+          f("label").as("label"))
+    // candidate rows STRICTLY better (lattice order) than the current
+    // per-id best in `state` — the min-merge improvement step
+    def improve(state: DataFrame, cand: DataFrame) = {
+      val best = state.groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("label"))).as("graft_old"))
+      cand.groupBy(col("id"))
+        .agg(min(struct(col("dist"), col("label"))).as("m"))
+        .select(col("id"), col("m.dist").as("dist"), col("m.label").as("label"))
+        .join(best, Seq("id"), "left")
+        .filter(col("graft_old").isNull ||
+          struct(col("dist"), col("label")) < col("graft_old"))
+        .drop("graft_old")
+    }
+    val seedRows = seeds
+      .select(col("id").cast("long").as("id"), col("label").cast("long").as("label"))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+      .select(col("id"), lit(0L).as("dist"), col("label"))
+    // round 0: seed injection (first batch / replay no-op after) plus
+    // standing nodes reaching out over the NEW edges only
+    var (frontier, _) = graft.Caches.checkpoint(
+      improve(standing, seedRows.unionByName(expand(standing, newEdges))))
+    var layers = List(frontier)
+    var n = frontier.count()
+    while (n > 0) {
+      // later rounds relax over ALL seen edges — an improvement can
+      // cascade through old structure
+      val stateNow = standing.unionByName(layers.reduce(_ unionByName _))
+      val next = graft.Caches.checkpoint(
+        improve(stateNow, expand(frontier, allEdges)))._1
+      n = next.count()
+      frontier = next
+      if (n > 0) layers = layers :+ next
+    }
+    layers.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$stateDir/dist/batch=$batchId")
+    newEdges.write.mode("overwrite").parquet(s"$stateDir/edges/batch=$batchId")
+    graft.Caches.releaseAll()
+    ()
+  }
+
   /** Run a streaming frame to completion against a bounded source and
     * return the in-memory result table (local smoke harness: batch
     * parquet driving the incremental plan). */

@@ -469,6 +469,67 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == Set(1L, 3L, 12L))
   }
 
+  test("streaming incremental BFS frontier equals the batch nearest-seed labels after every batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_incbfs").toString
+    val seeds = Seq((1L, 10L), (2L, 5L)).toDF("id", "label")
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamOps.incrementalBfsStream(
+      spark, mem.toDS().toDF("src", "dst"), seeds, maxHops = 3, stateDir)
+    def state() = StreamOps.bfsState(spark, stateDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def batchTwin(edges: Seq[(Long, Long)]) = graft.operators.Graph
+      .nearestSeedLabels(edges.toDF("src", "dst"), seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch 0: a chain off seed 1, plus 5→7 which is OUT of the hop
+    // cap (7 would be dist 4)
+    val b0 = Seq((1L, 3L), (3L, 4L), (4L, 5L), (1L, 6L), (5L, 7L))
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    assert(state() == batchTwin(b0))
+    assert(state() == Map(1L -> (0L, 10L), 2L -> (0L, 5L), 3L -> (1L, 10L),
+      4L -> (2L, 10L), 5L -> (3L, 10L), 6L -> (1L, 10L)))
+    // batch 1: shortcuts from seed 2 — 4 and 5 IMPROVE (closer seed,
+    // smaller label), 6 keeps dist 1 but improves its tie label, and 7
+    // newly enters the cap (now dist 3 via the shortcut): the
+    // improvement cascade has to relax through OLD edges
+    val b1 = Seq((2L, 4L), (2L, 6L))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(state() == batchTwin(b0 ++ b1))
+    assert(state() == Map(1L -> (0L, 10L), 2L -> (0L, 5L), 3L -> (1L, 10L),
+      4L -> (1L, 5L), 5L -> (2L, 5L), 6L -> (1L, 5L), 7L -> (3L, 5L)))
+    graft.Caches.releaseAll()
+  }
+
+  test("incremental BFS is arrival-order independent and its batch replay idempotent") {
+    import graft.streaming.StreamOps.bfsBatch
+    val seeds = Seq((1L, 10L), (2L, 5L)).toDF("id", "label")
+    val b0 = Seq((1L, 3L), (3L, 4L), (4L, 5L), (1L, 6L), (5L, 7L))
+    val b1 = Seq((2L, 4L), (2L, 6L))
+    def run(splits: Seq[Seq[(Long, Long)]]): (String, Map[Long, (Long, Long)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bfs_ord").toString
+      splits.zipWithIndex.foreach { case (s, i) =>
+        bfsBatch(spark, s.toDF("src", "dst"), i.toLong, seeds, 3, dir)
+      }
+      dir -> StreamOps.bfsState(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    // min-lattice claim: any micro-batch split converges to the same
+    // table — all-at-once, in-order, REVERSED (shortcuts first)
+    val (dir, all) = run(Seq(b0 ++ b1))
+    val (_, inOrder) = run(Seq(b0, b1))
+    val (_, reversed) = run(Seq(b1, b0))
+    assert(all == inOrder && all == reversed)
+    // replay: re-running batch 0 against committed state (its own
+    // partitions excluded on load) rewrites identical content
+    val before = StreamOps.bfsState(spark, dir).collect().toSet
+    bfsBatch(spark, (b0 ++ b1).toDF("src", "dst"), 0L, seeds, 3, dir)
+    assert(StreamOps.bfsState(spark, dir).collect().toSet == before)
+    graft.Caches.releaseAll()
+  }
+
   test("incremental dedup batch replay is idempotent (no self-match, index preserved)") {
     // the failure mode: a micro-batch dies AFTER its index batch=<id>
     // dirs are written but BEFORE the checkpoint commits; foreachBatch
