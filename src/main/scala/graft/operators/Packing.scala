@@ -80,4 +80,36 @@ object Packing {
         size(split(col("c.chunk_text"), " ")).cast("long").as("n_chunk_tokens"),
         polyHashFast(col("c.chunk_text")).as("chunk_hash"))
   }
+
+  /** Length-bucketed micro-batch planning — the padding-efficiency
+    * step of training-batch assembly: sequences batch with NEIGHBORS
+    * OF SIMILAR LENGTH so each batch pads to its own max, not the
+    * corpus max. Bucket = nTokens div bucketWidth (fixed width —
+    * per-batch padding waste is bounded by bucketWidth·batchSize
+    * tokens); within a bucket rows order deterministically by
+    * (nTokens, id) and batch_idx = (rank−1) div batchSize. The
+    * assignment is a pure function of the corpus (stable under
+    * repartitioning and engines).
+    *
+    * Scale note: the in-bucket rank is a per-bucket sort window, so
+    * parallelism is bounded by the bucket count — for token-length
+    * distributions that is hundreds of buckets of corpus/|buckets|
+    * rows, the healthy shape. A corpus concentrated in ONE bucket
+    * degrades to a single-task sort; pick bucketWidth below the
+    * length spread (or range-partition inside buckets, the
+    * `systematic` caveat). Output: (id, n_tokens, bucket, batch_idx).
+    */
+  def lengthBucketBatches(df: DataFrame, id: Column, nTokens: Column,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("n_tokens"), col("id"))
+    df.select(id.cast("long").as("id"),
+        greatest(nTokens.cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .withColumn("graft_rn", row_number().over(w))
+      .select(col("id"), col("n_tokens"), col("bucket"),
+        expr(s"CAST((graft_rn - 1) div $batchSize AS BIGINT)").as("batch_idx"))
+  }
 }

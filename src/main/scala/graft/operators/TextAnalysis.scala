@@ -715,6 +715,34 @@ object TextAnalysis {
     * orderBy·limit (TakeOrderedAndProject — per-partition heaps, no
     * global sort). Docs matching no query term score 0 and are
     * absent, the sparse-retrieval convention. */
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of several retrieval
+    * rankings — the hybrid-retrieval combiner (sparse BM25 ⊕ dense
+    * ANN is the standard pairing) — in exact fixed point:
+    * score(d) = Σ_lists unit div (k + rank_d), summed over the lists
+    * that ranked d. Ranks are small integers and the reciprocal is a
+    * truncating integer division, so the fused score is BIGINT-exact
+    * and cross-engine (the t80 rule); k = 60 is the canonical
+    * dampening constant. Inputs: (id, rank) frames with rank ≥ 1 and
+    * unique ids per list (the product of any top-k ranker); each list
+    * is its cut's size (k·|lists| rows total), so the fusion is a
+    * union + one tiny keyed aggregation — never corpus-scale work.
+    * Output: (id, rrf_fp, n_lists). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"k must be non-negative, got $k")
+    rankings
+      .map(_.select(col("id").cast("long").as("id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionAll _)
+      .select(col("id"),
+        expr(s"CAST($unit AS BIGINT) div (CAST($k AS BIGINT) + rank)")
+          .as("graft_contrib"))
+      .groupBy(col("id"))
+      .agg(sum(col("graft_contrib")).as("rrf_fp"),
+        count(lit(1)).as("n_lists"))
+  }
+
   def bm25TopDocs(df: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")

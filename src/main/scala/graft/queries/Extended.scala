@@ -2670,6 +2670,123 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** t91 — HYBRID retrieval by reciprocal-rank fusion
+    * (TextAnalysis.rrfFuse): BM25 top-20 (t85's exact fixed-point
+    * ranker) fused with a dense top-20 (cosine against a broadcast
+    * query vector, s52's dot kernel) as Σ 10¹² div (60 + rank) —
+    * BIGINT-exact, so the hybrid ORDERING is hash-gated, not just the
+    * membership. Both rank legs are post-limit windows over ≤ 20 rows
+    * (t81's sanctioned class). The doc/vec id spaces share the fixture
+    * domain, which is the point: a doc surfaced by BOTH modalities
+    * out-scores single-list hits (n_lists = 2). */
+  val t91RrfFusion: Q = {
+    val terms = Seq("spark", "stream", "window")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    Q(
+      "t91_rrf_fusion",
+      s"""WITH dl AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS dl FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS nn FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents)
+         |       WHERE tok IN ($inList) GROUP BY doc_id, tok),
+         |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |c AS (SELECT tf.doc_id,
+         |        (CAST(22000000 AS HUGEINT) * tt * tf * (2*nn - 2*df + 1)) //
+         |        (CAST(2*df + 1 AS HUGEINT) * (10*tf*tt + 3*tt + 9*dl.dl*nn)) AS contrib
+         |      FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+         |bmtop AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_fp
+         |          FROM c GROUP BY doc_id ORDER BY score_fp DESC, doc_id LIMIT 20),
+         |bm AS (SELECT doc_id AS id,
+         |         row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rnk FROM bmtop),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT vec_id, ${dotSql("embedding", "q")} AS score
+         |       FROM embeddings CROSS JOIN qv),
+         |cstop AS (SELECT vec_id, score FROM cs ORDER BY score DESC, vec_id LIMIT 20),
+         |cr AS (SELECT vec_id AS id,
+         |         row_number() OVER (ORDER BY score DESC, vec_id) AS rnk FROM cstop),
+         |u AS (SELECT id, rnk FROM bm UNION ALL SELECT id, rnk FROM cr)
+         |SELECT id AS doc_id,
+         |  CAST(sum(1000000000000 // (60 + rnk)) AS BIGINT) AS rrf_fp,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY id ORDER BY rrf_fp DESC, doc_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_fp").desc, col("id"))
+      val bm = TextAnalysis.bm25TopDocs(Tables.documents(s, dir),
+          col("doc_id"), col("text"), terms, k = 20)
+        .select(col("doc_id").as("id"), col("score_fp"))
+        .withColumn("rank", row_number().over(w))
+        .select(col("id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id"))
+      val cos = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"),
+          Similarity.dot(col("embedding"), col("q")).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(20)
+        .withColumn("rank", row_number().over(wc))
+        .select(col("id"), col("rank"))
+      TextAnalysis.rrfFuse(Seq(bm, cos), k = 60)
+        .select(col("id").as("doc_id"), col("rrf_fp"), col("n_lists"))
+        .orderBy(col("rrf_fp").desc, col("doc_id"))
+    }
+  }
+
+  /** d70 — LEAKAGE-SAFE train/val/test split: the sampling unit is the
+    * NEAR-DUP CLUSTER (d49's connected components over the d42 pair
+    * set), so near-duplicate documents can never straddle the
+    * train/test boundary — the eval-integrity failure mode a doc-keyed
+    * split (q71) cannot prevent. Split assignment is q71's
+    * deterministic hash bucketing applied to cluster_id; the oracle is
+    * d49's recursive-CTE closure + the same portable hash formula. */
+  val d70LeakageSplit: Q = Q(
+    "d70_leakage_split",
+    s"""WITH RECURSIVE $pairsCtes,
+       |sym AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node),
+       |cl AS (SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY src),
+       |b AS (SELECT doc_id, cluster_id,
+       |        ${polyHashSql("CAST(cluster_id AS VARCHAR)")} % 100 AS h FROM cl)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.nearDuplicates(docs, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("a"), col("b"))
+    val clusters = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    graft.operators.Sampling.split(clusters, col("cluster_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t92 — length-bucketed batch planning (Packing
+    * .lengthBucketBatches): similar-length docs batch together so each
+    * batch pads to its own max — the padding-efficiency step of
+    * training-batch assembly. Width-16 buckets, batch size 8,
+    * deterministic (n_tokens, doc_id) in-bucket order; the whole
+    * assignment is a pure corpus function, rank-for-rank mirrored by
+    * the oracle. */
+  val t92LengthBatching: Q = Q(
+    "t92_length_batching",
+    s"""WITH t AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n FROM documents),
+       |b AS (SELECT doc_id, n, n // 16 AS bucket FROM t),
+       |r AS (SELECT doc_id, n, bucket,
+       |        row_number() OVER (PARTITION BY bucket ORDER BY n, doc_id) AS rn FROM b)
+       |SELECT doc_id AS id, n AS n_tokens, bucket,
+       |  CAST((rn - 1) // 8 AS BIGINT) AS batch_idx
+       |FROM r ORDER BY id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Packing.lengthBucketBatches(
+        docs.select(col("doc_id"), size(tokens(col("text"))).as("nt")),
+        col("doc_id"), col("nt"), bucketWidth = 16, batchSize = 8)
+      .orderBy(col("id"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
@@ -2689,5 +2806,6 @@ object Extended {
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
-    d69PatchNearDup, d45MinhashFast)
+    d69PatchNearDup, d45MinhashFast,
+    t91RrfFusion, d70LeakageSplit, t92LengthBatching)
 }

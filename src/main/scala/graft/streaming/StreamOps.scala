@@ -548,6 +548,49 @@ object StreamOps {
         .select(col("id"), col("m.dist").as("dist"), col("m.label").as("label"))
   }
 
+  /** Maintenance compaction for [[incrementalBfsStream]]'s append-only
+    * state: min-merge every `dist/batch=<id>` partition into the
+    * reserved base partition `batch=-1` and drop the per-batch
+    * partitions, bounding the read-side merge fan-in (the price of
+    * append-only state grows with batch count otherwise). Correctness
+    * under the lattice: the base carries the per-id minimum, so state
+    * reads and replayed batches see exactly what they saw before —
+    * a replayed batch finds its own improvements already in the base,
+    * improves nothing, and rewrites an empty partition (harmless).
+    * `-1` is never a real micro-batch id, so the replay guard
+    * (`batch <> batchId`) can never exclude the base.
+    *
+    * Sequencing is crash-aware but not crash-atomic: the merged
+    * snapshot is fully written to a dot-prefixed temp dir (invisible
+    * to state reads) BEFORE any delete, so a crash before the swap
+    * loses nothing; the swap itself (delete partitions, rename temp
+    * to base) has a small window where compacted history is only in
+    * the hidden temp — run compaction from the stream's serialized
+    * foreachBatch context, and use a transactional table format in
+    * production (the dedupBatch note). */
+  def compactBfsState(spark: SparkSession, stateDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def compact(name: String, merge: DataFrame => DataFrame): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
+      if (!fs.exists(dir)) return
+      val merged = merge(spark.read.parquet(dir.toString)
+        .drop("batch"))
+      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.compact-tmp-$name")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .foreach(s => fs.delete(s.getPath, true))
+      require(fs.rename(tmp,
+        new org.apache.hadoop.fs.Path(s"$stateDir/$name/batch=-1")),
+        s"compactBfsState: rename failed for $tmp")
+    }
+    compact("dist", _.groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("label"))).as("m"))
+      .select(col("id"), col("m.dist").as("dist"), col("m.label").as("label")))
+    compact("edges", _.distinct())
+  }
+
   /** One micro-batch of [[incrementalBfsStream]], exposed so replay
     * idempotence is directly testable (same `batchId` twice ⇒
     * identical state content — the loads below exclude the batch's own

@@ -1827,4 +1827,36 @@ class OperatorsSpec extends SparkSpec {
           leaked.values.map(r => s"id=${r.id} level=${r.getStorageLevel}").mkString(", "))
     }
   }
+
+  test("rrfFuse: exact reciprocal-rank sums, hand-computed") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 2,3,4 — doc 2 fuses
+    // 1e12/(60+2) + 1e12/(60+1) (truncating div, order-free)
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(a, b))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def rr(rank: Long) = 1000000000000L / (60L + rank)
+    assert(got == Map(
+      1L -> (rr(1), 1L), 2L -> (rr(2) + rr(1), 2L),
+      3L -> (rr(3) + rr(2), 2L), 4L -> (rr(3), 1L)))
+    // a doc hit by both lists at middling ranks out-scores a single
+    // top hit only when the math says so: rr(2)+rr(1) > rr(1) trivially
+    assert(got(2L)._1 > got(1L)._1)
+  }
+
+  test("lengthBucketBatches: similar lengths batch together, deterministic ranks") {
+    import spark.implicits._
+    // lengths: bucket 0 (<16): 5,7,9,11 → one batch of 4 at size 2 →
+    // batches 0,0,1,1 by (len,id) order; bucket 1: 17,20 → batch 0
+    val df = Seq((10L, 9L), (11L, 5L), (12L, 17L), (13L, 7L), (14L, 11L),
+      (15L, 20L)).toDF("doc", "n")
+    val got = graft.operators.Packing.lengthBucketBatches(df, col("doc"), col("n"),
+        bucketWidth = 16, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      11L -> (0L, 0L), 13L -> (0L, 0L), // lens 5,7 → first batch
+      10L -> (0L, 1L), 14L -> (0L, 1L), // lens 9,11 → second batch
+      12L -> (1L, 0L), 15L -> (1L, 0L)))
+  }
 }

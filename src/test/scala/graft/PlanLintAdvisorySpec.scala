@@ -98,11 +98,15 @@ object DriverActionReviewed {
     "d49_dedup_clusters", "d53_dedup_apply", "d54_star_clusters",
     "d58_containment_minimal", "d66_canonical_pick", "d67_cluster_split",
     "g01_pagerank", "g04_bfs", "g05_pagerank_weighted", "g06_label_prop",
+    "g07_nearest_seed",
     "t77_curation_pipeline", "t79_curation_spans", "t83_bpe_train",
     "t84_bpe_encode",
     "s52_centroid_assign", "s56_pq_adc", "s57_ivfpq_topk", "s58_pq_rerank",
     "s60_multiprobe", "s61_kmeans_step",
     "q76_dpp_prune", "q69_staged_roundtrip", "q43_bloom_join",
-    "t67_token_budget", "t70_pack_sequences"
+    "t67_token_budget", "t70_pack_sequences",
+    // d70 = d49's connected-components loop (checkpoint class) feeding
+    // the hash split
+    "d70_leakage_split"
   )
 }

@@ -24,7 +24,10 @@ class PlanLintSpec extends SparkSpec {
       // documents; multi-query forms (s50/s51) keep a real key
       "s57_ivfpq_topk" -> Set("unpartitioned-window"),
       "s58_pq_rerank" -> Set("unpartitioned-window"),
-      "s60_multiprobe" -> Set("unpartitioned-window"))
+      "s60_multiprobe" -> Set("unpartitioned-window"),
+      // t91's two rank legs are post-limit row_numbers over ≤ 20 rows
+      // each (the t81 class): global-ordered input to rrfFuse
+      "t91_rrf_fusion" -> Set("unpartitioned-window"))
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         graft.Caches.releaseAll()

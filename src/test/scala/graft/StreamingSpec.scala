@@ -527,6 +527,22 @@ class StreamingSpec extends SparkSpec {
     val before = StreamOps.bfsState(spark, dir).collect().toSet
     bfsBatch(spark, (b0 ++ b1).toDF("src", "dst"), 0L, seeds, 3, dir)
     assert(StreamOps.bfsState(spark, dir).collect().toSet == before)
+    // compaction folds every partition into the batch=-1 base without
+    // changing the observable state; replay AFTER compaction finds its
+    // improvements already in the base and is a no-op; and the stream
+    // keeps absorbing batches on top of a compacted base
+    StreamOps.compactBfsState(spark, dir)
+    assert(StreamOps.bfsState(spark, dir).collect().toSet == before)
+    bfsBatch(spark, (b0 ++ b1).toDF("src", "dst"), 0L, seeds, 3, dir)
+    assert(StreamOps.bfsState(spark, dir).collect().toSet == before)
+    // a genuinely new edge post-compaction: 7→8 puts 8 at dist 4 — out
+    // of cap; 2→3 improves 3's label via the closer seed? no — dist 1
+    // ties (1→3 vs 2→3), label 5 < 10 wins the tiebreak
+    bfsBatch(spark, Seq((2L, 3L)).toDF("src", "dst"), 2L, seeds, 3, dir)
+    val after = StreamOps.bfsState(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after(3L) == (1L, 5L))
+    assert(after - 3L == (all - 3L))
     graft.Caches.releaseAll()
   }
 
