@@ -193,6 +193,44 @@ object StreamOps {
       }
   }
 
+  /** One (key, idx) observation for [[fillForwardStream]]; `cents` is
+    * the exact-integer value channel (the q72 rule — no float enters
+    * carried state), None = a gap to fill. */
+  final case class FillIn(user_id: Long, idx: Long, cents: Option[Long])
+  /** [[fillForwardStream]] output: the row's forward-filled value
+    * (None until the key's first non-null). */
+  final case class FillOut(user_id: Long, idx: Long, fill_cents: Option[Long])
+  /** [[fillForwardStream]] state: one carried cell per key. */
+  final case class FillState(last: Option[Long])
+
+  /** Streaming forward fill — the stateful twin of q53's IGNORE-NULLS
+    * running window and of `TimeSeries.resample`'s `filled` column:
+    * each row emits the last non-null value at or before it, carrying
+    * ONE (last value) cell per key in the state store regardless of
+    * stream length. Values are exact integer cents (q72's no-float
+    * rule), so batch and stream agree bit-for-bit. Contract: per-key
+    * arrival is in `idx` order ACROSS batches (the transitionsStream
+    * contract — a replay/out-of-order-tolerant fill needs the
+    * watermarked buffer of `sessionize`, not a one-cell carry); within
+    * a batch rows sort by idx before folding, so intra-batch order is
+    * free. */
+  def fillForwardStream(spark: SparkSession,
+      rows: Dataset[FillIn]): Dataset[FillOut] = {
+    import spark.implicits._
+    rows.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FillOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[FillIn], state: GroupState[FillState]) =>
+          var last = state.getOption.getOrElse(FillState(None)).last
+          val out = batch.toSeq.sortBy(_.idx).map { r =>
+            if (r.cents.isDefined) last = r.cents
+            FillOut(key, r.idx, last)
+          }
+          state.update(FillState(last))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen,
     * with state bounded by the watermark (a key older than the
     * watermark can be forgotten — the streaming twin of

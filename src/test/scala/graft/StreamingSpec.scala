@@ -469,6 +469,44 @@ class StreamingSpec extends SparkSpec {
     assert(indexed == Set(1L, 3L, 12L))
   }
 
+  test("streaming forward fill equals the batch IGNORE-NULLS window under in-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{FillIn, FillOut}
+    val mem = MemoryStream[FillIn]
+    val out = StreamOps.fillForwardStream(spark, mem.toDS())
+    val q = out.writeStream.format("memory").queryName("ffill")
+      .outputMode("update").start()
+    // user 1: value, gap, gap | user 2: gap-before-any-value, value
+    mem.addData(FillIn(1L, 0L, Some(100L)), FillIn(1L, 1L, None),
+      FillIn(2L, 0L, None), FillIn(2L, 1L, Some(7L)))
+    q.processAllAvailable()
+    // batch 2: the carry crosses the micro-batch boundary; a fresh
+    // non-null resets it; intra-batch rows arrive UNSORTED (idx 4
+    // before 3) — the per-batch sort restores fold order
+    mem.addData(FillIn(1L, 4L, Some(250L)), FillIn(1L, 3L, None),
+      FillIn(2L, 2L, None))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ffill").as[FillOut].collect()
+      .map(r => (r.user_id, r.idx) -> r.fill_cents).toMap
+    assert(got == Map(
+      (1L, 0L) -> Some(100L), (1L, 1L) -> Some(100L),
+      (1L, 3L) -> Some(100L), (1L, 4L) -> Some(250L),
+      (2L, 0L) -> None, (2L, 1L) -> Some(7L), (2L, 2L) -> Some(7L)))
+    // batch twin: q53's IGNORE-NULLS running window over the union of
+    // both batches gives the identical table
+    val batch = Seq((1L, 0L, Some(100L)), (1L, 1L, None), (1L, 3L, None),
+      (1L, 4L, Some(250L)), (2L, 0L, None), (2L, 1L, Some(7L)),
+      (2L, 2L, None)).toDF("user_id", "idx", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("idx")
+      .rowsBetween(Long.MinValue, 0)
+    val twin = batch.withColumn("f", last(col("cents"), ignoreNulls = true).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == twin)
+  }
+
   test("streaming incremental BFS frontier equals the batch nearest-seed labels after every batch") {
     implicit val sqlCtx = spark.sqlContext
     val stateDir = java.nio.file.Files.createTempDirectory("graft_incbfs").toString
