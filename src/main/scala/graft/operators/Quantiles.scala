@@ -79,6 +79,82 @@ object Quantiles {
       .agg(min(col("graft_v")).as("cut"))
   }
 
+  /** Per-group exact lower percentile for CONTINUOUS (or otherwise
+    * high-cardinality) numeric domains — the case [[discretePercentile]]
+    * documents as out of contract: there the per-group window walks the
+    * VALUE DISTRIBUTION, which for a near-continuous column is the
+    * corpus itself funneled into |groups| tasks. This form is the
+    * classic two-pass histogram refinement instead:
+    *
+    *  1. one aggregate for per-group (min, max, count), broadcast;
+    *  2. a histogram pass — every row maps to one of `buckets`
+    *     fixed-width cells (pure per-row arithmetic, map-side combined
+    *     into ≤ buckets rows per group), the target cell is the first
+    *     whose cumulative count reaches the integer rank
+    *     (`cum·100 ≥ tot·pct`, the house rule);
+    *  3. an exact pass over ONLY the target cell's rows
+    *     (≈ corpus/buckets of them), ranked with the rank mass below
+    *     the cell carried in.
+    *
+    * Every shuffle is map-side-combinable, the windows run over
+    * ≤ buckets rows (pass 2) and one cell's distinct values (pass 3),
+    * and the answer is percentile_disc-EXACT — float bucket boundaries
+    * only route the search, they never pick the value (histogram and
+    * refinement use the same assignment, so boundary rows cannot fall
+    * between passes). Nulls are ignored (SQL percentile semantics);
+    * `value` must be numeric. Output: group columns + `threshold`. */
+  def continuousPercentileDisc(df: DataFrame, group: Seq[String],
+      value: Column, pct: Int, buckets: Int = 1024): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1, 100], got $pct")
+    require(buckets >= 2, s"buckets must be at least 2, got $buckets")
+    Seq("graft_v", "graft_b", "graft_c", "graft_cum", "graft_mn", "graft_mx",
+        "graft_tot", "graft_tb", "graft_below").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
+    // no pin: both passes re-read the (pruned, 2-column) source scan —
+    // cheaper than materializing the corpus projection
+    val v = df.select(group.map(col) :+ value.cast("double").as("graft_v"): _*)
+      .filter(col("graft_v").isNotNull)
+    val stats = v.groupBy(group.map(col): _*)
+      .agg(min(col("graft_v")).as("graft_mn"), max(col("graft_v")).as("graft_mx"),
+        count(lit(1)).as("graft_tot"))
+    val bucketOf =
+      when(col("graft_mx") === col("graft_mn"), lit(0))
+        .otherwise(least(lit(buckets - 1),
+          floor((col("graft_v") - col("graft_mn"))
+            / (col("graft_mx") - col("graft_mn")) * buckets).cast("int")))
+    val hist = v.join(broadcast(stats), group)
+      .withColumn("graft_b", bucketOf)
+      .groupBy(group.map(col) :+ col("graft_b"): _*)
+      .agg(count(lit(1)).as("graft_c"), max(col("graft_tot")).as("graft_tot"))
+    val wCum = Window.partitionBy(group.map(col): _*).orderBy(col("graft_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("graft_cum", sum(col("graft_c")).over(wCum))
+    // ONE aggregation yields both the target cell (first reaching the
+    // rank) and the exact rank mass strictly below it
+    val target = cum.groupBy(group.map(col): _*)
+      .agg(
+        min(when(col("graft_cum") * 100 >= col("graft_tot") * pct,
+          col("graft_b"))).as("graft_tb"),
+        coalesce(max(when(col("graft_cum") * 100 < col("graft_tot") * pct,
+          col("graft_cum"))), lit(0L)).as("graft_below"))
+    val inCell = v
+      .join(broadcast(stats.join(target, group)), group)
+      .withColumn("graft_b", bucketOf)
+      .filter(col("graft_b") === col("graft_tb"))
+      .groupBy(group.map(col) :+ col("graft_v") :+ col("graft_tot")
+        :+ col("graft_below"): _*)
+      .agg(count(lit(1)).as("graft_c"))
+    val w2 = Window.partitionBy(group.map(col): _*).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inCell
+      .withColumn("graft_cum", sum(col("graft_c")).over(w2))
+      .filter((col("graft_below") + col("graft_cum")) * 100
+        >= col("graft_tot") * pct)
+      .groupBy(group.map(col): _*)
+      .agg(min(col("graft_v")).as("threshold"))
+  }
+
   /** Quantile-threshold filter: rows at or above their group's
     * `pct`-percentile value. The threshold table is group-cardinality
     * sized, so the application join broadcasts — the corpus scan

@@ -276,7 +276,8 @@ object Advanced {
     * regardless of accumulation order; the raw estimator α·m²/s is two
     * IEEE ops on exact inputs, hence bit-reproducible cross-engine)
     * over `l_partkey`, next to the exact rational-rank discrete median
-    * of `l_extendedprice` (Quantiles.discretePercentile — integer rank
+    * of `l_extendedprice` (Quantiles.continuousPercentileDisc — the
+    * two-pass histogram refinement for near-continuous domains; integer rank
     * compare, `percentile_disc` semantics). BIGINT keys hash with a
     * DOUBLE-SQUARING mix over P = 1e9+7 — h₁ = (k² + 12345) mod P,
     * h = (h₁² + k) mod P, every operand < 2³⁰ so products fit int64 on
@@ -333,9 +334,15 @@ object Advanced {
          |FROM e JOIN x USING (flag) JOIN med USING (flag)
          |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val li = Tables.lineitem(s, dir)
-      val regs = li
-        .select(col("l_returnflag").as("flag"),
-          expr("l_partkey % 1000000007").as("k0"))
+      // the HLL hash is duplicate-invariant (max_rho over equal keys is
+      // the key's rho) and the exact leg is a distinct count — both
+      // legs derive from ONE distinct (flag, key) frame, one scan +
+      // one shuffle instead of two of each
+      val dk = li.select(col("l_returnflag").as("flag"), col("l_partkey"))
+        .distinct()
+        .transform(d => graft.Caches.pin(d))
+      val regs = dk
+        .select(col("flag"), expr("l_partkey % 1000000007").as("k0"))
         .select(col("flag"), col("k0"),
           expr("(k0 * k0 + 12345) % 1000000007").as("m1"))
         .select(col("flag"), expr("(m1 * m1 + k0) % 1000000007").as("hh"))
@@ -349,10 +356,16 @@ object Advanced {
         .select(col("flag"), col("n_regs"),
           (lit(0.709) * lit(4096.0) /
             (col("s_present") + (lit(64) - col("n_regs")))).as("est_parts"))
-      val exact = li.groupBy(col("l_returnflag").as("flag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val exact = dk.groupBy(col("flag"))
+        .agg(count(lit(1)).as("exact_parts"))
+      // l_extendedprice is near-continuous — the DISCRETE-distribution
+      // percentile would funnel the distinct-value distribution into
+      // |flags| window tasks (the q73 lesson); the two-pass histogram
+      // refinement keeps every stage parallel and is percentile_disc-
+      // exact, so the oracle is unchanged
       val med = graft.operators.Quantiles
-        .discretePercentile(li.select(col("l_returnflag"), col("l_extendedprice")),
+        .continuousPercentileDisc(
+          li.select(col("l_returnflag"), col("l_extendedprice")),
           Seq("l_returnflag"), col("l_extendedprice"), 50)
         .select(col("l_returnflag").as("flag"), col("threshold").as("median_price"))
       est.join(exact, "flag").join(med, "flag")

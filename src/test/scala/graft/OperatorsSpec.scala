@@ -1828,6 +1828,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("continuousPercentileDisc equals discretePercentile on every pct, ties and degenerate groups included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // group a: 500 near-continuous doubles with injected ties;
+    // group b: 7 values; group c: all-equal (min == max degenerate)
+    val rows =
+      (1 to 500).map(i => ("a", if (i % 10 == 0) 123.456 else rnd.nextDouble() * 1000)) ++
+      (1 to 7).map(i => ("b", i * 1.5)) ++
+      (1 to 5).map(_ => ("c", 9.0))
+    val df = rows.toDF("g", "v")
+    for (pct <- Seq(1, 25, 50, 75, 100)) {
+      val cont = graft.operators.Quantiles
+        .continuousPercentileDisc(df, Seq("g"), col("v"), pct, buckets = 16)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val disc = graft.operators.Quantiles
+        .discretePercentile(df, Seq("g"), col("v"), pct)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(cont == disc, s"pct=$pct")
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("rrfFuse: exact reciprocal-rank sums, hand-computed") {
     import spark.implicits._
     // list A ranks docs 1,2,3; list B ranks 2,3,4 — doc 2 fuses
