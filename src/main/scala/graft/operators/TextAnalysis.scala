@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.TextHash._
 
@@ -715,6 +716,57 @@ object TextAnalysis {
     * orderBy·limit (TakeOrderedAndProject — per-partition heaps, no
     * global sort). Docs matching no query term score 0 and are
     * absent, the sparse-retrieval convention. */
+  /** Per-source distribution DRIFT against the corpus: the total-
+    * variation distance TV(s, corpus) = ½ Σ_tok |p_s(tok) − p(tok)|
+    * between each source's token distribution and the corpus-wide one
+    * — the data-ops monitor for "did this source/snapshot shift"
+    * (KL/JS need logarithms, which are not portably exact; TV is a
+    * pure rational and stays bit-checkable, the t80 rule). Emitted as
+    * the exact integer fraction (tv_num, tv_den):
+    * TV = tv_num / tv_den with tv_num = Σ |c_s·T − c·T_s| and
+    * tv_den = 2·T_s·T, both DECIMAL(38,0) (c·T passes 2⁶³ at corpus
+    * scale).
+    *
+    * Tokens ABSENT from a source still contribute |0 − c·T_s| — but no
+    * source×vocab cross join is ever built: over absent tokens the sum
+    * telescopes to T_s·(T − Σ_{tok∈Vs} c(tok)), so each source only
+    * touches ITS OWN vocabulary rows plus one corpus total. Plan
+    * shape: one (source, tok) count (map-side combined), the corpus
+    * counts derived FROM it (second tiny aggregate — the raw stream is
+    * never re-shuffled), a vocab-sized join keyed on tok, and
+    * broadcast totals. Output: (source, n_tokens, tv_num, tv_den). */
+  def tokenDistributionDrift(df: DataFrame, source: Column,
+      text: Column): DataFrame = {
+    val cs = df.select(source.as("source"), explode(tokens(text)).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("graft_cs"))
+      .transform(d => graft.Caches.pin(d))
+    val corpus = cs.groupBy(col("tok")).agg(sum(col("graft_cs")).as("graft_c"))
+    val perSource = cs.groupBy(col("source")).agg(sum(col("graft_cs")).as("graft_ts"))
+    val total = corpus.agg(sum(col("graft_c")).as("graft_t"))
+    cs.join(corpus, "tok")
+      .join(broadcast(perSource), "source")
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(
+        max(col("graft_ts")).as("n_tokens"),
+        sum(expr(
+          """abs(CAST(graft_cs AS DECIMAL(38,0)) * graft_t
+            |    - CAST(graft_c AS DECIMAL(38,0)) * graft_ts)""".stripMargin))
+          .as("graft_present"),
+        sum(col("graft_c")).as("graft_shared"),
+        max(col("graft_t")).as("graft_t"))
+      .select(col("source"), col("n_tokens"),
+        (col("graft_present").cast(DecimalType(38, 0)) +
+          col("n_tokens").cast(DecimalType(38, 0)) *
+            (col("graft_t") - col("graft_shared")).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("tv_num"),
+        (lit(2).cast(DecimalType(38, 0)) *
+          col("n_tokens").cast(DecimalType(38, 0)) *
+          col("graft_t").cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("tv_den"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of several retrieval
     * rankings — the hybrid-retrieval combiner (sparse BM25 ⊕ dense
     * ANN is the standard pairing) — in exact fixed point:

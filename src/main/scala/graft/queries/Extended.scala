@@ -2787,6 +2787,34 @@ object Extended {
       .orderBy(col("id"))
   }
 
+  /** t93 — per-source distribution drift vs the corpus
+    * (TextAnalysis.tokenDistributionDrift): total-variation distance
+    * as an exact integer fraction — TV needs no logarithm, so unlike
+    * KL/JS it stays portably bit-checkable. The absent-token mass
+    * telescopes to T_s·(T − shared), so neither engine builds a
+    * source×vocab cross product. */
+  val t93TvDrift: Q = Q(
+    "t93_tv_drift",
+    s"""WITH tk AS (SELECT source, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |cs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS csn FROM tk GROUP BY source, tok),
+       |corpus AS (SELECT tok, CAST(sum(csn) AS BIGINT) AS c FROM cs GROUP BY tok),
+       |tsrc AS (SELECT source, CAST(sum(csn) AS BIGINT) AS t_s FROM cs GROUP BY source),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM corpus),
+       |a AS (SELECT cs.source,
+       |        sum(abs(CAST(cs.csn AS HUGEINT) * t - CAST(corpus.c AS HUGEINT) * t_s)) AS present,
+       |        CAST(sum(corpus.c) AS BIGINT) AS shared
+       |      FROM cs JOIN corpus USING (tok) JOIN tsrc USING (source) CROSS JOIN tot
+       |      GROUP BY cs.source)
+       |SELECT a.source, tsrc.t_s AS n_tokens,
+       |  CAST(a.present + CAST(tsrc.t_s AS HUGEINT) * (tot.t - a.shared) AS DECIMAL(38,0)) AS tv_num,
+       |  CAST(2 * CAST(tsrc.t_s AS HUGEINT) * tot.t AS DECIMAL(38,0)) AS tv_den
+       |FROM a JOIN tsrc USING (source) CROSS JOIN tot
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenDistributionDrift(Tables.documents(s, dir),
+        col("source"), col("text"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
@@ -2807,5 +2835,5 @@ object Extended {
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
     d69PatchNearDup, d45MinhashFast,
-    t91RrfFusion, d70LeakageSplit, t92LengthBatching)
+    t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift)
 }
