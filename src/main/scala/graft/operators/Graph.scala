@@ -431,4 +431,52 @@ object Graph {
     }
     layers.reduce(_ unionAll _)
   }
+
+  /** GraphSAGE-style minibatch neighbor sampling (Hamilton et al.
+    * 2017): per seed, expand `fanouts.length` hops, keeping at most
+    * `fanouts(h)` neighbors per visited node at hop h — the sampling
+    * that turns a 1e9-node graph into bounded GNN training
+    * minibatches.
+    *
+    * The "random" neighbor choice is a DETERMINISTIC hash rank
+    * ((a·src + b·dst + c) mod P from the TextHash affine family, dst
+    * tiebreak), so the sample is reproducible across runs, engines,
+    * and partitionings — the property that makes distributed training
+    * epochs replayable. Sampling is per NODE, not per (seed, node):
+    * the sampled adjacency is built once per fanout with a standard
+    * per-key top-k window (the q10 shape — partitioned by src, never
+    * a global sort) and every seed's expansion joins against it, so
+    * shared frontier nodes cost once.
+    *
+    * Output: one row per traversal edge (seed, hop, src, dst), hops
+    * 1-based. */
+  def sampleNeighbors(edges: DataFrame, seeds: DataFrame,
+      fanouts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1),
+      s"fanouts must be non-empty positive, got $fanouts")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    // one ranked-adjacency pass shared by every hop (ranks beyond the
+    // largest fanout are dropped inside the window's top-k)
+    val key = (col("src") * lit(TextHash.A(0)) + col("dst") * lit(TextHash.A(1))
+      + lit(TextHash.B(0))) % lit(TextHash.P)
+    val w = Window.partitionBy(col("src")).orderBy(key, col("dst"))
+    val ranked = e.withColumn("graft_rk", row_number().over(w))
+      .filter(col("graft_rk") <= fanouts.max)
+      .transform(d => graft.Caches.pin(d))
+    def sampledAdj(f: Int): DataFrame =
+      ranked.filter(col("graft_rk") <= f).select(col("src"), col("dst"))
+    var frontier = seeds.select(col("id").cast("long").as("seed"),
+      col("id").cast("long").as("node")).distinct()
+    val hops = fanouts.zipWithIndex.map { case (f, i) =>
+      val adj = sampledAdj(f)
+      val hop = frontier.join(adj, frontier("node") === adj("src"))
+        .select(col("seed"), lit((i + 1).toLong).as("hop"), adj("src"), adj("dst"))
+      frontier = hop.select(col("seed"), col("dst").as("node")).distinct()
+      hop
+    }
+    hops.reduce(_ unionByName _)
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental (delta-based) maintenance of grouped aggregates — the
+  * materialized-view algebra that lets a 100 TB pipeline refresh a
+  * stored rollup from a day's delta instead of rescanning the corpus.
+  *
+  * The maintained aggregate is the pair (count, integer-cents sum): a
+  * commutative group, so inserts apply with weight +1 and deletes
+  * (retractions) with weight −1, and the merged state is exactly the
+  * from-scratch aggregate over (base ∖ deletes) ∪ inserts — which is
+  * what the q77 oracle recomputes. Values route through exact integer
+  * cents before ANY accumulation (the t80/t85 rule: no float and no
+  * version-sensitive cast ever touches accumulated state), so the
+  * incremental and recomputed legs agree bit-for-bit on every engine.
+  *
+  * Scale shape: `aggregateState` is the stored view (at production
+  * scale it is written bucketed by the group keys); `maintain` scans
+  * ONLY the delta, pre-aggregates it map-side (one skinny shuffle of
+  * |distinct keys in delta| rows), and merges with a keyed full-outer
+  * join that co-partitions with the stored bucketing. Nothing rereads
+  * the base fact table.
+  */
+object Incremental {
+
+  /** The stored view: per-key row count and exact cents sum.
+    * `cents` must already be integral (BIGINT) — see
+    * [[graft.operators.TimeSeries.resample]] for the rounding rule. */
+  def aggregateState(rows: DataFrame, keyNames: Seq[String], cents: Column): DataFrame =
+    rows.groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(coalesce(cents, lit(0L))).as("c"))
+
+  /** Apply a signed delta to a stored aggregate state.
+    *
+    * `delta` carries `op` = +1 (insert) / −1 (delete, which must
+    * retract a row present in the base — the caller's contract; a
+    * group driven to zero rows is dropped, and the algebra cannot go
+    * negative when the contract holds). The merge joins null-SAFELY
+    * on the keys (`<=>`), so a null key value is one group on both
+    * legs — exactly how GROUP BY treats it in the from-scratch
+    * recompute — and presence on each side is inferred from the
+    * aggregate columns being null, never from key nullity (the Diff
+    * null-key lesson).
+    *
+    * Output: keys, `n_events` (BIGINT), `c` (BIGINT cents) — render
+    * with one exact decimal multiply at the edge. */
+  def maintain(state: DataFrame, delta: DataFrame, keyNames: Seq[String],
+      op: Column, cents: Column): DataFrame = {
+    val d = delta.groupBy(keyNames.map(col): _*)
+      .agg(sum(op.cast("long")).as("d_n"),
+        sum(op.cast("long") * coalesce(cents, lit(0L))).as("d_c"))
+      .select(keyNames.map(k => col(k).as(s"d_$k")) ++ Seq(col("d_n"), col("d_c")): _*)
+    val cond = keyNames.map(k => col(k) <=> col(s"d_$k")).reduce(_ && _)
+    state.join(d, cond, "full_outer")
+      .select(keyNames.map(k => coalesce(col(k), col(s"d_$k")).as(k)) ++ Seq(
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_events"),
+        (coalesce(col("c"), lit(0L)) + coalesce(col("d_c"), lit(0L))).as("c")): _*)
+      .filter(col("n_events") > 0)
+  }
+}

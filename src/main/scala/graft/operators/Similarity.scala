@@ -431,4 +431,38 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"),
         col("score"))
   }
+
+  /** Retrieval evaluation over a labeled corpus: per query, run exact
+    * top-k (self excluded) and score it against label-match relevance
+    * — MRR and hits@k, the metrics that gate a retrieval index before
+    * it feeds a training-data pipeline.
+    *
+    * MRR's reciprocal rank is kept EXACT by scaling: `rr_x2520` =
+    * 2520 / first_rel_rank in integer division, and 2520 = lcm(1..10)
+    * so every reciprocal up to rank 10 is an exact integer — the
+    * cross-engine-stable form of a fractional metric (the q72/t80
+    * rule: no float enters accumulated or compared state). Hence
+    * `k <= 10`; a wider k needs a larger lcm scale.
+    *
+    * Scale shape: the top-k table is |queries|·k rows — the label
+    * join BROADCASTS it against the corpus's (id, label) projection,
+    * so the corpus is scanned narrow and never shuffled; the final
+    * aggregation is per-query tiny.
+    *
+    * Output: (query_id, first_rel_rank BIGINT nullable, rr_x2520
+    * BIGINT — 0 when no relevant doc ranked, hits_at_k BIGINT). */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1,10] for exact lcm scaling, got $k")
+    val top = bruteForceTopK(corpus, queries, k)
+    val qLab = queries.select(col("vec_id").as("query_id"), col("label").as("ql"))
+    val nLab = corpus.select(col("vec_id").as("neighbor_id"), col("label").as("nl"))
+    val relRank = when(col("nl") === col("ql"), col("rank"))
+    nLab.join(broadcast(top.join(broadcast(qLab), "query_id")), "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(
+        min(relRank).as("first_rel_rank"),
+        coalesce(expr("2520 div min(CASE WHEN nl = ql THEN rank END)"), lit(0L))
+          .as("rr_x2520"),
+        sum(when(col("nl") === col("ql"), 1L).otherwise(0L)).as("hits_at_k"))
+  }
 }

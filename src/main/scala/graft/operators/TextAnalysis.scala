@@ -816,4 +816,44 @@ object TextAnalysis {
       .orderBy(col("score_fp").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Feature hashing ("the hashing trick", Weinberger et al. 2009 —
+    * the fastText / Vowpal-Wabbit vectorizer): each token lands in
+    * bucket `polyHash(tok) mod dim` with sign picked by the next hash
+    * bit (`(h >> log2(dim)) & 1`), so the vectorizer needs NO
+    * vocabulary pass — the property that makes it the right
+    * bag-of-words featurizer at 100 TB (one scan, one skinny
+    * (doc, bucket) aggregation, no dictionary broadcast or join).
+    * Signed hashing keeps collision noise zero-mean.
+    *
+    * All-integer outputs (counts of signed occurrences), so the
+    * result is exact on every engine. Buckets whose signed count
+    * cancels to zero are dropped (they ARE the zero coordinate);
+    * docs with no surviving bucket drop with them — same rule on
+    * both legs.
+    *
+    * Output: (doc_id, nnz, l1, vec_s) where `vec_s` is the sparse
+    * vector serialized "bucket:count" in bucket order (array columns
+    * are not comparator-hashable — the q26/s53 lesson). */
+  def featureHash(df: DataFrame, id: Column, text: Column,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim must be a power of two, got $dim")
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .select(col("doc_id"), polyHashFast(col("tok")).as("h"))
+      .select(col("doc_id"),
+        (col("h") % dim).as("bucket"),
+        when((expr(s"h div $dim") % 2) === 0, lit(1L)).otherwise(lit(-1L)).as("sign"))
+    tok.groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("v"))
+      .filter(col("v") =!= 0)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("nnz"),
+        sum(abs(col("v"))).as("l1"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("bucket"), col("v")))),
+            s => concat_ws(":", s.getField("bucket"), s.getField("v"))),
+          ",").as("vec_s"))
+  }
 }

@@ -2815,6 +2815,50 @@ object Extended {
       .orderBy(col("source"))
   }
 
+  /** t94 — feature hashing (TextAnalysis.featureHash): the
+    * no-vocabulary bag-of-words vectorizer (hashing trick, signed) —
+    * 64 buckets, signed counts, sparse "bucket:count" render. All
+    * integers; the oracle rebuilds the identical signed histogram. */
+  val t94FeatureHash: Q = Q(
+    "t94_feature_hash",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |h AS (SELECT doc_id, unnest(list_transform(t, tok -> ${polyHashSql("tok")})) AS hv FROM toks),
+       |b AS (SELECT doc_id, hv % 64 AS bucket,
+       |        CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign FROM h),
+       |a AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+       |      FROM b GROUP BY doc_id, bucket HAVING sum(sign) <> 0)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+       |  CAST(sum(abs(v)) AS BIGINT) AS l1,
+       |  string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(v AS VARCHAR), ',' ORDER BY bucket) AS vec_s
+       |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.featureHash(Tables.documents(s, dir), col("doc_id"), col("text"), dim = 64)
+      .orderBy(col("doc_id"))
+  }
+
+  /** s62 — retrieval evaluation (Similarity.retrievalEval): exact
+    * top-10 against label-match relevance; MRR kept exact by the
+    * lcm(1..10)=2520 integer scaling. Queries = every 17th vector. */
+  val s62RetrievalEval: Q = Q(
+    "s62_retrieval_eval",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+       |           FROM embeddings WHERE vec_id % 17 = 0),
+       |sc AS (SELECT q.query_id, q.ql, c.vec_id AS neighbor_id, c.label AS nl,
+       |         ${dotSql("q.qe", "c.embedding")} AS score
+       |       FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, ql, nl,
+       |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |       FROM sc),
+       |t AS (SELECT * FROM rk WHERE rank <= 10)
+       |SELECT query_id,
+       |  min(CASE WHEN nl = ql THEN rank END) AS first_rel_rank,
+       |  CAST(COALESCE(2520 // min(CASE WHEN nl = ql THEN rank END), 0) AS BIGINT) AS rr_x2520,
+       |  CAST(count(*) FILTER (nl = ql) AS BIGINT) AS hits_at_k
+       |FROM t GROUP BY query_id ORDER BY query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.retrievalEval(emb, emb.filter(col("vec_id") % 17 === 0), k = 10)
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
@@ -2835,5 +2879,6 @@ object Extended {
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
     d69PatchNearDup, d45MinhashFast,
-    t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift)
+    t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
+    t94FeatureHash, s62RetrievalEval)
 }

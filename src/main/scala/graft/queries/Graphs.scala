@@ -247,6 +247,45 @@ object Graphs {
     Graph.nearestSeedLabels(edges, seeds, maxHops = 3).orderBy(col("id"))
   }
 
+  /** g08 — GraphSAGE-style neighbor sampling (Graph.sampleNeighbors):
+    * 2-hop fanout (3, 2) from every 5th supplier over the co-order
+    * supplier graph, neighbor choice ranked by the deterministic
+    * TextHash affine key so the minibatch is engine- and
+    * partitioning-reproducible. The oracle replays the identical
+    * ranked windows. */
+  val g08NeighborSample: Q = Q(
+    "g08_neighbor_sample",
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey),
+       |rk AS MATERIALIZED (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src
+       |    ORDER BY (769 * CAST(src AS BIGINT) + 1543 * CAST(dst AS BIGINT) + 12) % 1000000007, dst) AS rk
+       |  FROM raw),
+       |a1 AS (SELECT src, dst FROM rk WHERE rk <= 3),
+       |a2 AS (SELECT src, dst FROM rk WHERE rk <= 2),
+       |s AS (SELECT s_suppkey AS seed FROM supplier WHERE s_suppkey % 5 = 0),
+       |h1 AS (SELECT s.seed, CAST(1 AS BIGINT) AS hop, a1.src, a1.dst
+       |       FROM s JOIN a1 ON a1.src = s.seed),
+       |f1 AS (SELECT DISTINCT seed, dst AS node FROM h1),
+       |h2 AS (SELECT f1.seed, CAST(2 AS BIGINT) AS hop, a2.src, a2.dst
+       |       FROM f1 JOIN a2 ON a2.src = f1.node)
+       |SELECT CAST(seed AS BIGINT) AS seed, hop,
+       |  CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+       |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+       |ORDER BY seed, hop, src, dst""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+    val edges = li.join(l2, "l_orderkey")
+      .filter(col("l_suppkey") =!= col("s2"))
+      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+    val seeds = Tables.supplier(s, dir).filter(col("s_suppkey") % 5 === 0)
+      .select(col("s_suppkey").as("id"))
+    Graph.sampleNeighbors(edges, seeds, fanouts = Seq(3, 2))
+      .orderBy(col("seed"), col("hop"), col("src"), col("dst"))
+  }
+
   val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles, g04Bfs,
-    g05PageRankWeighted, g07NearestSeed)
+    g05PageRankWeighted, g07NearestSeed, g08NeighborSample)
 }

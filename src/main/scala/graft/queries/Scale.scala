@@ -579,8 +579,43 @@ object Scale {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q77 — incremental materialized-view maintenance
+    * (Incremental.aggregateState + maintain): the per-(user, type)
+    * rollup is maintained from a SIGNED DELTA — inserts (+1) are the
+    * id%5==0 rows, retractions (−1) re-delete the id%7==0 slice of
+    * the base — and must equal the oracle's from-scratch aggregate
+    * over the surviving rows. Values accumulate as exact integer
+    * cents on both legs (the q72 rule); the merged state scans only
+    * the delta, never rereads the base. */
+  val q77MvMaintain: Q = Q(
+    "q77_mv_maintain",
+    """WITH live AS (
+      |  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE event_id % 5 = 0 OR (event_id % 5 <> 0 AND event_id % 7 <> 0))
+      |SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(sum(COALESCE(cents, 0)) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS sum_value
+      |FROM live GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    import graft.operators.Incremental
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", round(col("value").cast("double") * lit(100)).cast("long"))
+    val keys = Seq("user_id", "event_type")
+    val base = ev.filter(col("event_id") % 5 =!= 0)
+    val delta = ev.filter(col("event_id") % 5 === 0).withColumn("op", lit(1L))
+      .unionByName(
+        ev.filter(col("event_id") % 5 =!= 0 && col("event_id") % 7 === 0)
+          .withColumn("op", lit(-1L)))
+    val state = Incremental.aggregateState(base, keys, col("cents"))
+    Incremental.maintain(state, delta, keys, col("op"), col("cents"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        (col("c") * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
-    q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune)
+    q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain)
 }

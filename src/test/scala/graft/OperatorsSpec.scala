@@ -1881,4 +1881,56 @@ class OperatorsSpec extends SparkSpec {
       10L -> (0L, 1L), 14L -> (0L, 1L), // lens 9,11 → second batch
       12L -> (1L, 0L), 15L -> (1L, 0L)))
   }
+
+  test("Incremental.maintain equals a from-scratch recompute; zeroed groups drop; null keys merge once") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    // base: k=a {3 rows}, k=b {1 row}, k=null {1 row}
+    val base = Seq(
+      (Some("a"), 100L), (Some("a"), 200L), (Some("a"), 300L),
+      (Some("b"), 50L), (None, 25L)).toDF("k", "cents")
+    // delta: insert to a and null, delete b entirely, delete one a row
+    val delta = Seq(
+      (Some("a"), 400L, 1L), (None, 75L, 1L),
+      (Some("b"), 50L, -1L), (Some("a"), 100L, -1L)).toDF("k", "cents", "op")
+    val state = Incremental.aggregateState(base, Seq("k"), col("cents"))
+    val got = Incremental.maintain(state, delta, Seq("k"), col("op"), col("cents"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute: a = {200,300,400} n=3 c=900; b dropped; null = {25,75} n=2 c=100
+    assert(got == Map(Some("a") -> (3L, 900L), None -> (2L, 100L)))
+  }
+
+  test("featureHash: signed bucket counts are the exact signed histogram, l1 bounded by token count") {
+    import graft.operators.{TextAnalysis, TextHash}
+    val out = TextAnalysis.featureHash(docs, col("doc_id"), col("text"), dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // exact dup docs 1 and 4 vectorize identically
+    assert(out(1L) == out(4L))
+    // recompute doc 3's histogram by hand from the same hash family
+    val toks = "completely different content about spark engines".split(" ")
+    def poly(s: String): Long = s.foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % TextHash.P)
+    val hist = toks.map(poly).groupBy(h => h % 64)
+      .map { case (b, hs) => b -> hs.map(h => if ((h / 64) % 2 == 0) 1L else -1L).sum }
+      .filter(_._2 != 0)
+    val (nnz, l1, vec) = out(3L)
+    assert(nnz == hist.size && l1 == hist.values.map(math.abs).sum)
+    assert(vec == hist.toSeq.sortBy(_._1).map { case (b, v) => s"$b:$v" }.mkString(","))
+    assert(l1 <= toks.length)
+  }
+
+  test("retrievalEval: exact 2520-scaled MRR and hits@k on a rigged corpus") {
+    import spark.implicits._
+    // query 100 (label 1); corpus ranked by dot: 1 > 2 > 3 (ids tiebreak)
+    val rows = Seq(
+      (100L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.9f, 0.0f), 2),   // rank 1, irrelevant
+      (2L, Array(0.8f, 0.0f), 1),   // rank 2, relevant
+      (3L, Array(0.7f, 0.0f), 1))   // rank 3, relevant
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity.retrievalEval(
+        rows, rows.filter(col("vec_id") === 100L), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((100L, 2L, 1260L, 2L))) // first rel at rank 2 → 2520/2
+  }
 }
