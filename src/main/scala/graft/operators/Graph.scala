@@ -466,14 +466,18 @@ object Graph {
     val ranked = e.withColumn("graft_rk", row_number().over(w))
       .filter(col("graft_rk") <= fanouts.max)
       .transform(d => graft.Caches.pin(d))
+    // adjacency columns renamed per hop: hop h's frontier descends from
+    // hop h-1's output of the SAME ranked frame, so bare src/dst would
+    // be an ambiguous self-join
     def sampledAdj(f: Int): DataFrame =
-      ranked.filter(col("graft_rk") <= f).select(col("src"), col("dst"))
+      ranked.filter(col("graft_rk") <= f)
+        .select(col("src").as("a_src"), col("dst").as("a_dst"))
     var frontier = seeds.select(col("id").cast("long").as("seed"),
       col("id").cast("long").as("node")).distinct()
     val hops = fanouts.zipWithIndex.map { case (f, i) =>
-      val adj = sampledAdj(f)
-      val hop = frontier.join(adj, frontier("node") === adj("src"))
-        .select(col("seed"), lit((i + 1).toLong).as("hop"), adj("src"), adj("dst"))
+      val hop = frontier.join(sampledAdj(f), col("node") === col("a_src"))
+        .select(col("seed"), lit((i + 1).toLong).as("hop"),
+          col("a_src").as("src"), col("a_dst").as("dst"))
       frontier = hop.select(col("seed"), col("dst").as("node")).distinct()
       hop
     }

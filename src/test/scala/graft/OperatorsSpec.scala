@@ -1919,6 +1919,28 @@ class OperatorsSpec extends SparkSpec {
     assert(l1 <= toks.length)
   }
 
+  test("sampleNeighbors: fanout caps hold per node per hop; expansion follows sampled hop-1 frontier") {
+    import spark.implicits._
+    // star around 1 (neighbors 2..6) plus chain 2->7, 2->8, 2->9
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)) ++
+      Seq((2L, 7L), (2L, 8L), (2L, 9L))).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = graft.operators.Graph.sampleNeighbors(edges, seeds, Seq(3, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hop1 = out.filter(_._2 == 1L)
+    val hop2 = out.filter(_._2 == 2L)
+    assert(hop1.length == 3 && hop1.forall(_._3 == 1L)) // fanout 3 of 5
+    // hop-2 edges only out of sampled hop-1 dsts, ≤2 per node
+    val h1dsts = hop1.map(_._4).toSet
+    assert(hop2.forall(e => h1dsts.contains(e._3)))
+    assert(hop2.groupBy(_._3).values.forall(_.length <= 2))
+    // deterministic: rerun is identical
+    val again = graft.operators.Graph.sampleNeighbors(edges, seeds, Seq(3, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    graft.Caches.releaseAll()
+  }
+
   test("retrievalEval: exact 2520-scaled MRR and hits@k on a rigged corpus") {
     import spark.implicits._
     // query 100 (label 1); corpus ranked by dot: 1 > 2 > 3 (ids tiebreak)
