@@ -706,6 +706,60 @@ object StreamOps {
     ()
   }
 
+  /** Streaming incremental materialized-view maintenance — the
+    * streaming twin of q77's [[graft.operators.Incremental]]: a CDC
+    * delta stream of (keys…, op ∈ {+1,−1}, cents) rows maintains the
+    * per-key (count, exact-cents-sum) rollup continuously.
+    *
+    * Architecture is dedupBatch's: each micro-batch OVERWRITES its own
+    * `batch=<id>` parquet partition with the batch's signed per-key
+    * partial aggregate, so a replayed batch (restart after failure)
+    * rewrites the same path — idempotent under foreachBatch's
+    * at-least-once delivery. The view itself is merge-on-read
+    * ([[mvState]]): signed sums are commutative and associative, so
+    * the merge is arrival-order independent and equals the batch
+    * from-scratch aggregate after any batch split.
+    *
+    * Unlike the BFS min-lattice state, SUM is NOT idempotent — state
+    * partitions must never be compacted while their batch ids are
+    * still inside the replay horizon (a replay would re-write a
+    * partition the compactor deleted and double-count). That is why
+    * this operator has no compaction helper: production retires
+    * partitions only past the sink checkpoint's committed id. */
+  def mvMaintainStream(spark: SparkSession, delta: DataFrame,
+      keyNames: Seq[String], stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    delta.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mvBatch(spark, batch.toDF(), batchId, keyNames, stateDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[mvMaintainStream]], exposed so replay
+    * idempotence is directly testable. */
+  private[graft] def mvBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, keyNames: Seq[String], stateDir: String): Unit = {
+    batch
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col("op").cast("long")).as("d_n"),
+        sum(col("op").cast("long") * coalesce(col("cents").cast("long"), lit(0L)))
+          .as("d_c"))
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    ()
+  }
+
+  /** The maintained view: merge-on-read over the per-batch signed
+    * partials — groups whose count nets to zero are dropped, exactly
+    * like the batch Incremental.maintain. */
+  def mvState(spark: SparkSession, stateDir: String,
+      keyNames: Seq[String]): DataFrame =
+    spark.read.parquet(stateDir)
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum(col("d_n")).as("n_events"), sum(col("d_c")).as("c"))
+      .filter(col("n_events") > 0)
+
   /** Run a streaming frame to completion against a bounded source and
     * return the in-memory result table (local smoke harness: batch
     * parquet driving the incremental plan). */

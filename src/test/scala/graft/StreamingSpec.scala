@@ -766,4 +766,36 @@ class StreamingSpec extends SparkSpec {
       assert(last(8L) == UserRunning(8L, 1L, 5.0))
     } finally spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
   }
+
+  test("streaming MV maintenance equals batch Incremental.maintain; batch replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val keys = Seq("k")
+    // delta stream: (k, op, cents) — inserts and a retraction
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = StreamOps.mvMaintainStream(
+      spark, mem.toDS().toDF("k", "op", "cents"), keys, stateDir)
+    def state() = StreamOps.mvState(spark, stateDir, keys)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    mem.addData(("a", 1L, 100L), ("a", 1L, 200L), ("b", 1L, 50L))
+    q.processAllAvailable()
+    assert(state() == Map("a" -> (2L, 300L), "b" -> (1L, 50L)))
+    // batch 1: delete b entirely, add to a — b's group must vanish
+    mem.addData(("b", -1L, 50L), ("a", 1L, 300L))
+    q.processAllAvailable()
+    q.stop()
+    assert(state() == Map("a" -> (3L, 600L)))
+    // equals the batch operator over the same base/delta split
+    val base = Seq(("a", 100L), ("a", 200L), ("b", 50L)).toDF("k", "cents")
+    val delta = Seq(("b", -1L, 50L), ("a", 1L, 300L)).toDF("k", "op", "cents")
+    val st = graft.operators.Incremental.aggregateState(base, keys, col("cents"))
+    val twin = graft.operators.Incremental.maintain(st, delta, keys, col("op"), col("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state() == twin)
+    // replaying batch 1 (same id) overwrites its own partition: state unchanged
+    StreamOps.mvBatch(spark,
+      Seq(("b", -1L, 50L), ("a", 1L, 300L)).toDF("k", "op", "cents"),
+      1L, keys, stateDir)
+    assert(state() == twin)
+  }
 }
