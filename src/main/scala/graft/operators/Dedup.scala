@@ -291,6 +291,42 @@ object Dedup {
     verifyJaccardOnSortedHashes(sh, candidatePairs(buckets), threshold)
   }
 
+  /** Sketch calibration: for every LSH candidate pair, the MinHash
+    * ESTIMATE's raw statistic (agreeing signature components, 0..k)
+    * side by side with the EXACT Jaccard numerator/denominator over
+    * the distinct hashed shingle sets — the measurement that tells
+    * you whether k and the band layout are tuned before trusting the
+    * sketch on 100 TB (estimate = matches/k, truth = n_inter/n_union;
+    * E[matches/k] = J is the MinHash guarantee being audited).
+    *
+    * All-integer output (the t80/t85 rule — downstream divides when
+    * it wants a ratio), candidates only (never all pairs): one band
+    * self-join for candidates plus two skinny id joins for the
+    * signature and set payloads.
+    *
+    * Output: (a, b, n_sig_match, n_inter, n_union). */
+  def sketchCalibration(docs: DataFrame, id: Column, text: Column,
+      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sh = shingleHashFrame(docs.repartition(id), id, text, n)
+      .select(col("doc_id"), array_distinct(col("h")).as("s"))
+      .transform(d => graft.Caches.pin(d))
+    val sig = sh.select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
+      .transform(d => graft.Caches.pin(d))
+    val cand = candidatePairs(bucketsFromSignatures(sig, k, bands))
+    val inter = size(array_intersect(col("s_a"), col("s_b"))).cast("long")
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .join(sh.select(col("doc_id").as("a"), col("s").as("s_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("s").as("s_b")), "b")
+      .select(col("a"), col("b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          p => p)).cast("long").as("n_sig_match"),
+        inter.as("n_inter"),
+        (size(col("s_a")) + size(col("s_b")) - inter).cast("long").as("n_union"))
+  }
+
   /** CONTAINMENT (subset) near-dup pairs: (contained, container,
     * containment) where containment(A in B) = |A∩B| / |A| ≥ t over
     * distinct hashed n-gram shingle sets. This is the case symmetric-

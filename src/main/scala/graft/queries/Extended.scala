@@ -2815,6 +2815,30 @@ object Extended {
       .orderBy(col("source"))
   }
 
+  /** d71 — MinHash sketch calibration (Dedup.sketchCalibration): per
+    * LSH candidate pair, the signature-agreement count next to the
+    * exact Jaccard numerator/denominator — the audit that validates
+    * k and the band layout before the sketch is trusted at scale.
+    * All integers; the oracle replays the identical chain. */
+  val d71SketchError: Q = Q(
+    "d71_sketch_error",
+    s"""WITH $minhashCtes,
+       |hd AS (SELECT doc_id, list_distinct(h) AS s FROM hs),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+       |SELECT a, b,
+       |  CAST(len(list_filter(range(1, 9), i -> ga.sig[i] = gb.sig[i])) AS BIGINT) AS n_sig_match,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+       |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_union
+       |FROM cand
+       |  JOIN sig ga ON cand.a = ga.doc_id JOIN sig gb ON cand.b = gb.doc_id
+       |  JOIN hd sa ON cand.a = sa.doc_id JOIN hd sb ON cand.b = sb.doc_id
+       |ORDER BY a, b""".stripMargin) { (s, dir) =>
+    Dedup.sketchCalibration(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** t94 — feature hashing (TextAnalysis.featureHash): the
     * no-vocabulary bag-of-words vectorizer (hashing trick, signed) —
     * 64 buckets, signed counts, sparse "bucket:count" render. All
@@ -2880,5 +2904,5 @@ object Extended {
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
-    t94FeatureHash, s62RetrievalEval)
+    t94FeatureHash, s62RetrievalEval, d71SketchError)
 }
