@@ -60,4 +60,61 @@ object Incremental {
         (coalesce(col("c"), lit(0L)) + coalesce(col("d_c"), lit(0L))).as("c")): _*)
       .filter(col("n_events") > 0)
   }
+
+  /** Maintain a NON-invertible aggregate (MIN) under inserts and
+    * row-id deletes — the case the signed-sum algebra cannot cover:
+    * a delete that removes the current minimum forces a rescan, but
+    * only of ITS group.
+    *
+    * The split is the point of the operator. Deleted rows are a
+    * subset of the base, so their per-group min `dmin` is ≥ the
+    * stored min `m`; when `dmin > m` the deletes provably didn't
+    * touch the minimum and the group merges algebraically
+    * (`least(m, insert-min)`, counts add). Only groups with
+    * `dmin = m` — in practice a sliver of the keyspace — take the
+    * recompute path: live rows (base ∖ deletes ∪ inserts) are
+    * SEMI-JOINED down to those groups before the rescan aggregate,
+    * so at 100 TB the rescan reads one group's slice, not the fact
+    * table. Groups whose rows all vanish drop from the view.
+    *
+    * `deleteIds` is an id-list frame (`idName` column); `inserts`
+    * carries keys + `idName` + `cents`. Output: keys, `n_events`,
+    * `min_cents` (both BIGINT). */
+  def maintainMin(base: DataFrame, inserts: DataFrame, deleteIds: DataFrame,
+      keyNames: Seq[String], idName: String, cents: Column): DataFrame = {
+    val keys = keyNames.map(col)
+    val state = base.groupBy(keys: _*)
+      .agg(min(cents).as("m"), count(lit(1)).as("n"))
+    val dels = base.join(deleteIds.select(col(idName)), idName)
+    val delAgg = dels.groupBy(keys: _*)
+      .agg(min(cents).as("dmin"), count(lit(1)).as("dn"))
+      .select(keyNames.map(k => col(k).as(s"del_$k")) :+ col("dmin") :+ col("dn"): _*)
+    val insAgg = inserts.groupBy(keys: _*)
+      .agg(min(cents).as("imin"), count(lit(1)).as("inn"))
+      .select(keyNames.map(k => col(k).as(s"ins_$k")) :+ col("imin") :+ col("inn"): _*)
+    val condIns = keyNames.map(k => col(k) <=> col(s"ins_$k")).reduce(_ && _)
+    val merged = state.join(insAgg, condIns, "full_outer")
+      .select(keyNames.map(k => coalesce(col(k), col(s"ins_$k")).as(k)) ++
+        Seq(col("m"), col("n"), col("imin"), col("inn")): _*)
+    val condDel = keyNames.map(k => col(k) <=> col(s"del_$k")).reduce(_ && _)
+    val withDel = merged.join(delAgg, condDel, "left")
+    // dels ⊆ base ⇒ dmin ≥ m (and dmin non-null implies m non-null);
+    // the minimum survives iff dmin > m
+    val affectedKeys = withDel
+      .filter(col("dmin").isNotNull && col("dmin") === col("m"))
+      .select(keys: _*)
+    val algebraic = withDel.filter(col("dmin").isNull || col("dmin") > col("m"))
+      .select(keyNames.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("inn"), lit(0L))
+          - coalesce(col("dn"), lit(0L))).as("n_events"),
+        least(col("m"), col("imin")).as("min_cents")): _*)
+      .filter(col("n_events") > 0)
+    val live = base.join(deleteIds.select(col(idName)), Seq(idName), "left_anti")
+      .select(keys :+ cents.as("graft_cents"): _*)
+      .unionByName(inserts.select(keys :+ cents.as("graft_cents"): _*))
+    val recomputed = live.join(affectedKeys, keyNames, "left_semi")
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_events"), min(col("graft_cents")).as("min_cents"))
+    algebraic.unionByName(recomputed)
+  }
 }

@@ -614,8 +614,43 @@ object Scale {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q78 — NON-invertible aggregate maintenance
+    * (Incremental.maintainMin): per-(user, type) MIN under the q77
+    * insert/delete mix. Deletes that provably didn't remove the
+    * stored minimum merge algebraically; only groups whose deleted
+    * min EQUALS the stored min rescan — and the rescan is semi-joined
+    * to those groups, never the fact table. Oracle recomputes from
+    * scratch: the partial-recompute split must change the work, not
+    * the answer (the q43/q76 rule for view maintenance). */
+  val q78MvMinMaintain: Q = Q(
+    "q78_mv_min_maintain",
+    """WITH live AS (
+      |  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE event_id % 5 = 0 OR (event_id % 5 <> 0 AND event_id % 7 <> 0))
+      |SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(min(cents) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS min_value
+      |FROM live GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    import graft.operators.Incremental
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", round(col("value").cast("double") * lit(100)).cast("long"))
+    val keys = Seq("user_id", "event_type")
+    val base = ev.filter(col("event_id") % 5 =!= 0)
+    val inserts = ev.filter(col("event_id") % 5 === 0)
+    val deleteIds = ev
+      .filter(col("event_id") % 5 =!= 0 && col("event_id") % 7 === 0)
+      .select(col("event_id"))
+    Incremental.maintainMin(base, inserts, deleteIds, keys, "event_id", col("cents"))
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        (col("min_cents") * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("min_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
-    q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain)
+    q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
+    q78MvMinMaintain)
 }

@@ -1900,6 +1900,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(Some("a") -> (3L, 900L), None -> (2L, 100L)))
   }
 
+  test("maintainMin: algebraic merge vs targeted recompute split covers all group classes") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val base = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L), (5L, "b", 50L),
+      (6L, "c", 7L)).toDF("event_id", "k", "cents")
+    val inserts = Seq((10L, "a", 1L), (11L, "d", 99L)).toDF("event_id", "k", "cents")
+    // delete a's min (recompute), all of c (group vanishes), b's NON-min (algebraic)
+    val deleteIds = Seq(1L, 6L, 5L).toDF("event_id")
+    val got = Incremental.maintainMin(base, inserts, deleteIds,
+        Seq("k"), "event_id", col("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "a" -> (3L, 1L),   // {20,30} + insert 1 — recompute path
+      "b" -> (1L, 5L),   // min survived the delete — algebraic path
+      "d" -> (1L, 99L))) // insert-only new group
+  }
+
   test("featureHash: signed bucket counts are the exact signed histogram, l1 bounded by token count") {
     import graft.operators.{TextAnalysis, TextHash}
     val out = TextAnalysis.featureHash(docs, col("doc_id"), col("text"), dim = 64)
