@@ -648,9 +648,57 @@ object Scale {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q79 — CSV source roundtrip: a lineitem slice staged as CSV with
+    * the options that bite in practice (header, quoting forced by an
+    * embedded delimiter, explicit nullValue sentinel, timestamp
+    * format, explicit read schema — never inferSchema, which double-
+    * scans and type-flips at scale), read back PERMISSIVE, and
+    * aggregated. The oracle computes from the ORIGINAL parquet — the
+    * staging format must preserve content exactly (the q69 rule for
+    * a second interchange format; doubles survive because Java's
+    * shortest-roundtrip rendering parses back bit-identical). */
+  val q79CsvRoundtrip: Q = Q(
+    "q79_csv_roundtrip",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS sum_price,
+      |  CAST(count(*) FILTER (l_linenumber % 7 = 0) AS BIGINT) AS n_null_tag,
+      |  min(l_shipdate) AS min_ship
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val tmp = graft.engine.WorkDirs.path("q79", dir)
+    val csvOpts = Map("header" -> "true", "nullValue" -> "\\N")
+    Tables.lineitem(s, dir).filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_returnflag"),
+        // timestamps cross text formats via an EXPLICIT pattern on
+        // both legs (write render + read parse) — never the engine's
+        // default, which differs between timestamp flavors
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("ship_s"),
+        // embedded delimiter forces quoting; every 7th line a real null
+        when(col("l_linenumber") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(col("l_returnflag"), lit(","), col("l_linestatus")))
+          .as("tag"))
+      .write.options(csvOpts).mode("overwrite").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+      StructField("l_extendedprice", DoubleType), StructField("l_returnflag", StringType),
+      StructField("ship_s", StringType), StructField("tag", StringType)))
+    s.read.options(csvOpts).option("mode", "PERMISSIVE").schema(schema).csv(tmp)
+      .withColumn("l_shipdate", to_timestamp(col("ship_s"), "yyyy-MM-dd HH:mm:ss"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(round(col("l_extendedprice") * lit(100)).cast("long"))
+          * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("sum_price"),
+        sum(when(col("tag").isNull, 1L).otherwise(0L)).as("n_null_tag"),
+        min(col("l_shipdate")).as("min_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
     q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
-    q78MvMinMaintain)
+    q78MvMinMaintain, q79CsvRoundtrip)
 }

@@ -194,4 +194,30 @@ class SourcesSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(pk == Seq("2022-1", "2023-1"))
   }
+
+  test("CSV permissive read dead-letters malformed rows instead of failing (q79's format twin of E1)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv_dead").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part.csv"),
+      """id,qty,name
+        |1,10,alpha
+        |2,notanumber,beta
+        |3,30,"gam,ma"
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    val got = spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(dir)
+      .collect().map(r => (r.getAs[Any]("id"), r.getAs[Any]("qty"),
+        r.getAs[String]("name"), Option(r.getAs[String]("_corrupt_record")).isDefined))
+    // good rows parse (incl. quoted embedded delimiter); the bad row
+    // keeps its raw line in the dead-letter column with qty nulled
+    assert(got.count(!_._4) == 2)
+    val bad = got.filter(_._4)
+    assert(bad.length == 1 && bad.head._2 == null)
+  }
 }
