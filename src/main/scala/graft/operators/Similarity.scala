@@ -432,6 +432,45 @@ object Similarity {
         col("score"))
   }
 
+  /** Filtered vector search, audited: metadata-constrained top-k done
+    * the RIGHT way (pre-filter: restrict the corpus, then rank — the
+    * result a filtered index returns) next to the naive way
+    * (post-filter: rank the full corpus, then drop non-matching
+    * neighbors — which silently returns < k and loses recall whenever
+    * the filter is selective). The audit row per query counts both
+    * sets and their overlap; `n_post < n_pre` is the recall hole
+    * post-filtering opens.
+    *
+    * `keep` is the metadata predicate over corpus columns. Scale
+    * shape: both legs are the s50 broadcast-query scan (at 100 TB the
+    * pre-filter leg is strictly cheaper — the predicate prunes before
+    * scoring).
+    *
+    * Output: (query_id, n_pre, n_post, n_common), all BIGINT. */
+  def filterRecallAudit(corpus: DataFrame, queries: DataFrame,
+      keep: Column, k: Int): DataFrame = {
+    val flagged = corpus.withColumn("graft_keep", keep)
+    val pre = bruteForceTopK(
+        flagged.filter(col("graft_keep")).drop("graft_keep"), queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val flags = flagged.select(col("vec_id").as("neighbor_id"), col("graft_keep"))
+    val post = bruteForceTopK(corpus, queries, k)
+      .join(flags, "neighbor_id").filter(col("graft_keep"))
+      .select(col("query_id"), col("neighbor_id"))
+    val nPre = pre.groupBy(col("query_id")).agg(count(lit(1)).as("n_pre"))
+    val nPost = post.groupBy(col("query_id")).agg(count(lit(1)).as("n_post"))
+    val nCommon = pre.join(post, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(nPre, Seq("query_id"), "left")
+      .join(nPost, Seq("query_id"), "left")
+      .join(nCommon, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_pre"), lit(0L)).as("n_pre"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
   /** Retrieval evaluation over a labeled corpus: per query, run exact
     * top-k (self excluded) and score it against label-match relevance
     * — MRR and hits@k, the metrics that gate a retrieval index before

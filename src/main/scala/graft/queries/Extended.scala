@@ -2883,6 +2883,44 @@ object Extended {
       .orderBy(col("query_id"))
   }
 
+  /** s63 — filtered vector search audit
+    * (Similarity.filterRecallAudit): even-label metadata filter,
+    * exact top-5; pre-filter vs post-filter counts per query. */
+  val s63FilteredKnn: Q = Q(
+    "s63_filtered_knn",
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |fsc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |          ${dotSql("q.qe", "c.embedding")} AS score
+       |        FROM embeddings c CROSS JOIN q
+       |        WHERE c.vec_id <> q.query_id AND c.label % 2 = 0),
+       |frk AS (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |        FROM fsc),
+       |pre AS (SELECT query_id, neighbor_id FROM frk WHERE rk <= 5),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS nl,
+       |          ${dotSql("q.qe", "c.embedding")} AS score
+       |        FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, neighbor_id, nl,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |        FROM sc),
+       |post AS (SELECT query_id, neighbor_id FROM rk WHERE rk <= 5 AND nl % 2 = 0),
+       |np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pre FROM pre GROUP BY query_id),
+       |ns AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_post FROM post GROUP BY query_id),
+       |nc AS (SELECT pre.query_id, CAST(count(*) AS BIGINT) AS n_common
+       |       FROM pre JOIN post ON pre.query_id = post.query_id AND pre.neighbor_id = post.neighbor_id
+       |       GROUP BY pre.query_id)
+       |SELECT q.query_id, COALESCE(np.n_pre, 0) AS n_pre,
+       |  COALESCE(ns.n_post, 0) AS n_post, COALESCE(nc.n_common, 0) AS n_common
+       |FROM q LEFT JOIN np ON np.query_id = q.query_id
+       |  LEFT JOIN ns ON ns.query_id = q.query_id
+       |  LEFT JOIN nc ON nc.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.filterRecallAudit(emb, emb.filter(col("vec_id") % 50 === 0),
+        keep = col("label") % 2 === 0, k = 5)
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(
     d40DedupExact, d41MinhashLsh, d42NearDupPairs, d43Simhash, d44EmbeddingNearDup,
     d46SrpSketch, d47CharNgramDedup, d48MinhashAgg, d49DedupClusters, d51Decontaminate,
@@ -2904,5 +2942,5 @@ object Extended {
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
-    t94FeatureHash, s62RetrievalEval, d71SketchError)
+    t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn)
 }
