@@ -50,16 +50,33 @@ object TextAnalysis {
     * prediction = best-scoring lexicon above a floor, else "unknown".
     * (A production system uses char n-gram profiles — same operator
     * shape: per-row scoring against broadcast profiles.) */
-  def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def langId(df: DataFrame, id: Column, text: Column): DataFrame =
+    langIdCore(df, id, text, Nil)
+
+  private def langIdCore(df: DataFrame, id: Column, text: Column,
+      extras: Seq[(String, Column)]): DataFrame = {
     val toks = col("t")
-    val scored = df.select(id.as("doc_id"), tokens(text).as("t"))
-      .select(
-        col("doc_id"),
+    val scored = df.select(Seq(id.as("doc_id")) ++
+        extras.map { case (n, c) => c.as(n) } :+ tokens(text).as("t"): _*)
+      .select(Seq(col("doc_id")) ++ extras.map { case (n, _) => col(n) } ++ Seq(
         ratioIn(toks, Lexicons("en")).as("en_score"),
         ratioIn(toks, Lexicons("de")).as("de_score"),
-        ratioIn(toks, Lexicons("es")).as("es_score"))
+        ratioIn(toks, Lexicons("es")).as("es_score")): _*)
     scored.withColumn("predicted_lang", predictLang)
   }
+
+  /** Language-ID EVALUATION against gold labels: the confusion matrix
+    * (gold, predicted, n) — the classifier-audit companion to s62's
+    * retrieval eval. Gold rides the scoring pass as a carried column
+    * (no re-join against the corpus), and the output is one tiny
+    * aggregation: at 100 TB this costs exactly one scan.
+    * Per-class precision/recall divide out of the counts downstream
+    * — the matrix stays all-integer (the t80/t85 rule). */
+  def langIdEval(df: DataFrame, id: Column, text: Column,
+      gold: Column): DataFrame =
+    langIdCore(df, id, text, Seq("gold" -> gold))
+      .groupBy(col("gold"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
 
   /** The argmax-with-floor prediction over the three lexicon scores —
     * shared by `langId` and `languageQuality` so the rule cannot

@@ -2883,6 +2883,32 @@ object Extended {
       .orderBy(col("query_id"))
   }
 
+  /** t95 — language-ID evaluation (TextAnalysis.langIdEval): the
+    * confusion matrix of the t61 heuristic against the corpus's gold
+    * `lang` column — all-integer counts, one scan (gold rides the
+    * scoring pass; no re-join). */
+  val t95LangIdEval: Q = Q(
+    "t95_langid_eval",
+    s"""WITH toks AS (SELECT lang, ${tokensSql("text")} AS t FROM documents),
+       |sc AS (SELECT lang AS gold,
+       |  ${ratioSql("en")} AS en_score,
+       |  ${ratioSql("de")} AS de_score,
+       |  ${ratioSql("es")} AS es_score
+       |FROM toks),
+       |p AS (SELECT gold,
+       |  CASE WHEN greatest(en_score, de_score, es_score) < 0.02 THEN 'unknown'
+       |       WHEN en_score >= de_score AND en_score >= es_score THEN 'en'
+       |       WHEN de_score >= es_score THEN 'de'
+       |       ELSE 'es' END AS predicted_lang
+       |FROM sc)
+       |SELECT gold, predicted_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY gold, predicted_lang
+       |ORDER BY gold, predicted_lang""".stripMargin) { (s, dir) =>
+    TextAnalysis.langIdEval(Tables.documents(s, dir), col("doc_id"), col("text"),
+        gold = col("lang"))
+      .orderBy(col("gold"), col("predicted_lang"))
+  }
+
   /** s63 — filtered vector search audit
     * (Similarity.filterRecallAudit): even-label metadata filter,
     * exact top-5; pre-filter vs post-filter counts per query. */
@@ -2942,5 +2968,5 @@ object Extended {
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
-    t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn)
+    t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval)
 }

@@ -696,9 +696,44 @@ object Scale {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q80 — RUNNING DISTINCT COUNT, the scalable idiom: cumulative
+    * distinct event_types per user in event order. The naive form
+    * (`size(collect_set) OVER`) materializes a growing set per row —
+    * O(rows · distinct) state that dies on wide windows; the scalable
+    * form is two plain windows: flag each key's FIRST occurrence
+    * (row_number = 1 over (user, type)), then running-sum the flags.
+    * Both engines replay the identical two-window construction; ties
+    * in ts break on event_id (unique) so the trajectory is
+    * deterministic. */
+  val q80RunningDistinct: Q = Q(
+    "q80_running_distinct",
+    """WITH f AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts, event_id) = 1
+      |         THEN 1 ELSE 0 END AS first_seen
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types
+      |FROM f ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val firstW = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val cumW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("first_seen",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"),
+        sum(col("first_seen")).over(cumW).as("n_distinct_types"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
     q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
-    q78MvMinMaintain, q79CsvRoundtrip)
+    q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct)
 }
