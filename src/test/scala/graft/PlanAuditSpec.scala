@@ -368,4 +368,28 @@ class PlanAuditSpec extends SparkSpec {
       assert(parses <= 1, s"$q: get_json_object appears $parses times (expected once):\n$p")
     }
   }
+
+  test("q77/q78: view maintenance aggregates map-side; q78's recompute is a SEMI-join, never a fact rescan join") {
+    val p77 = plan("q77_mv_maintain")
+    assert(p77.toLowerCase.contains("partial_"),
+      s"q77: delta aggregation should run map-side partials:\n$p77")
+    val p78 = plan("q78_mv_min_maintain")
+    assert(p78.contains("LeftSemi"),
+      s"q78: the affected-group restriction must plan a semi-join:\n$p78")
+  }
+
+  test("s63: the pre-filter leg pushes the metadata predicate into the embedding scan") {
+    val p = plan("s63_filtered_knn")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("label"),
+      s"s63: label predicate not pushed to any scan:\n$pushed")
+  }
+
+  test("g08: the sampled adjacency ranks inside a src-partitioned window; expansion joins broadcast or hash") {
+    val p = plan("g08_neighbor_sample")
+    assert(!p.contains("CartesianProduct"), s"g08 plans a cartesian:\n$p")
+    // the ranked window is keyed: hashpartitioning on src feeds it
+    assert(p.contains("hashpartitioning(src"),
+      s"g08: expected a src-keyed exchange before the rank window:\n$p")
+  }
 }

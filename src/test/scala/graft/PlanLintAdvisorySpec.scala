@@ -28,9 +28,12 @@ class PlanLintAdvisorySpec extends SparkSpec {
       "q73_equidepth",       // collect_list of <= q-1 cuts per group
       "d60_drop_spans",      // collect_list of few merged intervals per doc
       "d63_cdc_apply",       // array_sort(collect_list) doc rebuild, chunk-bounded
-      "d68_varint_postings"  // posting-list materialization: per-term doc list is
+      "d68_varint_postings", // posting-list materialization: per-term doc list is
                              // the ARTIFACT; a 100 TB hot term needs DF capping
                              // (d65's maxDf discipline) before this step
+      "t94_feature_hash"     // sparse-vector render: sort_array(collect_list)
+                             // over ≤ dim (=64) signed buckets per doc —
+                             // dimension-bounded, never corpus-bounded
     )
     assert(users == reviewed,
       s"object-agg set drifted.\n+ ${(users -- reviewed).toSeq.sorted.mkString(", ")}\n- ${(reviewed -- users).toSeq.sorted.mkString(", ")}")
@@ -107,6 +110,11 @@ object DriverActionReviewed {
     "t67_token_budget", "t70_pack_sequences",
     // d70 = d49's connected-components loop (checkpoint class) feeding
     // the hash split
-    "d70_leakage_split"
+    "d70_leakage_split",
+    // q79 = q69's materializing-roundtrip class: the CSV stage write
+    // ("csv at Scale.scala") runs at construction so the READ leg is
+    // the audited query — the write is the fixture, bounded by the
+    // l_orderkey % 50 slice
+    "q79_csv_roundtrip"
   )
 }
