@@ -2883,6 +2883,55 @@ object Extended {
       .orderBy(col("query_id"))
   }
 
+  /** m77 — REAL frame-container sampling (Multimodal.sampleFramesReal
+    * over ImageCodec.decodeFrameContainer): each document renders into
+    * a genuine 4-frame P6 container (frame f's 8×8 pixels = text chars
+    * [192f, 192(f+1))), the decoder walks the container and every 2nd
+    * frame (indices 0 and 2) comes back with its perceptual hash. The
+    * oracle replays the byte layout with the frame offset folded into
+    * the char position — the m74 single-image construction lifted to
+    * the container (same integer BT.601 luma, mean, bit-fold, bit 63
+    * masked for DuckDB's signed `<<`). ASCII corpus ⇒ chars = bytes. */
+  val m77FrameSample: Q = {
+    def pos(f: String, channel: Int) =
+      s"CAST(192*$f + 3*i + $channel AS BIGINT)"
+    Q("m77_frame_sample",
+      s"""WITH px AS (
+         |  SELECT doc_id, rpad(substring(text, 1, 768), 768, ' ') AS p FROM documents),
+         |fr AS (SELECT doc_id, p, f FROM px CROSS JOIN (SELECT unnest([0, 2]) AS f)),
+         |g AS (SELECT doc_id, f,
+         |  list_transform(range(0, 64), i ->
+         |    (77 * CAST(ascii(substring(p, ${pos("f", 1)}, 1)) AS BIGINT)
+         |     + 150 * CAST(ascii(substring(p, ${pos("f", 2)}, 1)) AS BIGINT)
+         |     + 29 * CAST(ascii(substring(p, ${pos("f", 3)}, 1)) AS BIGINT)) // 256) AS lum
+         |  FROM fr),
+         |m AS (SELECT doc_id, f, lum,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), lum), (a, x) -> a + x) // 64 AS mean
+         |  FROM g)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63),
+         |    i -> CASE WHEN lum[i+1] > mean THEN (CAST(1 AS BIGINT) << i)
+         |              ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x) AS ahash63
+         |FROM m ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import graft.operators.{ImageCodec, Multimodal}
+      val padded = rpad(substring(col("text"), 1, 768), 768, " ")
+      val container = concat((0 until 4).flatMap { f =>
+        Seq(lit("P6\n8 8\n255\n"), substring(padded, f * 192 + 1, 192))
+      }: _*)
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id"), container.cast("binary").as("payload"))
+      val assets = Multimodal.toAssets(payloads, "doc_id", "payload", ImageCodec.PpmMime)
+      Multimodal.sampleFramesReal(s, assets, everyK = 2, maxFrames = 8).toDF()
+        .select(col("id").as("doc_id"),
+          col("frameIdx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("ahash").bitwiseAND(lit(Long.MaxValue)).as("ahash63"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  }
+
   /** t95 — language-ID evaluation (TextAnalysis.langIdEval): the
     * confusion matrix of the t61 heuristic against the corpus's gold
     * `lang` column — all-integer counts, one scan (gold rides the
@@ -2968,5 +3017,6 @@ object Extended {
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
-    t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval)
+    t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
+    m77FrameSample)
 }
