@@ -834,6 +834,79 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** KMV (k-minimum-values / bottom-k, the theta-sketch family) set
+    * sketches per source, with pairwise union/intersection estimator
+    * statistics AND the exact truth — the distinct-counting analog of
+    * d71's MinHash calibration. A KMV sketch is the k smallest
+    * distinct token hashes of a source; sketches union by merging and
+    * re-taking the bottom k, and the classic estimators read off the
+    * output integers (distinct-union ≈ (k−1)·P/theta with theta the
+    * union sketch's k-th value; intersection ≈ union-est ·
+    * kmv_inter/k). No float leaves the operator — the sufficient
+    * statistics are BIGINTs (the t80/t85 rule).
+    *
+    * Scale shape: one token scan → per-source distinct hashes → one
+    * bottom-k window per source (bounded output k·|sources|); the
+    * pairwise stage runs entirely on sketches (k rows per source),
+    * never on the corpus. The EXACT columns exist for the audit and
+    * cost a real distinct-pair aggregation — production drops them
+    * and keeps the sketch-only path, which is the point of KMV.
+    *
+    * Output per source pair (s1 < s2): (s1, s2, kmv_theta — k-th
+    * smallest of the merged-bottom-k union sketch, kmv_inter — union-
+    * sketch members present in BOTH full sketches, exact_inter,
+    * exact_union). */
+  def kmvSourceOverlap(df: DataFrame, source: Column, text: Column,
+      k: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val tk = df.select(source.as("source"), explode(tokens(text)).as("tok"))
+      .select(col("source"), polyHashFast(col("tok")).as("h"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val kmv = tk.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("h"))
+      .transform(d => graft.Caches.pin(d))
+    val pairs = kmv.select(col("source").as("s1")).distinct()
+      .join(kmv.select(col("source").as("s2")).distinct(), col("s1") < col("s2"))
+    // merged union sketch: bottom k of the two sketches' union
+    val uw = Window.partitionBy(col("s1"), col("s2")).orderBy(col("uh"))
+    val unionSketch = pairs
+      .join(kmv.select(col("source").as("s1"), col("h").as("uh")), Seq("s1"))
+      .unionByName(pairs
+        .join(kmv.select(col("source").as("s2"), col("h").as("uh")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("uh")))
+      .select(col("s1"), col("s2"), col("uh")).distinct()
+      .withColumn("urk", row_number().over(uw))
+      .filter(col("urk") <= k)
+    val in1 = kmv.select(col("source").as("s1"), col("h").as("uh"), lit(1).as("graft_in1"))
+    val in2 = kmv.select(col("source").as("s2"), col("h").as("uh"), lit(1).as("graft_in2"))
+    val sketchStats = unionSketch
+      .join(in1, Seq("s1", "uh"), "left")
+      .join(in2, Seq("s2", "uh"), "left")
+      .groupBy(col("s1"), col("s2"))
+      .agg(max(col("uh")).as("kmv_theta"),
+        sum(when(col("graft_in1").isNotNull && col("graft_in2").isNotNull, 1L)
+          .otherwise(0L)).as("kmv_inter"))
+    // exact audit: distinct-hash union/intersection per pair
+    val t1 = tk.select(col("source").as("s1"), col("h"))
+    val t2 = tk.select(col("source").as("s2"), col("h"))
+    val exactInter = t1.join(t2, Seq("h"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("exact_inter"))
+    val sizes = tk.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val exact = sketchStats
+      .join(exactInter, Seq("s1", "s2"), "left")
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("kmv_theta"), col("kmv_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (col("n1") + col("n2") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"))
+    exact
+  }
+
   /** Feature hashing ("the hashing trick", Weinberger et al. 2009 —
     * the fastText / Vowpal-Wabbit vectorizer): each token lands in
     * bucket `polyHash(tok) mod dim` with sign picked by the next hash

@@ -2883,6 +2883,42 @@ object Extended {
       .orderBy(col("query_id"))
   }
 
+  /** d73 — KMV / bottom-k (theta-family) set sketches per source with
+    * pairwise union/intersection estimator statistics AND exact truth
+    * (TextAnalysis.kmvSourceOverlap): the distinct-counting
+    * calibration twin of d71. All integers; both engines replay the
+    * identical bottom-k windows and merge. */
+  val d73KmvSetOps: Q = Q(
+    "d73_kmv_set_ops",
+    s"""WITH tok AS (SELECT source, unnest(${tokensSql("text")}) AS tok FROM documents),
+       |tk AS (SELECT DISTINCT source, ${polyHashSql("tok")} AS h FROM tok),
+       |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM tk),
+       |kmv AS (SELECT source, h FROM rk WHERE rk <= 32),
+       |ss AS (SELECT DISTINCT source FROM kmv),
+       |pairs AS (SELECT a.source AS s1, b.source AS s2 FROM ss a JOIN ss b ON a.source < b.source),
+       |us AS (SELECT DISTINCT p.s1, p.s2, k.h AS uh
+       |       FROM pairs p JOIN kmv k ON k.source = p.s1 OR k.source = p.s2),
+       |urk AS (SELECT s1, s2, uh, row_number() OVER (PARTITION BY s1, s2 ORDER BY uh) AS urk FROM us),
+       |u AS (SELECT s1, s2, uh FROM urk WHERE urk <= 32),
+       |st AS (SELECT u.s1, u.s2, CAST(max(uh) AS BIGINT) AS kmv_theta,
+       |         CAST(sum(CASE WHEN k1.h IS NOT NULL AND k2.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kmv_inter
+       |       FROM u LEFT JOIN kmv k1 ON k1.source = u.s1 AND k1.h = u.uh
+       |              LEFT JOIN kmv k2 ON k2.source = u.s2 AND k2.h = u.uh
+       |       GROUP BY u.s1, u.s2),
+       |ei AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS exact_inter
+       |       FROM tk a JOIN tk b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY source)
+       |SELECT st.s1, st.s2, st.kmv_theta, st.kmv_inter,
+       |  COALESCE(ei.exact_inter, 0) AS exact_inter,
+       |  z1.n + z2.n - COALESCE(ei.exact_inter, 0) AS exact_union
+       |FROM st LEFT JOIN ei ON ei.s1 = st.s1 AND ei.s2 = st.s2
+       |  JOIN sz z1 ON z1.source = st.s1 JOIN sz z2 ON z2.source = st.s2
+       |ORDER BY st.s1, st.s2""".stripMargin) { (s, dir) =>
+    TextAnalysis.kmvSourceOverlap(Tables.documents(s, dir),
+        col("source"), col("text"), k = 32)
+      .orderBy(col("s1"), col("s2"))
+  }
+
   /** m77 — REAL frame-container sampling (Multimodal.sampleFramesReal
     * over ImageCodec.decodeFrameContainer): each document renders into
     * a genuine 4-frame P6 container (frame f's 8×8 pixels = text chars
@@ -3018,5 +3054,5 @@ object Extended {
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
-    m77FrameSample)
+    m77FrameSample, d73KmvSetOps)
 }

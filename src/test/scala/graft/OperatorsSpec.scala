@@ -1960,6 +1960,24 @@ class OperatorsSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("kmvSourceOverlap: the union estimator lands within 2x of exact truth corpus-wide") {
+    import graft.operators.{TextAnalysis, TextHash}
+    val out = TextAnalysis.kmvSourceOverlap(
+        graft.engine.Tables.documents(spark, sfDir), col("source"), col("text"), k = 32)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val theta = r.getAs[Long]("kmv_theta")
+      val exactU = r.getAs[Long]("exact_union")
+      // classic KMV estimate: (k-1) * P / theta; k=32 ⇒ σ ≈ 18%, the
+      // 2x gate is ~5σ headroom on a deterministic corpus
+      val est = 31.0 * TextHash.P / theta
+      assert(est > exactU / 2.0 && est < exactU * 2.0,
+        s"union estimate $est vs exact $exactU for (${r.getString(0)}, ${r.getString(1)})")
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("retrievalEval: exact 2520-scaled MRR and hits@k on a rigged corpus") {
     import spark.implicits._
     // query 100 (label 1); corpus ranked by dot: 1 > 2 > 3 (ids tiebreak)
