@@ -432,6 +432,47 @@ object Graph {
     layers.reduce(_ unionAll _)
   }
 
+  /** Bounded-round parallel k-core peeling: each round drops EVERY
+    * node whose degree over the surviving graph is < k (the parallel
+    * peel — the distributed formulation of k-core decomposition;
+    * sequential min-degree peeling is inherently serial). Output is
+    * the surviving (id, degree) table after exactly `rounds` rounds —
+    * early exit only on true convergence (an unchanged edge count
+    * means every later round reproduces the same state, so the exit
+    * is output-identical to the full unroll and fixed-round unrolled
+    * oracles stay valid — the ε=0 PageRank argument).
+    *
+    * `edges` must be symmetric (both directions present); degree is
+    * out-degree over the symmetric edge set. Scale shape: one skinny
+    * degree aggregation + two semi-joins per round, per-round
+    * checkpoint via [[graft.Caches]] (the d49/d54 loop discipline),
+    * convergence probed with a distributed count. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    var e = graft.Caches.checkpoint(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).distinct())._1
+    var prev = e.count()
+    var r = 0
+    var converged = prev == 0L
+    while (r < rounds && !converged) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("graft_deg"))
+        .filter(col("graft_deg") >= k)
+        .select(col("src").as("id"))
+      val next = graft.Caches.checkpoint(
+        e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi"))._1
+      val n = next.count()
+      converged = n == prev
+      prev = n
+      e = next
+      r += 1
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("id"), col("degree"))
+  }
+
   /** GraphSAGE-style minibatch neighbor sampling (Hamilton et al.
     * 2017): per seed, expand `fanouts.length` hops, keeping at most
     * `fanouts(h)` neighbors per visited node at hop h — the sampling

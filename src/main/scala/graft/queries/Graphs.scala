@@ -286,6 +286,47 @@ object Graphs {
       .orderBy(col("seed"), col("hop"), col("src"), col("dst"))
   }
 
+  /** g09 — k-core decomposition by bounded parallel peeling
+    * (Graph.kCorePeel): the 2-core of the embedding similarity graph
+    * (same-cell dot ≥ 0.25, symmetric), 6 peel rounds. The oracle
+    * unrolls the identical 6 rounds as MATERIALIZED CTEs (the g01
+    * pattern); the engine's convergence early-exit is output-
+    * identical to the full unroll, so mid-cascade and converged
+    * fixtures both hash-match. On this corpus the cascade genuinely
+    * runs: pendant chains peel over multiple rounds at every sf. */
+  val g09KCore: Q = {
+    val dotSql =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(1, len(a.embedding)+1), " +
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), " +
+        "(acc, x) -> acc + x)"
+    def round(i: Int): String = {
+      val p = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT src, count(*) AS c FROM $p GROUP BY src),
+         |k$i AS MATERIALIZED (SELECT src AS id FROM d$i WHERE c >= 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $p e
+         |  JOIN k$i a ON e.src = a.id JOIN k$i b ON e.dst = b.id)""".stripMargin
+    }
+    Q("g09_kcore",
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $dotSql >= 0.25),
+         |e0 AS MATERIALIZED (SELECT src, dst FROM p UNION SELECT dst AS src, src AS dst FROM p),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |FROM e6 GROUP BY src ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.operators.Similarity
+      val pairs = Similarity.nearDupPairs(Tables.embeddings(s, dir), 0.25)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.kCorePeel(edges, k = 2, rounds = 6).orderBy(col("id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles, g04Bfs,
-    g05PageRankWeighted, g07NearestSeed, g08NeighborSample)
+    g05PageRankWeighted, g07NearestSeed, g08NeighborSample, g09KCore)
 }
