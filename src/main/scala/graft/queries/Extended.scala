@@ -2968,6 +2968,41 @@ object Extended {
     }
   }
 
+  /** m78 — REAL nearest-neighbor resize, oracle-gated end to end
+    * (Multimodal.resizeImages = decode → resizeNearest → re-encode):
+    * the 8×8 m74 payload downsamples to 4×4; dest pixel (x,y) reads
+    * source (2x, 2y) (x·8/4 truncating), so the oracle reconstructs
+    * the EXACT re-encoded P6 byte stream char-by-char and digests it
+    * — the decoder, the resampler and the encoder are all inside the
+    * hash gate. ASCII corpus ⇒ md5 over chars = md5 over bytes on
+    * both engines (the m71 blob-digest rule). */
+  val m78Resize: Q = {
+    // dest pixel i (row-major 4×4): y=i//4, x=i%4 → src char base
+    // 3·(2y·8 + 2x) = 3·(16·(i//4) + 2·(i%4)) inside the 192-char pane
+    val picked = (0 until 16).flatMap { i =>
+      val base = 3 * (16 * (i / 4) + 2 * (i % 4))
+      (1 to 3).map(c => s"substring(p, ${base + c}, 1)")
+    }.mkString(" || ")
+    Q("m78_resize",
+      s"""WITH px AS (
+         |  SELECT doc_id, rpad(substring(text, 1, 192), 192, ' ') AS p FROM documents)
+         |SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+         |  md5('P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) || $picked) AS resized_md5
+         |FROM px ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.{ImageCodec, Multimodal}
+      val payloads = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("P6\n8 8\n255\n"),
+          rpad(substring(col("text"), 1, 192), 192, " ")).cast("binary").as("payload"))
+      val assets = Multimodal.toAssets(payloads, "doc_id", "payload", ImageCodec.PpmMime)
+      Multimodal.resizeImages(s, assets, 4, 4).toDF()
+        .select(col("id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          md5(col("payload")).as("resized_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** t95 — language-ID evaluation (TextAnalysis.langIdEval): the
     * confusion matrix of the t61 heuristic against the corpus's gold
     * `lang` column — all-integer counts, one scan (gold rides the
@@ -3054,5 +3089,5 @@ object Extended {
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
-    m77FrameSample, d73KmvSetOps)
+    m77FrameSample, d73KmvSetOps, m78Resize)
 }
