@@ -731,9 +731,50 @@ object Scale {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q81 — SCHEMA EVOLUTION across table generations: generation v1
+    * (events before the epoch-split cut) ships without the `value`
+    * column; v2 adds it. The merged read (`mergeSchema` — schema
+    * union at planning, per-file projection at scan) must surface v1
+    * rows with `value` null, and the aggregate must treat evolution
+    * nulls as absent measurements, NOT zeros (count them separately —
+    * the pipeline rule that makes adding a column backward-safe).
+    * Oracle recomputes from the original table with the same cut. */
+  val q81SchemaEvolution: Q = Q(
+    "q81_schema_evolution",
+    """WITH gen AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN event_id % 3 = 0 THEN NULL
+      |         ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+      |  FROM events)
+      |SELECT user_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(cents) AS BIGINT) AS n_measured,
+      |  CAST(CAST(sum(COALESCE(cents, 0)) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS sum_value
+      |FROM gen GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val tmp = graft.engine.WorkDirs.path("q81", dir)
+    val ev = Tables.events(s, dir)
+      .withColumn("cents", round(col("value").cast("double") * lit(100)).cast("long"))
+    // generation v1: pre-evolution schema (no cents column)
+    ev.filter(col("event_id") % 3 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$tmp/g=1")
+    // generation v2: evolved schema (cents added)
+    ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("cents"))
+      .write.mode("overwrite").parquet(s"$tmp/g=2")
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("cents")).as("n_measured"),
+        (sum(coalesce(col("cents"), lit(0L)))
+          * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
     q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
-    q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct)
+    q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct, q81SchemaEvolution)
 }
