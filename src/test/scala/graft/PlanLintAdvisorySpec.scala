@@ -102,6 +102,9 @@ object DriverActionReviewed {
     "d58_containment_minimal", "d66_canonical_pick", "d67_cluster_split",
     "g01_pagerank", "g04_bfs", "g05_pagerank_weighted", "g06_label_prop",
     "g07_nearest_seed",
+    // g09 = the peeling loop's per-round checkpoint + convergence
+    // count (the d49/g01 loop-control class)
+    "g09_kcore",
     "t77_curation_pipeline", "t79_curation_spans", "t83_bpe_train",
     "t84_bpe_encode",
     "s52_centroid_assign", "s56_pq_adc", "s57_ivfpq_topk", "s58_pq_rerank",
@@ -116,5 +119,10 @@ object DriverActionReviewed {
     // the audited query — the write is the fixture, bounded by the
     // l_orderkey % 50 slice
     "q79_csv_roundtrip"
+    // q81 is the same materializing-fixture class, but its generation
+    // writes report as "parquet at Scale.scala" — the same site prefix
+    // as DataFrameReader scan inference, which the infrastructure
+    // filter excludes — so the probe cannot see it; the review lives
+    // in this comment instead of the set
   )
 }

@@ -798,4 +798,25 @@ class StreamingSpec extends SparkSpec {
       1L, keys, stateDir)
     assert(state() == twin)
   }
+
+  test("streaming MV maintenance is arrival-order independent (signed sums commute)") {
+    val keys = Seq("k")
+    val deltas = Seq(
+      ("a", 1L, 100L), ("a", 1L, 200L), ("b", 1L, 50L),
+      ("b", -1L, 50L), ("a", 1L, 300L), ("a", -1L, 100L))
+    def runSplit(batches: Seq[Seq[(String, Long, Long)]]): Map[String, (Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_mv_ord").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamOps.mvBatch(spark, b.toDF("k", "op", "cents"), i.toLong, keys, dir)
+      }
+      StreamOps.mvState(spark, dir, keys)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val inOrder = runSplit(Seq(deltas.take(3), deltas.drop(3)))
+    val reversed = runSplit(Seq(deltas.drop(3), deltas.take(3)))
+    val allAtOnce = runSplit(Seq(deltas))
+    val perRow = runSplit(deltas.map(Seq(_)))
+    assert(inOrder == Map("a" -> (2L, 500L)))
+    assert(reversed == inOrder && allAtOnce == inOrder && perRow == inOrder)
+  }
 }
