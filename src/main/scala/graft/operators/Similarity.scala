@@ -432,6 +432,45 @@ object Similarity {
         col("score"))
   }
 
+  /** PQ codebook TRAINING step — one Lloyd iteration per subspace
+    * (the per-subspace k-means that learns the Jégou-style codebooks
+    * s56/s57/s58 consume): every vector's subvector j is assigned to
+    * its nearest sub-centroid (`pqEncode`, the exact same assignment
+    * the encoder ships), and the update is emitted as the
+    * order-insensitive exact form (n, Σ quantized-value) per
+    * (subspace, sub-centroid, sub-dim) — s61's quantized M-step
+    * applied per subspace, so the statistics are BIGINTs and
+    * bit-reproducible under any partitioning. Dequantizing
+    * sum_q·gscale/(127·n) outside the exactness boundary yields the
+    * new codebook.
+    *
+    * Scale shape: assignment is scan-stage (broadcast codebook),
+    * the update is one (m·k·sub)-group aggregation with map-side
+    * partials — nothing scales with corpus size but the scan. */
+  def pqTrainStep(corpus: DataFrame, centroids: DataFrame,
+      m: Int = 4): DataFrame = {
+    val dims = collectCentroids(centroids).head._2.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val codes = pqEncode(corpus, centroids, m)
+    val gscale = corpus.agg(
+      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .as("gscale"))
+    corpus.crossJoin(broadcast(gscale))
+      .select(col("vec_id"), col("gscale"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"),
+        expr(s"CAST(dim div $sub AS BIGINT)").as("subspace"),
+        (col("dim") % sub).cast("long").as("subdim"),
+        when(col("gscale") > 0,
+          floor(col("x").cast("double") / col("gscale") * 127 + 0.5).cast("long"))
+          .otherwise(0L).as("qv"))
+      .join(codes, "vec_id")
+      .withColumn("cid", element_at(col("code"), (col("subspace") + 1).cast("int")))
+      .groupBy(col("subspace"), col("cid"), col("subdim"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
+  }
+
   /** Filtered vector search, audited: metadata-constrained top-k done
     * the RIGHT way (pre-filter: restrict the corpus, then rank — the
     * result a filtered index returns) next to the naive way

@@ -2919,6 +2919,37 @@ object Extended {
       .orderBy(col("s1"), col("s2"))
   }
 
+  /** s64 — PQ codebook training step (Similarity.pqTrainStep): one
+    * Lloyd iteration per subspace over the s56 codebook convention,
+    * emitted as exact (n, Σ quantized) statistics per (subspace,
+    * sub-centroid, sub-dim) — s61's order-insensitive M-step, per
+    * subspace. Completes the PQ lifecycle: train (s64) → encode/ADC
+    * (s56) → IVF search (s57) → re-rank (s58). */
+  val s64PqTrainStep: Q = Q(
+    "s64_pq_train",
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |${PqSql.chain("embeddings")},
+       |g AS (SELECT max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS gscale
+       |      FROM embeddings),
+       |qz AS (SELECT e.vec_id, unnest(range(0, len(e.embedding))) AS dim,
+       |        CASE WHEN g.gscale > 0
+       |          THEN CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) / g.gscale * 127 + 0.5) AS BIGINT)
+       |          ELSE 0 END AS qv
+       |      FROM embeddings e CROSS JOIN g),
+       |x AS (SELECT qz.vec_id, qz.dim // 16 AS subspace, qz.dim % 16 AS subdim, qz.qv,
+       |        CASE qz.dim // 16 WHEN 0 THEN cd.c0 WHEN 1 THEN cd.c1
+       |                          WHEN 2 THEN cd.c2 ELSE cd.c3 END AS cid
+       |      FROM qz JOIN codes cd ON cd.vec_id = qz.vec_id)
+       |SELECT CAST(subspace AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS cid,
+       |  CAST(subdim AS BIGINT) AS subdim,
+       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(qv) AS BIGINT) AS sum_q
+       |FROM x GROUP BY subspace, cid, subdim
+       |ORDER BY subspace, cid, subdim""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTrainStep(emb, emb.filter(col("vec_id") < 8), m = 4)
+      .orderBy(col("subspace"), col("cid"), col("subdim"))
+  }
+
   /** m77 — REAL frame-container sampling (Multimodal.sampleFramesReal
     * over ImageCodec.decodeFrameContainer): each document renders into
     * a genuine 4-frame P6 container (frame f's 8×8 pixels = text chars
@@ -3089,5 +3120,5 @@ object Extended {
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
-    m77FrameSample, d73KmvSetOps, m78Resize)
+    m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep)
 }

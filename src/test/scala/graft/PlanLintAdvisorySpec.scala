@@ -109,6 +109,9 @@ object DriverActionReviewed {
     "t84_bpe_encode",
     "s52_centroid_assign", "s56_pq_adc", "s57_ivfpq_topk", "s58_pq_rerank",
     "s60_multiprobe", "s61_kmeans_step",
+    // s64 = the same bounded codebook collect (collectCentroids) the
+    // whole PQ family shares
+    "s64_pq_train",
     "q76_dpp_prune", "q69_staged_roundtrip", "q43_bloom_join",
     "t67_token_budget", "t70_pack_sequences",
     // d70 = d49's connected-components loop (checkpoint class) feeding
