@@ -110,4 +110,43 @@ object Sampling {
       .filter(pmod(polyHashFast(key.cast("string")), lit(100)) < col("graft_pct"))
       .drop("graft_stratum", "graft_pct")
   }
+
+  /** Temperature-weighted per-source token budgeting — the
+    * multilingual/multi-source sampling rule (α = 0.5: allocation ∝
+    * √tokens, the mT5/XLM-R compromise that upsamples small sources
+    * without flattening the mixture): each source gets
+    * `budget · √c_s / Σ√c_t` tokens and admits docs in DETERMINISTIC
+    * hash order until its allocation is exhausted (strict prefix —
+    * the doc that would cross the line is excluded, t67's rule).
+    *
+    * Exactness: weights are floor(√c) on BIGINT counts — IEEE sqrt is
+    * correctly rounded (unlike log/pow, which never appear in
+    * compared values), so both engines compute identical integer
+    * weights; allocation is integer division; admission is an
+    * integer running total per source. Scale shape: one tiny
+    * per-source aggregate broadcasts back; the admission window is
+    * source-partitioned (never global).
+    *
+    * Input: (doc_id, source, n_tokens). Output: (source, doc_id,
+    * n_tokens, cum_tokens, alloc). */
+  def temperatureBudget(df: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import graft.operators.TextHash.{A, B, P}
+    val weights = df.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("c"))
+      .withColumn("w", floor(sqrt(col("c").cast("double"))).cast("long"))
+    val wsum = weights.agg(sum(col("w")).as("ws"))
+    val alloc = weights.crossJoin(broadcast(wsum))
+      .select(col("source"),
+        expr(s"CAST((CAST($budget AS BIGINT) * w) div ws AS BIGINT)").as("alloc"))
+    val rankKey = (col("doc_id") * lit(A(2)) + lit(B(2))) % lit(P)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(rankKey, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("cum_tokens") <= col("alloc"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("alloc"))
+  }
 }

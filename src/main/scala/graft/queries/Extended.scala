@@ -3060,6 +3060,35 @@ object Extended {
       .orderBy(col("gold"), col("predicted_lang"))
   }
 
+  /** t96 — temperature-weighted mixture under a token budget
+    * (Sampling.temperatureBudget): α = 0.5 per-source allocations
+    * (∝ √tokens — IEEE sqrt is correctly rounded, so the integer
+    * weights agree cross-engine), hash-ordered strict-prefix
+    * admission per source. */
+  val t96TemperatureMix: Q = Q(
+    "t96_temperature_mix",
+    s"""WITH toks AS (SELECT doc_id, source, ${tokensSql("text")} AS t FROM documents),
+       |q AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+       |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS c FROM q GROUP BY source),
+       |wt AS (SELECT source, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS w FROM tot),
+       |ws AS (SELECT CAST(sum(w) AS BIGINT) AS ws FROM wt),
+       |al AS (SELECT source, (20000 * w) // ws AS alloc FROM wt CROSS JOIN ws),
+       |r AS (SELECT doc_id, source, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY source
+       |          ORDER BY (doc_id * 3079 + 5024) % 1000000007, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM q)
+       |SELECT r.source, r.doc_id, r.n_tokens,
+       |  CAST(r.cum AS BIGINT) AS cum_tokens, CAST(al.alloc AS BIGINT) AS alloc
+       |FROM r JOIN al USING (source) WHERE r.cum <= al.alloc
+       |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.operators.TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Sampling.temperatureBudget(q, budget = 20000L)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** s63 — filtered vector search audit
     * (Similarity.filterRecallAudit): even-label metadata filter,
     * exact top-5; pre-filter vs post-filter counts per query. */
@@ -3120,5 +3149,5 @@ object Extended {
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
-    m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep)
+    m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix)
 }
