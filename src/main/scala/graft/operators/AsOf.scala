@@ -51,10 +51,17 @@ object AsOf {
     *    picked right row is a pure function of the data, not of the
     *    shuffle schedule.
     */
+  /** `toleranceUs`: when set, a right row only matches if it is at
+    * most that many microseconds older than the left row (both time
+    * columns must be timestamps) — the "ignore stale quotes" as-of
+    * variant. Staler rows are treated as absent: a left row whose
+    * only candidates are too old comes back null-matched, exactly
+    * like a row with no candidates at all. */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column,
-      leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+      leftCols: Seq[String], rightCols: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
     requireDistinctCols(leftCols, rightCols)
     // the id never reaches the output — it only keys the window, so
     // its run-to-run instability is invisible
@@ -63,9 +70,11 @@ object AsOf {
       .withColumn("asof_lid", monotonically_increasing_id())
     val r = right.select(rightKey.as("asof_rkey") +: rightTime.as("asof_rt") +:
       rightCols.map(col): _*)
-    val joined = l.join(r,
-      col("asof_key") === col("asof_rkey") && col("asof_rt") <= col("asof_lt"),
-      "left")
+    val base = col("asof_key") === col("asof_rkey") && col("asof_rt") <= col("asof_lt")
+    val cond = toleranceUs.fold(base) { tol =>
+      base && (unix_micros(col("asof_lt")) - unix_micros(col("asof_rt")) <= tol)
+    }
+    val joined = l.join(r, cond, "left")
     val w = Window
       .partitionBy(col("asof_lid"))
       .orderBy(col("asof_rt").desc_nulls_last +:

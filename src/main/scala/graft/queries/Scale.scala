@@ -772,9 +772,47 @@ object Scale {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q82 — as-of join with STALENESS TOLERANCE (AsOf.asofJoin with
+    * toleranceUs): each purchase picks the user's latest click at or
+    * before it, but only within 1 hour — a quote/fill rule where a
+    * stale candidate is as good as none. Null-match rows stay in the
+    * output (left semantics); ties at the same click time break by
+    * click id (both engines replay the same ranked window). */
+  val q82AsofTolerance: Q = Q(
+    "q82_asof_tolerance",
+    """WITH l AS (SELECT user_id, event_id AS pid, ts AS pt FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id AS ruid, event_id AS cid, ts AS ct,
+      |        CAST(round(value * 100) AS BIGINT) AS click_cents
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT l.user_id, l.pid, l.pt, r.cid, r.ct, r.click_cents
+      |      FROM l LEFT JOIN r ON r.ruid = l.user_id AND r.ct <= l.pt
+      |        AND epoch_us(CAST(l.pt AS TIMESTAMP)) - epoch_us(CAST(r.ct AS TIMESTAMP)) <= 3600000000),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY pid
+      |         ORDER BY ct DESC NULLS LAST, cid DESC NULLS LAST) AS rn FROM j)
+      |SELECT user_id, pid, pt, cid, ct, click_cents
+      |FROM rk WHERE rn = 1 ORDER BY pid""".stripMargin) { (s, dir) =>
+    import graft.operators.AsOf
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("cid"), col("ts"),
+        col("ts").as("ct"),
+        round(col("value").cast("double") * lit(100)).cast("long").as("click_cents"))
+    AsOf.asofJoin(purchases, clicks,
+        leftKey = purchases("user_id"), rightKey = clicks("user_id"),
+        leftTime = purchases("ts"), rightTime = clicks("ts"),
+        leftCols = Seq("pid"), rightCols = Seq("cid", "ct", "click_cents"),
+        toleranceUs = Some(3600000000L))
+      .select(col("asof_key").as("user_id"), col("pid"), col("asof_lt").as("pt"),
+        col("cid"), col("ct"), col("click_cents"))
+      .orderBy(col("pid"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
     q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
-    q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct, q81SchemaEvolution)
+    q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct, q81SchemaEvolution,
+    q82AsofTolerance)
 }
