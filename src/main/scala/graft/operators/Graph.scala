@@ -432,6 +432,38 @@ object Graph {
     layers.reduce(_ unionAll _)
   }
 
+  /** Weighted bipartite projection with per-node top-k: project a
+    * (left, right) membership table onto a right-right co-occurrence
+    * graph (weight = number of shared left neighbors) and keep each
+    * node's `k` strongest co-members — the collaborative-filtering /
+    * co-occurrence-recommendation prep step.
+    *
+    * Scale shape: the self-join blocks on the LEFT key, so pair
+    * generation is Σ(per-left-degree²) — bounded when left fan-out is
+    * bounded (cap or sample hub lefts upstream if not; the d65 maxDf
+    * discipline). The weight aggregation is map-side partial; the
+    * top-k is a per-node window (the q10 shape), never global.
+    * Deterministic ties: (weight desc, neighbor asc).
+    *
+    * Output: (src, dst, weight, rank), symmetric, rank ≤ k. */
+  def bipartiteProjectTopK(membership: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive, got $k")
+    val m = membership
+      .select(col("left").cast("long").as("l"), col("right").cast("long").as("r"))
+      .distinct()
+    val m2 = m.select(col("l"), col("r").as("r2"))
+    val pairs = m.join(m2, "l")
+      .filter(col("r") < col("r2"))
+      .groupBy(col("r"), col("r2")).agg(count(lit(1)).as("weight"))
+    val sym = pairs.select(col("r").as("src"), col("r2").as("dst"), col("weight"))
+      .unionByName(pairs.select(col("r2").as("src"), col("r").as("dst"), col("weight")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("weight").desc, col("dst"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Bounded-round parallel k-core peeling: each round drops EVERY
     * node whose degree over the surviving graph is < k (the parallel
     * peel — the distributed formulation of k-core decomposition;

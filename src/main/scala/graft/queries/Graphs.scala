@@ -327,6 +327,31 @@ object Graphs {
     }
   }
 
+  /** g10 — weighted bipartite projection + top-k co-members
+    * (Graph.bipartiteProjectTopK): suppliers projected through the
+    * part-supplier membership (weight = shared parts), top-3
+    * strongest co-suppliers per supplier, ties (weight desc, dst). */
+  val g10BipartiteProject: Q = Q(
+    "g10_bipartite_project",
+    """WITH m AS (SELECT DISTINCT l_partkey AS l, l_suppkey AS r FROM lineitem),
+      |p AS (SELECT a.r AS r, b.r AS r2, CAST(count(*) AS BIGINT) AS weight
+      |      FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
+      |      GROUP BY a.r, b.r),
+      |sym AS (SELECT r AS src, r2 AS dst, weight FROM p
+      |        UNION ALL SELECT r2 AS src, r AS dst, weight FROM p),
+      |rk AS (SELECT src, dst, weight,
+      |         CAST(row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS BIGINT) AS rank
+      |       FROM sym)
+      |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, weight, rank
+      |FROM rk WHERE rank <= 3
+      |ORDER BY src, rank""".stripMargin) { (s, dir) =>
+    val m = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("left"), col("l_suppkey").as("right"))
+    Graph.bipartiteProjectTopK(m, k = 3)
+      .orderBy(col("src"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(g01PageRank, g02MarkovTransitions, g03Triangles, g04Bfs,
-    g05PageRankWeighted, g07NearestSeed, g08NeighborSample, g09KCore)
+    g05PageRankWeighted, g07NearestSeed, g08NeighborSample, g09KCore,
+    g10BipartiteProject)
 }
