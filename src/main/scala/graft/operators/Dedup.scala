@@ -291,6 +291,32 @@ object Dedup {
     verifyJaccardOnSortedHashes(sh, candidatePairs(buckets), threshold)
   }
 
+  /** CANONICALIZED exact dedup: documents that are identical modulo
+    * formatting — case, punctuation, whitespace runs — collapse to
+    * one canonical text (ASCII casefold → non-alphanumerics to
+    * spaces → space runs collapsed → trimmed) and dedup exactly on
+    * it. This catches the "same article, different decoration"
+    * near-exact class that wastes MinHash banding (J ≈ 1 pairs that
+    * plain d40 exact dedup misses because one byte differs).
+    * Case-folding is `translate` A–Z→a–z, never lower() (the
+    * TextHash cross-engine rule).
+    *
+    * Same shape as d40: one hash-groupBy on the canonical form, no
+    * pairwise work. Output: (keep_id, n_copies, n_variants) — copies
+    * sharing a canonical form, and how many DISTINCT raw texts they
+    * span (n_variants > 1 is what plain exact dedup would miss). */
+  def exactCanonical(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val canonical = trim(regexp_replace(
+      regexp_replace(TextHash.asciiLower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+    docs.select(id.as("doc_id"), text.as("graft_raw"), canonical.as("graft_canon"))
+      .groupBy(col("graft_canon"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("graft_raw")).as("n_variants"))
+      .select(col("keep_id"), col("n_copies"), col("n_variants"))
+  }
+
   /** Sketch calibration: for every LSH candidate pair, the MinHash
     * ESTIMATE's raw statistic (agreeing signature components, 0..k)
     * side by side with the EXACT Jaccard numerator/denominator over

@@ -3060,6 +3060,41 @@ object Extended {
       .orderBy(col("gold"), col("predicted_lang"))
   }
 
+  /** d75 — canonicalized exact dedup (Dedup.exactCanonical): every
+    * 9th doc re-ingested decorated (ASCII-uppercased via translate +
+    * trailing "  !! ") — raw-exact d40 misses these, the canonical
+    * form collapses them. n_variants counts the distinct raw texts
+    * behind each canonical group. */
+  val d75CanonicalDedup: Q = {
+    Q("d75_canonical_dedup",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  !! '
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |canon AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(
+         |      ${graft.operators.TextHash.asciiLowerSql("text")},
+         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS c
+         |  FROM corpus)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(count(DISTINCT text) AS BIGINT) AS n_variants
+         |FROM canon GROUP BY c
+         |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val lo = ('a' to 'z').mkString
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(translate(col("text"), lo, lo.toUpperCase), lit("  !! ")).as("text")))
+      Dedup.exactCanonical(corpus, col("doc_id"), col("text"))
+        .orderBy(col("keep_id"))
+    }
+  }
+
   /** t96 — temperature-weighted mixture under a token budget
     * (Sampling.temperatureBudget): α = 0.5 per-source allocations
     * (∝ √tokens — IEEE sqrt is correctly rounded, so the integer
@@ -3149,5 +3184,6 @@ object Extended {
     d69PatchNearDup, d45MinhashFast,
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
-    m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix)
+    m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
+    d75CanonicalDedup)
 }

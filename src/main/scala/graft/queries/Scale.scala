@@ -809,10 +809,46 @@ object Scale {
       .orderBy(col("pid"))
   }
 
+  /** q83 — ROLLING exact median (5-row window per user): the
+    * time-series smoother. The window buffer is BOUNDED (5 values) so
+    * the sort-inside-frame form is scale-safe — the discipline is the
+    * bound, not the construct; an unbounded-frame collect would be the
+    * q80 anti-pattern. Lower-median rule at even counts (position
+    * ⌊(n+1)/2⌋ ascending), identical on both engines; cents in, cents
+    * out (exact). */
+  val q83RollingMedian: Q = Q(
+    "q83_rolling_median",
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id,
+      |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win
+      |  FROM e)
+      |SELECT user_id, event_id,
+      |  CAST(len(win) AS BIGINT) AS n_window,
+      |  CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT) AS med_cents
+      |FROM w ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w5 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value").cast("double") * lit(100)).cast("long").as("cents"))
+      .withColumn("win", collect_list(col("cents")).over(w5))
+      .select(col("user_id"), col("event_id"),
+        size(col("win")).cast("long").as("n_window"),
+        element_at(array_sort(col("win")),
+          ((size(col("win")) + 1) / 2).cast("int")).as("med_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
     q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
     q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct, q81SchemaEvolution,
-    q82AsofTolerance)
+    q82AsofTolerance, q83RollingMedian)
 }
