@@ -173,4 +173,32 @@ object Quantiles {
       .filter(col("graft_v0") >= col("threshold"))
       .drop("graft_v0", "threshold")
   }
+
+  /** Grouped exact WEIGHTED median: the smallest value whose
+    * cumulative weight reaches half the group's total (the lower
+    * weighted median — `2·cumw ≥ W`, pure integer comparisons, no
+    * interpolation). Weights and values must be integral (the cents
+    * rule); the heavy lifting is one (group, value) pre-aggregation
+    * — identical values collapse BEFORE any window, so the cumulative
+    * pass runs over distinct values per group, not rows (the q73
+    * shape; a row-level running sum would resurrect the q60 ntile
+    * trap of splitting ties).
+    *
+    * Output: (group…, wmedian, total_weight). */
+  def weightedMedian(df: DataFrame, group: Seq[String], value: Column,
+      weight: Column): DataFrame = {
+    val keys = group.map(col)
+    val agg = df.groupBy(keys :+ value.as("graft_v"): _*)
+      .agg(sum(weight.cast("long")).as("graft_w"))
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("graft_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(keys: _*)
+    agg
+      .withColumn("graft_cumw", sum(col("graft_w")).over(wCum))
+      .withColumn("graft_tot", sum(col("graft_w")).over(wTot))
+      .filter(col("graft_cumw") * 2 >= col("graft_tot"))
+      .groupBy(keys: _*)
+      .agg(min(col("graft_v")).as("wmedian"),
+        max(col("graft_tot")).as("total_weight"))
+  }
 }

@@ -845,10 +845,37 @@ object Scale {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q84 — grouped exact WEIGHTED median
+    * (Quantiles.weightedMedian): quantity-weighted median price cents
+    * per return flag; lower-median rule (2·cumw ≥ W), distinct-value
+    * cumulative pass (ties never split). */
+  val q84WeightedMedian: Q = Q(
+    "q84_weighted_median",
+    """WITH a AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY l_returnflag, v),
+      |c AS (
+      |  SELECT l_returnflag, v, w,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM a)
+      |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian,
+      |  CAST(max(tot) AS BIGINT) AS total_weight
+      |FROM c WHERE cumw * 2 >= tot
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    graft.operators.Quantiles.weightedMedian(Tables.lineitem(s, dir),
+        Seq("l_returnflag"),
+        round(col("l_extendedprice") * lit(100)).cast("long"),
+        col("l_quantity"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
     q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
     q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct, q81SchemaEvolution,
-    q82AsofTolerance, q83RollingMedian)
+    q82AsofTolerance, q83RollingMedian, q84WeightedMedian)
 }

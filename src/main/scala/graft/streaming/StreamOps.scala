@@ -760,6 +760,65 @@ object StreamOps {
       .agg(sum(col("d_n")).as("n_events"), sum(col("d_c")).as("c"))
       .filter(col("n_events") > 0)
 
+  /** Late-data SIDE OUTPUT — the Beam-style allowed-lateness router
+    * Structured Streaming lacks natively (a watermarked stateful op
+    * silently DROPS late rows; reference-class pipelines dead-letter
+    * them instead, like every other rejected record). Each micro-batch
+    * routes rows against the watermark implied by PRIOR batches
+    * (max event time seen, minus `lagUs`): on-time rows to
+    * `outDir/batch=<id>`, late rows to `lateDir/batch=<id>`, then the
+    * batch's own max event time joins the watermark state. All three
+    * writes overwrite their own `batch=<id>` partition and the state
+    * read EXCLUDES the current id — dedupBatch's replay-idempotence
+    * architecture, so a re-run batch routes identically.
+    *
+    * Within one batch the watermark is the PRE-batch one (rows of a
+    * batch don't race each other — Beam's pane semantics), which also
+    * makes routing deterministic under replay. */
+  def lateSideOutput(spark: SparkSession, events: DataFrame,
+      stateDir: String, outDir: String, lateDir: String, lagUs: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        lateBatch(spark, batch.toDF(), batchId, stateDir, outDir, lateDir, lagUs)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[lateSideOutput]], exposed for replay tests. */
+  private[graft] def lateBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, stateDir: String, outDir: String, lateDir: String,
+      lagUs: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val priorMax: Option[Long] =
+      if (!fs.exists(statePath)) None
+      else {
+        val r = spark.read.parquet(stateDir)
+          .filter(col("batch") =!= batchId)
+          .agg(max(col("max_us")).as("m")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    val b = batch.withColumn("graft_us", unix_micros(col("ts")))
+      .transform(d => graft.Caches.pin(d))
+    val isLate = priorMax match {
+      case Some(m) => col("graft_us") < lit(m - lagUs)
+      case None => lit(false)
+    }
+    b.filter(!isLate).drop("graft_us")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    b.filter(isLate).drop("graft_us")
+      .write.mode("overwrite").parquet(s"$lateDir/batch=$batchId")
+    b.agg(max(col("graft_us")).as("max_us"))
+      .filter(col("max_us").isNotNull)
+      .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    b.unpersist()
+    graft.Caches.releaseAll()
+    ()
+  }
+
   /** Run a streaming frame to completion against a bounded source and
     * return the in-memory result table (local smoke harness: batch
     * parquet driving the incremental plan). */

@@ -819,4 +819,29 @@ class StreamingSpec extends SparkSpec {
     assert(inOrder == Map("a" -> (2L, 500L)))
     assert(reversed == inOrder && allAtOnce == inOrder && perRow == inOrder)
   }
+
+  test("late-data side output routes against the prior-batch watermark; replay idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val (st, out, late) = (s"$root/state", s"$root/out", s"$root/late")
+    def rows(ts: String*) = ts.zipWithIndex
+      .map { case (t, i) => (i.toLong, StreamingSpec.this.ts(s"2024-01-01 $t")) }
+      .toDF("event_id", "ts")
+    def ids(dir: String) =
+      spark.read.parquet(dir).select("event_id").collect().map(_.getLong(0)).toSet
+    val lag = 10L * 60 * 1000000 // 10 min in micros
+    // batch 0: no prior watermark — everything on-time
+    StreamOps.lateBatch(spark, rows("10:00:00", "10:30:00"), 0L, st, out, late, lag)
+    assert(ids(out) == Set(0L, 1L) && ids(late).isEmpty)
+    // batch 1: watermark = 10:30 − 10min = 10:20 → 10:05 is late,
+    // 10:25 and 10:40 are on-time
+    val b1 = rows("10:25:00", "10:05:00", "10:40:00")
+    StreamOps.lateBatch(spark, b1, 1L, st, out, late, lag)
+    assert(ids(out) == Set(0L, 1L, 2L) && ids(late) == Set(1L))
+    // replay of batch 1: own state partition excluded → identical routing
+    StreamOps.lateBatch(spark, b1, 1L, st, out, late, lag)
+    assert(ids(late) == Set(1L))
+    // batch 2 sees 10:40-based watermark (10:30): 10:29 now late
+    StreamOps.lateBatch(spark, rows("10:29:00"), 2L, st, out, late, lag)
+    assert(ids(late) == Set(1L, 0L))
+  }
 }
