@@ -907,6 +907,35 @@ object TextAnalysis {
     exact
   }
 
+  /** Within-corpus n-gram NOVELTY: per document, how many of its
+    * distinct word n-grams appear in at least one OTHER document —
+    * the memorization/boilerplate scan (a doc whose n-grams are
+    * mostly corpus-shared is template or near-duplicate material;
+    * d51 is the same statistic against an EVAL split, this is the
+    * corpus-internal form). Novelty ratio = 1 − n_shared/n_grams,
+    * divided downstream — output stays all-integer.
+    *
+    * Scale shape: distinct (doc, hash) postings → one document-
+    * frequency aggregation → one postings join back. The join is on
+    * the hash (the d65 shape); a hot template n-gram fans out by its
+    * df only in the aggregation, not quadratically.
+    *
+    * Output: (doc_id, n_grams, n_shared) — docs with fewer than n
+    * tokens have no n-grams and are absent, both engines alike. */
+  def ngramNovelty(df: DataFrame, id: Column, text: Column,
+      n: Int = 5): DataFrame = {
+    val g = df.select(id.as("doc_id"), shingles(tokens(text), n).as("s"))
+      .select(col("doc_id"), explode(col("s")).as("sg"))
+      .select(col("doc_id"), polyHashFast(col("sg")).as("h"))
+      .distinct()
+      .transform(d => graft.Caches.pin(d))
+    val dfreq = g.groupBy(col("h")).agg(count(lit(1)).as("graft_df"))
+    g.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("graft_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   /** Feature hashing ("the hashing trick", Weinberger et al. 2009 —
     * the fastText / Vowpal-Wabbit vectorizer): each token lands in
     * bucket `polyHash(tok) mod dim` with sign picked by the next hash

@@ -3060,6 +3060,24 @@ object Extended {
       .orderBy(col("gold"), col("predicted_lang"))
   }
 
+  /** t97 — within-corpus n-gram novelty (TextAnalysis.ngramNovelty):
+    * per-doc distinct 5-grams and how many are shared with ANY other
+    * doc — the corpus-internal memorization/boilerplate statistic
+    * (d51's decontamination twin without an eval split). */
+  val t97NgramNovelty: Q = Q(
+    "t97_ngram_novelty",
+    s"""WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |sh5 AS (SELECT doc_id, ${shinglesSql(5)} AS s FROM toks),
+       |hs AS (SELECT doc_id, unnest(list_distinct(list_transform(s, sg -> ${polyHashSql("sg")}))) AS h FROM sh5),
+       |dfq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM hs GROUP BY h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(*) FILTER (dfq.df >= 2) AS BIGINT) AS n_shared
+       |FROM hs JOIN dfq USING (h) GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.ngramNovelty(Tables.documents(s, dir), col("doc_id"), col("text"), n = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** d75 — canonicalized exact dedup (Dedup.exactCanonical): every
     * 9th doc re-ingested decorated (ASCII-uppercased via translate +
     * trailing "  !! ") — raw-exact d40 misses these, the canonical
@@ -3185,5 +3203,5 @@ object Extended {
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
-    d75CanonicalDedup)
+    d75CanonicalDedup, t97NgramNovelty)
 }

@@ -872,10 +872,40 @@ object Scale {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q85 — cohort RETENTION matrix: users bucketed by their first
+    * active week (epoch-week integer division — the q72 bucket rule),
+    * counted in every later week they return. Two skinny aggregations
+    * (per-user first week broadcast-joined back, then the distinct
+    * (cohort, week, user) count) — the product-analytics staple next
+    * to q57's funnel and q51's streaks. */
+  val q85Retention: Q = Q(
+    "q85_retention",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+      |  FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort, e.wk
+      |      FROM e JOIN f ON f.user_id = e.user_id)
+      |SELECT CAST(cohort AS BIGINT) AS cohort_week, CAST(wk AS BIGINT) AS week,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a GROUP BY cohort, wk
+      |ORDER BY cohort_week, week""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div CAST(604800000000 AS BIGINT)").as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    e.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"), col("wk").as("week"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week"))
+  }
+
   val all: Seq[Q] = Seq(q41IntervalJoin, q42HashSample, q43BloomJoin,
     q44SystematicSample, q48TopkAgg, q52StratifiedSample, q54SqlSurface, q55ZorderCode,
     q62SaltedJoin, q63Upsert, q65SaltedAgg, q66EditDistance, q67Profile, q70KeySkew,
     q71Split, q72Resample, q73EquiDepth, q74TableDiff, q75Mad, q76DppPrune, q77MvMaintain,
     q78MvMinMaintain, q79CsvRoundtrip, q80RunningDistinct, q81SchemaEvolution,
-    q82AsofTolerance, q83RollingMedian, q84WeightedMedian)
+    q82AsofTolerance, q83RollingMedian, q84WeightedMedian, q85Retention)
 }
