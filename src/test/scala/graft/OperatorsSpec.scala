@@ -1978,6 +1978,39 @@ class OperatorsSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("exactCanonical: formatting variants collapse, n_variants counts raw forms") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO WORLD."),
+      (4L, "different doc")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.exactCanonical(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (3L, 3L), 4L -> (1L, 1L)))
+  }
+
+  test("weightedMedian: lower-median rule over weights, ties collapse before the cumulative pass") {
+    import spark.implicits._
+    // g: values 10(w3), 20(w1), 30(w2) → W=6, half=3 → cumw(10)=3 ≥ 3 → 10
+    // h: value 5 twice (w1+w1), 9(w1) → ties collapse: cumw(5)=2, 2*2 ≥ 3 → 5
+    val d = Seq(("g", 10L, 3L), ("g", 20L, 1L), ("g", 30L, 2L),
+      ("h", 5L, 1L), ("h", 5L, 1L), ("h", 9L, 1L)).toDF("k", "v", "w")
+    val got = graft.operators.Quantiles.weightedMedian(d, Seq("k"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("g" -> (10L, 6L), "h" -> (5L, 3L)))
+  }
+
+  test("ngramNovelty: shared 5-grams counted, unique docs score zero shared") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),        // grams: abcde, bcdef
+      (2L, "a b c d e x"),        // grams: abcde, bcdex — shares abcde with doc 1
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.ngramNovelty(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (1L, 0L)))
+    graft.Caches.releaseAll()
+  }
+
   test("retrievalEval: exact 2520-scaled MRR and hits@k on a rigged corpus") {
     import spark.implicits._
     // query 100 (label 1); corpus ranked by dot: 1 > 2 > 3 (ids tiebreak)
