@@ -87,12 +87,31 @@ object Bench {
     val catalogue = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = catalogue.map { case (name, fn) => name -> timeOne(name, fn) }
-    // host-throttle robustness: the 5 slowest first-run queries get a
-    // SECOND run, and min2 records min(run1, run2) per query (= run1
-    // elsewhere). A hypervisor throttle window that lands on one
-    // query's first run then cannot dominate a round-over-round
-    // comparison — compare min2, not queries, across rounds.
-    val rerun = results.sortBy(-_._2).take(5).map(_._1).toSet
+    // host-throttle robustness: a SECOND run (min2 = min of the two)
+    // for (a) the 5 slowest first runs and (b) any query whose first
+    // run regressed >3x against the PREVIOUS session's recorded min2 —
+    // (b) exists because a throttle window landing on a mid-pack query
+    // (r8: q74 0.6 s -> 4.5 s, outside the top-5) otherwise enters the
+    // record unchecked. The 0.5 s floor keeps noise-level jitter
+    // (0.05 -> 0.16 s is "3x" but meaningless) from triggering reruns.
+    val priorMin2: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_FULL.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"min2":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse("").split(",").toSeq.filter(_.contains(":"))
+        .flatMap { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          try Some(k.replace("\"", "") -> v.toDouble)
+          catch { case _: Throwable => None }
+        }.toMap
+    } catch { case _: Throwable => Map.empty }
+    val top5 = results.sortBy(-_._2).take(5).map(_._1).toSet
+    val regressed = results.collect {
+      case (name, t1) if t1 > 0.5 &&
+        priorMin2.get(name).exists(p => t1 > 3 * p) => name
+    }.toSet
+    val rerun = top5 ++ regressed
     val min2 = results.map { case (name, t1) =>
       if (rerun.contains(name))
         name -> math.min(t1, timeOne(name, SparkEntry.queries(name)))
@@ -106,9 +125,13 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMin2 = if (min2.nonEmpty) min2.map(_._2).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // regression-triggered reruns are recorded so a round's NOTES can
+    // say whether a spike was throttle (second run recovered) or real
+    val rerunJson = regressed.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val health = effectiveCores(cpus.toInt)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"total_min2":$totalMin2,"failed":$failedJson,"effective_cores":$health,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"total_min2":$totalMin2,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get truncated in driver logs (r4 lost 41 of 104
     // per-query timings) — persist the full line for round-over-round

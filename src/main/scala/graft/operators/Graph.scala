@@ -49,10 +49,15 @@ object Graph {
       unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     require(epsUnits >= 0L, "epsUnits must be non-negative")
+    // pinned PRE-SHUFFLED on the per-round join key: the cached blocks
+    // carry hashpartitioning(src), so every round's contribution join
+    // reuses the partitioning instead of re-exchanging the (large)
+    // edge frame — one upfront shuffle replaces one per iteration
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .repartition(col("src"))
       .transform(d => graft.Caches.pin(d))
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -115,10 +120,12 @@ object Graph {
       unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame = {
     require(iters >= 1, "pageRankWeighted needs at least one iteration")
     require(epsUnits >= 0L, "epsUnits must be non-negative")
+    // pre-shuffled pin on src — see pageRank's e
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .repartition(col("src"))
       .transform(d => graft.Caches.pin(d))
     val nodes = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
@@ -274,12 +281,14 @@ object Graph {
   def labelPropagate(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, "labelPropagate needs at least one round")
+    // pre-shuffled pin on the per-round join key (see pageRank's e)
     val sym = edges.select(col("a").cast("long").as("na"),
         col("b").cast("long").as("nb"))
       .unionAll(edges.select(col("b").cast("long").as("na"),
         col("a").cast("long").as("nb")))
       .filter(col("na") =!= col("nb"))
       .distinct()
+      .repartition(col("na"))
       .transform(d => graft.Caches.pin(d))
     var (labels, releaseLabels) = graft.Caches.checkpoint(
       seeds.select(col("id").cast("long").as("id"),
@@ -337,9 +346,11 @@ object Graph {
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, "bfsDistances: maxHops must be non-negative")
+    // pre-shuffled pin on the per-round join key (see pageRank's e)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .transform(d => graft.Caches.pin(d))
     val spark = edges.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
@@ -399,9 +410,11 @@ object Graph {
   def nearestSeedLabels(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0, "nearestSeedLabels: maxHops must be non-negative")
+    // pre-shuffled pin on the per-round join key (see pageRank's e)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .transform(d => graft.Caches.pin(d))
     val spark = edges.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong

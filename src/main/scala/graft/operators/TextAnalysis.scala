@@ -741,8 +741,10 @@ object TextAnalysis {
     * pure rational and stays bit-checkable, the t80 rule). Emitted as
     * the exact integer fraction (tv_num, tv_den):
     * TV = tv_num / tv_den with tv_num = Σ |c_s·T − c·T_s| and
-    * tv_den = 2·T_s·T, both DECIMAL(38,0) (c·T passes 2⁶³ at corpus
-    * scale).
+    * tv_den = 2·T_s·T, computed in DECIMAL(38,0) (c·T passes 2⁶³ at
+    * corpus scale) and EMITTED as VARCHAR digit strings — the
+    * compared schema never carries DECIMAL (round-8 portability
+    * rule).
     *
     * Tokens ABSENT from a source still contribute |0 − c·T_s| — but no
     * source×vocab cross join is ever built: over absent tokens the sum
@@ -774,14 +776,20 @@ object TextAnalysis {
         sum(col("graft_c")).as("graft_shared"),
         max(col("graft_t")).as("graft_t"))
       .select(col("source"), col("n_tokens"),
+        // the 38-digit integers exceed BIGINT, so the COMPARED output
+        // carries them as VARCHAR digit strings (scale-0 decimal →
+        // string is the plain digit render on every engine) — DECIMAL
+        // itself never appears in an output schema (round-8 rule:
+        // DECIMAL representation is hash-visible across oracle builds
+        // even when every cell compares equal).
         (col("graft_present").cast(DecimalType(38, 0)) +
           col("n_tokens").cast(DecimalType(38, 0)) *
             (col("graft_t") - col("graft_shared")).cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("tv_num"),
+          .cast(DecimalType(38, 0)).cast("string").as("tv_num"),
         (lit(2).cast(DecimalType(38, 0)) *
           col("n_tokens").cast(DecimalType(38, 0)) *
           col("graft_t").cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("tv_den"))
+          .cast(DecimalType(38, 0)).cast("string").as("tv_den"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of several retrieval
@@ -852,10 +860,22 @@ object TextAnalysis {
     * cost a real distinct-pair aggregation — production drops them
     * and keeps the sketch-only path, which is the point of KMV.
     *
-    * Output per source pair (s1 < s2): (s1, s2, kmv_theta — k-th
-    * smallest of the merged-bottom-k union sketch, kmv_inter — union-
-    * sketch members present in BOTH full sketches, exact_inter,
-    * exact_union). */
+    * Output per source pair (s1 < s2): (s1, s2, kmv_theta — the
+    * LARGEST value retained in the merged-bottom-k union sketch,
+    * kmv_inter — union-sketch members present in BOTH full sketches,
+    * kmv_union_k — the union sketch's actual size, exact_inter,
+    * exact_union).
+    *
+    * Saturation caveat: kmv_theta is the k-th smallest of the union
+    * only when the union sketch is FULL (kmv_union_k = k). When the
+    * pair's distinct union has fewer than k hashes the sketch is
+    * unsaturated, kmv_theta is just the union's max, and the
+    * saturated estimator (k−1)·P/theta systematically OVERESTIMATES.
+    * Downstream must branch on kmv_union_k: unsaturated → the union
+    * is exactly kmv_union_k distinct values (use it directly, or the
+    * unbiased small-set form (kmv_union_k−1)·P/theta); saturated →
+    * the classic (k−1)·P/theta. That is why the sketch size is a
+    * first-class output column and not recoverable from theta. */
   def kmvSourceOverlap(df: DataFrame, source: Column, text: Column,
       k: Int = 32): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
@@ -888,7 +908,8 @@ object TextAnalysis {
       .groupBy(col("s1"), col("s2"))
       .agg(max(col("uh")).as("kmv_theta"),
         sum(when(col("graft_in1").isNotNull && col("graft_in2").isNotNull, 1L)
-          .otherwise(0L)).as("kmv_inter"))
+          .otherwise(0L)).as("kmv_inter"),
+        count(lit(1)).as("kmv_union_k"))
     // exact audit: distinct-hash union/intersection per pair
     val t1 = tk.select(col("source").as("s1"), col("h"))
     val t2 = tk.select(col("source").as("s2"), col("h"))
@@ -901,6 +922,7 @@ object TextAnalysis {
       .join(sizes.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
       .join(sizes.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
       .select(col("s1"), col("s2"), col("kmv_theta"), col("kmv_inter"),
+        col("kmv_union_k"),
         coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
         (col("n1") + col("n2") - coalesce(col("exact_inter"), lit(0L)))
           .as("exact_union"))

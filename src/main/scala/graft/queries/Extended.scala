@@ -2806,8 +2806,8 @@ object Extended {
        |      FROM cs JOIN corpus USING (tok) JOIN tsrc USING (source) CROSS JOIN tot
        |      GROUP BY cs.source)
        |SELECT a.source, tsrc.t_s AS n_tokens,
-       |  CAST(a.present + CAST(tsrc.t_s AS HUGEINT) * (tot.t - a.shared) AS DECIMAL(38,0)) AS tv_num,
-       |  CAST(2 * CAST(tsrc.t_s AS HUGEINT) * tot.t AS DECIMAL(38,0)) AS tv_den
+       |  CAST(CAST(a.present + CAST(tsrc.t_s AS HUGEINT) * (tot.t - a.shared) AS HUGEINT) AS VARCHAR) AS tv_num,
+       |  CAST(CAST(2 * CAST(tsrc.t_s AS HUGEINT) * tot.t AS HUGEINT) AS VARCHAR) AS tv_den
        |FROM a JOIN tsrc USING (source) CROSS JOIN tot
        |ORDER BY source""".stripMargin) { (s, dir) =>
     TextAnalysis.tokenDistributionDrift(Tables.documents(s, dir),
@@ -2901,14 +2901,15 @@ object Extended {
        |urk AS (SELECT s1, s2, uh, row_number() OVER (PARTITION BY s1, s2 ORDER BY uh) AS urk FROM us),
        |u AS (SELECT s1, s2, uh FROM urk WHERE urk <= 32),
        |st AS (SELECT u.s1, u.s2, CAST(max(uh) AS BIGINT) AS kmv_theta,
-       |         CAST(sum(CASE WHEN k1.h IS NOT NULL AND k2.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kmv_inter
+       |         CAST(sum(CASE WHEN k1.h IS NOT NULL AND k2.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kmv_inter,
+       |         CAST(count(*) AS BIGINT) AS kmv_union_k
        |       FROM u LEFT JOIN kmv k1 ON k1.source = u.s1 AND k1.h = u.uh
        |              LEFT JOIN kmv k2 ON k2.source = u.s2 AND k2.h = u.uh
        |       GROUP BY u.s1, u.s2),
        |ei AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS exact_inter
        |       FROM tk a JOIN tk b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY source)
-       |SELECT st.s1, st.s2, st.kmv_theta, st.kmv_inter,
+       |SELECT st.s1, st.s2, st.kmv_theta, st.kmv_inter, st.kmv_union_k,
        |  COALESCE(ei.exact_inter, 0) AS exact_inter,
        |  z1.n + z2.n - COALESCE(ei.exact_inter, 0) AS exact_union
        |FROM st LEFT JOIN ei ON ei.s1 = st.s1 AND ei.s2 = st.s2

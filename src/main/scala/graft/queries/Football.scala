@@ -119,5 +119,265 @@ object Football {
       .orderBy(col("pk"))
   }
 
-  val all: Seq[Q] = Seq(q30EnforceOk, q31EnforceDead, q34DeadLetterJson, q32PkExtract)
+  /** q86 — the FLAGSHIP PARITY PIPELINE under the driver's oracle
+    * gate: deterministic API-shaped fixtures (derived from the nation
+    * table, identical at every sf) staged through `Staging.stageAll`
+    * (K3), read back and run through `Normalize.pipeline` for BOTH
+    * apis — the reference's signature read → route → join → enforce →
+    * group-split chain (ref `transforms.py:149-184`) — emitting the
+    * unified ok rows AND the group-level dead letters (kind='dead'
+    * rows carrying the error label) in one frame. The DuckDB oracle
+    * replays the same chain over the SAME staged JSON files
+    * (`read_json` + the identical join/try_cast/group-verdict
+    * algebra), so file layout, worker-side JSON reads, both
+    * normalizers, enforcement and the dead-letter taxonomy are all
+    * hash-gated — previously only spec-gated (r8 VERDICT gap).
+    *
+    * Engineered groups: apifootball 2023-101 healthy (one team omits
+    * GF/GA → the P4 default-0 path), 2023-102 one non-numeric points
+    * → whole group `enforcement_failure`, 2022-103 standings
+    * reference absent team ids → `empty_or_unjoinable`; apisports
+    * 2023-201 healthy (nested J2 header ride-along), 2022-202
+    * unjoinable. The corrupt-input class stays spec-gated
+    * (NormalizeSpec) — an unparseable file would fail the oracle's
+    * read_json rather than dead-letter.
+    *
+    * The staged root is a FIXED path (not WorkDirs): the oracle SQL
+    * is a static string and must name the same files the engine
+    * staged; content depends only on the fixed 25-row nation table,
+    * so any sf's run stages identical bytes. The 25-row collect is
+    * the bounded driver-side staging step (Staging's documented
+    * design: acquisition is driver-side, never a distributed job). */
+  val q86ParityPipeline: Q = {
+    val root = "/tmp/graft_work/q86_stage"
+    val nullCols =
+      Seq("team_id", "team_name", "team_country", "league_id", "league_name")
+        .map(c => s"CAST(NULL AS VARCHAR) AS $c") ++
+      Seq("season", "rank", "points", "games_played", "wins", "draws",
+        "losses", "goals_for", "goals_against", "goal_difference")
+        .map(c => s"CAST(NULL AS BIGINT) AS \"$c\"") ++
+      Seq("form", "venue_name", "venue_city", "schema_version")
+        .map(c => s"CAST(NULL AS VARCHAR) AS $c")
+    Q(
+      "q86_parity_pipeline",
+      s"""WITH fteams AS (
+         |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
+         |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk,
+         |    team_key, team_country, venue.venue_name AS venue_name,
+         |    venue.venue_city AS venue_city
+         |  FROM read_json('$root/apifootball/*/*/teams/*.json',
+         |    format='array', filename=true,
+         |    columns={team_key:'VARCHAR', team_name:'VARCHAR',
+         |             team_country:'VARCHAR',
+         |             venue:'STRUCT(venue_name VARCHAR, venue_city VARCHAR)'})),
+         |fstand AS (
+         |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
+         |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk, *
+         |  FROM read_json('$root/apifootball/*/*/standings/*.json',
+         |    format='array', filename=true,
+         |    columns={team_id:'VARCHAR', team_name:'VARCHAR', league_id:'VARCHAR',
+         |             league_name:'VARCHAR', overall_league_position:'VARCHAR',
+         |             overall_league_PTS:'VARCHAR', overall_league_payed:'VARCHAR',
+         |             overall_league_W:'VARCHAR', overall_league_D:'VARCHAR',
+         |             overall_league_L:'VARCHAR', overall_league_GF:'VARCHAR',
+         |             overall_league_GA:'VARCHAR', overall_league_form:'VARCHAR'})),
+         |funified AS (
+         |  SELECT s.gpk, s.gpk || '-' || s.team_id AS pk, s.team_id, s.team_name,
+         |    t.team_country, s.league_id, s.league_name,
+         |    string_split(s.gpk, '-')[1] AS season_s,
+         |    s.overall_league_position AS rank_s, s.overall_league_PTS AS points_s,
+         |    s.overall_league_payed AS played_s, s.overall_league_W AS wins_s,
+         |    s.overall_league_D AS draws_s, s.overall_league_L AS losses_s,
+         |    COALESCE(s.overall_league_GF, '0') AS gf_s,
+         |    COALESCE(s.overall_league_GA, '0') AS ga_s,
+         |    COALESCE(TRY_CAST(s.overall_league_GF AS BIGINT), 0)
+         |      - COALESCE(TRY_CAST(s.overall_league_GA AS BIGINT), 0) AS goal_difference,
+         |    s.overall_league_form AS form, t.venue_name, t.venue_city
+         |  FROM fstand s JOIN fteams t ON t.gpk = s.gpk AND t.team_key = s.team_id),
+         |ffail AS (
+         |  SELECT DISTINCT gpk FROM funified
+         |  WHERE (season_s IS NOT NULL AND TRY_CAST(season_s AS BIGINT) IS NULL)
+         |     OR (rank_s IS NOT NULL AND TRY_CAST(rank_s AS BIGINT) IS NULL)
+         |     OR (points_s IS NOT NULL AND TRY_CAST(points_s AS BIGINT) IS NULL)
+         |     OR (played_s IS NOT NULL AND TRY_CAST(played_s AS BIGINT) IS NULL)
+         |     OR (wins_s IS NOT NULL AND TRY_CAST(wins_s AS BIGINT) IS NULL)
+         |     OR (draws_s IS NOT NULL AND TRY_CAST(draws_s AS BIGINT) IS NULL)
+         |     OR (losses_s IS NOT NULL AND TRY_CAST(losses_s AS BIGINT) IS NULL)
+         |     OR (gf_s IS NOT NULL AND TRY_CAST(gf_s AS BIGINT) IS NULL)
+         |     OR (ga_s IS NOT NULL AND TRY_CAST(ga_s AS BIGINT) IS NULL)),
+         |steams AS (
+         |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
+         |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk,
+         |    unnest(response) AS r
+         |  FROM read_json('$root/apisports/*/*/teams/*.json',
+         |    format='unstructured', filename=true,
+         |    columns={response:'STRUCT(team STRUCT(id BIGINT, name VARCHAR, country VARCHAR), venue STRUCT(name VARCHAR, city VARCHAR))[]'})),
+         |steams2 AS (
+         |  SELECT gpk, r.team.id AS tid, r.team.country AS team_country,
+         |    r.venue.name AS venue_name, r.venue.city AS venue_city
+         |  FROM steams),
+         |sstand AS (
+         |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
+         |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk,
+         |    response[1].league AS league
+         |  FROM read_json('$root/apisports/*/*/standings/*.json',
+         |    format='unstructured', filename=true,
+         |    columns={response:'STRUCT(league STRUCT(id BIGINT, name VARCHAR, season BIGINT, standings STRUCT(rank BIGINT, team STRUCT(id BIGINT, name VARCHAR), points BIGINT, goalsDiff BIGINT, form VARCHAR, "all" STRUCT(played BIGINT, win BIGINT, draw BIGINT, lose BIGINT, goals STRUCT("for" BIGINT, against BIGINT)))[][]))[]'})),
+         |srows AS (
+         |  SELECT gpk, CAST(league.id AS VARCHAR) AS league_id,
+         |    league.name AS league_name, league.season AS season,
+         |    unnest(league.standings[1]) AS st
+         |  FROM sstand),
+         |sunified AS (
+         |  SELECT r.gpk, r.gpk || '-' || CAST(r.st.team.id AS VARCHAR) AS pk,
+         |    CAST(r.st.team.id AS VARCHAR) AS team_id, r.st.team.name AS team_name,
+         |    t.team_country, r.league_id, r.league_name, r.season,
+         |    r.st.rank AS "rank", r.st.points AS points,
+         |    r.st."all".played AS games_played, r.st."all".win AS wins,
+         |    r.st."all".draw AS draws, r.st."all".lose AS losses,
+         |    COALESCE(r.st."all".goals."for", 0) AS goals_for,
+         |    COALESCE(r.st."all".goals.against, 0) AS goals_against,
+         |    r.st.goalsDiff AS goal_difference, r.st.form AS form,
+         |    t.venue_name, t.venue_city
+         |  FROM srows r JOIN steams2 t ON t.gpk = r.gpk AND t.tid = r.st.team.id),
+         |expected AS (
+         |  SELECT DISTINCT gpk FROM (
+         |    SELECT gpk FROM fteams UNION ALL SELECT gpk FROM fstand
+         |    UNION ALL SELECT gpk FROM steams
+         |    UNION ALL SELECT gpk FROM sstand)),
+         |unified_groups AS (
+         |  SELECT DISTINCT gpk FROM funified
+         |  UNION SELECT DISTINCT gpk FROM sunified),
+         |dead AS (
+         |  SELECT gpk, 'enforcement_failure' AS error FROM ffail
+         |  UNION ALL
+         |  SELECT e.gpk, 'empty_or_unjoinable_group' AS error
+         |  FROM expected e
+         |  WHERE e.gpk NOT IN (SELECT gpk FROM unified_groups)),
+         |ok AS (
+         |  SELECT pk, team_id, team_name, team_country, league_id, league_name,
+         |    TRY_CAST(season_s AS BIGINT) AS season,
+         |    TRY_CAST(rank_s AS BIGINT) AS "rank",
+         |    TRY_CAST(points_s AS BIGINT) AS points,
+         |    TRY_CAST(played_s AS BIGINT) AS games_played,
+         |    TRY_CAST(wins_s AS BIGINT) AS wins,
+         |    TRY_CAST(draws_s AS BIGINT) AS draws,
+         |    TRY_CAST(losses_s AS BIGINT) AS losses,
+         |    TRY_CAST(gf_s AS BIGINT) AS goals_for,
+         |    TRY_CAST(ga_s AS BIGINT) AS goals_against,
+         |    goal_difference, form, venue_name, venue_city
+         |  FROM funified WHERE gpk NOT IN (SELECT gpk FROM dead)
+         |  UNION ALL
+         |  SELECT pk, team_id, team_name, team_country, league_id, league_name,
+         |    season, "rank", points, games_played, wins, draws, losses,
+         |    goals_for, goals_against, goal_difference, form,
+         |    venue_name, venue_city
+         |  FROM sunified WHERE gpk NOT IN (SELECT gpk FROM dead))
+         |SELECT 'ok' AS kind, pk, CAST(NULL AS VARCHAR) AS error,
+         |  team_id, team_name, team_country, league_id, league_name,
+         |  season, "rank", points, games_played, wins, draws, losses,
+         |  goals_for, goals_against, goal_difference, form,
+         |  venue_name, venue_city, '1' AS schema_version
+         |FROM ok
+         |UNION ALL
+         |SELECT 'dead' AS kind, gpk AS pk, error, ${nullCols.mkString(",\n  ")}
+         |FROM dead
+         |ORDER BY kind, pk""".stripMargin) { (s, dir) =>
+      import graft.engine.{Normalize, Staging}
+      // clean slate: stale files from an older fixture version must not
+      // leak into the glob (Staging overwrites same-named files only)
+      val rootPath = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootPath)) {
+        java.nio.file.Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        ()
+      }
+      // bounded driver-side fixture build: the fixed 25-row nation table
+      val nations = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      def slice(from: Int, n: Int): Seq[(Int, Long, String)] =
+        nations.slice(from, from + n).toSeq.zipWithIndex
+          .map { case ((k, name), i) => (i, k, name) }
+      // deterministic per-team stats as a function of in-group index
+      def st(i: Int): (Int, Int, Int, Int, Int, Int, Int, Int) =
+        (i + 1, 90 - 3 * i, 38, 25 - i, 5 + i, 8, 80 - 2 * i, 30 + i)
+      def fbTeams(teams: Seq[(Int, Long, String)], keyBase: Long): String =
+        teams.map { case (_, k, name) =>
+          s"""{"team_key": "${keyBase + k}", "team_name": "$name", "team_country": "England",
+             | "venue": {"venue_name": "$name Arena", "venue_city": "$name City"}}""".stripMargin
+        }.mkString("[", ",\n", "]")
+      def fbStandings(teams: Seq[(Int, Long, String)], keyBase: Long,
+          league: Int, omitGoalsIdx: Int = -1, badPointsIdx: Int = -1,
+          keyShift: Long = 0L): String =
+        teams.map { case (i, k, name) =>
+          val (r, p, gp, w, d, l, gf, ga) = st(i)
+          val pts = if (i == badPointsIdx) "\"not_a_number\"" else s""""$p""""
+          val goals = if (i == omitGoalsIdx) ""
+            else s""", "overall_league_GF": "$gf", "overall_league_GA": "$ga""""
+          s"""{"team_id": "${keyBase + k + keyShift}", "team_name": "$name",
+             | "league_id": "$league", "league_name": "League $league",
+             | "overall_league_position": "$r", "overall_league_PTS": $pts,
+             | "overall_league_payed": "$gp", "overall_league_W": "$w",
+             | "overall_league_D": "$d", "overall_league_L": "$l"$goals,
+             | "overall_league_form": "WWDLW"}""".stripMargin
+        }.mkString("[", ",\n", "]")
+      def spTeams(teams: Seq[(Int, Long, String)], keyBase: Long): String =
+        teams.map { case (_, k, name) =>
+          s"""{"team": {"id": ${keyBase + k}, "name": "$name", "country": "England"},
+             | "venue": {"name": "$name Arena", "city": "$name City"}}""".stripMargin
+        }.mkString("""{"response": [""", ",\n", "]}")
+      def spStandings(teams: Seq[(Int, Long, String)], keyBase: Long,
+          league: Int, season: Int, keyShift: Long = 0L): String = {
+        val rows = teams.map { case (i, k, name) =>
+          val (r, p, gp, w, d, l, gf, ga) = st(i)
+          s"""{"rank": $r, "team": {"id": ${keyBase + k + keyShift}, "name": "$name"},
+             | "points": $p, "goalsDiff": ${gf - ga}, "form": "WWDLW",
+             | "all": {"played": $gp, "win": $w, "draw": $d, "lose": $l,
+             |         "goals": {"for": $gf, "against": $ga}}}""".stripMargin
+        }.mkString("[[", ",\n", "]]")
+        s"""{"response": [{"league": {"id": $league, "name": "League $league",
+           | "season": $season, "standings": $rows}}]}""".stripMargin
+      }
+      Staging.stageAll(s"$root/apifootball", "run_1", Seq(
+        (2023, 101, "teams", () => fbTeams(slice(0, 5), 1000L)),
+        (2023, 101, "standings",
+          () => fbStandings(slice(0, 5), 1000L, 101, omitGoalsIdx = 1)),
+        (2023, 102, "teams", () => fbTeams(slice(5, 3), 1000L)),
+        (2023, 102, "standings",
+          () => fbStandings(slice(5, 3), 1000L, 102, badPointsIdx = 1)),
+        (2022, 103, "teams", () => fbTeams(slice(8, 2), 1000L)),
+        (2022, 103, "standings",
+          () => fbStandings(slice(8, 2), 1000L, 103, keyShift = 8000L))))
+      Staging.stageAll(s"$root/apisports", "run_1", Seq(
+        (2023, 201, "teams", () => spTeams(slice(10, 5), 2000L)),
+        (2023, 201, "standings", () => spStandings(slice(10, 5), 2000L, 201, 2023)),
+        (2022, 202, "teams", () => spTeams(slice(15, 2), 2000L)),
+        (2022, 202, "standings",
+          () => spStandings(slice(15, 2), 2000L, 202, 2022, keyShift = 8000L))))
+      val (okF, deadF) = Normalize.pipeline(s, s"$root/apifootball", "apifootball")
+      val (okS, deadS) = Normalize.pipeline(s, s"$root/apisports", "apisports")
+      val outCols = Seq("team_id", "team_name", "team_country", "league_id",
+        "league_name", "season", "rank", "points", "games_played", "wins",
+        "draws", "losses", "goals_for", "goals_against", "goal_difference",
+        "form", "venue_name", "venue_city", "schema_version")
+      val okOut = okF.unionByName(okS).select(
+        lit("ok").as("kind") +: col("pk") +:
+          lit(null).cast("string").as("error") +: outCols.map(col): _*)
+      val longCols = Set("season", "rank", "points", "games_played", "wins",
+        "draws", "losses", "goals_for", "goals_against", "goal_difference")
+      val deadOut = deadF.select(col("pk"), col("error"))
+        .unionByName(deadS.select(col("pk"), col("error")))
+        .select(
+          lit("dead").as("kind") +: col("pk") +: col("error") +:
+            outCols.map(c => lit(null)
+              .cast(if (longCols(c)) "long" else "string").as(c)): _*)
+      okOut.unionByName(deadOut).orderBy(col("kind"), col("pk"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q30EnforceOk, q31EnforceDead, q34DeadLetterJson,
+    q32PkExtract, q86ParityPipeline)
 }

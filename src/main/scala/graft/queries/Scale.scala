@@ -381,12 +381,13 @@ object Scale {
     * sum. The spine generates per key from its own min/max (agg +
     * generator — never a cross join against a global calendar). All
     * accumulation is in exact integer CENTS on both legs (the t80/t85
-    * rule), and the oracle's forward fill is gaps-and-islands (a
-    * non-null-count group id + one max per group) rather than
-    * `last_value(... IGNORE NULLS)` — both the DECIMAL-sum and the
-    * IGNORE-NULLS window proved sensitive to the oracle engine's
-    * version (cell-identical outputs hash-mismatched under a different
-    * DuckDB build), so neither construct appears on either leg. */
+    * rule) and the output IS the BIGINT cents — no DECIMAL render,
+    * because DECIMAL output columns hash differently across oracle
+    * engine builds even when every cell compares equal (the round-8
+    * portability class; NOTES.md output-type canon). The oracle's
+    * forward fill is gaps-and-islands (a non-null-count group id +
+    * one max per group) rather than `last_value(... IGNORE NULLS)`,
+    * which proved equally build-sensitive. */
   val q72Resample: Q = Q(
     "q72_resample",
     """WITH e AS (
@@ -405,8 +406,8 @@ object Scale {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       |      FROM j)
       |SELECT user_id, idx, n_events,
-      |  CAST(c * 0.01 AS DECIMAL(18,2)) AS sum_value,
-      |  CAST(max(c) OVER (PARTITION BY user_id, grp) * 0.01 AS DECIMAL(18,2)) AS filled
+      |  CAST(c AS BIGINT) AS sum_cents,
+      |  CAST(max(c) OVER (PARTITION BY user_id, grp) AS BIGINT) AS filled_cents
       |FROM g ORDER BY user_id, idx""".stripMargin) { (s, dir) =>
     graft.operators.TimeSeries.resample(Tables.events(s, dir),
         col("user_id").as("user_id"), col("ts"), col("value"), bucketSec = 3600L)
@@ -595,7 +596,7 @@ object Scale {
       |  WHERE event_id % 5 = 0 OR (event_id % 5 <> 0 AND event_id % 7 <> 0))
       |SELECT user_id, event_type,
       |  CAST(count(*) AS BIGINT) AS n_events,
-      |  CAST(CAST(sum(COALESCE(cents, 0)) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS sum_value
+      |  CAST(sum(COALESCE(cents, 0)) AS BIGINT) AS sum_cents
       |FROM live GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
     import graft.operators.Incremental
@@ -610,7 +611,7 @@ object Scale {
     val state = Incremental.aggregateState(base, keys, col("cents"))
     Incremental.maintain(state, delta, keys, col("op"), col("cents"))
       .select(col("user_id"), col("event_type"), col("n_events"),
-        (col("c") * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("sum_value"))
+        col("c").as("sum_cents"))
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -630,7 +631,7 @@ object Scale {
       |  WHERE event_id % 5 = 0 OR (event_id % 5 <> 0 AND event_id % 7 <> 0))
       |SELECT user_id, event_type,
       |  CAST(count(*) AS BIGINT) AS n_events,
-      |  CAST(CAST(min(cents) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS min_value
+      |  CAST(min(cents) AS BIGINT) AS min_cents
       |FROM live GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
     import graft.operators.Incremental
@@ -644,7 +645,7 @@ object Scale {
       .select(col("event_id"))
     Incremental.maintainMin(base, inserts, deleteIds, keys, "event_id", col("cents"))
       .select(col("user_id"), col("event_type"), col("n_events"),
-        (col("min_cents") * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("min_value"))
+        col("min_cents"))
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -661,7 +662,7 @@ object Scale {
     "q79_csv_roundtrip",
     """SELECT l_returnflag,
       |  CAST(count(*) AS BIGINT) AS n_rows,
-      |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS sum_price,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
       |  CAST(count(*) FILTER (l_linenumber % 7 = 0) AS BIGINT) AS n_null_tag,
       |  min(l_shipdate) AS min_ship
       |FROM lineitem WHERE l_orderkey % 50 = 0
@@ -689,8 +690,8 @@ object Scale {
       .withColumn("l_shipdate", to_timestamp(col("ship_s"), "yyyy-MM-dd HH:mm:ss"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        (sum(round(col("l_extendedprice") * lit(100)).cast("long"))
-          * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("sum_price"),
+        sum(round(col("l_extendedprice") * lit(100)).cast("long"))
+          .as("sum_price_cents"),
         sum(when(col("tag").isNull, 1L).otherwise(0L)).as("n_null_tag"),
         min(col("l_shipdate")).as("min_ship"))
       .orderBy(col("l_returnflag"))
@@ -749,7 +750,7 @@ object Scale {
       |SELECT user_id, event_type,
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(count(cents) AS BIGINT) AS n_measured,
-      |  CAST(CAST(sum(COALESCE(cents, 0)) AS BIGINT) * 0.01 AS DECIMAL(18,2)) AS sum_value
+      |  CAST(sum(COALESCE(cents, 0)) AS BIGINT) AS sum_cents
       |FROM gen GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
     val tmp = graft.engine.WorkDirs.path("q81", dir)
@@ -767,8 +768,7 @@ object Scale {
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
         count(col("cents")).as("n_measured"),
-        (sum(coalesce(col("cents"), lit(0L)))
-          * lit(BigDecimal("0.01"))).cast(DecimalType(18, 2)).as("sum_value"))
+        sum(coalesce(col("cents"), lit(0L))).as("sum_cents"))
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -890,9 +890,14 @@ object Scale {
       |  CAST(count(*) AS BIGINT) AS n_users
       |FROM a GROUP BY cohort, wk
       |ORDER BY cohort_week, week""".stripMargin) { (s, dir) =>
+    // FLOOR division on both legs: DuckDB `//` floors, but Spark `div`
+    // truncates toward zero — they disagree for pre-1970 timestamps.
+    // (us - pmod(us, d)) div d is exact integer floor division for all
+    // signs (the subtraction makes the dividend an exact multiple).
     val e = Tables.events(s, dir)
       .select(col("user_id"),
-        expr("unix_micros(ts) div CAST(604800000000 AS BIGINT)").as("wk"))
+        expr("""(unix_micros(ts) - pmod(unix_micros(ts), 604800000000L))
+                |  div 604800000000L""".stripMargin).as("wk"))
     val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
     e.join(first, "user_id")
       .select(col("user_id"), col("cohort_week"), col("wk").as("week"))

@@ -786,6 +786,60 @@ object StreamOps {
       .start()
   }
 
+  /** Fold RETIRED watermark-state partitions of [[lateSideOutput]]
+    * into one compact max row, keeping the per-batch state read
+    * bounded over the stream's lifetime (without this, every
+    * micro-batch reads O(total batches) tiny partitions to derive a
+    * single scalar). Max-event-time is a monotone idempotent lattice —
+    * like the BFS frontier state, and unlike the MV SUM partials — so
+    * folding is safe under replay: a re-run batch re-contributing its
+    * max through its own partition cannot move the folded maximum.
+    *
+    * Partitions with `batch ≤ maxBatch − keepLast` fold into the
+    * reserved `batch=-1` compact partition (itself included in each
+    * fold — compaction composes); the most recent `keepLast` stay
+    * intact so the read-excluding-self rule keeps exact pre-batch
+    * semantics for any batch that may still be replayed. Replaying a
+    * batch OLDER than the retention horizon would see its own max
+    * inside the compact row — pick `keepLast` at least the engine's
+    * replay depth (Structured Streaming re-runs only the last
+    * uncommitted batch, so the default of 8 is generous). */
+  private[graft] def lateCompactState(spark: SparkSession, stateDir: String,
+      keepLast: Int = 8): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir))) return
+    // partition-column inference may type `batch` INT or LONG
+    // depending on the id range — normalize before any getLong
+    val st = spark.read.parquet(stateDir)
+      .withColumn("batch", col("batch").cast("long"))
+    val ids = st.select(col("batch")).filter(col("batch") >= 0)
+      .agg(max(col("batch"))).head()
+    if (ids.isNullAt(0)) return
+    val horizon = ids.getLong(0) - keepLast
+    val retired = st.filter(col("batch") <= horizon)
+    val r = retired.agg(max(col("max_us")).as("m")).head()
+    if (r.isNullAt(0)) return
+    // bounded collect: the retired batch-id list (shrinks to ~0 after
+    // each fold; never corpus data)
+    val foldIds = retired.select(col("batch")).filter(col("batch") >= 0)
+      .distinct().collect().map(_.getLong(0))
+    // write the fold FIRST (overwrite is atomic per-partition), then
+    // drop the folded partitions — a crash between the two steps
+    // leaves duplicates, which the max absorbs (idempotent lattice)
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(r.getLong(0))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("max_us",
+            org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(s"$stateDir/batch=-1")
+    foldIds.foreach { id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true)
+    }
+    ()
+  }
+
   /** One micro-batch of [[lateSideOutput]], exposed for replay tests. */
   private[graft] def lateBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, stateDir: String, outDir: String, lateDir: String,
@@ -814,6 +868,12 @@ object StreamOps {
     b.agg(max(col("graft_us")).as("max_us"))
       .filter(col("max_us").isNotNull)
       .write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
+    // periodic self-maintenance: fold retired watermark partitions so
+    // the state read stays bounded (max is an idempotent lattice — the
+    // fold can never move the watermark, so routing is unaffected and
+    // replay stays deterministic)
+    if (batchId > 0 && batchId % 16 == 0)
+      lateCompactState(spark, stateDir)
     b.unpersist()
     graft.Caches.releaseAll()
     ()

@@ -1968,12 +1968,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.nonEmpty)
     out.foreach { r =>
       val theta = r.getAs[Long]("kmv_theta")
+      val unionK = r.getAs[Long]("kmv_union_k")
       val exactU = r.getAs[Long]("exact_union")
-      // classic KMV estimate: (k-1) * P / theta; k=32 ⇒ σ ≈ 18%, the
-      // 2x gate is ~5σ headroom on a deterministic corpus
-      val est = 31.0 * TextHash.P / theta
+      // saturation-aware estimator: full sketch → classic (k−1)·P/θ
+      // (k=32 ⇒ σ ≈ 18%, the 2x gate is ~5σ headroom); unsaturated
+      // sketch → the union is EXACTLY its size (the kmv_union_k column
+      // exists precisely so downstream can branch here)
+      val est =
+        if (unionK >= 32) 31.0 * TextHash.P / theta else unionK.toDouble
       assert(est > exactU / 2.0 && est < exactU * 2.0,
         s"union estimate $est vs exact $exactU for (${r.getString(0)}, ${r.getString(1)})")
+      if (unionK < 32)
+        assert(est == exactU.toDouble,
+          s"unsaturated sketch must carry the exact union: $est vs $exactU")
     }
     graft.Caches.releaseAll()
   }

@@ -392,4 +392,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(src"),
       s"g08: expected a src-keyed exchange before the rank window:\n$p")
   }
+
+  test("output-type canon: no catalogue query emits a DECIMAL column") {
+    // Round-8 finding: the driver's differential gate hashes DECIMAL
+    // output representations differently across oracle-engine builds
+    // even when every cell compares equal — 5 of the 6 DECIMAL-output
+    // queries were hash-red while cell-identical. Compared outputs are
+    // BIGINT, DOUBLE-from-exact-integer, or VARCHAR — never DECIMAL.
+    // DECIMAL remains fine as an INTERNAL carrier (exact wide-integer
+    // arithmetic); this sweep pins the output schemas only.
+    import org.apache.spark.sql.types.DecimalType
+    graft.Caches.releaseAll()
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val decCols = SparkEntry.queries(name)(spark, sfDir).schema.fields
+        .collect { case f if f.dataType.isInstanceOf[DecimalType] => f.name }
+      if (decCols.isEmpty) None else Some(s"$name(${decCols.mkString(",")})")
+    }
+    assert(offenders.isEmpty,
+      s"DECIMAL output columns in: ${offenders.mkString("; ")}")
+  }
 }

@@ -121,7 +121,12 @@ object DriverActionReviewed {
     // ("csv at Scale.scala") runs at construction so the READ leg is
     // the audited query — the write is the fixture, bounded by the
     // l_orderkey % 50 slice
-    "q79_csv_roundtrip"
+    "q79_csv_roundtrip",
+    // q86 = the flagship parity pipeline: the 25-row nation collect is
+    // the bounded driver-side FIXTURE build feeding Staging.stageAll
+    // (staging is driver-side by the reference's own design); the
+    // audited query is the staged read→normalize→enforce→split chain
+    "q86_parity_pipeline"
     // q81 is the same materializing-fixture class, but its generation
     // writes report as "parquet at Scale.scala" — the same site prefix
     // as DataFrameReader scan inference, which the infrastructure

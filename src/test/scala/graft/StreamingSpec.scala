@@ -844,4 +844,42 @@ class StreamingSpec extends SparkSpec {
     StreamOps.lateBatch(spark, rows("10:29:00"), 2L, st, out, late, lag)
     assert(ids(late) == Set(1L, 0L))
   }
+
+  test("late-data watermark state compacts to a bounded read without moving the watermark") {
+    val root = java.nio.file.Files.createTempDirectory("graft_latec").toString
+    val (st, out, late) = (s"$root/state", s"$root/out", s"$root/late")
+    def row(id: Long, t: String) =
+      Seq((id, ts(s"2024-01-01 $t"))).toDF("event_id", "ts")
+    val lag = 10L * 60 * 1000000
+    // 12 batches, each advancing event time by a minute
+    (0 until 12).foreach { i =>
+      StreamOps.lateBatch(spark, row(i.toLong, f"10:${i}%02d:00"), i.toLong,
+        st, out, late, lag)
+    }
+    def partitions() = new java.io.File(st).list().filter(_.startsWith("batch=")).toSet
+    def watermark() = spark.read.parquet(st)
+      .agg(org.apache.spark.sql.functions.max("max_us")).head().getLong(0)
+    val before = watermark()
+    assert(partitions().size == 12)
+    // fold everything older than the last 4 batches into batch=-1
+    StreamOps.lateCompactState(spark, st, keepLast = 4)
+    assert(partitions() == Set("batch=-1", "batch=8", "batch=9", "batch=10", "batch=11"),
+      s"unexpected partitions after compaction: ${partitions()}")
+    assert(watermark() == before, "compaction moved the watermark")
+    // compaction composes: a second fold after more batches re-folds
+    // the compact row itself
+    (12 until 16).foreach { i =>
+      StreamOps.lateBatch(spark, row(i.toLong, f"10:${i}%02d:00"), i.toLong,
+        st, out, late, lag)
+    }
+    StreamOps.lateCompactState(spark, st, keepLast = 2)
+    assert(partitions() == Set("batch=-1", "batch=14", "batch=15"))
+    // routing after compaction is unchanged: watermark = 10:15−10min =
+    // 10:05 → a 10:04 row is late, a 10:06 row on-time
+    StreamOps.lateBatch(spark, row(100L, "10:04:00"), 16L, st, out, late, lag)
+    StreamOps.lateBatch(spark, row(101L, "10:06:00"), 17L, st, out, late, lag)
+    val lateIds = spark.read.parquet(late)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(lateIds.contains(100L) && !lateIds.contains(101L))
+  }
 }
