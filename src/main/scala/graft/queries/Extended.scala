@@ -3079,6 +3079,53 @@ object Extended {
       .orderBy(col("doc_id"))
   }
 
+  /** t98 — ROLLING windowed distinct-count via HLL register MERGE
+    * (Sketches.rollingHllDistinct): per hour bucket, distinct users
+    * over the trailing 3 buckets, answered by max-merging the stored
+    * per-bucket 64-register sketches — the mergeability property that
+    * makes sketches the scalable windowed-distinct answer (one raw
+    * scan into 64-rows-per-bucket partials; every window is a tiny
+    * merge, never a raw rescan; the streaming twin is
+    * StreamOps.hllStream's cross-batch register max). Window
+    * materialized by replication (explode to ≤ W anchors), not a
+    * range join — a between-join would nest-loop buckets × sketch
+    * rows. Estimator is t90's portable construction (shared RhoCase /
+    * mix SQL text), so est_raw is bit-reproducible; the exact
+    * trailing count rides along for calibration. */
+  val t98RollingHll: Q = {
+    import graft.operators.Sketches
+    Q(
+      "t98_rolling_hll",
+      s"""WITH ev AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+         |         user_id FROM events),
+         |hh AS (SELECT bucket, ${Sketches.bigintMixSql("k")} AS h
+         |       FROM (SELECT bucket, ((user_id % ${graft.operators.TextHash.P}) + ${graft.operators.TextHash.P}) % ${graft.operators.TextHash.P} AS k FROM ev)),
+         |b AS (SELECT bucket, ((h % 64) + 64) % 64 AS reg, h // 64 AS w FROM hh),
+         |r AS (SELECT bucket, reg, ${Sketches.RhoCaseSql} AS rho FROM b),
+         |m AS (SELECT bucket, reg, max(rho) AS max_rho FROM r GROUP BY bucket, reg),
+         |sp AS (SELECT DISTINCT bucket AS win FROM m),
+         |rep AS (SELECT unnest([bucket, bucket + 1, bucket + 2]) AS win, reg, max_rho FROM m),
+         |mw AS (SELECT win, reg, max(max_rho) AS max_rho
+         |       FROM rep JOIN sp USING (win) GROUP BY win, reg),
+         |e AS (SELECT win AS bucket, CAST(count(*) AS BIGINT) AS n_regs,
+         |        sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << max_rho)) AS s_present
+         |      FROM mw GROUP BY win),
+         |du AS (SELECT DISTINCT bucket, user_id FROM ev),
+         |durep AS (SELECT unnest([bucket, bucket + 1, bucket + 2]) AS win, user_id FROM du),
+         |x AS (SELECT win AS bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |      FROM durep JOIN sp USING (win) GROUP BY win)
+         |SELECT e.bucket, e.n_regs,
+         |  CAST('0.709' AS DOUBLE) * CAST(4096 AS DOUBLE)
+         |    / (e.s_present + (64 - e.n_regs)) AS est_raw,
+         |  x.n_exact
+         |FROM e JOIN x USING (bucket) ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Sketches.rollingHllDistinct(Tables.events(s, dir),
+          col("ts"), col("user_id"), bucketSec = 3600L, windowBuckets = 3)
+        .orderBy(col("bucket"))
+    }
+  }
+
   /** d75 — canonicalized exact dedup (Dedup.exactCanonical): every
     * 9th doc re-ingested decorated (ASCII-uppercased via translate +
     * trailing "  !! ") — raw-exact d40 misses these, the canonical
@@ -3204,5 +3251,5 @@ object Extended {
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
-    d75CanonicalDedup, t97NgramNovelty)
+    d75CanonicalDedup, t97NgramNovelty, t98RollingHll)
 }

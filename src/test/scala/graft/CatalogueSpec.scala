@@ -88,4 +88,43 @@ class CatalogueSpec extends SparkSpec {
         s"$flag: median $median outside [${p.head}, ${p.last}]")
     }
   }
+
+  test("t98 rolling HLL merge: estimates track the exact trailing distinct within 3 sigma") {
+    // the merged-register estimate per window must land within 3σ of
+    // the exact trailing distinct (rsd = 1.04/√64 = 13%, 3σ = 39%) —
+    // the semantic gate on the MERGE step (a register-alignment bug
+    // blows the error far past this), complementing the oracle's
+    // bit-level portability gate. The fixture's windows must be dense
+    // (≥ 2.5·m = 160 distinct): below that the UNCORRECTED estimator
+    // floors at ~α·m (the small-range regime whose linear-counting
+    // correction needs ln() and is deliberately absent — t90's
+    // no-libm rule), so this runs on a synthetic dense frame, not the
+    // sparse test-scale events table (which the oracle gate covers).
+    import spark.implicits._
+    val n = 4000
+    // buckets 0..4, bucket b holds users [b*1000, b*1000 + n): heavy
+    // overlap, so trailing-3 windows differ from single buckets
+    val rows = (0 until 5).flatMap { b =>
+      (0 until n).map(u => (b.toLong * 3600L * 1000000L, b * 1000L + u))
+    }
+    val df = rows.toDF("us", "user_id")
+      .select(org.apache.spark.sql.functions.expr("timestamp_micros(us)").as("ts"),
+        col("user_id"))
+    val out = graft.operators.Sketches
+      .rollingHllDistinct(df, col("ts"), col("user_id"), bucketSec = 3600L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == (0L to 4L).toSet)
+    // exact trailing distinct: window b covers buckets max(0,b-2)..b,
+    // whose union is [max(0,b-2)*1000, b*1000 + n)
+    (0L to 4L).foreach { b =>
+      val lo = math.max(0L, b - 2) * 1000L
+      val expected = b * 1000L + n - lo
+      val (est, exact) = out(b)
+      assert(exact == expected, s"window $b exact $exact vs $expected")
+      assert(math.abs(est - exact) / exact <= 0.39,
+        s"window $b: merged estimate $est vs exact $exact")
+    }
+    graft.Caches.releaseAll()
+  }
 }
