@@ -135,9 +135,12 @@ object Bench {
     println(line)
     // stdout tails get truncated in driver logs (r4 lost 41 of 104
     // per-query timings) — persist the full line for round-over-round
-    // diffing
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // diffing. Subset (SPARK_GRAFT_ONLY) dev probes must NOT overwrite
+    // it: the file is the prior-min2 baseline the regression-rerun
+    // logic reads, and a 2-query probe would erase the full record.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

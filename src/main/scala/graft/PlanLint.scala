@@ -60,8 +60,19 @@ object PlanLint {
     case _ => false
   }
 
-  def lint(df: DataFrame): Seq[Finding] =
-    lintPlan(df.queryExecution.executedPlan)
+  def lint(df: DataFrame): Seq[Finding] = {
+    // at spark.sql.shuffle.partitions = 1 EVERY hash exchange plans as
+    // SinglePartition — a property of the degenerate config, not of
+    // the plan shape — so the funnel rule cannot distinguish a real
+    // hazard there and is suppressed (the GRAFT_TEST_SHUFFLE=1 sweep
+    // exists to flush partition-count-sensitive VALUE bugs, and the
+    // other rules still apply; funnel detection runs at every other
+    // partition count, including the =37 sweep)
+    val findings = lintPlan(df.queryExecution.executedPlan)
+    if (df.sparkSession.sessionState.conf.numShufflePartitions == 1)
+      findings.filterNot(_.rule == "single-partition-exchange")
+    else findings
+  }
 
   def lintPlan(plan: SparkPlan): Seq[Finding] = {
     // expand adaptive wrappers and cached-relation inner plans so the

@@ -242,6 +242,69 @@ object Advanced {
       .orderBy(col("league"), col("endpoint"))
   }
 
+  /** q87 — EXACTLY-ONCE incremental file ingestion
+    * (sources.FileLedger): a staged tree grows in two runs (evens,
+    * then odds added), each run ingests ONLY the files no other run
+    * has committed (metadata listing anti-join the parquet ledger),
+    * and commits by overwriting its own `run=<id>` ledger partition —
+    * the continuous-ingestion contract (new shards process exactly
+    * once; a replayed run re-selects its own set, never double-
+    * ingests; SourcesSpec gates the replay/crash paths). The oracle
+    * recomputes each run's expected file set straight from the
+    * documents table (the q69 rule: the materialized tree must
+    * preserve content exactly); sum_doc_id ties file IDENTITY, not
+    * just counts, to the run that ingested it. */
+  val q87IncrementalIngest: Q = Q(
+    "q87_incremental_ingest",
+    """SELECT 1 AS run, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM documents WHERE doc_id < 120 AND doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2 AS run, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM documents WHERE doc_id < 120 AND doc_id % 2 = 1
+      |ORDER BY run""".stripMargin) { (s, dir) =>
+    import graft.sources.FileLedger
+    val root = graft.engine.WorkDirs.path("q87", dir)
+    val (files, ledgerDir, glob) = (s"$root/files", s"$root/ledger", s"$root/files/*.txt")
+    val rootPath = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(rootPath)) {
+      java.nio.file.Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      ()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(files))
+    // bounded driver-side staging (the q69/q86 fixture class): one
+    // file per doc, two arrival waves
+    def stage(parity: Int): Unit =
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 120 && col("doc_id") % 2 === parity)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(files, f"doc_${r.getLong(0)}%06d.txt"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ()
+        }
+    stage(0)
+    FileLedger.commit(s, FileLedger.newFiles(s, glob, ledgerDir, 1L), ledgerDir, 1L)
+    stage(1)
+    FileLedger.commit(s, FileLedger.newFiles(s, glob, ledgerDir, 2L), ledgerDir, 2L)
+    // the audited read: final ledger state joined to the live listing
+    val listing = s.read.format("binaryFile").load(glob)
+      .select(col("path"), col("length").cast("long").as("n_bytes"))
+    FileLedger.ledger(s, ledgerDir)
+      .join(listing, Seq("path"))
+      .select(col("run"),
+        regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+        col("n_bytes"))
+      .groupBy(col("run"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_bytes")).as("n_bytes"),
+        sum(col("doc_id")).as("sum_doc_id"))
+      .orderBy(col("run"))
+  }
+
   /** q29 — pivot (dedicated API over conditional aggregation): order
     * counts per nation × status. */
   val q29Pivot: Q = Q(
@@ -581,6 +644,6 @@ object Advanced {
   val all: Seq[Q] = Seq(
     q23Cube, q24Stats, q25Percentile, q26ArrayAgg, q27Explode,
     q28AsofJoin, q29Pivot, q36ApproxSketches, q40SessionWindow, q68AsofPhysical,
-    q69StagedRoundtrip,
+    q69StagedRoundtrip, q87IncrementalIngest,
     q49MapFuncs, q50Corr, q56GroupLinreg, q59Unpivot, q60Histogram, q61Mode)
 }

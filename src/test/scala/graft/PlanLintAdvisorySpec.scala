@@ -126,7 +126,12 @@ object DriverActionReviewed {
     // the bounded driver-side FIXTURE build feeding Staging.stageAll
     // (staging is driver-side by the reference's own design); the
     // audited query is the staged read→normalize→enforce→split chain
-    "q86_parity_pipeline"
+    "q86_parity_pipeline",
+    // q87 = the q69/q86 materializing-fixture class (≤120-doc collect
+    // writes the two arrival waves) plus the ledger COMMITS, which are
+    // the operator's own exactly-once protocol — the audited read is
+    // the ledger⋈listing aggregation
+    "q87_incremental_ingest"
     // q81 is the same materializing-fixture class, but its generation
     // writes report as "parquet at Scale.scala" — the same site prefix
     // as DataFrameReader scan inference, which the infrastructure

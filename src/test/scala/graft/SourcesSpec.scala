@@ -220,4 +220,45 @@ class SourcesSpec extends SparkSpec {
     val bad = got.filter(_._4)
     assert(bad.length == 1 && bad.head._2 == null)
   }
+
+  test("file ledger: exactly-once across runs, replay-idempotent, crash-safe") {
+    import graft.sources.FileLedger
+    val root = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val (files, led) = (s"$root/files", s"$root/ledger")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(files))
+    def put(name: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(files, name), s"content of $name")
+      ()
+    }
+    def names(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("path").collect()
+        .map(_.getString(0).split('/').last).toSet
+    val glob = s"$files/*.txt"
+    // empty ledger dir, empty glob: both are empty inputs, not errors
+    assert(FileLedger.newFiles(spark, glob, led, 1L).isEmpty)
+    put("a.txt"); put("b.txt")
+    val run1 = FileLedger.newFiles(spark, glob, led, 1L)
+    assert(names(run1) == Set("a.txt", "b.txt"))
+    FileLedger.commit(spark, run1, led, 1L)
+    // new arrivals: only c is new for run 2
+    put("c.txt")
+    val run2 = FileLedger.newFiles(spark, glob, led, 2L)
+    assert(names(run2) == Set("c.txt"))
+    FileLedger.commit(spark, run2, led, 2L)
+    // REPLAY of run 2 after its own commit: own partition is excluded
+    // from the read, so the same set re-selects — not zero, not double
+    assert(names(FileLedger.newFiles(spark, glob, led, 2L)) == Set("c.txt"))
+    // double-commit is a no-op on the ledger's fold (min run per path)
+    FileLedger.commit(spark, FileLedger.newFiles(spark, glob, led, 2L), led, 2L)
+    val folded = FileLedger.ledger(spark, led).collect()
+      .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+    assert(folded == Map("a.txt" -> 1L, "b.txt" -> 1L, "c.txt" -> 2L))
+    // a fresh run with nothing new ingests nothing
+    assert(FileLedger.newFiles(spark, glob, led, 3L).isEmpty)
+    // crash BEFORE commit: run 4 lists d, dies, re-runs — d still there
+    put("d.txt")
+    assert(names(FileLedger.newFiles(spark, glob, led, 4L)) == Set("d.txt"))
+    assert(names(FileLedger.newFiles(spark, glob, led, 4L)) == Set("d.txt"))
+  }
 }
