@@ -98,7 +98,12 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FULL.json")),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"min2":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
+      // the baseline is only comparable at the SAME scale factor — a
+      // record from another sf would mass-trigger spurious reruns
+      // (every query ">3x" its smaller-scale min2)
+      val recordedSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!recordedSf.contains(sfDir)) Map.empty
+      else """"min2":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
         .getOrElse("").split(",").toSeq.filter(_.contains(":"))
         .flatMap { kv =>
           val Array(k, v) = kv.split(":", 2)

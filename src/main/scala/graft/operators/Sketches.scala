@@ -24,7 +24,10 @@ object Sketches {
     * over a non-negative `k` < P: h1 = (k² + 12345) mod P,
     * h = (h1² + k) mod P. Nonlinearity is load-bearing (an affine hash
     * maps sequential keys to degenerate leading-zero statistics); all
-    * operands < 2³⁰ so products fit int64 on every engine. */
+    * operands < 2³⁰ so products fit int64 on every engine. q36 itself
+    * predates this constant and states the SAME formula as staged h0/
+    * h1 CTEs (value-identical, text-staged) — any change here must
+    * change q36's staging too, and vice versa. */
   def bigintMixSql(k: String): String =
     s"(((($k * $k + 12345) % $P) * (($k * $k + 12345) % $P) + $k) % $P)"
 

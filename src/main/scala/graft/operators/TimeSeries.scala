@@ -13,9 +13,9 @@ object TimeSeries {
 
   /** Resample per-key events into dense `bucketSec`-wide buckets:
     * every key covers its own [min, max] bucket range with NO holes —
-    * absent buckets emit (n_events = 0, sum_value = null) and `filled`
-    * carries the last seen sum forward (q53's IGNORE-NULLS running
-    * window).
+    * absent buckets emit (n_events = 0, sum_cents = null) and
+    * `filled_cents` carries the last seen sum forward (q53's
+    * IGNORE-NULLS running window).
     *
     * The dense spine is generated PER KEY from its own min/max bucket
     * index (`sequence` + explode — an agg plus a generator, never a

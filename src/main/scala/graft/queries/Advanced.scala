@@ -256,12 +256,12 @@ object Advanced {
     * just counts, to the run that ingested it. */
   val q87IncrementalIngest: Q = Q(
     "q87_incremental_ingest",
-    """SELECT 1 AS run, CAST(count(*) AS BIGINT) AS n_files,
+    """SELECT CAST(1 AS BIGINT) AS run, CAST(count(*) AS BIGINT) AS n_files,
       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
       |FROM documents WHERE doc_id < 120 AND doc_id % 2 = 0
       |UNION ALL
-      |SELECT 2 AS run, CAST(count(*) AS BIGINT) AS n_files,
+      |SELECT CAST(2 AS BIGINT) AS run, CAST(count(*) AS BIGINT) AS n_files,
       |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
       |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
       |FROM documents WHERE doc_id < 120 AND doc_id % 2 = 1
@@ -271,9 +271,12 @@ object Advanced {
     val (files, ledgerDir, glob) = (s"$root/files", s"$root/ledger", s"$root/files/*.txt")
     val rootPath = java.nio.file.Paths.get(root)
     if (java.nio.file.Files.exists(rootPath)) {
-      java.nio.file.Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
+      // Files.walk must be closed (directory handles leak otherwise —
+      // every catalogue sweep constructs this query in one JVM)
+      val walk = java.nio.file.Files.walk(rootPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      ()
+      finally walk.close()
     }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(files))
     // bounded driver-side staging (the q69/q86 fixture class): one

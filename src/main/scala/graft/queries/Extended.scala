@@ -2250,11 +2250,11 @@ object Extended {
     * exact count so the differential also documents its error. */
   val t90HllDistinct: Q = {
     // rho = 1-based position of the first 1-bit in the 24-bit window
-    // w = h div 64 (P = 1e9+7 < 2^30); w = 0 → 25. One generated CASE,
-    // shared verbatim by Spark and DuckDB.
-    val rhoCase = (0 until 24)
-      .map(k => s"WHEN w >= ${1L << (23 - k)} THEN ${k + 1}")
-      .mkString("CASE ", " ", " ELSE 25 END")
+    // w = h div 64 (P = 1e9+7 < 2^30); w = 0 → 25. ONE generated CASE
+    // (graft.operators.Sketches.RhoCaseSql), shared verbatim by Spark,
+    // DuckDB, and t98's rolling merge — the register construction
+    // cannot drift between the sketches.
+    val rhoCase = graft.operators.Sketches.RhoCaseSql
     Q(
       "t90_hll_distinct",
       s"""WITH tk AS (SELECT lang, unnest(${tokensSql("text")}) AS tok FROM documents),

@@ -240,20 +240,24 @@ object Football {
          |    r.st.goalsDiff AS goal_difference, r.st.form AS form,
          |    t.venue_name, t.venue_city
          |  FROM srows r JOIN steams2 t ON t.gpk = r.gpk AND t.tid = r.st.team.id),
-         |expected AS (
+         |fexpected AS (
          |  SELECT DISTINCT gpk FROM (
-         |    SELECT gpk FROM fteams UNION ALL SELECT gpk FROM fstand
-         |    UNION ALL SELECT gpk FROM steams
-         |    UNION ALL SELECT gpk FROM sstand)),
-         |unified_groups AS (
-         |  SELECT DISTINCT gpk FROM funified
-         |  UNION SELECT DISTINCT gpk FROM sunified),
-         |dead AS (
+         |    SELECT gpk FROM fteams UNION ALL SELECT gpk FROM fstand)),
+         |sexpected AS (
+         |  SELECT DISTINCT gpk FROM (
+         |    SELECT gpk FROM steams UNION ALL SELECT gpk FROM sstand)),
+         |fdead AS (
          |  SELECT gpk, 'enforcement_failure' AS error FROM ffail
          |  UNION ALL
          |  SELECT e.gpk, 'empty_or_unjoinable_group' AS error
-         |  FROM expected e
-         |  WHERE e.gpk NOT IN (SELECT gpk FROM unified_groups)),
+         |  FROM fexpected e
+         |  WHERE e.gpk NOT IN (SELECT DISTINCT gpk FROM funified)),
+         |sdead AS (
+         |  SELECT e.gpk, 'empty_or_unjoinable_group' AS error
+         |  FROM sexpected e
+         |  WHERE e.gpk NOT IN (SELECT DISTINCT gpk FROM sunified)),
+         |dead AS (SELECT gpk, error FROM fdead
+         |  UNION ALL SELECT gpk, error FROM sdead),
          |ok AS (
          |  SELECT pk, team_id, team_name, team_country, league_id, league_name,
          |    TRY_CAST(season_s AS BIGINT) AS season,
@@ -266,13 +270,13 @@ object Football {
          |    TRY_CAST(gf_s AS BIGINT) AS goals_for,
          |    TRY_CAST(ga_s AS BIGINT) AS goals_against,
          |    goal_difference, form, venue_name, venue_city
-         |  FROM funified WHERE gpk NOT IN (SELECT gpk FROM dead)
+         |  FROM funified WHERE gpk NOT IN (SELECT gpk FROM fdead)
          |  UNION ALL
          |  SELECT pk, team_id, team_name, team_country, league_id, league_name,
          |    season, "rank", points, games_played, wins, draws, losses,
          |    goals_for, goals_against, goal_difference, form,
          |    venue_name, venue_city
-         |  FROM sunified WHERE gpk NOT IN (SELECT gpk FROM dead))
+         |  FROM sunified WHERE gpk NOT IN (SELECT gpk FROM sdead))
          |SELECT 'ok' AS kind, pk, CAST(NULL AS VARCHAR) AS error,
          |  team_id, team_name, team_country, league_id, league_name,
          |  season, "rank", points, games_played, wins, draws, losses,
@@ -288,9 +292,11 @@ object Football {
       // leak into the glob (Staging overwrites same-named files only)
       val rootPath = java.nio.file.Paths.get(root)
       if (java.nio.file.Files.exists(rootPath)) {
-        java.nio.file.Files.walk(rootPath).sorted(java.util.Comparator.reverseOrder())
+        // Files.walk must be closed (directory handles leak otherwise)
+        val walk = java.nio.file.Files.walk(rootPath)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        ()
+        finally walk.close()
       }
       // bounded driver-side fixture build: the fixed 25-row nation table
       val nations = Tables.nation(s, dir)

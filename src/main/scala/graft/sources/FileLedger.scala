@@ -29,21 +29,31 @@ import org.apache.spark.sql.functions._
   */
 object FileLedger {
 
+  private def emptyLedger(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("run",
+          org.apache.spark.sql.types.LongType))))
+
   /** The distinct processed paths with the run that first ingested
-    * each (min run id — duplicate commits across runs fold away). */
+    * each (min run id — duplicate commits across runs fold away).
+    * A ledger dir that exists but holds NO readable parquet (a crash
+    * during the very first commit leaves only `_temporary` debris,
+    * which Spark's file index excludes) is an EMPTY ledger, not an
+    * error — otherwise the crash-replay path the scaladoc promises
+    * would throw on schema inference instead of re-selecting. */
   def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p))
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("run",
-            org.apache.spark.sql.types.LongType))))
-    spark.read.parquet(ledgerDir)
+    if (!fs.exists(p)) return emptyLedger(spark)
+    try spark.read.parquet(ledgerDir)
       .groupBy(col("path")).agg(min(col("run").cast("long")).as("run"))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => emptyLedger(spark)
+    }
   }
 
   /** Files under `glob` not yet committed by any OTHER run: the set

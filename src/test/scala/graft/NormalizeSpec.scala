@@ -319,8 +319,9 @@ class NormalizeSpec extends SparkSpec {
         (2023, 39, "teams", () => """{"response": []}"""),
         (2023, 39, "standings", () => throw new RuntimeException("api 500"))))
     }
-    val leftover = java.nio.file.Files.walk(java.nio.file.Paths.get(root2))
-      .filter(Files.isRegularFile(_)).count()
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root2))
+    val leftover = try walk.filter(Files.isRegularFile(_)).count()
+      finally walk.close()
     assert(leftover == 0L, s"rollback left $leftover files")
   }
 

@@ -237,6 +237,12 @@ class SourcesSpec extends SparkSpec {
     val glob = s"$files/*.txt"
     // empty ledger dir, empty glob: both are empty inputs, not errors
     assert(FileLedger.newFiles(spark, glob, led, 1L).isEmpty)
+    // crash during the FIRST-ever commit: ledger dir exists but holds
+    // only _temporary debris (no readable parquet) — must read as an
+    // EMPTY ledger, not a schema-inference error
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(led, "run=1", "_temporary"))
+    assert(FileLedger.ledger(spark, led).isEmpty)
     put("a.txt"); put("b.txt")
     val run1 = FileLedger.newFiles(spark, glob, led, 1L)
     assert(names(run1) == Set("a.txt", "b.txt"))
