@@ -130,8 +130,11 @@ object Football {
     * replays the same chain over the SAME staged JSON files
     * (`read_json` + the identical join/try_cast/group-verdict
     * algebra), so file layout, worker-side JSON reads, both
-    * normalizers, enforcement and the dead-letter taxonomy are all
-    * hash-gated — previously only spec-gated (r8 VERDICT gap).
+    * normalizers, enforcement, the dead-letter taxonomy AND the
+    * latest-run-per-endpoint rule (stale run_0 files staged in two
+    * endpoint dirs; the oracle replays `latestOnly` as a QUALIFY on
+    * max filename per directory) are all hash-gated — previously only
+    * spec-gated (r8 VERDICT gap).
     *
     * Engineered groups: apifootball 2023-101 healthy (one team omits
     * GF/GA → the P4 default-0 path), 2023-102 one non-numeric points
@@ -150,6 +153,12 @@ object Football {
     * design: acquisition is driver-side, never a distributed job). */
   val q86ParityPipeline: Q = {
     val root = "/tmp/graft_work/q86_stage"
+    // the latestOnly replay: only the lexicographically-latest run file
+    // per endpoint DIRECTORY participates (Normalize.latestOnly —
+    // without it a second staged run joins 2x teams against 2x
+    // standings and every row quadruplicates)
+    val latest = "QUALIFY filename = max(filename) OVER " +
+      "(PARTITION BY regexp_replace(filename, '/[^/]*$', ''))"
     val nullCols =
       Seq("team_id", "team_name", "team_country", "league_id", "league_name")
         .map(c => s"CAST(NULL AS VARCHAR) AS $c") ++
@@ -169,7 +178,8 @@ object Football {
          |    format='array', filename=true,
          |    columns={team_key:'VARCHAR', team_name:'VARCHAR',
          |             team_country:'VARCHAR',
-         |             venue:'STRUCT(venue_name VARCHAR, venue_city VARCHAR)'})),
+         |             venue:'STRUCT(venue_name VARCHAR, venue_city VARCHAR)'})
+         |  $latest),
          |fstand AS (
          |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
          |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk, *
@@ -180,7 +190,8 @@ object Football {
          |             overall_league_PTS:'VARCHAR', overall_league_payed:'VARCHAR',
          |             overall_league_W:'VARCHAR', overall_league_D:'VARCHAR',
          |             overall_league_L:'VARCHAR', overall_league_GF:'VARCHAR',
-         |             overall_league_GA:'VARCHAR', overall_league_form:'VARCHAR'})),
+         |             overall_league_GA:'VARCHAR', overall_league_form:'VARCHAR'})
+         |  $latest),
          |funified AS (
          |  SELECT s.gpk, s.gpk || '-' || s.team_id AS pk, s.team_id, s.team_name,
          |    t.team_country, s.league_id, s.league_name,
@@ -211,7 +222,8 @@ object Football {
          |    unnest(response) AS r
          |  FROM read_json('$root/apisports/*/*/teams/*.json',
          |    format='unstructured', filename=true,
-         |    columns={response:'STRUCT(team STRUCT(id BIGINT, name VARCHAR, country VARCHAR), venue STRUCT(name VARCHAR, city VARCHAR))[]'})),
+         |    columns={response:'STRUCT(team STRUCT(id BIGINT, name VARCHAR, country VARCHAR), venue STRUCT(name VARCHAR, city VARCHAR))[]'})
+         |  $latest),
          |steams2 AS (
          |  SELECT gpk, r.team.id AS tid, r.team.country AS team_country,
          |    r.venue.name AS venue_name, r.venue.city AS venue_city
@@ -222,7 +234,8 @@ object Football {
          |    response[1].league AS league
          |  FROM read_json('$root/apisports/*/*/standings/*.json',
          |    format='unstructured', filename=true,
-         |    columns={response:'STRUCT(league STRUCT(id BIGINT, name VARCHAR, season BIGINT, standings STRUCT(rank BIGINT, team STRUCT(id BIGINT, name VARCHAR), points BIGINT, goalsDiff BIGINT, form VARCHAR, "all" STRUCT(played BIGINT, win BIGINT, draw BIGINT, lose BIGINT, goals STRUCT("for" BIGINT, against BIGINT)))[][]))[]'})),
+         |    columns={response:'STRUCT(league STRUCT(id BIGINT, name VARCHAR, season BIGINT, standings STRUCT(rank BIGINT, team STRUCT(id BIGINT, name VARCHAR), points BIGINT, goalsDiff BIGINT, form VARCHAR, "all" STRUCT(played BIGINT, win BIGINT, draw BIGINT, lose BIGINT, goals STRUCT("for" BIGINT, against BIGINT)))[][]))[]'})
+         |  $latest),
          |srows AS (
          |  SELECT gpk, CAST(league.id AS VARCHAR) AS league_id,
          |    league.name AS league_name, league.season AS season,
@@ -317,9 +330,10 @@ object Football {
         }.mkString("[", ",\n", "]")
       def fbStandings(teams: Seq[(Int, Long, String)], keyBase: Long,
           league: Int, omitGoalsIdx: Int = -1, badPointsIdx: Int = -1,
-          keyShift: Long = 0L): String =
+          keyShift: Long = 0L, ptsShift: Int = 0): String =
         teams.map { case (i, k, name) =>
-          val (r, p, gp, w, d, l, gf, ga) = st(i)
+          val (r, p0, gp, w, d, l, gf, ga) = st(i)
+          val p = p0 + ptsShift
           val pts = if (i == badPointsIdx) "\"not_a_number\"" else s""""$p""""
           val goals = if (i == omitGoalsIdx) ""
             else s""", "overall_league_GF": "$gf", "overall_league_GA": "$ga""""
@@ -357,6 +371,15 @@ object Football {
         (2022, 103, "teams", () => fbTeams(slice(8, 2), 1000L)),
         (2022, 103, "standings",
           () => fbStandings(slice(8, 2), 1000L, 103, keyShift = 8000L))))
+      // STALE earlier runs in the SAME endpoint dirs: latestOnly must
+      // exclude them — participation would add shifted-points rows
+      // (apifootball) / duplicate every join row (apisports, identical
+      // content re-staged), either of which trips the hash gate
+      Staging.stageAll(s"$root/apifootball", "run_0", Seq(
+        (2023, 101, "standings",
+          () => fbStandings(slice(0, 5), 1000L, 101, ptsShift = 7))))
+      Staging.stageAll(s"$root/apisports", "run_0", Seq(
+        (2023, 201, "teams", () => spTeams(slice(10, 5), 2000L))))
       Staging.stageAll(s"$root/apisports", "run_1", Seq(
         (2023, 201, "teams", () => spTeams(slice(10, 5), 2000L)),
         (2023, 201, "standings", () => spStandings(slice(10, 5), 2000L, 201, 2023)),
