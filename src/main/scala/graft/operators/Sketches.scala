@@ -112,4 +112,84 @@ object Sketches {
       .select(col("win").as("bucket"), col("n_exact"))
     merged.join(exact, "bucket")
   }
+
+  /** ROLLING MEDIAN via mergeable BOTTOM-K row samples: per time
+    * bucket, keep the k rows with the SMALLEST hash of their unique
+    * row key — then any window's merged sample (union of member
+    * sketches, re-take bottom k) is EXACTLY the bottom-k of the
+    * window's own rows, because every one of the window's k smallest
+    * hashes is necessarily within its bucket's k smallest. That is
+    * the bottom-k/KMV mergeability property applied to ROW SAMPLING:
+    * the merged sketch is a true uniform k-sample of the window
+    * (hash order is independent of the value), so any quantile reads
+    * off it — and the merge never rescans raw rows, the t98 cost
+    * model with values attached.
+    *
+    * Everything is deterministic and cross-engine exact: the sample
+    * membership is pure integer hashing (bigintMixSql of the row
+    * key), the estimate is the LOWER MEDIAN of the sample's values
+    * ((n+1) div 2 over (value, hash) order — q84's rule), and the
+    * exact window median rides along for calibration (it pays the
+    * cardinality-proportional window sort the sketch path avoids —
+    * production drops it). Window materialization is t98's bounded
+    * replication, never a range join.
+    *
+    * Output per observed bucket (window = trailing `windowBuckets`):
+    * (bucket, n_rows, sample_k, est_median_cents, exact_median_cents)
+    * — values as exact integer cents (the t80/q72 rule). */
+  def rollingMedianSample(df: DataFrame, ts: Column, key: Column,
+      value: Column, bucketSec: Long, k: Int = 64,
+      windowBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    require(k >= 1 && windowBuckets >= 1,
+      s"k and windowBuckets must be positive, got $k/$windowBuckets")
+    val bucketUs = bucketSec * 1000000L
+    val base = df.select(ts.as("graft_ts"), key.as("graft_key"), value.as("graft_v"))
+      .select(
+        expr(s"(unix_micros(graft_ts) - pmod(unix_micros(graft_ts), ${bucketUs}L))" +
+          s" div ${bucketUs}L").as("bucket"),
+        pmod(col("graft_key").cast("long"), lit(P)).as("k0"),
+        round(col("graft_v").cast("double") * lit(100)).cast("long").as("cents"))
+      .select(col("bucket"), expr(bigintMixSql("k0")).as("h"), col("k0"), col("cents"))
+      .transform(d => graft.Caches.pin(d))
+    val anchors = sequence(col("bucket"),
+      col("bucket") + lit(windowBuckets.toLong - 1))
+    val spine = base.select(col("bucket").as("win")).distinct()
+      .transform(d => graft.Caches.pin(d))
+    // the stored partial: bottom-k rows per bucket by (h, k0)
+    val perBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("k0"))
+    val sampB = base.withColumn("rk", row_number().over(perBucket))
+      .filter(col("rk") <= k)
+      .select(col("bucket"), col("h"), col("k0"), col("cents"))
+    // merge: replicate to anchors, re-take bottom k per window — the
+    // result IS the window's true bottom-k (mergeability, see above)
+    val perWin = Window.partitionBy(col("win")).orderBy(col("h"), col("k0"))
+    val sampW = sampB.select(explode(anchors).as("win"), col("h"), col("k0"), col("cents"))
+      .join(spine, Seq("win"), "left_semi")
+      .withColumn("rk", row_number().over(perWin))
+      .filter(col("rk") <= k)
+      .transform(d => graft.Caches.pin(d))
+    val byValue = Window.partitionBy(col("win")).orderBy(col("cents"), col("h"), col("k0"))
+    val est = sampW
+      .withColumn("vr", row_number().over(byValue))
+      .withColumn("sn", count(lit(1)).over(Window.partitionBy(col("win"))))
+      .filter(col("vr") === expr("(sn + 1) div 2"))
+      .select(col("win").as("bucket"), col("sn").as("sample_k"),
+        col("cents").as("est_median_cents"))
+    // exact calibration leg: full replication + one window sort —
+    // the cardinality-proportional cost the sketch path avoids
+    val allW = base.select(explode(anchors).as("win"), col("h"), col("k0"), col("cents"))
+      .join(spine, Seq("win"), "left_semi")
+    val byValueAll = Window.partitionBy(col("win")).orderBy(col("cents"), col("h"), col("k0"))
+    val exact = allW
+      .withColumn("vr", row_number().over(byValueAll))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("win"))))
+      .filter(col("vr") === expr("(n + 1) div 2"))
+      .select(col("win").as("bucket"), col("n").as("n_rows"),
+        col("cents").as("exact_median_cents"))
+    exact.join(est, "bucket")
+      .select(col("bucket"), col("n_rows"), col("sample_k"),
+        col("est_median_cents"), col("exact_median_cents"))
+  }
 }

@@ -3126,6 +3126,58 @@ object Extended {
     }
   }
 
+  /** t99 — ROLLING MEDIAN via mergeable bottom-k row samples
+    * (Sketches.rollingMedianSample): per-bucket bottom-64-by-row-hash
+    * samples merge into the TRUE bottom-64 of any trailing window
+    * (every window-minimal hash is bucket-minimal), giving an exact
+    * uniform window sample with no raw rescan — t98's merge cost
+    * model with VALUES attached. Estimate = lower median of the
+    * sample (q84's rule); the exact window median rides along for
+    * calibration. Fully deterministic (integer hash membership), so
+    * even the estimate is oracle-hash-gated — not just bounded. */
+  val t99RollingMedian: Q = {
+    import graft.operators.Sketches
+    val P = graft.operators.TextHash.P
+    Q(
+      "t99_rolling_median",
+      s"""WITH ev AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
+         |         ((event_id % $P) + $P) % $P AS k0,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |b AS (SELECT bucket, ${Sketches.bigintMixSql("k0")} AS h, k0, cents FROM ev),
+         |sb AS (SELECT bucket, h, k0, cents,
+         |         row_number() OVER (PARTITION BY bucket ORDER BY h, k0) AS rk FROM b),
+         |samp AS (SELECT bucket, h, k0, cents FROM sb WHERE rk <= 64),
+         |sp AS (SELECT DISTINCT bucket AS win FROM b),
+         |rep AS (SELECT unnest([bucket, bucket + 1, bucket + 2]) AS win, h, k0, cents FROM samp),
+         |sw0 AS (SELECT win, h, k0, cents,
+         |          row_number() OVER (PARTITION BY win ORDER BY h, k0) AS rk
+         |        FROM rep JOIN sp USING (win)),
+         |sw AS (SELECT win, h, k0, cents FROM sw0 WHERE rk <= 64),
+         |est AS (SELECT win, cents AS est_median_cents, sn AS sample_k FROM (
+         |          SELECT win, cents,
+         |            row_number() OVER (PARTITION BY win ORDER BY cents, h, k0) AS vr,
+         |            count(*) OVER (PARTITION BY win) AS sn
+         |          FROM sw) WHERE vr = (sn + 1) // 2),
+         |arep AS (SELECT unnest([bucket, bucket + 1, bucket + 2]) AS win, h, k0, cents FROM b),
+         |aw AS (SELECT win, h, k0, cents FROM arep JOIN sp USING (win)),
+         |ex AS (SELECT win, cents AS exact_median_cents, n AS n_rows FROM (
+         |          SELECT win, cents,
+         |            row_number() OVER (PARTITION BY win ORDER BY cents, h, k0) AS vr,
+         |            count(*) OVER (PARTITION BY win) AS n
+         |          FROM aw) WHERE vr = (n + 1) // 2)
+         |SELECT ex.win AS bucket, CAST(ex.n_rows AS BIGINT) AS n_rows,
+         |  CAST(est.sample_k AS BIGINT) AS sample_k,
+         |  est.est_median_cents, ex.exact_median_cents
+         |FROM ex JOIN est ON est.win = ex.win ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Sketches.rollingMedianSample(Tables.events(s, dir),
+          col("ts"), col("event_id"), col("value"),
+          bucketSec = 3600L, k = 64, windowBuckets = 3)
+        .orderBy(col("bucket"))
+    }
+  }
+
   /** d75 — canonicalized exact dedup (Dedup.exactCanonical): every
     * 9th doc re-ingested decorated (ASCII-uppercased via translate +
     * trailing "  !! ") — raw-exact d40 misses these, the canonical
@@ -3251,5 +3303,5 @@ object Extended {
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
-    d75CanonicalDedup, t97NgramNovelty, t98RollingHll)
+    d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian)
 }

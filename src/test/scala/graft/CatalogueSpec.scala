@@ -127,4 +127,48 @@ class CatalogueSpec extends SparkSpec {
     }
     graft.Caches.releaseAll()
   }
+
+  test("t99 rolling median sample: estimate's true rank sits in the middle half of each window") {
+    // the oracle gate proves bit-determinism; this gates SEMANTIC
+    // quality — a 64-row uniform sample's lower median lands between
+    // the window's true 25th and 75th percentiles with overwhelming
+    // probability (P[outside] < 1e-4 per window by Chernoff), so a
+    // membership bug (non-uniform hash, wrong merge) shows up as a
+    // rank excursion. Dense synthetic frame: 5 hourly buckets x 3000
+    // rows with bucket-shifted value ranges, so window medians move.
+    import spark.implicits._
+    val n = 3000
+    val rows = (0 until 5).flatMap { b =>
+      (0 until n).map { i =>
+        (b.toLong * 3600L * 1000000L + i, // unique row key
+          b.toLong * 3600L * 1000000L,
+          (b * 500 + i % 2000) * 0.01) // cents in [b*500, b*500+2000)
+      }
+    }
+    val df = rows.toDF("event_id", "us", "value")
+      .select(col("event_id"),
+        org.apache.spark.sql.functions.expr("timestamp_micros(us)").as("ts"),
+        col("value"))
+    val out = graft.operators.Sketches.rollingMedianSample(
+        df, col("ts"), col("event_id"), col("value"), bucketSec = 3600L)
+      .collect()
+    assert(out.length == 5)
+    val byBucket = rows.groupBy(_._2 / 3600000000L)
+      .map { case (b, rs) => b -> rs.map(r => math.round(r._3 * 100)).sorted }
+    out.foreach { r =>
+      val b = r.getLong(0)
+      val winVals = (math.max(0L, b - 2) to b)
+        .flatMap(m => byBucket.getOrElse(m, Nil)).sorted
+      assert(r.getLong(1) == winVals.length, s"window $b n_rows")
+      assert(r.getLong(2) == 64L, s"window $b sample_k")
+      val est = r.getLong(3)
+      val rank = winVals.count(_ < est).toDouble / winVals.length
+      assert(rank >= 0.25 && rank <= 0.75,
+        s"window $b: estimate $est at rank $rank")
+      // exact leg agrees with the locally recomputed lower median
+      assert(r.getLong(4) == winVals((winVals.length + 1) / 2 - 1),
+        s"window $b exact median")
+    }
+    graft.Caches.releaseAll()
+  }
 }
