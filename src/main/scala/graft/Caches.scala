@@ -51,11 +51,56 @@ object Caches {
   private val pinnedRdds =
     new java.util.concurrent.ConcurrentLinkedQueue[WeakReference[RDD[_]]]()
 
-  /** Persist `ds` at `level` and register it for [[releaseAll]]. */
+  /** A thread-local pin scope: while active on the CURRENT thread,
+    * pins/checkpoints register here instead of the global registry,
+    * and [[scoped]] releases exactly them on exit. Pins taken by
+    * OTHER threads during the block still go global — which is the
+    * point: two concurrent streams' micro-batches (each on its own
+    * foreachBatch thread) can no longer release each other's
+    * in-flight frames, the failure mode a global [[releaseAll]] at a
+    * batch boundary had (a concurrent BFS stream's checkpointed
+    * frontier is lineage-truncated — an external release kills its
+    * next action, not just its cache). */
+  private final class Scope {
+    val ds = new scala.collection.mutable.ArrayBuffer[Dataset[_]]()
+    val rdds = new scala.collection.mutable.ArrayBuffer[WeakReference[RDD[_]]]()
+    def release(): Unit = {
+      ds.foreach(_.unpersist(blocking = false))
+      ds.clear()
+      rdds.foreach { ref =>
+        val r = ref.get()
+        if (r != null) r.unpersist(blocking = false)
+        ref.clear()
+      }
+      rdds.clear()
+    }
+  }
+  private val currentScope = new ThreadLocal[Scope]()
+
+  /** Run `f` with a pin scope on this thread and release ONLY the
+    * pins/checkpoints it registered. For callers with a hard
+    * done-boundary whose SparkSession may host other graft work
+    * concurrently — streaming micro-batches are the canonical case.
+    * Frames pinned inside are invalid for actions after the block
+    * (the [[releaseAll]] caveat, scoped). Nests: the inner scope
+    * releases its own pins, the outer keeps its. */
+  def scoped[T](f: => T): T = {
+    val outer = currentScope.get()
+    val s = new Scope
+    currentScope.set(s)
+    try f finally {
+      if (outer == null) currentScope.remove() else currentScope.set(outer)
+      s.release()
+    }
+  }
+
+  /** Persist `ds` at `level` and register it for [[releaseAll]] (or
+    * for the active thread's [[scoped]] block, if any). */
   def pin[T](ds: Dataset[T],
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
     ds.persist(level)
-    pinnedDs.add(ds)
+    val sc = currentScope.get()
+    if (sc != null) sc.ds += ds else pinnedDs.add(ds)
     ds
   }
 
@@ -76,7 +121,9 @@ object Caches {
     val added = sc.getPersistentRDDs
       .collect { case (k, r) if !before.contains(k) => r }.toList
     val refs = added.map(new WeakReference[RDD[_]](_))
-    refs.foreach(pinnedRdds.add)
+    val scope = currentScope.get()
+    if (scope != null) refs.foreach(scope.rdds += _)
+    else refs.foreach(pinnedRdds.add)
     val release: () => Unit = () => refs.foreach { ref =>
       val r = ref.get()
       if (r != null) r.unpersist(blocking = false)

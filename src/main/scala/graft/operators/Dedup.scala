@@ -24,6 +24,16 @@ import graft.operators.TextHash._
   */
 object Dedup {
 
+  /** The default MinHash/LSH build parameters. Named so every
+    * signature default AND external state readers (StreamOps.dedupBatch
+    * reconstructs a DedupIndex from parquet with these) reference ONE
+    * definition — a drifted literal would sign deltas with different
+    * parameters than the stored corpus index and silently corrupt
+    * every verdict. */
+  val DefaultShingleN = 3
+  val DefaultMinhashK = 8
+  val DefaultBands = 4
+
   /** Exact dedup: canonical (min-id) row per distinct value of `key`.
     * Equivalent to dropDuplicates but deterministic about WHICH row
     * survives (dropDuplicates keeps an arbitrary first-seen row —
@@ -45,14 +55,14 @@ object Dedup {
   /** (doc_id, s): the distinct shingle set per document — the shared
     * upstream of signatures and Jaccard verification (string form;
     * hashed-set pipelines use `shingleHashFrame`). */
-  def shingleFrame(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+  def shingleFrame(df: DataFrame, id: Column, text: Column, n: Int = DefaultShingleN): DataFrame =
     df.select(id.as("doc_id"), tokens(text).as("t"))
       .select(col("doc_id"), shingles(col("t"), n).as("s"))
 
   /** (doc_id, h): ALL word-n-gram window hashes per document — native
     * one-pass kernel; apply array_distinct for set semantics (min-based
     * signatures don't need it). */
-  def shingleHashFrame(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame =
+  def shingleHashFrame(df: DataFrame, id: Column, text: Column, n: Int = DefaultShingleN): DataFrame =
     df.select(id.as("doc_id"),
       graft.functions.TokenShingleHashes.tokenShingleHashes(text, n).as("h"))
 
@@ -68,7 +78,7 @@ object Dedup {
     signatureFromShingles(shingleFrame(df, id, text, n), k, hashShingle)
 
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8): DataFrame =
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK): DataFrame =
     shingleHashFrame(df, id, text, n)
       .select(col("doc_id"), graft.functions.MinHashSig.minhashSig(col("h"), k).as("sig"))
 
@@ -76,7 +86,7 @@ object Dedup {
     * identical values (property-tested); kept as the independent
     * implementation the native kernels are checked against. */
   def minhashSignaturesHof(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8): DataFrame =
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK): DataFrame =
     stagedSignature(df, id, text, n, k, s => polyHashFast(s))
 
   /** Production-kernel variant: same operator, Spark's xxhash64 as the
@@ -85,7 +95,7 @@ object Dedup {
     * strings come from the native WordShingles kernel; only the
     * per-shingle hash swap stays a HOF. */
   def minhashSignaturesFast(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8): DataFrame =
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK): DataFrame =
     df.select(id.as("doc_id"),
         graft.functions.WordShingles.wordShingles(text, n).as("s"))
       .select(col("doc_id"),
@@ -98,7 +108,7 @@ object Dedup {
     * one row per (id, band, bucket). Docs sharing any (band, bucket)
     * are near-dup candidates. */
   def lshBuckets(df: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands): DataFrame =
     bucketsFromSignatures(minhashSignatures(df, id, text, n, k), k, bands)
 
   /** Band buckets from a (doc_id, sig) frame. */
@@ -222,7 +232,7 @@ object Dedup {
     * shingle sets back and compute |∩|/|∪| precisely. Only candidates
     * pay the set-intersection cost. */
   def verifyJaccard(docs: DataFrame, id: Column, text: Column,
-      candidates: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame =
+      candidates: DataFrame, n: Int = DefaultShingleN, threshold: Double = 0.8): DataFrame =
     verifyJaccardOnShingles(shingleFrame(docs, id, text, n), candidates, threshold)
 
   /** Same, over a prepared (doc_id, s) shingle frame.
@@ -278,7 +288,7 @@ object Dedup {
     * caller's own caches). At warehouse scale the same role is played
     * by checkpointing signatures to parquet between stages. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands, threshold: Double = 0.8): DataFrame = {
     // repartition BEFORE the per-char kernel: a compact parquet scan
     // arrives in few partitions and would otherwise pin the hash
     // computation to those few cores
@@ -332,7 +342,7 @@ object Dedup {
     *
     * Output: (a, b, n_sig_match, n_inter, n_union). */
   def sketchCalibration(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands): DataFrame = {
     val sh = shingleHashFrame(docs.repartition(id), id, text, n)
       .select(col("doc_id"), array_distinct(col("h")).as("s"))
       .transform(d => graft.Caches.pin(d))
@@ -375,7 +385,7 @@ object Dedup {
     * shingles — containment is undefined for them and they are absent
     * from the output. */
   def containmentPairs(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+      n: Int = DefaultShingleN, threshold: Double = 0.9): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val sh = shingleHashFrame(docs.repartition(id), id, text, n)
@@ -430,7 +440,7 @@ object Dedup {
     * The corpus scan never joins anything larger than the
     * contained-id set (an id-narrow anti-join side). */
   def dropContained(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+      n: Int = DefaultShingleN, threshold: Double = 0.9): DataFrame = {
     val pairs = containmentPairs(docs, id, text, n, threshold)
     // mutual pairs: keep min id — drop (a in b) only when NOT (b in a
     // with b > a), i.e. a is dropped unless it is the canonical side
@@ -485,7 +495,7 @@ object Dedup {
     * but mutual thresholds just missed), the unresolved remainder is
     * conservatively KEPT — never drop without a surviving container. */
   def dropContainedMinimal(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, threshold: Double = 0.9, maxIter: Int = 20): DataFrame = {
+      n: Int = DefaultShingleN, threshold: Double = 0.9, maxIter: Int = 20): DataFrame = {
     val pairs = containmentPairs(docs, id, text, n, threshold)
     // canonical edge (c contained-in p); mutual pairs fold to hi→lo,
     // the same keep-min-id rule as dropContained
@@ -563,7 +573,7 @@ object Dedup {
     * `nearDuplicates` (signatures and sets are interchangeable with
     * the batch path by construction). */
   def buildDedupIndex(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4): DedupIndex = {
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands): DedupIndex = {
     val sh = shingleHashFrame(docs.repartition(id), id, text, n)
       .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
       .transform(d => graft.Caches.pin(d))
@@ -1185,7 +1195,7 @@ object Dedup {
     * est_containment), contained = the smaller set (ties keep the
     * a < b candidate order). */
   def containmentScreen(docs: DataFrame, id: Column, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4,
+      n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands,
       threshold: Double = 0.5): DataFrame = {
     val hs = shingleHashFrame(docs, id, text, n)
       .transform(d => graft.Caches.pin(d))

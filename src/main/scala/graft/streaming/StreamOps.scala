@@ -236,10 +236,12 @@ object StreamOps {
     * watermark can be forgotten — the streaming twin of
     * `Dedup.exact`). */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one key column")
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   /** Streaming twin of the SIGNATURE operator — the dead-letter
     * enforcement split (Enforce.split, the reference's E1/E2) applied
@@ -257,10 +259,17 @@ object StreamOps {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val (ok, dead) = graft.engine.Enforce.split(batch.toDF(), schema)
-        ok.write.mode("overwrite").parquet(s"$okDir/batch=$batchId")
-        graft.engine.Enforce.deadLetterJson(dead, pkCol)
-          .write.mode("overwrite").text(s"$deadDir/batch=$batchId")
+        // the two sinks are separate actions over the same validated
+        // frame — pin it so the source scan + error tagging run once,
+        // and release only THIS batch's pins (scoped: a concurrent
+        // graft stream's in-flight frames stay untouched)
+        graft.Caches.scoped {
+          val b = graft.Caches.pin(batch.toDF())
+          val (ok, dead) = graft.engine.Enforce.split(b, schema)
+          ok.write.mode("overwrite").parquet(s"$okDir/batch=$batchId")
+          graft.engine.Enforce.deadLetterJson(dead, pkCol)
+            .write.mode("overwrite").text(s"$deadDir/batch=$batchId")
+        }
         ()
       }
       .start()
@@ -307,8 +316,11 @@ object StreamOps {
       }.toDF()
   }
 
-  final case class LastEvent(tsMs: Long, tsNanos: Int, eventId: Long,
-      eventType: String)
+  /** Per-user carry-over state: only the last event TYPE — cross-batch
+    * event-time order is an input contract (see transitionsStream's
+    * exactness note), not something the state validates, so storing
+    * timestamps/ids here would be dead state-store bytes per key. */
+  final case class LastEvent(eventType: String)
   final case class Transition(user_id: Long, prev_type: String,
       next_type: String)
 
@@ -342,8 +354,7 @@ object StreamOps {
             sorted.map(_.event_type).toList
           if (sorted.nonEmpty) {
             val l = sorted.last
-            state.update(LastEvent(l.ts.getTime, l.ts.getNanos,
-              l.event_id, l.event_type))
+            state.update(LastEvent(l.event_type))
           }
           types.zip(types.drop(1)).iterator
             .map { case (a, b) => Transition(uid, a, b) }
@@ -384,9 +395,9 @@ object StreamOps {
     * token) string columns. */
   def hllStream(tokens: DataFrame): DataFrame = {
     import graft.operators.TextHash
-    val rhoCase = (0 until 24)
-      .map(k => s"WHEN w >= ${1L << (23 - k)} THEN ${k + 1}")
-      .mkString("CASE ", " ", " ELSE 25 END")
+    // the shared register construction (Sketches.RhoCaseSql) — one
+    // text for batch t90, rolling t98 and this streaming twin
+    val rhoCase = graft.operators.Sketches.RhoCaseSql
     tokens
       .select(col("lang"), TextHash.polyHashFast(col("token")).as("h"))
       .select(col("lang"), pmod(col("h"), lit(64L)).as("reg"),
@@ -471,7 +482,7 @@ object StreamOps {
     * opened. */
   private[graft] def dedupBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, indexDir: String, outDir: String,
-      threshold: Double): Unit = {
+      threshold: Double): Unit = graft.Caches.scoped {
     val b = batch.select(col("doc_id"), col("text"))
       .transform(d => graft.Caches.pin(d))
     val inBatch = graft.operators.Dedup
@@ -497,7 +508,9 @@ object StreamOps {
           spark.read.parquet(s"$indexDir/sets")
             .filter(col("batch") =!= batchId)
             .select("doc_id", "s"),
-          n = 3, k = 8, bands = 4)
+          n = graft.operators.Dedup.DefaultShingleN,
+          k = graft.operators.Dedup.DefaultMinhashK,
+          bands = graft.operators.Dedup.DefaultBands)
         graft.operators.Dedup
           .dedupAgainstIndex(idx, b, col("doc_id"), col("text"),
             threshold = threshold)
@@ -518,14 +531,12 @@ object StreamOps {
       .parquet(s"$indexDir/buckets/batch=$batchId")
     novelIdx.sets.write.mode("overwrite")
       .parquet(s"$indexDir/sets/batch=$batchId")
-    b.unpersist()
-    // the dedup operators pin their shingle frames through
-    // graft.Caches; a long-running stream must not accumulate them
-    // across micro-batches. releaseAll drops exactly the library's
-    // blocks — a co-tenant's cached DataFrame in the shared
-    // SparkSession keeps its storage level (the earlier session-wide
-    // clearCache() silently evicted every cache in the session).
-    graft.Caches.releaseAll()
+    // scoped release (the enclosing Caches.scoped): the dedup
+    // operators' pinned shingle frames and this batch's pin drop at
+    // batch end — and ONLY this batch's: a global releaseAll here
+    // would unpersist a concurrent graft stream's lineage-truncated
+    // checkpoints mid-flight (killing its next action), and a
+    // session-wide clearCache() would evict co-tenant caches.
     ()
   }
 
@@ -598,30 +609,46 @@ object StreamOps {
     * `-1` is never a real micro-batch id, so the replay guard
     * (`batch <> batchId`) can never exclude the base.
     *
-    * Sequencing is crash-aware but not crash-atomic: the merged
-    * snapshot is fully written to a dot-prefixed temp dir (invisible
-    * to state reads) BEFORE any delete, so a crash before the swap
-    * loses nothing; the swap itself (delete partitions, rename temp
-    * to base) has a small window where compacted history is only in
-    * the hidden temp — run compaction from the stream's serialized
-    * foreachBatch context, and use a transactional table format in
-    * production (the dedupBatch note). */
+    * Sequencing is fully crash-safe WITHOUT a rename step, because
+    * both state tables are idempotent lattices (per-id min for dist,
+    * set union for edges): the merged snapshot is written to a FRESH
+    * negative-generation partition `batch=-(g)` FIRST, and the input
+    * partitions (old real batches and previous folds alike) are
+    * deleted only after. Any crash point leaves a SUPERSET of the
+    * state — duplicates the read-side merge absorbs — never a window
+    * where the only copy is hidden in a temp dir or mid-rewrite (the
+    * earlier tmp+rename protocol had exactly that hole: a re-run
+    * after a crash mid-delete overwrote the temp snapshot, the sole
+    * surviving copy, with a merge of the already-thinned inputs). A
+    * negative id can never equal a real micro-batch id, so the
+    * replay guard (`batch <> batchId`) can never exclude a fold. */
   def compactBfsState(spark: SparkSession, stateDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def compact(name: String, merge: DataFrame => DataFrame): Unit = {
       val dir = new org.apache.hadoop.fs.Path(s"$stateDir/$name")
       if (!fs.exists(dir)) return
+      val inputIds = fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      if (inputIds.isEmpty) return
+      val gen = 1L - math.min(0L, inputIds.min) // 1 + |smallest fold id|
       val merged = merge(spark.read.parquet(dir.toString)
         .drop("batch"))
-      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.compact-tmp-$name")
+      // stage OUTSIDE the read dir (writing into a directory while a
+      // lazy scan of it is in flight is undefined), then PROMOTE the
+      // finished snapshot into place BEFORE any delete: every crash
+      // point leaves either intact inputs (pre-promote — the temp is
+      // a discardable duplicate) or a visible fold + leftover inputs
+      // (post-promote — a superset the lattice merge absorbs)
+      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/.fold-$name-$gen")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      fs.listStatus(dir)
-        .filter(_.getPath.getName.startsWith("batch="))
-        .foreach(s => fs.delete(s.getPath, true))
-      require(fs.rename(tmp,
-        new org.apache.hadoop.fs.Path(s"$stateDir/$name/batch=-1")),
-        s"compactBfsState: rename failed for $tmp")
+      val dest = new org.apache.hadoop.fs.Path(s"$stateDir/$name/batch=-$gen")
+      if (fs.exists(dest)) fs.delete(dest, true) // partial prior promote; inputs intact
+      require(fs.rename(tmp, dest), s"compactBfsState: promote failed for $tmp")
+      inputIds.foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$name/batch=$id"), true)
+      }
     }
     compact("dist", _.groupBy(col("id"))
       .agg(min(struct(col("dist"), col("label"))).as("m"))
@@ -635,7 +662,7 @@ object StreamOps {
     * partitions, the dedupBatch guard). */
   private[graft] def bfsBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, seeds: DataFrame, maxHops: Int,
-      stateDir: String): Unit = {
+      stateDir: String): Unit = graft.Caches.scoped {
     val newEdges = batch
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
@@ -702,7 +729,7 @@ object StreamOps {
     layers.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$stateDir/dist/batch=$batchId")
     newEdges.write.mode("overwrite").parquet(s"$stateDir/edges/batch=$batchId")
-    graft.Caches.releaseAll()
+    // pins + per-round checkpoints release with the enclosing scope
     ()
   }
 
@@ -754,11 +781,23 @@ object StreamOps {
     * partials — groups whose count nets to zero are dropped, exactly
     * like the batch Incremental.maintain. */
   def mvState(spark: SparkSession, stateDir: String,
-      keyNames: Seq[String]): DataFrame =
+      keyNames: Seq[String]): DataFrame = {
+    // before the first committed micro-batch the state dir does not
+    // exist — that is the empty view, not a read error (bfsState's
+    // guard, applied here). Key columns type as STRING in the empty
+    // frame (no schema to read yet) — pre-first-batch callers can only
+    // meaningfully test emptiness.
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      return spark.range(0).select(
+        keyNames.map(n => col("id").cast("string").as(n)) ++
+          Seq(col("id").as("n_events"), col("id").as("c")): _*)
     spark.read.parquet(stateDir)
       .groupBy(keyNames.map(col): _*)
       .agg(sum(col("d_n")).as("n_events"), sum(col("d_c")).as("c"))
       .filter(col("n_events") > 0)
+  }
 
   /** Late-data SIDE OUTPUT — the Beam-style allowed-lateness router
     * Structured Streaming lacks natively (a watermarked stateful op
@@ -795,15 +834,22 @@ object StreamOps {
     * folding is safe under replay: a re-run batch re-contributing its
     * max through its own partition cannot move the folded maximum.
     *
-    * Partitions with `batch ≤ maxBatch − keepLast` fold into the
-    * reserved `batch=-1` compact partition (itself included in each
-    * fold — compaction composes); the most recent `keepLast` stay
-    * intact so the read-excluding-self rule keeps exact pre-batch
-    * semantics for any batch that may still be replayed. Replaying a
+    * Real partitions with `batch ≤ maxBatch − keepLast`, plus every
+    * previous fold partition, fold into a FRESH negative-id partition
+    * `batch=-(g)` (g = 1 + |smallest existing fold id|) — write the
+    * new fold, THEN delete its inputs, never overwriting anything in
+    * place. Any crash point therefore leaves a superset of the state
+    * (duplicates only), which the max absorbs — the lattice makes the
+    * write-ahead/delete-later protocol fully crash-safe, with no
+    * rename step and no window where the only copy of folded history
+    * is hidden or mid-rewrite. A negative id can never equal a real
+    * micro-batch id, so the read-excluding-self rule is unaffected;
+    * the most recent `keepLast` real partitions stay intact so
+    * replayed batches keep exact pre-batch semantics. Replaying a
     * batch OLDER than the retention horizon would see its own max
-    * inside the compact row — pick `keepLast` at least the engine's
-    * replay depth (Structured Streaming re-runs only the last
-    * uncommitted batch, so the default of 8 is generous). */
+    * inside the fold — pick `keepLast` at least the engine's replay
+    * depth (Structured Streaming re-runs only the last uncommitted
+    * batch, so the default of 8 is generous). */
   private[graft] def lateCompactState(spark: SparkSession, stateDir: String,
       keepLast: Int = 8): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
@@ -814,36 +860,47 @@ object StreamOps {
     // depending on the id range — normalize before any getLong
     val st = spark.read.parquet(stateDir)
       .withColumn("batch", col("batch").cast("long"))
-    val ids = st.select(col("batch")).filter(col("batch") >= 0)
-      .agg(max(col("batch"))).head()
-    if (ids.isNullAt(0)) return
-    val horizon = ids.getLong(0) - keepLast
-    val retired = st.filter(col("batch") <= horizon)
+    val bounds = st.agg(
+      max(when(col("batch") >= 0, col("batch"))).as("max_real"),
+      min(when(col("batch") < 0, col("batch"))).as("min_fold")).head()
+    if (bounds.isNullAt(0)) return
+    val horizon = bounds.getLong(0) - keepLast
+    // inputs: retired REAL partitions + every existing fold partition
+    val retired = st.filter(col("batch") <= horizon || col("batch") < 0)
+    // bounded collect: the retired partition-id list (shrinks to ~1
+    // after each fold; never corpus data)
+    val foldIds = retired.select(col("batch")).distinct()
+      .collect().map(_.getLong(0))
+    // nothing real to retire -> nothing to do (re-folding just the
+    // previous fold would rewrite identical content for no read-side
+    // gain)
+    if (!foldIds.exists(_ >= 0)) return
     val r = retired.agg(max(col("max_us")).as("m")).head()
     if (r.isNullAt(0)) return
-    // bounded collect: the retired batch-id list (shrinks to ~0 after
-    // each fold; never corpus data)
-    val foldIds = retired.select(col("batch")).filter(col("batch") >= 0)
-      .distinct().collect().map(_.getLong(0))
-    // write the fold FIRST (overwrite is atomic per-partition), then
-    // drop the folded partitions — a crash between the two steps
-    // leaves duplicates, which the max absorbs (idempotent lattice)
+    val gen = if (bounds.isNullAt(1)) 1L else -bounds.getLong(1) + 1L
+    // write-ahead to a FRESH partition, delete inputs after — every
+    // crash point leaves duplicates the max-merge absorbs
     spark.createDataFrame(
         java.util.Arrays.asList(org.apache.spark.sql.Row(r.getLong(0))),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("max_us",
             org.apache.spark.sql.types.LongType))))
-      .write.mode("overwrite").parquet(s"$stateDir/batch=-1")
+      .write.mode("overwrite").parquet(s"$stateDir/batch=-$gen")
     foldIds.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true)
     }
     ()
   }
 
-  /** One micro-batch of [[lateSideOutput]], exposed for replay tests. */
+  /** One micro-batch of [[lateSideOutput]], exposed for replay tests.
+    * Rows WITHOUT an event time (null ts) route to the LATE side in
+    * every batch, first included: a row that cannot be assessed
+    * against a watermark is a rejected record (the dead-letter class
+    * this operator exists for) — and a three-valued `ts < bound`
+    * predicate would otherwise drop it from BOTH outputs silently. */
   private[graft] def lateBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, stateDir: String, outDir: String, lateDir: String,
-      lagUs: Long): Unit = {
+      lagUs: Long): Unit = graft.Caches.scoped {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
@@ -858,8 +915,9 @@ object StreamOps {
     val b = batch.withColumn("graft_us", unix_micros(col("ts")))
       .transform(d => graft.Caches.pin(d))
     val isLate = priorMax match {
-      case Some(m) => col("graft_us") < lit(m - lagUs)
-      case None => lit(false)
+      case Some(m) =>
+        col("graft_us").isNull || col("graft_us") < lit(m - lagUs)
+      case None => col("graft_us").isNull
     }
     b.filter(!isLate).drop("graft_us")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
@@ -874,8 +932,6 @@ object StreamOps {
     // replay stays deterministic)
     if (batchId > 0 && batchId % 16 == 0)
       lateCompactState(spark, stateDir)
-    b.unpersist()
-    graft.Caches.releaseAll()
     ()
   }
 

@@ -565,7 +565,7 @@ class StreamingSpec extends SparkSpec {
     val before = StreamOps.bfsState(spark, dir).collect().toSet
     bfsBatch(spark, (b0 ++ b1).toDF("src", "dst"), 0L, seeds, 3, dir)
     assert(StreamOps.bfsState(spark, dir).collect().toSet == before)
-    // compaction folds every partition into the batch=-1 base without
+    // compaction folds every partition into a fold generation without
     // changing the observable state; replay AFTER compaction finds its
     // improvements already in the base and is a no-op; and the stream
     // keeps absorbing batches on top of a compacted base
@@ -843,6 +843,19 @@ class StreamingSpec extends SparkSpec {
     // batch 2 sees 10:40-based watermark (10:30): 10:29 now late
     StreamOps.lateBatch(spark, rows("10:29:00"), 2L, st, out, late, lag)
     assert(ids(late) == Set(1L, 0L))
+    // rows WITHOUT an event time dead-letter in every batch — a
+    // three-valued ts < bound predicate must not drop them from BOTH
+    // outputs (and batch 0's no-watermark path must route them the
+    // same way)
+    val withNull = Seq((50L, ts("2024-01-01 10:45:00")), (51L, null))
+      .toDF("event_id", "ts")
+    StreamOps.lateBatch(spark, withNull, 3L, st, out, late, lag)
+    assert(ids(out).contains(50L) && !ids(out).contains(51L))
+    assert(ids(late).contains(51L))
+    val root0 = java.nio.file.Files.createTempDirectory("graft_late0").toString
+    StreamOps.lateBatch(spark, withNull, 0L,
+      s"$root0/state", s"$root0/out", s"$root0/late", lag)
+    assert(ids(s"$root0/out") == Set(50L) && ids(s"$root0/late") == Set(51L))
   }
 
   test("late-data watermark state compacts to a bounded read without moving the watermark") {
@@ -861,7 +874,8 @@ class StreamingSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max("max_us")).head().getLong(0)
     val before = watermark()
     assert(partitions().size == 12)
-    // fold everything older than the last 4 batches into batch=-1
+    // fold everything older than the last 4 batches into the first
+    // fold generation (batch=-1)
     StreamOps.lateCompactState(spark, st, keepLast = 4)
     assert(partitions() == Set("batch=-1", "batch=8", "batch=9", "batch=10", "batch=11"),
       s"unexpected partitions after compaction: ${partitions()}")
@@ -873,7 +887,9 @@ class StreamingSpec extends SparkSpec {
         st, out, late, lag)
     }
     StreamOps.lateCompactState(spark, st, keepLast = 2)
-    assert(partitions() == Set("batch=-1", "batch=14", "batch=15"))
+    // the second fold consumed the first (batch=-1) and wrote a FRESH
+    // generation (batch=-2) — write-ahead, never overwrite-in-place
+    assert(partitions() == Set("batch=-2", "batch=14", "batch=15"))
     // routing after compaction is unchanged: watermark = 10:15−10min =
     // 10:05 → a 10:04 row is late, a 10:06 row on-time
     StreamOps.lateBatch(spark, row(100L, "10:04:00"), 16L, st, out, late, lag)
