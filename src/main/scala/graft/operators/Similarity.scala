@@ -85,11 +85,21 @@ object Similarity {
     * most bits, so equal sketches (or small hamming distance) bucket
     * near-duplicate candidates WITHOUT any pairwise work — the
     * embedding analog of MinHash banding. Returns a `bits`-bit long. */
-  def srpSketch(emb: Column, bits: Int = 16, dim: Int = 64): Column =
-    (0 until bits).map { j =>
+  def srpSketch(emb: Column, bits: Int = 16, dim: Int = 64): Column = {
+    val bitsum = (0 until bits).map { j =>
       val h = array(hyperplane(j, dim).map(lit): _*)
       when(dot(emb, h) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+    // a vector whose length differs from `dim` must yield a NULL
+    // sketch, not an all-zero one: the native dot nulls on length
+    // mismatch and `when(null > 0, ...)` would otherwise 0 every bit,
+    // silently collapsing the whole corpus into one LSH bucket
+    // (candidate generation degenerates to all-pairs). NULL rows drop
+    // out of banding joins instead — a visible recall gap, not a
+    // silent quadratic blow-up. Callers with wider embeddings slice
+    // to `dim` first (the d45 fast-kernel caller does).
+    when(size(emb) === dim, bitsum)
+  }
 
   /** Embedding near-duplicate pairs: same-cell (a<b) pairs with cosine
     * above `threshold`. The cell restriction is what keeps this
@@ -155,16 +165,7 @@ object Similarity {
     * scores prefer the smaller centroid id (the struct carries the
     * negated id as the second sort field). */
   def centroidAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("vec_id").cast("long"), col("embedding")).collect()
-    require(cents.nonEmpty, "centroid set is empty")
-    val scored = cents.toSeq.map { r =>
-      val ce = array(r.getSeq[Float](1).map(v => lit(v.toDouble)): _*)
-      struct(
-        dot(col("embedding"), ce).as("score"),
-        lit(-r.getLong(0)).as("neg_cid"),
-        lit(r.getLong(0)).as("cid"))
-    }
-    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    val best = bestCentroidStruct(collectCentroids(centroids))
     corpus.select(col("vec_id"), best.as("best"))
       .select(col("vec_id"),
         col("best.cid").as("centroid_id"),
@@ -193,23 +194,21 @@ object Similarity {
     val qid = qRows.head.getLong(0)
     val qe = qRows.head.getSeq[Float](1).toArray
     val cents = collectCentroids(centroids)
+    // a query/centroid dim mismatch must FAIL here, loudly: the
+    // driver-side ranking would silently truncate to the shorter
+    // length while the column-side dots null out — probed cells chosen
+    // by a different metric than the scores
+    require(cents.forall(_._2.length == qe.length),
+      s"query dim ${qe.length} != centroid dim ${cents.head._2.length}")
     // rank cells by the SAME left-fold dot the oracle's dotSql pins
     val probed = cents.map { case (cid, ce) =>
       var s = 0.0d
       var i = 0
-      val n = math.min(qe.length, ce.length)
-      while (i < n) { s += qe(i).toDouble * ce(i).toDouble; i += 1 }
+      while (i < qe.length) { s += qe(i).toDouble * ce(i).toDouble; i += 1 }
       (cid, s)
     }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
     val qCol = array(qe.toSeq.map(v => lit(v.toDouble)): _*)
-    val bestCell = {
-      val scored = cents.map { case (cid, ce) =>
-        val ceCol = array(ce.toSeq.map(v => lit(v.toDouble)): _*)
-        struct(dot(col("embedding"), ceCol).as("score"),
-          lit(-cid).as("neg_cid"), lit(cid).as("cid"))
-      }
-      (if (scored.size == 1) scored.head else greatest(scored: _*)).getField("cid")
-    }
+    val bestCell = bestCentroidStruct(cents).getField("cid")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     corpus.select(col("vec_id"), col("embedding"), bestCell.as("cell"))
@@ -260,19 +259,15 @@ object Similarity {
     * (centroid, dim) — dims explode in the scan stage. */
   def kmeansStepQuantized(corpus: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val gscale = corpus.agg(
-      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-        .as("gscale"))
-    val asg = centroidAssign(corpus, centroids)
-      .select(col("vec_id"), col("centroid_id"))
-    corpus.crossJoin(broadcast(gscale))
-      .select(col("vec_id"), col("gscale"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        when(col("gscale") > 0,
-          floor(col("x").cast("double") / col("gscale") * 127 + 0.5).cast("long"))
-          .otherwise(0L).as("qv"))
-      .join(asg, "vec_id")
+    // the assignment rides the SAME pre-explode select (shared
+    // quantizedExplode extras) — joining centroidAssign's output
+    // against the exploded frame would shuffle n·dims rows for a value
+    // that is a pure scan-stage expression. A centroid that attracts
+    // NO vectors this iteration emits no rows: the consumer keeps the
+    // previous centroid for empty clusters (standard Lloyd handling).
+    val best = bestCentroidStruct(collectCentroids(centroids))
+    quantizedExplode(corpus,
+        extras = Seq("centroid_id" -> best.getField("cid")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
   }
@@ -286,7 +281,46 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
     require(cents.nonEmpty, "centroid set is empty")
+    // duplicate ids would crash pqAdcScore's literal map at runtime
+    // (DUPLICATED_MAP_KEY) and silently corrupt argmax ties elsewhere
+    require(cents.map(_._1).distinct.size == cents.size,
+      s"centroid ids are not distinct: ${cents.map(_._1).mkString(",")}")
     cents
+  }
+
+  /** The shared argmax-centroid struct — score = ⟨embedding, c⟩, ties
+    * prefer the SMALLER centroid id (the neg_cid field makes the
+    * struct comparison implement that). One builder so centroidAssign,
+    * the multi-probe cell assignment and the quantized k-means step
+    * cannot drift on the tie-break contract. */
+  private def bestCentroidStruct(cents: Seq[(Long, Array[Float])]): Column = {
+    val scored = cents.map { case (cid, ce) =>
+      val ceCol = array(ce.toSeq.map(v => lit(v.toDouble)): _*)
+      struct(dot(col("embedding"), ceCol).as("score"),
+        lit(-cid).as("neg_cid"), lit(cid).as("cid"))
+    }
+    if (scored.size == 1) scored.head else greatest(scored: _*)
+  }
+
+  /** The shared global-scale int8 quantize-explode: (vec_id, dim, qv
+    * [, extras…]) with qv = floor(x/gscale·127 + 0.5) over the corpus
+    * max-abs scale (1-row broadcast). `extras` are computed in the
+    * SAME pre-explode select (the full embedding is still in scope),
+    * which is what lets callers attach per-row assignments or code
+    * arrays WITHOUT a corpus-scale join against the exploded frame. */
+  private def quantizedExplode(corpus: DataFrame,
+      extras: Seq[(String, Column)] = Nil): DataFrame = {
+    val gscale = corpus.agg(
+      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .as("gscale"))
+    corpus.crossJoin(broadcast(gscale))
+      .select(Seq(col("vec_id"), col("gscale")) ++
+        extras.map { case (n, c) => c.as(n) } :+
+        posexplode(col("embedding")).as(Seq("dim", "x")): _*)
+      .select(Seq(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("gscale") > 0,
+          floor(col("x").cast("double") / col("gscale") * 127 + 0.5).cast("long"))
+          .otherwise(0L).as("qv")) ++ extras.map(e => col(e._1)): _*)
   }
 
   /** Product-quantization encode — the compression step of PQ-ANN
@@ -302,8 +336,15 @@ object Similarity {
     * (k·d floats, like `centroidAssign`); encoding is per-row m·k
     * dot folds in the scan stage — zero shuffle, nothing scales with
     * corpus size but the scan. Output: (vec_id, code: array<long>). */
-  def pqEncode(vectors: DataFrame, centroids: DataFrame, m: Int = 4): DataFrame = {
-    val cents = collectCentroids(centroids)
+  def pqEncode(vectors: DataFrame, centroids: DataFrame, m: Int = 4): DataFrame =
+    vectors.select(col("vec_id"),
+      pqCodeColumn(collectCentroids(centroids), m).as("code"))
+
+  /** The PQ code array as a pure scan-stage Column over `embedding` —
+    * shared by [[pqEncode]] and [[pqTrainStep]] so the train step can
+    * attach codes in its own select instead of joining the n-row
+    * encode output against the n·dims exploded frame. */
+  private def pqCodeColumn(cents: Seq[(Long, Array[Float])], m: Int): Column = {
     val dim = cents.head._2.length
     require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val sub = dim / m
@@ -322,7 +363,7 @@ object Similarity {
       (if (scored.size == 1) scored.head else greatest(scored: _*))
         .getField("cid")
     }
-    vectors.select(col("vec_id"), array(codes: _*).as("code"))
+    array(codes: _*)
   }
 
   /** PQ asymmetric-distance scoring (ADC): the query's per-(subspace,
@@ -449,23 +490,19 @@ object Similarity {
     * partials — nothing scales with corpus size but the scan. */
   def pqTrainStep(corpus: DataFrame, centroids: DataFrame,
       m: Int = 4): DataFrame = {
-    val dims = collectCentroids(centroids).head._2.length
-    require(dims % m == 0, s"dims $dims not divisible by m=$m")
-    val sub = dims / m
-    val codes = pqEncode(corpus, centroids, m)
-    val gscale = corpus.agg(
-      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-        .as("gscale"))
-    corpus.crossJoin(broadcast(gscale))
-      .select(col("vec_id"), col("gscale"),
-        posexplode(col("embedding")).as(Seq("dim", "x")))
+    // ONE centroid collect; the code array rides the pre-explode
+    // select (quantizedExplode extras) — the former pqEncode join
+    // against the n·dims exploded frame shuffled corpus-scale rows for
+    // a pure scan-stage value. A sub-centroid with NO assigned vectors
+    // emits no rows (the kmeansStepQuantized empty-cluster contract:
+    // the consumer keeps the previous sub-centroid).
+    val cents = collectCentroids(centroids)
+    val sub = cents.head._2.length / m
+    quantizedExplode(corpus,
+        extras = Seq("code" -> pqCodeColumn(cents, m)))
       .select(col("vec_id"),
         expr(s"CAST(dim div $sub AS BIGINT)").as("subspace"),
-        (col("dim") % sub).cast("long").as("subdim"),
-        when(col("gscale") > 0,
-          floor(col("x").cast("double") / col("gscale") * 127 + 0.5).cast("long"))
-          .otherwise(0L).as("qv"))
-      .join(codes, "vec_id")
+        (col("dim") % sub).cast("long").as("subdim"), col("qv"), col("code"))
       .withColumn("cid", element_at(col("code"), (col("subspace") + 1).cast("int")))
       .groupBy(col("subspace"), col("cid"), col("subdim"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
@@ -528,7 +565,12 @@ object Similarity {
     * aggregation is per-query tiny.
     *
     * Output: (query_id, first_rel_rank BIGINT nullable, rr_x2520
-    * BIGINT — 0 when no relevant doc ranked, hits_at_k BIGINT). */
+    * BIGINT — 0 when no relevant doc ranked, hits_at_k BIGINT).
+    * A query with NO candidates at all (its corpus slice is empty) is
+    * ABSENT from the output — callers averaging MRR must divide by
+    * their own query count, not the row count (filterRecallAudit's
+    * left-join shape is the alternative when per-query rows are
+    * required). */
   def retrievalEval(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     require(k >= 1 && k <= 10, s"k must be in [1,10] for exact lcm scaling, got $k")
     val top = bruteForceTopK(corpus, queries, k)

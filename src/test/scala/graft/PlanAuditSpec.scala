@@ -393,6 +393,22 @@ class PlanAuditSpec extends SparkSpec {
       s"g08: expected a src-keyed exchange before the rank window:\n$p")
   }
 
+  test("s61/s64: quantized training steps are scan-stage + one aggregation — no join anywhere") {
+    // the assignment/code array rides the pre-explode select
+    // (Similarity.quantizedExplode extras); the earlier formulation
+    // joined it against the n·dims exploded frame — a corpus-scale
+    // shuffle for a pure scan-stage value (round-9 review finding)
+    // the 1-row gscale broadcast rides a BroadcastNestedLoopJoin (the
+    // sanctioned corpus-totals shape) — what must NOT appear is any
+    // shuffle-join of the exploded frame
+    Seq("s61_kmeans_step", "s64_pq_train").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+        !p.contains("BroadcastHashJoin"),
+        s"$q plans a corpus-side join:\n$p")
+    }
+  }
+
   test("output-type canon: no catalogue query emits a DECIMAL column") {
     // Round-8 finding: the driver's differential gate hashes DECIMAL
     // output representations differently across oracle-engine builds
