@@ -135,16 +135,6 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Distinct character n-gram shingles of a string column. (Guarded
-    * with `when`, not greatest(): see TextHash.shingles — sequence(1,0)
-    * is descending in Spark.) */
-  def charShingles(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
   /** Distinct HASHED character n-gram shingles: sets of longs instead
     * of strings — set intersection over 8-byte values is ~an order of
     * magnitude cheaper than over UTF8 strings, and the DuckDB oracle
@@ -262,13 +252,32 @@ object Dedup {
     verifyJaccardWith(sh, candidates, threshold,
       graft.functions.SortedIntersectCount.sortedIntersectCount)
 
+  /** The sorted-distinct hashed shingle sets (doc_id, s) — ONE home
+    * for the repartition-before-kernel rule (line: a compact parquet
+    * scan arrives in few partitions and would otherwise pin the
+    * per-char hash kernel to those few cores) and the Caches pin, so
+    * the four operators sharing this build cannot drift. */
+  private def sortedShingleSets(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    shingleHashFrame(docs.repartition(id), id, text, n)
+      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
+      .transform(d => graft.Caches.pin(d))
+
   private def verifyJaccardWith(sh: DataFrame, candidates: DataFrame,
       threshold: Double, intersectCount: (Column, Column) => Column): DataFrame = {
-    val sa = sh.select(col("doc_id").as("a"), col("s").as("sa"), size(col("s")).as("na"))
-    val sb = sh.select(col("doc_id").as("b"), col("s").as("sb"), size(col("s")).as("nb"))
-    candidates.join(sa, "a").join(sb, "b")
+    // size prefilter on LIGHT (id, size) projections first: a pair
+    // whose size ratio is below the threshold cannot reach it
+    // (J ≤ min/max), so it must never pay the wide shingle-array
+    // join — the charNgramNearDups discipline applied to the shared
+    // verification path (sh is pinned, so the light scans hit cache)
+    val za = sh.select(col("doc_id").as("a"), size(col("s")).as("na"))
+    val zb = sh.select(col("doc_id").as("b"), size(col("s")).as("nb"))
+    val survivors = candidates.join(za, "a").join(zb, "b")
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("nb")))
+    val sa = sh.select(col("doc_id").as("a"), col("s").as("sa"))
+    val sb = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    survivors.join(sa, "a").join(sb, "b")
       .withColumn("ni", intersectCount(col("sa"), col("sb")))
       .withColumn("jaccard",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
@@ -289,12 +298,7 @@ object Dedup {
     * by checkpointing signatures to parquet between stages. */
   def nearDuplicates(docs: DataFrame, id: Column, text: Column,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands, threshold: Double = 0.8): DataFrame = {
-    // repartition BEFORE the per-char kernel: a compact parquet scan
-    // arrives in few partitions and would otherwise pin the hash
-    // computation to those few cores
-    val sh = shingleHashFrame(docs.repartition(id), id, text, n)
-      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
-      .transform(d => graft.Caches.pin(d))
+    val sh = sortedShingleSets(docs, id, text, n)
     val sig = sh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
     val buckets = bucketsFromSignatures(sig, k, bands)
@@ -320,6 +324,12 @@ object Dedup {
       regexp_replace(TextHash.asciiLower(text), "[^a-z0-9 ]", " "),
       " +", " "))
     docs.select(id.as("doc_id"), text.as("graft_raw"), canonical.as("graft_canon"))
+      // CONTENT-FREE docs (null text, or punctuation/whitespace-only —
+      // canonical "") are not groupable: every "!!!" and "---" doc
+      // would otherwise collapse into ONE "duplicate" group and the
+      // keep-min-id rule would drop genuinely distinct documents.
+      // They are absent from the output (route them to a length gate).
+      .filter(col("graft_canon").isNotNull && col("graft_canon") =!= "")
       .groupBy(col("graft_canon"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"),
@@ -388,10 +398,8 @@ object Dedup {
       n: Int = DefaultShingleN, threshold: Double = 0.9): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val sh = shingleHashFrame(docs.repartition(id), id, text, n)
-      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
+    val sh = sortedShingleSets(docs, id, text, n)
       .filter(size(col("s")) > 0)
-      .transform(d => graft.Caches.pin(d))
     val postings = sh.select(col("doc_id"), explode(col("s")).as("h"))
     val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("graft_df"))
     // per-doc rarest probes. The per-doc shingle count is size(s) —
@@ -574,9 +582,7 @@ object Dedup {
     * the batch path by construction). */
   def buildDedupIndex(docs: DataFrame, id: Column, text: Column,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands): DedupIndex = {
-    val sh = shingleHashFrame(docs.repartition(id), id, text, n)
-      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
-      .transform(d => graft.Caches.pin(d))
+    val sh = sortedShingleSets(docs, id, text, n)
     val sig = sh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("s"), k).as("sig"))
     DedupIndex(bucketsFromSignatures(sig, k, bands), sh, n, k, bands)
@@ -599,9 +605,7 @@ object Dedup {
     * Output: (delta_id, corpus_id, jaccard) with jaccard ≥ threshold. */
   def dedupAgainstIndex(index: DedupIndex, delta: DataFrame, id: Column,
       text: Column, threshold: Double = 0.8): DataFrame = {
-    val dsh = shingleHashFrame(delta.repartition(id), id, text, index.n)
-      .select(col("doc_id"), array_sort(array_distinct(col("h"))).as("s"))
-      .transform(d => graft.Caches.pin(d))
+    val dsh = sortedShingleSets(delta, id, text, index.n)
     val dsig = dsh.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("s"), index.k).as("sig"))
     val cand = bucketsFromSignatures(dsig, index.k, index.bands)
@@ -1126,10 +1130,14 @@ object Dedup {
     * first-occurrence-keeping rewrite. */
   def dropSpans(df: DataFrame, id: Column, text: Column,
       spanTokens: Int = 10): DataFrame = {
-    val spans = repeatedSpanIntervals(df, id, text, spanTokens)
+    // null-text docs drop (like every token-keyed operator): tokens
+    // of null is null and the legacy size(null) = -1 sentinel would
+    // otherwise emit a garbage (-1, -1, null) row for them
+    val in = df.filter(text.isNotNull)
+    val spans = repeatedSpanIntervals(in, id, text, spanTokens)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s0"), col("e0"))).as("graft_spans"))
-    df.select(id.as("doc_id"), tokens(text).as("t"))
+    in.select(id.as("doc_id"), tokens(text).as("t"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
@@ -1163,6 +1171,9 @@ object Dedup {
         col("graft_text").substr(col("col.start").cast("int"),
           col("col.len").cast("int")).as("cstr"),
         col("col.chash").as("chash"))
+      // two consumers (firsts + the keep join) — without the pin the
+      // CDC kernel + substring explode run twice per action
+      .transform(d => graft.Caches.pin(d))
     val firsts = chunks.groupBy(col("chash"))
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
     chunks.join(firsts, "chash")
@@ -1197,7 +1208,10 @@ object Dedup {
   def containmentScreen(docs: DataFrame, id: Column, text: Column,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK, bands: Int = DefaultBands,
       threshold: Double = 0.5): DataFrame = {
-    val hs = shingleHashFrame(docs, id, text, n)
+    // the repartition-before-kernel rule (sortedShingleSets) applies
+    // here too — this screen keeps RAW window hashes (signatures use
+    // them unsorted), so it builds its own frame
+    val hs = shingleHashFrame(docs.repartition(id), id, text, n)
       .transform(d => graft.Caches.pin(d))
     val sig = hs.select(col("doc_id"),
       graft.functions.MinHashSig.minhashSig(col("h"), k).as("sig"))
@@ -1259,7 +1273,9 @@ object Dedup {
     */
   def contamination(train: DataFrame, bench: DataFrame,
       id: Column, text: Column, n: Int = 5): DataFrame = {
-    val tr = shingleHashFrame(train, id, text, n)
+    // repartition the 100 TB side off the compact scan partitions
+    // before the per-char kernel (the sortedShingleSets rule)
+    val tr = shingleHashFrame(train.repartition(id), id, text, n)
       .select(col("doc_id"), explode(array_distinct(col("h"))).as("g"))
     val be = shingleHashFrame(bench, id, text, n)
       .select(col("doc_id").as("bench_id"), explode(array_distinct(col("h"))).as("g"))

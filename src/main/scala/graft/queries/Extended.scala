@@ -3200,7 +3200,8 @@ object Extended {
          |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
          |  CAST(count(*) AS BIGINT) AS n_copies,
          |  CAST(count(DISTINCT text) AS BIGINT) AS n_variants
-         |FROM canon GROUP BY c
+         |FROM canon WHERE c IS NOT NULL AND c <> ''
+         |GROUP BY c
          |ORDER BY keep_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val lo = ('a' to 'z').mkString
