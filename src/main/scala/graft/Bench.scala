@@ -30,6 +30,26 @@ object Bench {
     math.rint(10.0 * n * single / par) / 10.0
   }
 
+  /** PER-QUERY health sample: a fixed ~10M-iteration single-thread
+    * spin timed immediately before each measured query. On a healthy
+    * host every probe takes the same wall time; inside a hypervisor
+    * throttle window the probe stretches proportionally — so a query
+    * timing can be normalized from the RECORD alone
+    * (t_normalized ≈ t × probe_best/probe) instead of inferred from
+    * the whole-run effective-cores average, which is blind to
+    * per-query throttle windows (the r8 q74 / r9 g05 class). Cost
+    * ~5-20 ms per query — noise next to any measured query. */
+  private def probeMs(): Double = {
+    def spin(): Long = {
+      var x = 0L; var i = 0
+      while (i < 10000000) { x += i.toLong * i; i += 1 }
+      x
+    }
+    val t0 = System.nanoTime()
+    spinSink ^= spin()
+    math.rint((System.nanoTime() - t0) / 1e3) / 1e3 // ms, 3 dp
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,7 +80,13 @@ object Bench {
     // time-until-crash as an ordinary timing, and a whole-catalogue
     // regression would read as a performance win
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // per-query health probes (see probeMs); run-1 and rerun samples
+    // are recorded separately so each timing has ITS OWN health tag
+    val probes1 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val probes2 = scala.collection.mutable.LinkedHashMap[String, Double]()
+    spinSink ^= probeMs().toLong; spinSink ^= probeMs().toLong // JIT warm-up
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        probeSink: scala.collection.mutable.LinkedHashMap[String, Double]): Double = {
       // isolation: several operators pin intra-query frames (their
       // scaladoc cache contract); across 100+ queries in ONE session
       // the accumulated MEMORY_AND_DISK copies crowd the 8g heap and
@@ -73,6 +99,7 @@ object Bench {
       // session-wide hammer is fine HERE, unlike inside operators.
       Caches.releaseAll()
       spark.catalog.clearCache()
+      probeSink(name) = probeMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         if (!failed.contains(name)) failed += name
@@ -86,13 +113,14 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val catalogue = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = catalogue.map { case (name, fn) => name -> timeOne(name, fn) }
+    val results = catalogue.map { case (name, fn) => name -> timeOne(name, fn, probes1) }
     // host-throttle robustness: a SECOND run (min2 = min of the two)
-    // for (a) the 5 slowest first runs and (b) any query whose first
+    // for (a) the 8 slowest first runs and (b) any query whose first
     // run regressed >3x against the PREVIOUS session's recorded min2 —
     // (b) exists because a throttle window landing on a mid-pack query
-    // (r8: q74 0.6 s -> 4.5 s, outside the top-5) otherwise enters the
-    // record unchecked. The 0.5 s floor keeps noise-level jitter
+    // (r8: q74 0.6 s -> 4.5 s, outside the top set) otherwise enters
+    // the record unchecked; (a) widened 5 → 8 after g05 escaped at
+    // 6th-slowest in r9. The 0.5 s floor keeps noise-level jitter
     // (0.05 -> 0.16 s is "3x" but meaningless) from triggering reruns.
     val priorMin2: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
@@ -111,15 +139,15 @@ object Bench {
           catch { case _: Throwable => None }
         }.toMap
     } catch { case _: Throwable => Map.empty }
-    val top5 = results.sortBy(-_._2).take(5).map(_._1).toSet
+    val top8 = results.sortBy(-_._2).take(8).map(_._1).toSet
     val regressed = results.collect {
       case (name, t1) if t1 > 0.5 &&
         priorMin2.get(name).exists(p => t1 > 3 * p) => name
     }.toSet
-    val rerun = top5 ++ regressed
+    val rerun = top8 ++ regressed
     val min2 = results.map { case (name, t1) =>
       if (rerun.contains(name))
-        name -> math.min(t1, timeOne(name, SparkEntry.queries(name)))
+        name -> math.min(t1, timeOne(name, SparkEntry.queries(name), probes2))
       else name -> t1
     }
     // name-sorted key order: stable, diffable across rounds
@@ -135,8 +163,16 @@ object Bench {
     val rerunJson = regressed.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val health = effectiveCores(cpus.toInt)
+    // per-query health record: probe wall-ms per measured run, plus
+    // the session's best (fastest) probe — the healthy-host yardstick.
+    // t_normalized = t * probe_best / probe_ms[name].
+    def probeJson(m: scala.collection.mutable.LinkedHashMap[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val probeBest =
+      if (probes1.isEmpty && probes2.isEmpty) 0.0
+      else (probes1.values ++ probes2.values).min
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"total_min2":$totalMin2,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"total_min2":$totalMin2,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"sf":"$sfDir"}"""
     println(line)
     // stdout tails get truncated in driver logs (r4 lost 41 of 104
     // per-query timings) — persist the full line for round-over-round

@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * and walks the string once. Same operator shape, ~an order of
   * magnitude less per-row cost in the dedup/fingerprint hot paths.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, base: Long = 31L) extends UnaryExpression {
+  require(base >= 2 && base < PolyHash.P, s"base must be in [2, P), got $base")
+
   override def dataType: DataType = LongType
   override def checkInputDataTypes() =
     if (child.dataType == StringType)
@@ -33,10 +35,10 @@ case class PolyHash(child: Expression) extends UnaryExpression {
         s"poly_hash requires STRING, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    PolyHash.hash(input.asInstanceOf[UTF8String].toString)
+    PolyHash.hash(input.asInstanceOf[UTF8String].toString, base)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c.toString())")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c.toString(), ${base}L)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -47,21 +49,24 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 object PolyHash {
   final val P = 1000000007L
 
-  /** Shared JVM kernel (used by interpreted eval and generated code). */
-  def hash(s: String): Long = {
+  /** Shared JVM kernel (used by interpreted eval and generated code).
+    * `base` selects the family member (31 = the default family used
+    * everywhere; 131 = the independent second family backing the d45
+    * pluggable-hash minhash path). */
+  def hash(s: String, base: Long = 31L): Long = {
     var acc = 0L
     var i = 0
     val n = s.length
     while (i < n) {
       val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % P
+      acc = (acc * base + cp) % P
       i += Character.charCount(cp)
     }
     acc
   }
 
   /** Column-API entry point. */
-  def polyHashNative(c: Column): Column =
+  def polyHashNative(c: Column, base: Long = 31L): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
-      PolyHash(org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+      PolyHash(org.apache.spark.sql.GraftExpressionBridge.expression(c), base))
 }

@@ -27,8 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate arrays. It replaced a ~10s/query interpreted path on
   * the sf0.1 bench.
   */
-case class TokenShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class TokenShingleHashes(child: Expression, n: Int, base: Long = 31L)
+    extends UnaryExpression {
   require(n >= 1, "shingle width must be >= 1")
+  require(base >= 2 && base < PolyHash.P, s"base must be in [2, P), got $base")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -38,11 +40,11 @@ case class TokenShingleHashes(child: Expression, n: Int) extends UnaryExpression
       s"token_shingle_hashes requires STRING, got ${child.dataType}")
 
   override def nullSafeEval(input: Any): Any =
-    TokenShingleHashes.hashes(input.asInstanceOf[UTF8String].toString, n)
+    TokenShingleHashes.hashes(input.asInstanceOf[UTF8String].toString, n, base)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TokenShingleHashes.hashes($c.toString(), $n)")
+      c => s"graft.functions.TokenShingleHashes.hashes($c.toString(), $n, ${base}L)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenShingleHashes =
     copy(child = newChild)
@@ -86,8 +88,9 @@ object TokenShingleHashes {
   private final val P = PolyHash.P
 
   /** One hash per n-token window; empty when the string has fewer than
-    * n tokens. */
-  def hashes(s: String, n: Int): ArrayData = {
+    * n tokens. `base` selects the polynomial family member (see
+    * PolyHash.hash). */
+  def hashes(s: String, n: Int, base: Long = 31L): ArrayData = {
     val b = TokenBounds.scan(s)
     val nTok = b.n
     val starts = b.starts
@@ -99,12 +102,12 @@ object TokenShingleHashes {
       var acc = 0L
       var t = w
       while (t < w + n) {
-        if (t > w) acc = (acc * 31 + 32) % P // ' ' separator
+        if (t > w) acc = (acc * base + 32) % P // ' ' separator
         var c = starts(t)
         val e = ends(t)
         while (c < e) {
           val cp = s.codePointAt(c)
-          acc = (acc * 31 + cp) % P
+          acc = (acc * base + cp) % P
           c += Character.charCount(cp)
         }
         t += 1
@@ -118,8 +121,8 @@ object TokenShingleHashes {
   /** Column-API entry: window hashes of the ASCII-case-folded input —
     * folding stays a codegen'd built-in (translate) outside the kernel
     * and is cross-engine stable (see TextHash.asciiLower). */
-  def tokenShingleHashes(c: Column, n: Int): Column =
+  def tokenShingleHashes(c: Column, n: Int, base: Long = 31L): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       TokenShingleHashes(org.apache.spark.sql.GraftExpressionBridge.expression(
-        graft.operators.TextHash.asciiLower(c)), n))
+        graft.operators.TextHash.asciiLower(c)), n, base))
 }

@@ -32,6 +32,9 @@ object Dedup {
     * every verdict. */
   val DefaultShingleN = 3
   val DefaultMinhashK = 8
+  /** Second polynomial family member backing minhashSignaturesFast —
+    * independent of the default base-31 family, still oracle-portable. */
+  val FastHashBase = 131L
   val DefaultBands = 4
 
   /** Exact dedup: canonical (min-id) row per distinct value of `key`.
@@ -89,17 +92,19 @@ object Dedup {
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK): DataFrame =
     stagedSignature(df, id, text, n, k, s => polyHashFast(s))
 
-  /** Production-kernel variant: same operator, Spark's xxhash64 as the
-    * shingle hash — not oracle-checkable (DuckDB has no xxhash64);
-    * demonstrates the pluggable-hash path you'd run at 100 TB. Shingle
-    * strings come from the native WordShingles kernel; only the
-    * per-shingle hash swap stays a HOF. */
+  /** Pluggable-hash variant: same operator, an INDEPENDENT second
+    * polynomial family (base 131) as the shingle hash — demonstrates
+    * the swappable-kernel path you'd run at 100 TB (at real scale the
+    * one-line swap is `pmod(xxhash64(shingle), P)`; the portable
+    * base-131 member keeps the path DuckDB-oracle-checkable, the
+    * q36/t90 portable-sketch template applied to banding). Fully
+    * native: the fused TokenShingleHashes kernel walks the string
+    * once per window inside whole-stage codegen — no HOF stage at
+    * all, unlike the previous WordShingles→transform(xxhash64) form. */
   def minhashSignaturesFast(df: DataFrame, id: Column, text: Column,
       n: Int = DefaultShingleN, k: Int = DefaultMinhashK): DataFrame =
     df.select(id.as("doc_id"),
-        graft.functions.WordShingles.wordShingles(text, n).as("s"))
-      .select(col("doc_id"),
-        transform(col("s"), s => pmod(xxhash64(s), lit(P))).as("h"))
+        graft.functions.TokenShingleHashes.tokenShingleHashes(text, n, base = FastHashBase).as("h"))
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhashSig(col("h"), k).as("sig"))
 

@@ -85,11 +85,13 @@ object TextHash {
   /** Same hash as a codegen'd native Catalyst expression
     * (graft.functions.PolyHash) — one string walk, participates in
     * whole-stage codegen. */
-  def polyHashFast(c: Column): Column =
-    graft.functions.PolyHash.polyHashNative(c)
-  /** Same, over an arbitrary string-typed SQL expression. */
-  def polyHashSql(c: String): String =
+  def polyHashFast(c: Column, base: Long = 31L): Column =
+    graft.functions.PolyHash.polyHashNative(c, base)
+  /** Same, over an arbitrary string-typed SQL expression. `base`
+    * selects the family member (131 backs the d45 pluggable-hash
+    * minhash path — an independent second family, same template). */
+  def polyHashSql(c: String, base: Long = 31L): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($c)+1), i -> CAST(ascii(substring($c, i, 1)) AS BIGINT))), " +
-      s"(acc, x) -> (acc*31 + x) % $P)"
+      s"(acc, x) -> (acc*$base + x) % $P)"
 }

@@ -24,11 +24,15 @@ object Extended {
 
   /** The signature chain over any (doc_id, text) relation — `documents`
     * for the batch oracles, a corpus∪delta CTE for the incremental one
-    * (d55); one generator so the formulas cannot drift. */
-  private def sigCtesOver(table: String) =
+    * (d55); one generator so the formulas cannot drift. `base` selects
+    * the shingle-hash family member (131 = the d45 pluggable-hash
+    * path; min over the distinct'd shingle list equals min over the
+    * raw window list, so the same CTE replays the non-dedup'd native
+    * kernel too). */
+  private def sigCtesOver(table: String, base: Long = 31L) =
     s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $table),
        |sh AS (SELECT doc_id, ${shinglesSql(3)} AS s FROM toks),
-       |hs AS (SELECT doc_id, list_transform(s, sg -> ${polyHashSql("sg")}) AS h FROM sh),
+       |hs AS (SELECT doc_id, list_transform(s, sg -> ${polyHashSql("sg", base)}) AS h FROM sh),
        |sig AS (SELECT doc_id, $sigEntries AS sig FROM hs)""".stripMargin
 
   private val sigCtes = sigCtesOver("documents")
@@ -1515,9 +1519,20 @@ object Extended {
         (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
   }
 
-  /** d45 — production-kernel MinHash (xxhash64): not DuckDB-checkable,
-    * rows-only gate; exists to show the fast path at 100 TB. */
-  val d45MinhashFast: Q = Q.noOracle("d45_minhash_fast") { (s, dir) =>
+  /** d45 — pluggable-kernel MinHash: the same signature operator over
+    * an INDEPENDENT second hash family (base 131, fused
+    * TokenShingleHashes kernel — see Dedup.minhashSignaturesFast for
+    * the one-line xxhash64 swap you'd make at real 100 TB scale).
+    * Oracle-gated since round 10: the portable family lets DuckDB
+    * replay the full exploded signature (the q36/t90 portable-sketch
+    * template applied to banding); CatalogueSpec's recall gate stays
+    * as the second, semantic check. */
+  val d45MinhashFast: Q = Q(
+    "d45_minhash_fast",
+    s"""WITH ${sigCtesOver("documents", base = Dedup.FastHashBase)}
+       |SELECT doc_id, CAST(i AS BIGINT) AS hash_idx, sig[i+1] AS minhash
+       |FROM sig CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS i)
+       |ORDER BY doc_id, hash_idx""".stripMargin) { (s, dir) =>
     // posexplode_outer: a plain Generate gets an inferred size()>0
     // filter pushed below the staged projections (recomputing the
     // signature chain); sig is always length k so outer is identical

@@ -38,11 +38,12 @@ class CatalogueSpec extends SparkSpec {
   }
 
   test("d45 fast-kernel LSH banding recovers the verified near-dup pairs") {
-    // d45 is rows-only at the oracle gate (xxhash64 has no DuckDB
-    // twin) — gate its RECALL here instead: candidates generated from
-    // the fast-kernel signatures must recover the truth set produced
-    // by the portable-kernel nearDuplicates (LSH + exact-Jaccard
-    // verify). Banding recall at J≥0.8 with 4 bands × 2 rows is
+    // d45 is oracle-hash-gated since round 10 (portable base-131
+    // family) — this test is the SECOND, semantic check: candidates
+    // generated from the fast-kernel signatures must recover the
+    // truth set produced by the default-kernel nearDuplicates (LSH +
+    // exact-Jaccard verify). Banding recall at J≥0.8 with 4 bands ×
+    // 2 rows is
     // ≥ 1−(1−0.8²)⁴ ≈ 0.983 per pair; the corpus and both hash
     // kernels are deterministic, so the measured recall is stable —
     // 1.0 today, asserted with headroom for corpus regeneration.

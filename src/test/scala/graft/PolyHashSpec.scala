@@ -83,6 +83,41 @@ class PolyHashSpec extends SparkSpec {
     assert(mism.count() == 0L, mism.take(1).mkString)
   }
 
+  test("base-131 family member == HOF fold with base 131 (d45 portable path)") {
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(50)),
+      Gen.asciiPrintableStr.map(_.take(50)),
+      Gen.const(""), Gen.const("one two three four"),
+      Gen.nonEmptyListOf(Gen.oneOf('a', ' ', 'é', '中')).map(_.mkString.take(30))))
+    val strings = gen.apply(Gen.Parameters.default, Seed(131L)).get
+    val df = strings.toDF("s")
+    // HOF reference fold at base 131 — the same formula the d45 oracle
+    // emits via polyHashSql(c, 131)
+    val hof131 = aggregate(
+      sequence(lit(1), length(col("s"))),
+      lit(0L),
+      (acc, i) => (acc * 131 + ascii(col("s").substr(i, lit(1)))) % TextHash.P)
+    val mism = df.select(
+        hof131.as("hof"),
+        TextHash.polyHashFast(col("s"), base = 131L).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(mism.count() == 0L, mism.take(1).mkString)
+    // fused shingle kernel at base 131 == per-window base-131 poly_hash
+    val docs = graft.engine.Tables.documents(spark, sfDir).limit(100)
+      .select(col("text"))
+      .unionByName(strings.toDF("text"))
+    val toks = TextHash.tokens(col("text"))
+    val hofShingles = when(size(toks) >= 3, transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val mism2 = docs.select(
+        transform(hofShingles, sg => TextHash.polyHashFast(sg, base = 131L)).as("hof"),
+        graft.functions.TokenShingleHashes.tokenShingleHashes(col("text"), 3, base = 131L).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(mism2.count() == 0L, mism2.take(1).mkString)
+  }
+
   test("native minhash signature == array-fold form (incl. empty -> nulls)") {
     val docs = graft.engine.Tables.documents(spark, sfDir).limit(200)
       .select(col("doc_id"), col("text"))
@@ -232,7 +267,7 @@ class PolyHashSpec extends SparkSpec {
     val df = graft.engine.Tables.documents(spark, sfDir)
     val viaExpr = df.select(sum(TextHash.polyHashFast(col("text")))).as[Long].head()
     val viaJvm = df.select(col("text")).as[String].collect()
-      .map(PolyHash.hash).sum
+      .map(PolyHash.hash(_)).sum
     assert(viaExpr == viaJvm)
   }
 
