@@ -9,16 +9,16 @@ import org.apache.spark.sql.functions._
   * any comparison or any accumulated state).
   *
   * Scale shape: the graph lives as a distributed (src, dst) edge
-  * frame; every round is two shuffles (contribution groupBy + rank
-  * join) over skinny 2–3-long-column frames, localCheckpointed via
-  * [[graft.Caches]] to truncate lineage (the d49/d54 loop discipline:
-  * round k's blocks are released as soon as round k+1 materializes,
-  * and frames coalesce to ~64k-row partitions bounded by the session's
-  * shuffle parallelism, so fixture-scale rounds are not pure task
-  * scheduling while a 1e9-node graph still spreads). No collect, no
-  * driver-side graph state: the dangling-mass total rides as a 1-row
-  * broadcast cross join, exactly like the corpus totals in
-  * `TextAnalysis.bm25TopDocs`.
+  * frame, pinned hash-partitioned on the round join key so the
+  * per-round contribution join reuses the cached partitioning; every
+  * round is two shuffles (contribution transpose + rank re-join) over
+  * skinny 2–3-long-column frames. Lineage is truncated per round via
+  * [[graft.Caches]] (the d49/d54 loop discipline: round k's blocks
+  * are released as soon as round k+1 materializes). No collect of
+  * node- or edge-scale data — the only driver-side values are bounded
+  * per-round scalars (convergence delta + dangling-mass total), which
+  * ride the SAME action that materializes each round's checkpoint, so
+  * a probed round costs exactly one job.
   */
 object Graph {
 
@@ -59,31 +59,35 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .transform(d => graft.Caches.pin(d))
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .distinct()
-      .transform(d => graft.Caches.pin(d))
-    val outdeg = e.groupBy(col("src").as("deg_id"))
-      .agg(count(lit(1)).as("outdeg"))
-      .transform(d => graft.Caches.pin(d))
 
-    val spark = edges.sparkSession
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
-    val n = nodes.count()
+    // (id, outdeg) in ONE aggregation over the pinned edges — the
+    // former nodes-distinct + outdeg-groupBy + left-join trio was
+    // three shuffling subtrees materialized as separate AQE stage
+    // jobs; a tagged union folds them into a single groupBy (outdeg
+    // NULL ⟺ the id never appears as src — the dangling marker the
+    // rounds key on). outdeg is loop-INVARIANT: it rides the
+    // checkpointed state (one extra long per node) instead of
+    // re-joining every round. The initial checkpoint is LAZY; the
+    // (n, dangling-count) agg below is the materializing action — one
+    // job does both, and n/base/the initial dangling total all fall
+    // out of it (initial ranks are uniform, so dang₀ = nDang·base
+    // exactly).
+    var (state0, releaseState) = graft.Caches.checkpoint(
+      e.select(col("src").as("id"), lit(1L).as("d"))
+        .unionAll(e.select(col("dst").as("id"), lit(0L).as("d")))
+        .groupBy(col("id"))
+        .agg(when(sum(col("d")) > 0, sum(col("d"))).as("outdeg")),
+      eager = false)
+    val init = state0.agg(
+      count(lit(1)), count(when(col("outdeg").isNull, lit(1)))).head()
+    val n = init.getLong(0)
     require(n > 0, "pageRank: empty graph")
-    val parts = math.max(1L, math.min(shuffleParts, n / 65536L)).toInt
     val base = unit / n
-
-    // outdeg is loop-INVARIANT — it rides the checkpointed state (one
-    // extra long per node) instead of re-joining every round, saving a
-    // shuffle join per iteration. All shared-lineage frames are
-    // re-selected under fresh names per use (nodes, e and the state
-    // descend from one edge scan — qualified df("col") references
-    // across them trip DetectAmbiguousSelfJoin).
-    var (state, releaseState) = graft.Caches.checkpoint(
-      nodes.join(outdeg, col("id") === col("deg_id"), "left")
-        .select(col("id"), col("outdeg"), lit(base).as("rank_fp"))
-        .coalesce(parts))
+    var dang = init.getLong(1) * base
+    // rank enters as a literal projection on round 1's own scan — no
+    // extra checkpoint materialization for the constant column
+    var state = state0.select(col("id"), col("outdeg"),
+      lit(base).as("rank_fp"))
     val eRenamed = e.select(col("src").as("edge_src"), col("dst").as("edge_dst"))
     // convergence early-exit: stop once max |Δrank| ≤ epsUnits. At the
     // default ε = 0 this fires only at the EXACT fixed point — every
@@ -92,16 +96,27 @@ object Graph {
     // (the oracle's unrolled rounds stay valid); ε > 0 is the
     // approximate opt-in. At 100× scale wasted post-convergence rounds
     // are the dominant cost of a fixed-iters loop.
+    // ONE job per round: non-final rounds checkpoint LAZILY and the
+    // fused probe agg (max |Δ| + next round's dangling total, one scan
+    // of the just-materialized state) is the action; the final round
+    // checkpoints eagerly and skips the probe. Release of the previous
+    // state always happens AFTER the new one is materialized — a lazy
+    // localCheckpoint still reads the parent's blocks.
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
+      val last = iter + 1 >= iters
       val (next, releaseNext) = graft.Caches.checkpoint(
-        pageRankRound(state, eRenamed, n, base).coalesce(parts))
+        pageRankRound(state, eRenamed, n, base, dang), eager = last)
+      if (!last) {
+        val (delta, dangNext) = probeRound(next)
+        converged = delta <= epsUnits
+        dang = dangNext
+      }
       releaseState()
       state = next
       releaseState = releaseNext
       iter += 1
-      if (iter < iters) converged = maxDelta(state) <= epsUnits
     }
     state.select(col("id"), col("rank_fp"))
   }
@@ -127,37 +142,43 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .repartition(col("src"))
       .transform(d => graft.Caches.pin(d))
-    val nodes = e.select(col("src").as("id"))
-      .unionAll(e.select(col("dst").as("id")))
-      .distinct()
-      .transform(d => graft.Caches.pin(d))
-    val outw = e.groupBy(col("src").as("deg_id"))
-      .agg(sum(col("w")).as("outdeg"))
-      .transform(d => graft.Caches.pin(d))
-    val spark = edges.sparkSession
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
-    val n = nodes.count()
+    // single-aggregation (id, out-weight) state build + one-job init
+    // agg — see pageRank (w > 0 is enforced above, so sum(d) > 0 ⟺
+    // the id has an out-edge)
+    var (state0, releaseState) = graft.Caches.checkpoint(
+      e.select(col("src").as("id"), col("w").as("d"))
+        .unionAll(e.select(col("dst").as("id"), lit(0L).as("d")))
+        .groupBy(col("id"))
+        .agg(when(sum(col("d")) > 0, sum(col("d"))).as("outdeg")),
+      eager = false)
+    val init = state0.agg(
+      count(lit(1)), count(when(col("outdeg").isNull, lit(1)))).head()
+    val n = init.getLong(0)
     require(n > 0, "pageRankWeighted: empty graph")
-    val parts = math.max(1L, math.min(shuffleParts, n / 65536L)).toInt
     val base = unit / n
-    var (state, releaseState) = graft.Caches.checkpoint(
-      nodes.join(outw, col("id") === col("deg_id"), "left")
-        .select(col("id"), col("outdeg"), lit(base).as("rank_fp"))
-        .coalesce(parts))
+    var dang = init.getLong(1) * base
+    var state = state0.select(col("id"), col("outdeg"),
+      lit(base).as("rank_fp"))
     val eRenamed = e.select(col("src").as("edge_src"),
       col("dst").as("edge_dst"), col("w").as("edge_w"))
-    // same ε-convergence early-exit as pageRank (exact at ε = 0)
+    // same ε-convergence early-exit and one-job-per-round fused probe
+    // as pageRank (exact at ε = 0)
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
+      val last = iter + 1 >= iters
       val (next, releaseNext) = graft.Caches.checkpoint(
-        pageRankRound(state, eRenamed, n, base, weighted = true)
-          .coalesce(parts))
+        pageRankRound(state, eRenamed, n, base, dang, weighted = true),
+        eager = last)
+      if (!last) {
+        val (delta, dangNext) = probeRound(next)
+        converged = delta <= epsUnits
+        dang = dangNext
+      }
       releaseState()
       state = next
       releaseState = releaseNext
       iter += 1
-      if (iter < iters) converged = maxDelta(state) <= epsUnits
     }
     state.select(col("id"), col("rank_fp"))
   }
@@ -165,12 +186,15 @@ object Graph {
   /** One PageRank round as a pure plan over the (id, outdeg, rank_fp)
     * state — split out so the per-round plan shape is auditable
     * (PlanAuditSpec pins: partial-combinable contribution aggregate,
-    * the dangling total as a 1-row BROADCAST nest-loop — not a
-    * cartesian — and no window anywhere). `weighted` switches the
-    * per-edge contribution from r div outdeg (outdeg = out-edge
-    * count) to (r·w) div outdeg (outdeg = out-WEIGHT total). */
+    * no cartesian, no broadcast build, no window anywhere). `dang` is
+    * the CURRENT state's dangling-mass total, supplied as a literal —
+    * it was returned by the previous round's fused probe action (or
+    * the init-time danglingTotal), so the round plans NO per-round
+    * 1-row broadcast build job. `weighted` switches the per-edge
+    * contribution from r div outdeg (outdeg = out-edge count) to
+    * (r·w) div outdeg (outdeg = out-WEIGHT total). */
   private[graft] def pageRankRound(state: DataFrame, eRenamed: DataFrame,
-      n: Long, base: Long, weighted: Boolean = false): DataFrame = {
+      n: Long, base: Long, dang: Long = 0L, weighted: Boolean = false): DataFrame = {
     // per-edge contribution, summed at the target
     val perEdge =
       if (weighted) expr("(rank_fp * edge_w) div outdeg")
@@ -180,27 +204,33 @@ object Graph {
       .groupBy(col("edge_dst"))
       .agg(sum(perEdge).as("contrib"))
       .select(col("edge_dst").as("cid"), col("contrib"))
-    // dangling mass as a 1-row frame (NO collect): nodes with no
-    // out-edges leak their rank; redistribute it uniformly
-    val dangling = state.filter(col("outdeg").isNull)
-      .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+    // dang div n on non-negative longs == Spark div == DuckDB // —
+    // computing it driver-side is bit-identical to the former in-plan
+    // `dang div n` over the broadcast 1-row frame
+    val dangShare = dang / n
     state.select(col("id"), col("outdeg"), col("rank_fp").as("prev_fp"))
       .join(contribs, col("id") === col("cid"), "left")
-      .crossJoin(broadcast(dangling))
       .select(col("id"), col("outdeg"), col("prev_fp"),
         (lit(15L * base / 100L) + expr(
-          s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + dang div CAST($n AS BIGINT))) div 100"))
+          s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + CAST($dangShare AS BIGINT))) div 100"))
           .as("rank_fp"))
   }
 
-  /** Convergence probe for the fixed-point loops: max |Δrank| over the
-    * just-checkpointed round output. The round carries the previous
-    * rank as `prev_fp`, so this is ONE scan of an already-materialized
-    * cached frame (a map + max reduce — no join, no extra shuffle),
-    * not a state-vs-state join. */
-  private def maxDelta(next: DataFrame): Long =
-    next.agg(coalesce(max(abs(col("rank_fp") - col("prev_fp"))), lit(0L)))
-      .head().getLong(0)
+  /** Fused per-round probe: max |Δrank| (convergence) AND the next
+    * round's dangling-mass total in ONE scan of the lazily-
+    * checkpointed round output — this action is what materializes the
+    * checkpoint, so a probed round costs exactly one job. The round
+    * carries the previous rank as `prev_fp`, so no join, no extra
+    * shuffle; the result is a bounded 2-long scalar (the sanctioned
+    * driver-scalar class — same as the streaming watermark scalars). */
+  private def probeRound(next: DataFrame): (Long, Long) = {
+    val r = next.agg(
+      coalesce(max(abs(col("rank_fp") - col("prev_fp"))), lit(0L)),
+      coalesce(sum(when(col("outdeg").isNull, col("rank_fp"))), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
 
   /** Per-node triangle counts by DEGREE-ORDERED ORIENTATION (the
     * classic MapReduce trick — Suri & Vassilvitskii 2011, "Counting

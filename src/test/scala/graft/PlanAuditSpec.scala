@@ -81,18 +81,23 @@ class PlanAuditSpec extends SparkSpec {
       "expected a range repartition carrying the global order")
   }
 
-  test("g01: a pageRank round aggregates contributions map-side; the dangling total broadcasts (no cartesian, no window)") {
+  test("g01: a pageRank round aggregates contributions map-side; the dangling total is a literal (no broadcast build, no cartesian, no window)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val state = Seq((1L, Some(2L), 100L), (2L, Some(1L), 100L), (3L, None, 100L))
       .toDF("id", "outdeg", "rank_fp")
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("edge_src", "edge_dst")
-    val p = graft.operators.Graph.pageRankRound(state, e, n = 3L, base = 100L)
+    val p = graft.operators.Graph.pageRankRound(state, e, n = 3L, base = 100L,
+        dang = 100L)
       .queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("partial_sum"),
       s"expected map-side partial contribution sum:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"expected the 1-row dangling total to broadcast:\n$p")
+    // the dangling share arrives as a literal from the previous
+    // round's fused probe — the former 1-row dangling-total
+    // BroadcastNestedLoopJoin (one broadcast build job per round) must
+    // be gone; small-side equi-join broadcasts are fine
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected nest-loop broadcast in the round plan:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in the round plan:\n$p")
     assert(!p.contains("Window"), s"window in the round plan:\n$p")
   }
