@@ -75,6 +75,23 @@ object WorkDirs {
     java.nio.file.Files.createDirectories(root.getParent)
     root.toString
   }
+
+  /** Per-PROCESS scratch root, for queries whose ORACLE SQL must name
+    * the same staged files the engine wrote (q86): the oracle string
+    * and the query fn are built in the same JVM, so a pid-suffixed
+    * path is deterministic within one process while two concurrent
+    * harness processes (bench + Verify) can never delete each other's
+    * files mid-read — the round-9 race class. Stale roots from dead
+    * pids are bounded (a few KB of staged JSON under java.io.tmpdir)
+    * and must NOT be swept here: deleting another live instance's
+    * root would reintroduce the race this exists to retire. */
+  def processScoped(label: String): String = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work",
+      s"${label}_p${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(root.getParent)
+    root.toString
+  }
 }
 
 /** One catalogue entry: a named query plus (optionally) its DuckDB

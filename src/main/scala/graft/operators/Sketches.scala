@@ -67,8 +67,14 @@ object Sketches {
     require(windowBuckets >= 1,
       s"windowBuckets must be >= 1, got $windowBuckets")
     val bucketUs = bucketSec * 1000000L
-    // floor division (exact for all signs — the q85/resample rule)
+    // floor division (exact for all signs — the q85/resample rule).
+    // Null keys/timestamps are dropped UP FRONT: a null key would
+    // survive pmod/mix as a null register group (n_regs up to 65, so
+    // the (64 − n_regs) estimator term goes negative), and a null ts
+    // has no bucket; both legs must ignore nulls exactly like
+    // countDistinct does.
     val base = df.select(ts.as("graft_ts"), key.as("graft_key"))
+      .filter(col("graft_ts").isNotNull && col("graft_key").isNotNull)
       .select(
         expr(s"(unix_micros(graft_ts) - pmod(unix_micros(graft_ts), ${bucketUs}L))" +
           s" div ${bucketUs}L").as("bucket"),

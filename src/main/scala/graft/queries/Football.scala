@@ -141,18 +141,27 @@ object Football {
     * → whole group `enforcement_failure`, 2022-103 standings
     * reference absent team ids → `empty_or_unjoinable`; apisports
     * 2023-201 healthy (nested J2 header ride-along), 2022-202
-    * unjoinable. The corrupt-input class stays spec-gated
-    * (NormalizeSpec) — an unparseable file would fail the oracle's
-    * read_json rather than dead-letter.
+    * unjoinable. The corrupt-input class is ALSO driver-gated: group
+    * 2021-104 stages a single unparseable teams file
+    * (`corrupt_0.json`); Spark dead-letters it through the REAL
+    * whole-file parse-probe path (`Normalize.corruptPks`, ref
+    * `transforms.py:167-169`), while the oracle's read_json globs
+    * name `run_*.json` only (a filename predicate — so DuckDB never
+    * parses the corrupt bytes) and derive the `corrupt_input` dead
+    * row from `glob()`, which lists files without reading them.
     *
-    * The staged root is a FIXED path (not WorkDirs): the oracle SQL
-    * is a static string and must name the same files the engine
-    * staged; content depends only on the fixed 25-row nation table,
-    * so any sf's run stages identical bytes. The 25-row collect is
-    * the bounded driver-side staging step (Staging's documented
-    * design: acquisition is driver-side, never a distributed job). */
+    * The staged root is PROCESS-scoped (`WorkDirs.processScoped`):
+    * the oracle SQL string and the query fn are built in the same
+    * JVM, so both name the same pid-suffixed path, and two
+    * concurrent harness processes (bench + Verify — the round-9
+    * phantom-FileNotFoundException race) can never delete each
+    * other's staged files mid-read. Content depends only on the
+    * fixed 25-row nation table, so any sf's run stages identical
+    * bytes. The 25-row collect is the bounded driver-side staging
+    * step (Staging's documented design: acquisition is driver-side,
+    * never a distributed job). */
   val q86ParityPipeline: Q = {
-    val root = "/tmp/graft_work/q86_stage"
+    val root = graft.engine.WorkDirs.processScoped("q86_stage")
     // the latestOnly replay: only the lexicographically-latest run file
     // per endpoint DIRECTORY participates (Normalize.latestOnly —
     // without it a second staged run joins 2x teams against 2x
@@ -174,7 +183,7 @@ object Football {
          |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk,
          |    team_key, team_country, venue.venue_name AS venue_name,
          |    venue.venue_city AS venue_city
-         |  FROM read_json('$root/apifootball/*/*/teams/*.json',
+         |  FROM read_json('$root/apifootball/*/*/teams/run_*.json',
          |    format='array', filename=true,
          |    columns={team_key:'VARCHAR', team_name:'VARCHAR',
          |             team_country:'VARCHAR',
@@ -183,7 +192,7 @@ object Football {
          |fstand AS (
          |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
          |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk, *
-         |  FROM read_json('$root/apifootball/*/*/standings/*.json',
+         |  FROM read_json('$root/apifootball/*/*/standings/run_*.json',
          |    format='array', filename=true,
          |    columns={team_id:'VARCHAR', team_name:'VARCHAR', league_id:'VARCHAR',
          |             league_name:'VARCHAR', overall_league_position:'VARCHAR',
@@ -220,7 +229,7 @@ object Football {
          |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
          |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk,
          |    unnest(response) AS r
-         |  FROM read_json('$root/apisports/*/*/teams/*.json',
+         |  FROM read_json('$root/apisports/*/*/teams/run_*.json',
          |    format='unstructured', filename=true,
          |    columns={response:'STRUCT(team STRUCT(id BIGINT, name VARCHAR, country VARCHAR), venue STRUCT(name VARCHAR, city VARCHAR))[]'})
          |  $latest),
@@ -232,7 +241,7 @@ object Football {
          |  SELECT regexp_extract(filename, 'season_(\\d+)', 1) || '-' ||
          |         regexp_extract(filename, 'league_(\\d+)', 1) AS gpk,
          |    response[1].league AS league
-         |  FROM read_json('$root/apisports/*/*/standings/*.json',
+         |  FROM read_json('$root/apisports/*/*/standings/run_*.json',
          |    format='unstructured', filename=true,
          |    columns={response:'STRUCT(league STRUCT(id BIGINT, name VARCHAR, season BIGINT, standings STRUCT(rank BIGINT, team STRUCT(id BIGINT, name VARCHAR), points BIGINT, goalsDiff BIGINT, form VARCHAR, "all" STRUCT(played BIGINT, win BIGINT, draw BIGINT, lose BIGINT, goals STRUCT("for" BIGINT, against BIGINT)))[][]))[]'})
          |  $latest),
@@ -269,8 +278,14 @@ object Football {
          |  SELECT e.gpk, 'empty_or_unjoinable_group' AS error
          |  FROM sexpected e
          |  WHERE e.gpk NOT IN (SELECT DISTINCT gpk FROM sunified)),
+         |cdead AS (
+         |  SELECT regexp_extract(file, 'season_(\\d+)', 1) || '-' ||
+         |         regexp_extract(file, 'league_(\\d+)', 1) AS gpk,
+         |    'corrupt_input' AS error
+         |  FROM glob('$root/*/*/*/*/corrupt_*.json')),
          |dead AS (SELECT gpk, error FROM fdead
-         |  UNION ALL SELECT gpk, error FROM sdead),
+         |  UNION ALL SELECT gpk, error FROM sdead
+         |  UNION ALL SELECT gpk, error FROM cdead),
          |ok AS (
          |  SELECT pk, team_id, team_name, team_country, league_id, league_name,
          |    TRY_CAST(season_s AS BIGINT) AS season,
@@ -380,6 +395,12 @@ object Football {
           () => fbStandings(slice(0, 5), 1000L, 101, ptsShift = 7))))
       Staging.stageAll(s"$root/apisports", "run_0", Seq(
         (2023, 201, "teams", () => spTeams(slice(10, 5), 2000L))))
+      // corrupt-input leg (driver-gated): one unparseable teams file
+      // for group 2021-104 — the sole file in its endpoint dir; Spark
+      // dead-letters it via the whole-file parse probe while the
+      // oracle's run_*.json globs never parse it (see scaladoc)
+      Staging.stageAll(s"$root/apifootball", "corrupt_0", Seq(
+        (2021, 104, "teams", () => "[{\"team_key\": \"truncated mid-")))
       Staging.stageAll(s"$root/apisports", "run_1", Seq(
         (2023, 201, "teams", () => spTeams(slice(10, 5), 2000L)),
         (2023, 201, "standings", () => spStandings(slice(10, 5), 2000L, 201, 2023)),

@@ -327,10 +327,13 @@ object StreamOps {
   /** Streaming per-user transition extraction — the stateful half of
     * the Markov transition matrix (g02's batch lag window re-expressed
     * as O(1)-per-user state): state is ONLY the user's last event
-    * (timestamp + id + type), each micro-batch sorts its own rows by
-    * the batch twin's (ts, event_id) order, chains them behind the
-    * remembered last event, and emits one (prev → next) row per
-    * consecutive pair. Append mode; downstream counting is an ordinary
+    * TYPE ([[LastEvent]] — slimmed from the original timestamp+id+type
+    * record; note this was a state-ENCODER schema change, so a stream
+    * checkpointed against the old three-field state cannot restore —
+    * running streams must restart from a fresh checkpoint), each
+    * micro-batch sorts its own rows by the batch twin's
+    * (ts, event_id) order, chains them behind the remembered last
+    * event, and emits one (prev → next) row per consecutive pair. Append mode; downstream counting is an ordinary
     * aggregation (Spark restricts stateful-after-stateful, so the
     * count lives in the consumer — the test aggregates the memory
     * sink).
@@ -598,9 +601,12 @@ object StreamOps {
   }
 
   /** Maintenance compaction for [[incrementalBfsStream]]'s append-only
-    * state: min-merge every `dist/batch=<id>` partition into the
-    * reserved base partition `batch=-1` and drop the per-batch
-    * partitions, bounding the read-side merge fan-in (the price of
+    * state: min-merge every `dist/batch=<id>` partition (real batches
+    * and previous folds alike) into a FRESH negative-generation
+    * partition `batch=-(g)` (g = 1 + |smallest existing fold id| — the
+    * first fold lands at `batch=-1`, each subsequent fold at a new
+    * negative id, never overwriting in place) and drop the inputs,
+    * bounding the read-side merge fan-in (the price of
     * append-only state grows with batch count otherwise). Correctness
     * under the lattice: the base carries the per-id minimum, so state
     * reads and replayed batches see exactly what they saw before —
@@ -856,36 +862,39 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(stateDir))) return
-    // partition-column inference may type `batch` INT or LONG
-    // depending on the id range — normalize before any getLong
-    val st = spark.read.parquet(stateDir)
-      .withColumn("batch", col("batch").cast("long"))
-    val bounds = st.agg(
-      max(when(col("batch") >= 0, col("batch"))).as("max_real"),
-      min(when(col("batch") < 0, col("batch"))).as("min_fold")).head()
-    if (bounds.isNullAt(0)) return
-    val horizon = bounds.getLong(0) - keepLast
+    // retire candidates come from the FILESYSTEM listing (the
+    // compactBfsState discipline), not from parquet partition values:
+    // a batch whose rows all had null ts writes a ZERO-ROW state
+    // partition, which row-derived ids can never see — those empty
+    // batch=<id> dirs would otherwise accumulate unbounded
+    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .filter(_.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val realIds = ids.filter(_ >= 0)
+    if (realIds.isEmpty) return
+    val horizon = realIds.max - keepLast
     // inputs: retired REAL partitions + every existing fold partition
-    val retired = st.filter(col("batch") <= horizon || col("batch") < 0)
-    // bounded collect: the retired partition-id list (shrinks to ~1
-    // after each fold; never corpus data)
-    val foldIds = retired.select(col("batch")).distinct()
-      .collect().map(_.getLong(0))
+    val foldIds = ids.filter(id => id < 0 || id <= horizon)
     // nothing real to retire -> nothing to do (re-folding just the
     // previous fold would rewrite identical content for no read-side
     // gain)
     if (!foldIds.exists(_ >= 0)) return
+    val retired = spark.read.parquet(
+      foldIds.map(id => s"$stateDir/batch=$id").toSeq: _*)
     val r = retired.agg(max(col("max_us")).as("m")).head()
-    if (r.isNullAt(0)) return
-    val gen = if (bounds.isNullAt(1)) 1L else -bounds.getLong(1) + 1L
+    val gen = 1L - math.min(0L, ids.min) // 1 + |smallest fold id|
     // write-ahead to a FRESH partition, delete inputs after — every
-    // crash point leaves duplicates the max-merge absorbs
-    spark.createDataFrame(
-        java.util.Arrays.asList(org.apache.spark.sql.Row(r.getLong(0))),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("max_us",
-            org.apache.spark.sql.types.LongType))))
-      .write.mode("overwrite").parquet(s"$stateDir/batch=-$gen")
+    // crash point leaves duplicates the max-merge absorbs. All-empty
+    // inputs (every retired partition zero-row, no fold yet) skip the
+    // fold write: deleting rowless dirs loses nothing.
+    if (!r.isNullAt(0)) {
+      spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(r.getLong(0))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("max_us",
+              org.apache.spark.sql.types.LongType))))
+        .write.mode("overwrite").parquet(s"$stateDir/batch=-$gen")
+    }
     foldIds.foreach { id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/batch=$id"), true)
     }
