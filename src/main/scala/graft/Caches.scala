@@ -132,6 +132,40 @@ object Caches {
     (out, release)
   }
 
+  /** Run `f` with adaptive query execution DISABLED on `spark` — the
+    * iterative-loop planning discipline (PageRank, connected
+    * components): a loop round is a FIXED, known plan (skinny
+    * groupBy + co-partitioned join), so AQE buys nothing inside it,
+    * while costing twice per round: (1) an AdaptiveSparkPlan reports
+    * UnknownPartitioning until materialized, so `localCheckpoint`
+    * cannot preserve the round output's hash partitioning and every
+    * subsequent round RE-EXCHANGES node-scale state that is already
+    * correctly partitioned (measured: with AQE off the checkpoint
+    * carries hashpartitioning(id) and a round's only exchange is the
+    * inherent edge-scale transpose); (2) AQE schedules one job per
+    * shuffle stage, tripling per-round driver scheduling. The flag is
+    * consulted at ACTION time, so the wrap must cover the loop's
+    * actions, not its plan construction. Session-scoped flip under
+    * the documented single-process harness contract; always restored.
+    *
+    * Applies to UNIFORM loops only — state size roughly constant per
+    * round (PageRank, connected-components label propagation, BFS
+    * frontiers): there the round plan never changes and partitioning
+    * reuse dominates. SHRINKING loops (k-core peel, star-rewiring
+    * components), whose per-round frames contract by data-dependent
+    * factors, measure FASTER under AQE (runtime coalescing tracks the
+    * shrinkage) — they deliberately do NOT use this wrapper
+    * (A/B-measured at sf0.1: kcore 1.3 s AQE vs 2.3 s static, star
+    * 1.8 vs 2.4; pagerank 1.9 static vs 3.4 AQE, CC 1.3 vs 1.7).
+    */
+  def staticLoopPlans[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    if (sys.env.contains("GRAFT_DEV_AQE_LOOPS")) return f // dev A/B only
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try f finally spark.conf.set(k, prev)
+  }
+
   /** Drop every block the library pinned since the last release —
     * and only those. See the class doc for when this is safe. */
   def releaseAll(): Unit = {

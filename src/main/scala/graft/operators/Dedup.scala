@@ -689,7 +689,8 @@ object Dedup {
     * round to a loop whose cost is almost pure round latency.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 25, validate: Boolean = false): DataFrame = {
+      maxIter: Int = 25, validate: Boolean = false): DataFrame =
+      graft.Caches.staticLoopPlans(nodes.sparkSession) {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))

@@ -46,7 +46,8 @@ object Graph {
     * `(id, base)` rows afterwards.
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
-      unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame = {
+      unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame =
+      graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(iters >= 1, "pageRank needs at least one iteration")
     require(epsUnits >= 0L, "epsUnits must be non-negative")
     // pinned PRE-SHUFFLED on the per-round join key: the cached blocks
@@ -132,7 +133,8 @@ object Graph {
     * 1e12 leaves 9.2e6 of weight headroom per edge, enough for
     * count-style weights; scale weights down if yours are larger. */
   def pageRankWeighted(edges: DataFrame, iters: Int = 3,
-      unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame = {
+      unit: Long = 1000000000000L, epsUnits: Long = 0L): DataFrame =
+      graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(iters >= 1, "pageRankWeighted needs at least one iteration")
     require(epsUnits >= 0L, "epsUnits must be non-negative")
     // pre-shuffled pin on src — see pageRank's e
@@ -309,7 +311,8 @@ object Graph {
     * Output: (id, label) for seeds plus every node reached within
     * `rounds` hops of one. */
   def labelPropagate(edges: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+      graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(rounds >= 1, "labelPropagate needs at least one round")
     // pre-shuffled pin on the per-round join key (see pageRank's e)
     val sym = edges.select(col("a").cast("long").as("na"),
@@ -374,7 +377,8 @@ object Graph {
     * distance 0. Output: (id, dist) for every node within `maxHops`;
     * unreachable nodes are absent. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int): DataFrame =
+      graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(maxHops >= 0, "bfsDistances: maxHops must be non-negative")
     // pre-shuffled pin on the per-round join key (see pageRank's e)
     val e = edges.select(col("src").cast("long").as("src"),
@@ -438,7 +442,8 @@ object Graph {
     * duplicate seed ids fold to their min label. Output:
     * (id, dist, label); unreachable nodes absent. */
   def nearestSeedLabels(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int): DataFrame =
+      graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(maxHops >= 0, "nearestSeedLabels: maxHops must be non-negative")
     // pre-shuffled pin on the per-round join key (see pageRank's e)
     val e = edges.select(col("src").cast("long").as("src"),
