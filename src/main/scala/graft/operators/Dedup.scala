@@ -194,8 +194,19 @@ object Dedup {
     * anywhere. Output: (a, b, shared), a < b. */
   def fingerprintOverlapPairs(docs: DataFrame, id: Column, text: Column,
       k: Int = 4, w: Int = 8, minShared: Int = 2, maxDf: Int = 8): DataFrame = {
-    val idx = graft.operators.TextAnalysis.winnowIndex(docs, id, text, k, w)
-      .select(col("doc_id"), col("fp")).distinct()
+    // (doc_id, fp) distinct computed PER DOC in the scan stage
+    // (array_distinct over the winnowed selection, before the
+    // explode): the rows leave the scan already unique, so the
+    // corpus-scale shuffle a post-explode .distinct() would pay is
+    // gone. Same selection as TextAnalysis.winnowIndex minus the
+    // positions d65 never uses.
+    val idx = docs
+      .select(id.as("doc_id"),
+        graft.functions.PolyHashShingles.polyHashShingles(text, k).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          graft.functions.WinnowPositions.winnowPositions(col("hs"), w),
+          p => element_at(col("hs"), p.cast("int"))))).as("fp"))
       .transform(d => graft.Caches.pin(d))
     // df >= 2 is pure pruning (a df-1 fingerprint cannot pair);
     // df <= maxDf is the semantic cap mirrored by the oracle
