@@ -98,7 +98,13 @@ object Normalize {
       col("venue.venue_name").as("t_venue_name"),
       col("venue.venue_city").as("t_venue_city"))
     val s = standings
-    s.join(broadcast(t),
+    // no broadcast HINT: teams are ~20 rows per group but the frame
+    // spans EVERY group in the staged root, so its size scales with
+    // the corpus — a forced broadcast is a driver-OOM bet at 100 TB.
+    // AQE converts to a broadcast join at runtime when the side is
+    // actually small (every harness run), and keeps the co-shuffled
+    // join when it is not. Same J1 semantics either way.
+    s.join(t,
         s("pk") === t("t_pk") && s("team_id") === t("team_key"), "inner")
       .select(
         // the TRUE group key rides along (pruned by enforcement):
@@ -182,7 +188,10 @@ object Normalize {
       col("league.name").cast("string").as("league_name"),
       col("league.season").cast("long").as("season"),
       explode(try_element_at(col("league.standings"), lit(1))).as("standing"))
-    rows.join(broadcast(t),
+    // unhinted for the same reason as apiFootball's teams join: the
+    // teams frame scales with the staged corpus, AQE broadcasts it
+    // exactly when it is small
+    rows.join(t,
         rows("pk") === t("t_pk") && rows("standing.team.id") === t("t_team_id"), "inner")
       .select(
         col("pk").as("_group_pk"),

@@ -195,6 +195,12 @@ final class StagedJsonScan(root: String, required: StructType,
     // subtrees — at object-store scale the listing calls themselves
     // are the cost being pruned
     val fs = new HPath(root).getFileSystem(conf.value)
+    // a root that does not exist (yet) is an EMPTY table, not a
+    // planning-time FileNotFoundException — the same contract as the
+    // engine's glob readers (Normalize.staged, FileLedger.newFiles):
+    // ingestion pipelines routinely plan against a landing dir the
+    // producer has not created on the first run
+    if (!fs.exists(new HPath(root))) return Array.empty
     val out = Array.newBuilder[InputPartition]
     // evaluate only the pushed filters constraining `attr` (the other
     // two value slots are never read by satisfies for those filters)

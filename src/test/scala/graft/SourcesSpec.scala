@@ -188,6 +188,15 @@ class SourcesSpec extends SparkSpec {
     assert(got == Seq((2024L, 3L, "teams")))
   }
 
+  test("a root that does not exist yet is an empty table, not a planning error") {
+    // ingestion pipelines plan against a landing dir the producer has
+    // not created on the first run — same contract as the glob readers
+    val ghost = Files.createTempDirectory("graft_staged_ghost").toString + "/never_created"
+    val df = spark.read.format("staged-json").load(ghost)
+    assert(df.count() == 0L)
+    assert(df.filter(col("season") === 2024).count() == 0L)
+  }
+
   test("staged source feeds the existing normalizer contract (season/league = pk parts)") {
     val pk = load.filter(col("endpoint") === "teams")
       .select(concat_ws("-", col("season"), col("league")).as("pk"))
