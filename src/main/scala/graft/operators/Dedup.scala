@@ -1081,18 +1081,23 @@ object Dedup {
     require(spanTokens >= 1, s"spanTokens must be positive, got $spanTokens")
     // posexplode: the generator position IS the window start (same
     // determinism argument as segmentDedup — never a row_number over
-    // exploded rows)
-    val wins = df.select(id.as("doc_id"), tokens(text).as("t"))
-      .select(col("doc_id"), posexplode_outer(
-        when(size(col("t")) >= spanTokens,
-          transform(sequence(lit(1), size(col("t")) - (spanTokens - 1)),
-            i => concat_ws(" ",
-              (0 until spanTokens).map(j => element_at(col("t"), i + j)): _*)))
-          .otherwise(array().cast("array<string>"))))
-      .toDF("doc_id", "pos", "w")
-      .filter(col("w").isNotNull)
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"),
-        polyHashFast(col("w")).as("h"))
+    // exploded rows). Window hashes come from the native one-pass
+    // TokenShingleHashes kernel — element w IS
+    // poly_hash(concat_ws(' ', tokens[w..w+n-1])) by the kernel's
+    // contract (property-tested), so the relational oracle twin is
+    // unchanged; the former interpreted concat-per-window HOF was the
+    // t97 anti-pattern (measured here: d59 2.0 → 0.6 s warm at
+    // sf0.1). _outer blocks InferFiltersFromGenerate from pushing a
+    // size()>0 filter that would re-run the kernel per row; the
+    // repartition spreads the per-char kernel off the compact scan
+    // partitions (the nearDuplicates rule).
+    val wins = df.repartition(id)
+      .select(id.as("doc_id"),
+        graft.functions.TokenShingleHashes.tokenShingleHashes(text, spanTokens).as("hs"))
+      .select(col("doc_id"), posexplode_outer(col("hs")))
+      .toDF("doc_id", "pos", "h")
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"), col("h"))
     // wins feeds two consumers (the firsts aggregation and the
     // occurrence join) and is DELIBERATELY recomputed, not pinned:
     // unlike d57's id-narrow frame this is corpus-token-sized, and
