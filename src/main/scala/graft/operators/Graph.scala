@@ -404,14 +404,21 @@ object Graph {
       val dist = layers.reduce(_ unionAll _)
       // releasing a superseded frontier would orphan its layer in the
       // union (checkpoints have no lineage to recompute) — layers stay
-      // pinned until the caller's Caches.releaseAll() boundary
-      val next = graft.Caches.checkpoint(
+      // pinned until the caller's Caches.releaseAll() boundary.
+      // The layer checkpoints at FULL shuffle parallelism and the
+      // task-count-bounding coalesce is applied NARROW afterwards,
+      // sized by the layer's own count — sizing the pre-checkpoint
+      // frame by the PREVIOUS frontier undercounts by the branching
+      // factor (a small seed set's hop-1 frontier is its whole
+      // neighborhood), funneling a possibly-huge layer through
+      // parts(prev)=1 partition at materialization.
+      val ck = graft.Caches.checkpoint(
         frontier.join(e, frontier("id") === e("src"))
           .select(e("dst").as("id")).distinct()
           .join(dist, Seq("id"), "left_anti")
-          .select(col("id"), lit(hop.toLong).as("dist"))
-          .coalesce(parts(n)))._1
-      n = next.count()
+          .select(col("id"), lit(hop.toLong).as("dist")))._1
+      n = ck.count()
+      val next = ck.coalesce(parts(n))
       frontier = next
       layers = layers :+ next
       hop += 1
@@ -465,14 +472,18 @@ object Graph {
     var hop = 1
     while (n > 0 && hop <= maxHops) {
       val known = layers.reduce(_ unionAll _).select(col("id"))
-      val next = graft.Caches.checkpoint(
+      // checkpoint at full parallelism, then narrow-coalesce sized by
+      // the layer's OWN count — see bfsDistances (sizing by the
+      // previous frontier funnels a branching-factor-larger layer
+      // through too few partitions at materialization)
+      val ck = graft.Caches.checkpoint(
         frontier.join(e, frontier("id") === e("src"))
           .select(e("dst").as("id"), frontier("label").as("label"))
           .groupBy(col("id")).agg(min(col("label")).as("label"))
           .join(known, Seq("id"), "left_anti")
-          .select(col("id"), lit(hop.toLong).as("dist"), col("label"))
-          .coalesce(parts(n)))._1
-      n = next.count()
+          .select(col("id"), lit(hop.toLong).as("dist"), col("label")))._1
+      n = ck.count()
+      val next = ck.coalesce(parts(n))
       frontier = next
       layers = layers :+ next
       hop += 1

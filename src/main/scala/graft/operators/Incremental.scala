@@ -112,7 +112,15 @@ object Incremental {
     val live = base.join(deleteIds.select(col(idName)), Seq(idName), "left_anti")
       .select(keys :+ cents.as("graft_cents"): _*)
       .unionByName(inserts.select(keys :+ cents.as("graft_cents"): _*))
-    val recomputed = live.join(affectedKeys, keyNames, "left_semi")
+    // null-SAFE semi-join (the same <=> rule as every other key match
+    // here): a usingColumns semi-join compares with ===, so a
+    // null-keyed group whose minimum was deleted would never match its
+    // surviving live rows and the group would vanish from the view
+    // even though rows remain
+    val aff = affectedKeys
+      .select(keyNames.map(k => col(k).as(s"aff_$k")): _*)
+    val condAff = keyNames.map(k => col(k) <=> col(s"aff_$k")).reduce(_ && _)
+    val recomputed = live.join(aff, condAff, "left_semi")
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_events"), min(col("graft_cents")).as("min_cents"))
     algebraic.unionByName(recomputed)

@@ -1919,6 +1919,26 @@ class OperatorsSpec extends SparkSpec {
       "d" -> (1L, 99L))) // insert-only new group
   }
 
+  test("maintainMin: a null-keyed group taking the recompute path keeps its surviving rows") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    // null-key group {10, 20}: deleting the min (10) forces the
+    // recompute path — the semi-join back to live rows must match the
+    // null key null-safely or the group vanishes despite row 2 surviving
+    val base = Seq(
+      (1L, None, 10L), (2L, None, 20L),
+      (3L, Some("a"), 5L)).toDF("event_id", "k", "cents")
+    val inserts = spark.emptyDataset[(Long, Option[String], Long)]
+      .toDF("event_id", "k", "cents")
+    val deleteIds = Seq(1L).toDF("event_id")
+    val got = Incremental.maintainMin(base, inserts, deleteIds,
+        Seq("k"), "event_id", col("cents"))
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      None -> (1L, 20L),       // recompute path, null key
+      Some("a") -> (1L, 5L)))  // untouched group
+  }
+
   test("featureHash: signed bucket counts are the exact signed histogram, l1 bounded by token count") {
     import graft.operators.{TextAnalysis, TextHash}
     val out = TextAnalysis.featureHash(docs, col("doc_id"), col("text"), dim = 64)
