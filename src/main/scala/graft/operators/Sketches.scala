@@ -151,7 +151,14 @@ object Sketches {
     require(k >= 1 && windowBuckets >= 1,
       s"k and windowBuckets must be positive, got $k/$windowBuckets")
     val bucketUs = bucketSec * 1000000L
+    // nulls are ignored exactly like SQL median ignores null values
+    // (and like rollingHllDistinct's countDistinct rule): a null key
+    // hashes to a null h that Spark orders FIRST and DuckDB orders
+    // LAST, so an unfiltered null would crowd the sample on one engine
+    // only — a silent cross-engine divergence, not just noise
     val base = df.select(ts.as("graft_ts"), key.as("graft_key"), value.as("graft_v"))
+      .filter(col("graft_ts").isNotNull && col("graft_key").isNotNull &&
+        col("graft_v").isNotNull)
       .select(
         expr(s"(unix_micros(graft_ts) - pmod(unix_micros(graft_ts), ${bucketUs}L))" +
           s" div ${bucketUs}L").as("bucket"),

@@ -3159,7 +3159,8 @@ object Extended {
          |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
          |         ((event_id % $P) + $P) % $P AS k0,
          |         CAST(round(value * 100) AS BIGINT) AS cents
-         |  FROM events),
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL),
          |b AS (SELECT bucket, ${Sketches.bigintMixSql("k0")} AS h, k0, cents FROM ev),
          |sb AS (SELECT bucket, h, k0, cents,
          |         row_number() OVER (PARTITION BY bucket ORDER BY h, k0) AS rk FROM b),

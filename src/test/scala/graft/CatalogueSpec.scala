@@ -172,4 +172,29 @@ class CatalogueSpec extends SparkSpec {
     }
     graft.Caches.releaseAll()
   }
+
+  test("rollingMedianSample ignores null key/ts/value rows (the countDistinct null rule)") {
+    // a null key hashes to null h, which Spark orders FIRST and DuckDB
+    // orders LAST — unfiltered it would crowd the sample on one engine
+    // only; the operator drops nulls like SQL median does
+    import spark.implicits._
+    val clean = (0 until 200).map { i =>
+      (Some(i.toLong), Some(0L), Some(i * 0.01))
+    }
+    val dirty = clean ++ Seq(
+      (None, Some(0L), Some(9.99)),              // null key
+      (Some(900L), None, Some(9.99)),            // null ts
+      (Some(901L), Some(0L), Option.empty[Double])) // null value
+    def run(rows: Seq[(Option[Long], Option[Long], Option[Double])]) =
+      graft.operators.Sketches.rollingMedianSample(
+          rows.toDF("event_id", "us", "value")
+            .select(col("event_id"),
+              org.apache.spark.sql.functions.expr("timestamp_micros(us)").as("ts"),
+              col("value")),
+          col("ts"), col("event_id"), col("value"), bucketSec = 3600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    assert(run(dirty) == run(clean))
+    graft.Caches.releaseAll()
+  }
 }
