@@ -53,12 +53,18 @@ object Graph {
     // pinned PRE-SHUFFLED on the per-round join key: the cached blocks
     // carry hashpartitioning(src), so every round's contribution join
     // reuses the partitioning instead of re-exchanging the (large)
-    // edge frame — one upfront shuffle replaces one per iteration
+    // edge frame — one upfront shuffle replaces one per iteration.
+    // distinct AFTER the repartition, not before: hashpartitioning(src)
+    // satisfies the dedup aggregate's ClusteredDistribution(src, dst)
+    // (same-src rows are colocated), so the whole build is ONE
+    // edge-scale exchange — distinct-then-repartition paid two. The
+    // exchange carries raw (pre-dedup) rows; inputs with extreme
+    // duplication should pre-dedupe upstream.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
       .repartition(col("src"))
+      .distinct()
       .transform(d => graft.Caches.pin(d))
 
     // (id, outdeg) in ONE aggregation over the pinned edges — the
@@ -137,12 +143,15 @@ object Graph {
       graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(iters >= 1, "pageRankWeighted needs at least one iteration")
     require(epsUnits >= 0L, "epsUnits must be non-negative")
-    // pre-shuffled pin on src — see pageRank's e
+    // pre-shuffled pin on src; the parallel-edge pre-sum groups on
+    // (src, dst) ON TOP of the src repartition — hashpartitioning(src)
+    // satisfies the aggregate's distribution, so the build is one
+    // exchange (see pageRank's e)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .filter(col("src") =!= col("dst") && col("w") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .transform(d => graft.Caches.pin(d))
     // single-aggregation (id, out-weight) state build + one-job init
     // agg — see pageRank (w > 0 is enforced above, so sum(d) > 0 ⟺
@@ -314,14 +323,15 @@ object Graph {
       rounds: Int): DataFrame =
       graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(rounds >= 1, "labelPropagate needs at least one round")
-    // pre-shuffled pin on the per-round join key (see pageRank's e)
+    // pre-shuffled pin on the per-round join key; distinct rides the
+    // repartition's partitioning — one exchange (see pageRank's e)
     val sym = edges.select(col("a").cast("long").as("na"),
         col("b").cast("long").as("nb"))
       .unionAll(edges.select(col("b").cast("long").as("na"),
         col("a").cast("long").as("nb")))
       .filter(col("na") =!= col("nb"))
-      .distinct()
       .repartition(col("na"))
+      .distinct()
       .transform(d => graft.Caches.pin(d))
     var (labels, releaseLabels) = graft.Caches.checkpoint(
       seeds.select(col("id").cast("long").as("id"),
@@ -380,11 +390,12 @@ object Graph {
       maxHops: Int): DataFrame =
       graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(maxHops >= 0, "bfsDistances: maxHops must be non-negative")
-    // pre-shuffled pin on the per-round join key (see pageRank's e)
+    // pre-shuffled pin on the per-round join key; distinct rides the
+    // repartition's partitioning — one exchange (see pageRank's e)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .distinct()
       .transform(d => graft.Caches.pin(d))
     val spark = edges.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
@@ -452,11 +463,12 @@ object Graph {
       maxHops: Int): DataFrame =
       graft.Caches.staticLoopPlans(edges.sparkSession) {
     require(maxHops >= 0, "nearestSeedLabels: maxHops must be non-negative")
-    // pre-shuffled pin on the per-round join key (see pageRank's e)
+    // pre-shuffled pin on the per-round join key; distinct rides the
+    // repartition's partitioning — one exchange (see pageRank's e)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .distinct()
       .transform(d => graft.Caches.pin(d))
     val spark = edges.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
