@@ -389,18 +389,20 @@ object TextAnalysis {
     * pinned via graft.Caches (three consumers), released at the
     * caller's Caches.releaseAll() boundary. */
   /** Per-(doc, bigram) occurrence counts — the shared front of the
-    * bigram-LM family (explode_outer, not explode: a plain Generate
-    * lets the optimizer infer size(...) > 0 and push it below the
-    * staged token chain, re-inlining the tokenize into the filter —
-    * the round-1 lesson; short docs' null rows drop after the
-    * aggregate instead). */
+    * bigram-LM family. Bigram strings come from the native one-pass
+    * WordShingles kernel — element w IS
+    * concat_ws(' ', tokens[w], tokens[w+1]) by the kernel's contract
+    * (property-tested string equality in PolyHashSpec), so the
+    * relational oracles are unchanged; the former interpreted
+    * concat-per-window HOF was the t97/d59 anti-pattern. explode_outer,
+    * not explode: a plain Generate lets the optimizer infer a
+    * size(...) > 0 filter that would re-run the kernel per row (the
+    * round-1 lesson); short docs' empty arrays yield null rows that
+    * drop after the aggregate instead. */
   private def bigramCounts(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("doc_id"), tokens(text).as("t"))
-      .select(col("doc_id"), explode_outer(
-        when(size(col("t")) >= 2,
-          transform(sequence(lit(1), size(col("t")) - 1),
-            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("bg"))
+    df.select(id.as("doc_id"),
+        graft.functions.WordShingles.wordShingles(text, 2).as("bgs"))
+      .select(col("doc_id"), explode_outer(col("bgs")).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
       .filter(col("bg").isNotNull)
 

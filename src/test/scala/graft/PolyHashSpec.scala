@@ -83,6 +83,30 @@ class PolyHashSpec extends SparkSpec {
     assert(mism.count() == 0L, mism.take(1).mkString)
   }
 
+  test("word_shingles STRINGS == the staged HOF windows (the bigram-family contract)") {
+    // bigramCounts (t71/t80/q...) keys its aggregation and joins on
+    // these exact strings — the kernel must reproduce the HOF bigram
+    // builder byte-for-byte, split rules included
+    val gen = Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(60)),
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.const(""), Gen.const("one two"), Gen.const("  padded   spaces  "),
+      Gen.nonEmptyListOf(Gen.oneOf('a', 'B', ' ', ' ', 'é', '中')).map(_.mkString.take(40))))
+    val strings = gen.apply(Gen.Parameters.default, Seed(31L)).get
+    val df = strings.toDF("text")
+      .unionByName(graft.engine.Tables.documents(spark, sfDir)
+        .select(col("text")).limit(100))
+    val toks = TextHash.tokens(col("text"))
+    val hof = when(size(toks) >= 2, transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val mism = df.select(hof.as("hof"),
+        graft.functions.WordShingles.wordShingles(col("text"), 2).as("native"))
+      .filter(!(col("hof") <=> col("native")))
+    assert(mism.count() == 0L, mism.take(1).mkString)
+  }
+
   test("base-131 family member == HOF fold with base 131 (d45 portable path)") {
     val gen = Gen.listOfN(300, Gen.oneOf(
       Gen.alphaNumStr.map(_.take(50)),
