@@ -97,6 +97,33 @@ class AsOfSpec extends SparkSpec {
     assert(b == (Some(2.0), None), s"sorted form: $b")
   }
 
+  test("randomized agreement: join+window and union-sorted forms match on 400x400 generated rows") {
+    // fixtures pin the known edge classes; this pins the classes
+    // nobody thought of — dense key collisions, repeated times, and
+    // payload ties drawn from a tiny domain so every tie rule fires
+    val rnd = new scala.util.Random(4242)
+    val lrows = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(50).toLong)
+    }
+    val rrows = (1 to 400).map { _ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, rnd.nextInt(5).toDouble)
+    }
+    val l = lrows.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"))
+    val r = rrows.toDF("p_user", "p_us", "value")
+      .select(col("p_user"), expr("timestamp_micros(p_us)").as("p_ts"),
+        col("value"))
+    val a = run(AsOf.asofJoin(l, r,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    val b = run(AsOf.asofJoinSorted(l, r,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    assert(a.size == 400 && a == b,
+      s"forms disagree on ${a.toSet.diff(b.toSet).take(3)} ...")
+  }
+
   test("logical-plan operator form (Catalyst node + rewrite rule) agrees with the composed form") {
     val out = AsOf.asofJoin(left, right,
       col("user_id"), col("p_user"), col("ts"), col("p_ts"),

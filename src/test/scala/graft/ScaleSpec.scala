@@ -49,6 +49,41 @@ class ScaleSpec extends SparkSpec {
     assert(bucketized == naive && naive.nonEmpty)
   }
 
+  test("interval join: bucket probe covers the window across the epoch (negative timestamps)") {
+    // the bucket ids use truncating `div`, whose buckets around zero
+    // differ from floor division (bucket 0 spans (-w, w)) — the
+    // two-bucket probe {trunc(lt/w), trunc(lt/w)-1} must still cover
+    // every rt in [lt-w, lt] for all sign combinations; randomized
+    // pre/post-epoch micros vs the naive BETWEEN formulation
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val wSec = 60L
+    val span = 5 * wSec * 1000000L // ±5 windows around the epoch
+    val lrows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(6).toLong, rnd.nextLong() % span)
+    }
+    val rrows = (1 to 300).map { i =>
+      (1000L + i, rnd.nextInt(6).toLong, rnd.nextLong() % span)
+    }
+    val l = lrows.toDF("lid", "k", "us")
+      .select(col("lid"), col("k"), expr("timestamp_micros(us)").as("lt"))
+    val r = rrows.toDF("rid", "rk", "rus")
+      .select(col("rid"), col("rk"), expr("timestamp_micros(rus)").as("rt"))
+    val bucketized = graft.operators.Interval.joinLookback(l, r,
+        col("k"), col("rk"), col("lt"), col("rt"),
+        Seq("lid"), Seq("rid"), w = wSec)
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val naive = l.join(r,
+        col("k") === col("rk") &&
+          unix_micros(col("rt")) >= unix_micros(col("lt")) - wSec * 1000000L &&
+          unix_micros(col("rt")) <= unix_micros(col("lt")))
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(bucketized == naive && naive.nonEmpty,
+      s"missing=${(naive -- bucketized).take(3)} extra=${(bucketized -- naive).take(3)}")
+  }
+
   test("bloom prune filters fact rows before the shuffle, result exact") {
     val li = graft.engine.Tables.lineitem(spark, sfDir)
     val hot = graft.engine.Tables.orders(spark, sfDir)
