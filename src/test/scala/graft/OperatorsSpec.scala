@@ -1828,6 +1828,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Diff.diff: null key components match across sides; null column values compare null-safely") {
+    import spark.implicits._
+    val before = Seq(
+      (Option(1L), "x", Option(10L)), // unchanged -> absent from output
+      (Option.empty[Long], "x", Option(5L)), // null key part, value changes
+      (Option(2L), "x", Option.empty[Long]), // null value both sides -> unchanged
+      (Option(4L), "x", Option(9L))) // removed
+      .toDF("k1", "k2", "v")
+    val after = Seq(
+      (Option(1L), "x", Option(10L)),
+      (Option.empty[Long], "x", Option(7L)), // must classify CHANGED, not added+removed
+      (Option(2L), "x", Option.empty[Long]),
+      (Option(3L), "x", Option(1L))) // added
+      .toDF("k1", "k2", "v")
+    val got = graft.operators.Diff.diff(before, after, Seq("k1", "k2"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(2))
+      .toMap
+    assert(got == Map(
+      None -> "changed",
+      Some(4L) -> "removed",
+      Some(3L) -> "added"))
+  }
+
   test("continuousPercentileDisc equals discretePercentile on every pct, ties and degenerate groups included") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
