@@ -265,7 +265,9 @@ object Normalize {
         .filter(col("src_path") === col("_last")).drop("_last")
     }
 
-    // cache: multiple consumers each (normalize + group audits).
+    // pinned via graft.Caches (multiple consumers each: normalize +
+    // group audits) so the library-wide releaseAll() contract reaches
+    // these blocks — a bare .cache() would outlive the query.
     // `_corrupt_record` must be dropped BEFORE caching: materializing a
     // cache selects every column, and for a fully-corrupt file that is
     // only the corrupt-record column, which Spark refuses to query off
@@ -276,9 +278,8 @@ object Normalize {
     def staged(glob: String): DataFrame =
       try {
         val df = readStaged(spark, glob)
-        latestOnly(
-          if (df.columns.contains("_corrupt_record")) df.drop("_corrupt_record") else df)
-          .cache()
+        graft.Caches.pin(latestOnly(
+          if (df.columns.contains("_corrupt_record")) df.drop("_corrupt_record") else df))
       } catch {
         case _: org.apache.spark.sql.AnalysisException => emptyPks("src_path", "pk")
       }
@@ -309,8 +310,8 @@ object Normalize {
         .select(Paths.extractPk(col("path")).as("pk"), col("path"))
       catch { case _: org.apache.spark.sql.AnalysisException =>
         emptyPks("pk", "path") }
-    val files = fileList(s"$root/*/*/teams/*.json")
-      .unionByName(fileList(s"$root/*/*/standings/*.json")).cache()
+    val files = graft.Caches.pin(fileList(s"$root/*/*/teams/*.json")
+      .unionByName(fileList(s"$root/*/*/standings/*.json")))
     val expected = files.select(col("pk")).distinct()
     // per-group staged-file provenance for the dead-letter records
     // (ref transforms.py:184 carries the group's file list)
