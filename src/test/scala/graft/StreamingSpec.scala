@@ -898,4 +898,36 @@ class StreamingSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(lateIds.contains(100L) && !lateIds.contains(101L))
   }
+
+  test("compaction retires ZERO-ROW state partitions (all-null-ts batches)") {
+    // a batch whose rows all lack an event time writes a rowless
+    // state partition; retire candidates must come from the
+    // filesystem listing (the round-10 ADVICE fix) — row-derived
+    // partition values can never see these dirs, which would
+    // otherwise accumulate unbounded
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_latez").toString
+    val (st, out, late) = (s"$root/state", s"$root/out", s"$root/late")
+    def row(id: Long, t: String) =
+      Seq((id, ts(s"2024-01-01 $t"))).toDF("event_id", "ts")
+    val nullRow = Seq((900L, Option.empty[java.sql.Timestamp]))
+      .toDF("event_id", "ts")
+    val lag = 10L * 60 * 1000000
+    StreamOps.lateBatch(spark, row(0L, "10:00:00"), 0L, st, out, late, lag)
+    StreamOps.lateBatch(spark, nullRow, 1L, st, out, late, lag) // zero-row
+    StreamOps.lateBatch(spark, nullRow, 2L, st, out, late, lag) // zero-row
+    (3L to 6L).foreach { i =>
+      StreamOps.lateBatch(spark, row(i, f"10:${i}%02d:00"), i, st, out, late, lag)
+    }
+    def partitions() = new java.io.File(st).list().filter(_.startsWith("batch=")).toSet
+    assert(partitions().size == 7, s"setup: ${partitions()}")
+    def watermark() = spark.read.parquet(st)
+      .agg(org.apache.spark.sql.functions.max("max_us")).head().getLong(0)
+    val before = watermark()
+    StreamOps.lateCompactState(spark, st, keepLast = 2)
+    // batches 0..4 fold — INCLUDING the rowless batch=1/batch=2 dirs
+    assert(partitions() == Set("batch=-1", "batch=5", "batch=6"),
+      s"zero-row partitions survived compaction: ${partitions()}")
+    assert(watermark() == before, "compaction moved the watermark")
+  }
 }
