@@ -138,14 +138,12 @@ object SchemaRegistry {
     * try_cast is the identity and cannot null a non-null).
     *
     * Scale: 2V+1 filtered passes (ok + dead per version + the unknown
-    * sweep) all derive from one input frame, which is persisted here
-    * so the source is scanned once, not 2V+1 times. The cache lives
-    * until the session evicts it — callers enforcing many batches in
-    * one session own the unpersist (`spark.catalog.clearCache()`
-    * between batches, the same contract as Dedup.nearDuplicates). At
-    * warehouse scale, prefer staging layouts partitioned BY
-    * schema_version so each pass prunes to its own files instead of
-    * caching the corpus.
+    * sweep) all derive from one input frame, which is pinned via
+    * [[graft.Caches]] so the source is scanned once, not 2V+1 times —
+    * released at the caller's `Caches.releaseAll()` boundary (the
+    * library-wide contract). At warehouse scale, prefer staging
+    * layouts partitioned BY schema_version so each pass prunes to its
+    * own files instead of caching the corpus.
     * Dead rows carry the original columns + `error` and union with
     * missing-column tolerance, since different generations have
     * different raw shapes. */
@@ -159,7 +157,7 @@ object SchemaRegistry {
     // read batch state, not the source
     val src =
       if (df.isStreaming) df
-      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else graft.Caches.pin(df)
     val known = registry.keys.map(_.toString).toSeq
     val splits = registry.toSeq.sortBy(_._1).map { case (v, doc) =>
       val sub = src.filter(col("schema_version") === v.toString)
