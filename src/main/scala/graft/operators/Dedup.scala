@@ -702,10 +702,11 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 25, validate: Boolean = false): DataFrame =
       graft.Caches.staticLoopPlans(nodes.sparkSession) {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
-      .persist(MEMORY_AND_DISK)
+    // pinned via the Caches registry (releasable at the caller's
+    // releaseAll boundary — a bare persist would outlive the query)
+    val sym = graft.Caches.pin(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst"))))
     if (validate) {
       val missing = sym.select(col("src").as("id")).distinct()
         .join(nodes.select(col("id")), Seq("id"), "left_anti").count()
