@@ -157,7 +157,19 @@ object Caches {
     * shrinkage) — they deliberately do NOT use this wrapper
     * (A/B-measured at sf0.1: kcore 1.3 s AQE vs 2.3 s static, star
     * 1.8 vs 2.4; pagerank 1.9 static vs 3.4 AQE, CC 1.3 vs 1.7).
-    */
+    *
+    * CONCURRENCY CONTRACT: the flip is session-wide and consulted at
+    * action time, so any OTHER query running actions on the SAME
+    * session while a wrapped loop is in flight plans without AQE for
+    * that window — in particular engine/Normalize's joins, whose
+    * broadcast conversion is AQE-provided since the static hints were
+    * dropped, would silently fall back to shuffle joins. This is safe
+    * under the library's documented execution model (one logical
+    * query per session at a time — the same single-process contract
+    * Caches.scoped and the staging work dirs already assume); if
+    * concurrent same-session use is ever supported, this must become
+    * a per-query scope (SQLConf.withExistingConf / a cloned session)
+    * rather than a set/restore on the shared conf. */
   def staticLoopPlans[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
     if (sys.env.contains("GRAFT_DEV_AQE_LOOPS")) return f // dev A/B only
     val k = "spark.sql.adaptive.enabled"

@@ -81,16 +81,53 @@ object WorkDirs {
     * and the query fn are built in the same JVM, so a pid-suffixed
     * path is deterministic within one process while two concurrent
     * harness processes (bench + Verify) can never delete each other's
-    * files mid-read — the round-9 race class. Stale roots from dead
-    * pids are bounded (a few KB of staged JSON under java.io.tmpdir)
-    * and must NOT be swept here: deleting another live instance's
-    * root would reintroduce the race this exists to retire. */
+    * files mid-read — the round-9 race class. LIVE siblings are never
+    * touched (that would reintroduce the race this exists to retire);
+    * roots left by DEAD pids are swept best-effort on first use per
+    * JVM, so /tmp does not grow without bound across JVM generations.
+    * Liveness is checked via ProcessHandle.of(pid): a reused pid makes
+    * the sweep skip a genuinely-dead dir (conservative — it stays a
+    * few KB until a later generation), never delete a live one. */
   def processScoped(label: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_work",
       s"${label}_p${ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(root.getParent)
+    sweepDeadPidRoots(root.getParent)
     root.toString
+  }
+
+  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val PidDir = """.*_p(\d+)""".r
+
+  /** Best-effort, once per JVM: delete sibling `<label>_p<pid>` dirs
+    * whose pid is no longer alive. Every step tolerates concurrent
+    * deletion by another sweeping JVM (failures are swallowed — the
+    * next generation retries). */
+  private def sweepDeadPidRoots(parent: java.nio.file.Path): Unit = {
+    if (!sweptOnce.compareAndSet(false, true)) return
+    val self = ProcessHandle.current().pid()
+    try {
+      val entries = java.nio.file.Files.list(parent)
+      try {
+        entries.iterator().forEachRemaining { p =>
+          p.getFileName.toString match {
+            case PidDir(pid) if pid.toLong != self &&
+                !ProcessHandle.of(pid.toLong).isPresent =>
+              try {
+                val walk = java.nio.file.Files.walk(p)
+                try walk.sorted(java.util.Comparator.reverseOrder())
+                  .forEach { f =>
+                    try java.nio.file.Files.deleteIfExists(f)
+                    catch { case _: java.io.IOException => () }
+                  }
+                finally walk.close()
+              } catch { case _: java.io.IOException => () }
+            case _ => ()
+          }
+        }
+      } finally entries.close()
+    } catch { case _: java.io.IOException => () }
   }
 }
 

@@ -191,7 +191,16 @@ object Dedup {
     * cannot form a hot key or an O(n²) pair blow-up. The only wide ops
     * are the DF aggregation and the self-join, both shuffled on `fp`;
     * the pair aggregation shuffles on (a, b). Nothing is corpus²
-    * anywhere. Output: (a, b, shared), a < b. */
+    * anywhere. Output: (a, b, shared), a < b.
+    *
+    * PRECONDITION: `id` must be unique per input row. (doc_id, fp)
+    * uniqueness is established per row in the scan stage
+    * (array_distinct before the explode) precisely so the corpus-
+    * scale post-explode distinct() shuffle is avoided; duplicate-id
+    * inputs would leave duplicate (doc_id, fp) pairs alive, inflating
+    * df (pushing real fingerprints past maxDf) and the shared counts.
+    * Callers with duplicate-id corpora must exact-dedup first
+    * (exactDedup / exactCanonical). */
   def fingerprintOverlapPairs(docs: DataFrame, id: Column, text: Column,
       k: Int = 4, w: Int = 8, minShared: Int = 2, maxDf: Int = 8): DataFrame = {
     // (doc_id, fp) distinct computed PER DOC in the scan stage

@@ -3113,7 +3113,8 @@ object Extended {
       "t98_rolling_hll",
       s"""WITH ev AS (
          |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bucket,
-         |         user_id FROM events),
+         |         user_id FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
          |hh AS (SELECT bucket, ${Sketches.bigintMixSql("k")} AS h
          |       FROM (SELECT bucket, ((user_id % ${graft.operators.TextHash.P}) + ${graft.operators.TextHash.P}) % ${graft.operators.TextHash.P} AS k FROM ev)),
          |b AS (SELECT bucket, ((h % 64) + 64) % 64 AS reg, h // 64 AS w FROM hh),

@@ -615,17 +615,19 @@ object StreamOps {
     * `-1` is never a real micro-batch id, so the replay guard
     * (`batch <> batchId`) can never exclude the base.
     *
-    * Sequencing is fully crash-safe WITHOUT a rename step, because
-    * both state tables are idempotent lattices (per-id min for dist,
-    * set union for edges): the merged snapshot is written to a FRESH
-    * negative-generation partition `batch=-(g)` FIRST, and the input
-    * partitions (old real batches and previous folds alike) are
-    * deleted only after. Any crash point leaves a SUPERSET of the
-    * state — duplicates the read-side merge absorbs — never a window
-    * where the only copy is hidden in a temp dir or mid-rewrite (the
-    * earlier tmp+rename protocol had exactly that hole: a re-run
-    * after a crash mid-delete overwrote the temp snapshot, the sole
-    * surviving copy, with a merge of the already-thinned inputs). A
+    * Sequencing is a crash-safe stage-then-promote-then-delete
+    * protocol, sound because both state tables are idempotent
+    * lattices (per-id min for dist, set union for edges): the merged
+    * snapshot is staged to a `.fold-<name>-<gen>` temp dir OUTSIDE
+    * the read dir, PROMOTED via a single fs.rename into the fresh
+    * negative-generation partition `batch=-(g)`, and only then are
+    * the input partitions (old real batches and previous folds
+    * alike) deleted. Every crash point leaves either intact inputs
+    * (pre-promote — the temp is a discardable duplicate a re-run
+    * overwrites) or a visible fold plus leftover inputs
+    * (post-promote — a SUPERSET the lattice merge absorbs). The
+    * promote happens BEFORE any delete, so there is never a window
+    * where the only copy of the state is hidden in a temp dir. A
     * negative id can never equal a real micro-batch id, so the
     * replay guard (`batch <> batchId`) can never exclude a fold. */
   def compactBfsState(spark: SparkSession, stateDir: String): Unit = {
