@@ -82,9 +82,18 @@ object Curation {
     Seq("doc_id", "text").foreach { c =>
       require(docs.columns.contains(c), s"curateSpanCut input needs a '$c' column")
     }
+    // the span-cut frame is PINNED before entering curate: curate's
+    // first stage consumes its input twice (the exact-dedup content
+    // shuffle AND the canonical-id semi-join left side), and without
+    // the pin each consumer re-executes the whole repeated-span chain
+    // (tokenize → span kernel → interval fold → token cut) — the
+    // dominant cost of this composition. With it the chain runs once
+    // into the registry and both consumers scan cached blocks; the
+    // registry releases it with every other corpus-scale pin at the
+    // caller's Caches.releaseAll() boundary (the documented contract).
     val cleaned = Dedup.dropSpans(docs, col("doc_id"), col("text"), spanTokens)
       .select(col("doc_id"), col("cleaned_text").as("text"))
-    curate(docs.drop("text").join(cleaned, Seq("doc_id")),
-      minTokens, minQuality, tokenBudget)
+    val spanCut = graft.Caches.pin(docs.drop("text").join(cleaned, Seq("doc_id")))
+    curate(spanCut, minTokens, minQuality, tokenBudget)
   }
 }

@@ -22,6 +22,49 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Distinct-per-container directed co-occurrence pairs: (src, dst)
+    * for every pair of distinct members sharing a container (order,
+    * basket, document...). `ordered = true` keeps only src < dst.
+    *
+    * Built as groupBy(container) → collect_set → pair explosion, NOT
+    * the container self-join: the self-join pays an exchange + sort of
+    * the full membership on BOTH sides (one reused exchange, but the
+    * sort-merge still sorts every row), while this shape pays ONE
+    * container-keyed exchange whose map-side partial collect_set
+    * combines before shuffling, and the pair generation is a narrow
+    * explosion. Measured 2× at sf0.1 (0.84 s vs 1.74 s for the 907k-
+    * pair supplier co-occurrence build, repartition+distinct included).
+    *
+    * The compact set frame is round-robin re-spread to the session
+    * shuffle parallelism before exploding: the explosion multiplies
+    * rows by fanout², which AQE's size-based coalesce cannot see — an
+    * AQE-coalesced 1-partition set frame would run the whole pair
+    * blow-up on one task. The extra exchange moves only |containers|
+    * compact array rows.
+    *
+    * PRECONDITION: bounded container membership (the d65 maxDf
+    * discipline — cap or drop hub containers upstream). A container's
+    * member set lives as ONE array row, and its pair fan-out is s² —
+    * both this shape and the self-join blow up on a 1e6-member
+    * container; this one additionally holds the set in a single row.
+    * Output rows are unique per container but NOT globally distinct —
+    * callers dedup on their own key layout (every Graph loop already
+    * repartitions + distincts its edge input). */
+  def coOccurrenceEdges(items: DataFrame, container: Column, member: Column,
+      ordered: Boolean = false): DataFrame = {
+    val parts = items.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = items
+      .select(container.as("graft_c"), member.cast("long").as("graft_m"))
+      .groupBy(col("graft_c"))
+      .agg(collect_set(col("graft_m")).as("graft_ss"))
+      .select(col("graft_ss"))
+      .repartition(parts)
+      .select(explode(col("graft_ss")).as("src"), col("graft_ss"))
+      .select(col("src"), explode(col("graft_ss")).as("dst"))
+    if (ordered) pairs.filter(col("src") < col("dst"))
+    else pairs.filter(col("src") =!= col("dst"))
+  }
+
   /** PageRank in exact fixed point. `edges` is a directed simple-graph
     * edge list (`src`, `dst` — both integral; duplicates and self-loops
     * are dropped here). Ranks are BIGINT multiples of 1/`unit` (default
@@ -103,29 +146,37 @@ object Graph {
     // (the oracle's unrolled rounds stay valid); ε > 0 is the
     // approximate opt-in. At 100× scale wasted post-convergence rounds
     // are the dominant cost of a fixed-iters loop.
-    // ONE job per round: non-final rounds checkpoint LAZILY and the
+    // ONE job per non-final round: they checkpoint LAZILY and the
     // fused probe agg (max |Δ| + next round's dangling total, one scan
-    // of the just-materialized state) is the action; the final round
-    // checkpoints eagerly and skips the probe. Release of the previous
-    // state always happens AFTER the new one is materialized — a lazy
-    // localCheckpoint still reads the parent's blocks.
+    // of the just-materialized state) is the action; release of the
+    // previous state always happens AFTER the new one is materialized
+    // (a lazy localCheckpoint still reads the parent's blocks). The
+    // FINAL round is returned as a PURE PLAN over the last checkpoint
+    // — no iteration follows it, so materializing it inside the
+    // operator would be a job and a cache write for the caller's
+    // action to immediately re-read; the parent's blocks stay pinned
+    // until the session's Caches release boundary (the documented
+    // operator cache contract).
     var iter = 0
     var converged = false
+    var lastRound: DataFrame = null
     while (iter < iters && !converged) {
-      val last = iter + 1 >= iters
-      val (next, releaseNext) = graft.Caches.checkpoint(
-        pageRankRound(state, eRenamed, n, base, dang), eager = last)
-      if (!last) {
+      if (iter + 1 >= iters) {
+        lastRound = pageRankRound(state, eRenamed, n, base, dang)
+      } else {
+        val (next, releaseNext) = graft.Caches.checkpoint(
+          pageRankRound(state, eRenamed, n, base, dang), eager = false)
         val (delta, dangNext) = probeRound(next)
         converged = delta <= epsUnits
         dang = dangNext
+        releaseState()
+        state = next
+        releaseState = releaseNext
       }
-      releaseState()
-      state = next
-      releaseState = releaseNext
       iter += 1
     }
-    state.select(col("id"), col("rank_fp"))
+    val out = if (lastRound != null) lastRound else state
+    out.select(col("id"), col("rank_fp"))
   }
 
   /** Weighted PageRank: same fixed-point arithmetic as [[pageRank]]
@@ -172,26 +223,29 @@ object Graph {
       lit(base).as("rank_fp"))
     val eRenamed = e.select(col("src").as("edge_src"),
       col("dst").as("edge_dst"), col("w").as("edge_w"))
-    // same ε-convergence early-exit and one-job-per-round fused probe
-    // as pageRank (exact at ε = 0)
+    // same ε-convergence early-exit, one-job-per-probed-round fused
+    // probe, and final-round-as-pure-plan as pageRank (exact at ε = 0)
     var iter = 0
     var converged = false
+    var lastRound: DataFrame = null
     while (iter < iters && !converged) {
-      val last = iter + 1 >= iters
-      val (next, releaseNext) = graft.Caches.checkpoint(
-        pageRankRound(state, eRenamed, n, base, dang, weighted = true),
-        eager = last)
-      if (!last) {
+      if (iter + 1 >= iters) {
+        lastRound = pageRankRound(state, eRenamed, n, base, dang, weighted = true)
+      } else {
+        val (next, releaseNext) = graft.Caches.checkpoint(
+          pageRankRound(state, eRenamed, n, base, dang, weighted = true),
+          eager = false)
         val (delta, dangNext) = probeRound(next)
         converged = delta <= epsUnits
         dang = dangNext
+        releaseState()
+        state = next
+        releaseState = releaseNext
       }
-      releaseState()
-      state = next
-      releaseState = releaseNext
       iter += 1
     }
-    state.select(col("id"), col("rank_fp"))
+    val out = if (lastRound != null) lastRound else state
+    out.select(col("id"), col("rank_fp"))
   }
 
   /** One PageRank round as a pure plan over the (id, outdeg, rank_fp)
@@ -206,11 +260,21 @@ object Graph {
     * (r·w) div outdeg (outdeg = out-WEIGHT total). */
   private[graft] def pageRankRound(state: DataFrame, eRenamed: DataFrame,
       n: Long, base: Long, dang: Long = 0L, weighted: Boolean = false): DataFrame = {
-    // per-edge contribution, summed at the target
+    // per-edge contribution, summed at the target. Both round joins are
+    // HINTED shuffled-hash: a sort-merge join re-SORTS the edge-scale
+    // stream side EVERY round (the pinned edge cache carries its
+    // hashpartitioning but not sort order — sorts are never cached),
+    // while SHJ builds a hash map over the NODE-scale side and streams
+    // the edges unsorted. Build sides are the skinny per-node frames
+    // (state / contribs), whose per-partition size is bounded by the
+    // same partition-sizing discipline every shuffle here relies on;
+    // trading SMJ spillability for no per-round edge sort is the
+    // standard iterative-graph-engine join shape.
     val perEdge =
       if (weighted) expr("(rank_fp * edge_w) div outdeg")
       else expr("rank_fp div outdeg")
     val contribs = state.filter(col("outdeg").isNotNull)
+      .hint("shuffle_hash")
       .join(eRenamed, col("id") === col("edge_src"))
       .groupBy(col("edge_dst"))
       .agg(sum(perEdge).as("contrib"))
@@ -220,7 +284,7 @@ object Graph {
     // `dang div n` over the broadcast 1-row frame
     val dangShare = dang / n
     state.select(col("id"), col("outdeg"), col("rank_fp").as("prev_fp"))
-      .join(contribs, col("id") === col("cid"), "left")
+      .join(contribs.hint("shuffle_hash"), col("id") === col("cid"), "left")
       .select(col("id"), col("outdeg"), col("prev_fp"),
         (lit(15L * base / 100L) + expr(
           s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + CAST($dangShare AS BIGINT))) div 100"))
@@ -335,39 +399,56 @@ object Graph {
       .transform(d => graft.Caches.pin(d))
     var (labels, releaseLabels) = graft.Caches.checkpoint(
       seeds.select(col("id").cast("long").as("id"),
-        col("label").cast("long").as("label")).distinct())
+        col("label").cast("long").as("label")).distinct(), eager = false)
     // frontier-exhaustion early-exit: labeled nodes are clamped, so if
     // a round adopts nothing the vote table is identical next round —
     // every remaining round is a no-op and exiting is output-identical
-    // to the full unroll. The probe is a count() on the
-    // just-checkpointed label frame (cached blocks, no recompute).
+    // to the full unroll. Checkpoints are LAZY and the probe count IS
+    // the materializing action (one job per probed round, the pageRank
+    // discipline); the final round checkpoints eagerly and skips the
+    // probe. The previous label frame is released only AFTER the next
+    // one materializes — a lazy checkpoint still reads parent blocks.
     var prevCount = labels.count()
     var round = 0
     var exhausted = false
+    var lastRound: DataFrame = null
     while (round < rounds && !exhausted) {
+      // vote join: shuffled-hash with the node-scale label frame as
+      // build side, streaming the pinned edge frame unsorted — see
+      // pageRankRound
       val votes = sym
-        .join(labels.select(col("id").as("na"), col("label")), "na")
+        .join(labels.select(col("id").as("na"), col("label"))
+          .hint("shuffle_hash"), "na")
         .select(col("nb").as("vid"), col("label"))
-        .join(labels.select(col("id").as("vid")), Seq("vid"), "left_anti")
+        .join(labels.select(col("id").as("vid")).hint("shuffle_hash"),
+          Seq("vid"), "left_anti")
         .groupBy(col("vid"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val adopted = votes
         .groupBy(col("vid"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neglabel"))).as("best"))
         .select(col("vid").as("id"), (-col("best.neglabel")).as("label"))
-      val (next, releaseNext) = graft.Caches.checkpoint(
-        labels.unionAll(adopted))
-      releaseLabels()
-      labels = next
-      releaseLabels = releaseNext
-      round += 1
-      if (round < rounds) {
-        val cnt = labels.count()
+      if (round + 1 >= rounds) {
+        // final round as a PURE PLAN over the pinned edge frame and
+        // the last checkpointed label frame (no iteration follows, so
+        // a checkpoint here would be a job + cache write the caller's
+        // action immediately re-reads — the pageRank discipline);
+        // the parent label blocks stay pinned until the session's
+        // Caches release boundary
+        lastRound = labels.unionAll(adopted)
+      } else {
+        val (next, releaseNext) = graft.Caches.checkpoint(
+          labels.unionAll(adopted), eager = false)
+        val cnt = next.count()
         exhausted = cnt == prevCount
         prevCount = cnt
+        releaseLabels()
+        labels = next
+        releaseLabels = releaseNext
       }
+      round += 1
     }
-    labels
+    if (lastRound != null) lastRound else labels
   }
 
   /** Multi-source BFS: exact hop distance from a seed set, frontier
@@ -406,8 +487,10 @@ object Graph {
     // the distance table is the UNION of per-hop checkpointed
     // frontiers — never re-materialized per round (each union leg is a
     // checkpoint scan, so the plan stays flat); only the frontier
-    // itself checkpoints each hop
-    var frontier = graft.Caches.checkpoint(seed0)._1
+    // itself checkpoints each hop. Checkpoints are LAZY: the per-hop
+    // count() below IS the materializing action, so a hop costs
+    // exactly one job (the pageRank fused-probe discipline).
+    var frontier = graft.Caches.checkpoint(seed0, eager = false)._1
     var layers = List(frontier)
     var n = frontier.count()
     var hop = 1
@@ -423,11 +506,15 @@ object Graph {
       // factor (a small seed set's hop-1 frontier is its whole
       // neighborhood), funneling a possibly-huge layer through
       // parts(prev)=1 partition at materialization.
+      // Both hop joins are hinted shuffled-hash with the NODE-scale
+      // side as build (frontier / distance table), so the edge-scale
+      // stream side is never re-sorted per hop — see pageRankRound.
       val ck = graft.Caches.checkpoint(
-        frontier.join(e, frontier("id") === e("src"))
+        frontier.hint("shuffle_hash").join(e, frontier("id") === e("src"))
           .select(e("dst").as("id")).distinct()
-          .join(dist, Seq("id"), "left_anti")
-          .select(col("id"), lit(hop.toLong).as("dist")))._1
+          .join(dist.hint("shuffle_hash"), Seq("id"), "left_anti")
+          .select(col("id"), lit(hop.toLong).as("dist")),
+        eager = false)._1
       n = ck.count()
       val next = ck.coalesce(parts(n))
       frontier = next
@@ -478,7 +565,10 @@ object Graph {
       .select(col("id").cast("long").as("id"), col("label").cast("long").as("label"))
       .groupBy(col("id")).agg(min(col("label")).as("label"))
       .select(col("id"), lit(0L).as("dist"), col("label"))
-    var frontier = graft.Caches.checkpoint(seed0)._1
+    // lazy checkpoints + count-as-materializer: one job per hop, and
+    // shuffled-hash hints on the node-scale join sides so the edge
+    // stream is never re-sorted — see bfsDistances / pageRankRound
+    var frontier = graft.Caches.checkpoint(seed0, eager = false)._1
     var layers = List(frontier)
     var n = frontier.count()
     var hop = 1
@@ -489,11 +579,12 @@ object Graph {
       // previous frontier funnels a branching-factor-larger layer
       // through too few partitions at materialization)
       val ck = graft.Caches.checkpoint(
-        frontier.join(e, frontier("id") === e("src"))
+        frontier.hint("shuffle_hash").join(e, frontier("id") === e("src"))
           .select(e("dst").as("id"), frontier("label").as("label"))
           .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .join(known, Seq("id"), "left_anti")
-          .select(col("id"), lit(hop.toLong).as("dist"), col("label")))._1
+          .join(known.hint("shuffle_hash"), Seq("id"), "left_anti")
+          .select(col("id"), lit(hop.toLong).as("dist"), col("label")),
+        eager = false)._1
       n = ck.count()
       val next = ck.coalesce(parts(n))
       frontier = next
@@ -509,23 +600,22 @@ object Graph {
     * node's `k` strongest co-members — the collaborative-filtering /
     * co-occurrence-recommendation prep step.
     *
-    * Scale shape: the self-join blocks on the LEFT key, so pair
-    * generation is Σ(per-left-degree²) — bounded when left fan-out is
-    * bounded (cap or sample hub lefts upstream if not; the d65 maxDf
-    * discipline). The weight aggregation is map-side partial; the
-    * top-k is a per-node window (the q10 shape), never global.
-    * Deterministic ties: (weight desc, neighbor asc).
+    * Scale shape: pair generation is [[coOccurrenceEdges]] on the left
+    * key (collect_set + narrow explosion — the set dedups (l, r)
+    * within each left, so the former membership-distinct + self-join
+    * pair is gone), Σ(per-left-degree²) rows — bounded when left
+    * fan-out is bounded (cap or sample hub lefts upstream if not; the
+    * d65 maxDf discipline). The weight aggregation is map-side
+    * partial; the top-k is a per-node window (the q10 shape), never
+    * global. Deterministic ties: (weight desc, neighbor asc).
     *
     * Output: (src, dst, weight, rank), symmetric, rank ≤ k. */
   def bipartiteProjectTopK(membership: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be positive, got $k")
-    val m = membership
-      .select(col("left").cast("long").as("l"), col("right").cast("long").as("r"))
-      .distinct()
-    val m2 = m.select(col("l"), col("r").as("r2"))
-    val pairs = m.join(m2, "l")
-      .filter(col("r") < col("r2"))
+    val pairs = coOccurrenceEdges(membership, col("left"), col("right"),
+        ordered = true)
+      .select(col("src").as("r"), col("dst").as("r2"))
       .groupBy(col("r"), col("r2")).agg(count(lit(1)).as("weight"))
     val sym = pairs.select(col("r").as("src"), col("r2").as("dst"), col("weight"))
       .unionByName(pairs.select(col("r2").as("src"), col("r").as("dst"), col("weight")))
@@ -553,9 +643,11 @@ object Graph {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(rounds >= 1, s"rounds must be positive, got $rounds")
+    // lazy checkpoints: the convergence count IS the materializing
+    // action, one job per round (the pageRank fused-probe discipline)
     var e = graft.Caches.checkpoint(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")).distinct())._1
+        col("dst").cast("long").as("dst")).distinct(), eager = false)._1
     var prev = e.count()
     var r = 0
     var converged = prev == 0L
@@ -565,7 +657,8 @@ object Graph {
         .select(col("src").as("id"))
       val next = graft.Caches.checkpoint(
         e.join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
-          .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi"))._1
+          .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi"),
+        eager = false)._1
       val n = next.count()
       converged = n == prev
       prev = n

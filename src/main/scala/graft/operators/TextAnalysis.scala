@@ -144,18 +144,36 @@ object TextAnalysis {
     * d62 lesson applied pre-emptively). The two hash consumers
     * (winnow arg + the zip lookup) reference the staged `hs` alias,
     * which CollapseProject keeps materialized (non-cheap expression
-    * referenced twice), so the rolling-hash pass runs once per row. */
+    * referenced twice), so the rolling-hash pass runs once per row.
+    *
+    * `ordered = true` returns the index globally sorted by
+    * (doc_id, pos) — but the sort runs on the COMPACT pre-explode
+    * frame (one struct-array row per doc, ordered by doc_id alone):
+    * WinnowPositions emits positions strictly ascending, and
+    * Generate/Project preserve per-partition row order, so exploding
+    * a doc-sorted frame yields (doc_id, pos) order with a sort whose
+    * comparison count is |docs| log |docs| instead of |fingerprints|
+    * log |fingerprints| — at a sampling density of 2/(w+1) the index
+    * has ~2·len/(w+1) rows per doc, so the row-scale sort this
+    * replaces is the dominant cost of an ordered dump (measured: it
+    * dominated d64 end-to-end). The compact frame is pinned through
+    * the Caches registry before the sort: a global sort's range-
+    * boundary sampling pass executes its child once and the shuffle
+    * executes it again — unpinned, both kernel passes would run
+    * twice over the full text. */
   def winnowIndex(df: DataFrame, id: Column, text: Column,
-      k: Int = 4, w: Int = 8): DataFrame =
-    df.select(id.as("doc_id"),
+      k: Int = 4, w: Int = 8, ordered: Boolean = false): DataFrame = {
+    val sel = df.select(id.as("doc_id"),
         graft.functions.PolyHashShingles.polyHashShingles(text, k).as("hs"))
       .select(col("doc_id"),
         transform(
           graft.functions.WinnowPositions.winnowPositions(col("hs"), w),
           p => struct(p.as("pos"),
             element_at(col("hs"), p.cast("int")).as("fp"))).as("sel"))
+    (if (ordered) graft.Caches.pin(sel).orderBy(col("doc_id")) else sel)
       .select(col("doc_id"), explode(col("sel")).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
 
   /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
     * repeated content is the strongest single low-quality indicator):

@@ -1010,8 +1010,16 @@ object Extended {
     s"""WITH $containmentCtes
        |SELECT a AS contained, b AS container, containment
        |FROM pairs ORDER BY contained, container""".stripMargin) { (s, dir) =>
+    // the pairs frame is PINNED before the final orderBy: a global
+    // sort's range-boundary sampling pass executes its child ONCE and
+    // the shuffle executes it AGAIN — unpinned, the entire containment
+    // chain (DF window, posting join, merge-scan verify) runs twice
+    // per action. d57 never pays this (it pins its derived drop set);
+    // pinning the pair-scale output makes the sampling pass a cached-
+    // block scan, which is why this is a pin and not an operator change
     Dedup.containmentPairs(containmentCorpus(s, dir), col("doc_id"), col("text"),
         n = 3, threshold = 0.9)
+      .transform(d => graft.Caches.pin(d))
       .orderBy(col("contained"), col("container"))
   }
 
@@ -1623,9 +1631,11 @@ object Extended {
     s"""WITH ${winnowCtes(4, 8)}
        |SELECT doc_id, pos, fp FROM wfp
        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    // ordered = true: the (doc_id, pos) order comes from sorting the
+    // compact pre-explode frame by doc_id (positions are emitted
+    // ascending within each doc) — no index-row-scale global sort
     TextAnalysis.winnowIndex(Tables.documents(s, dir), col("doc_id"), col("text"),
-        k = 4, w = 8)
-      .orderBy(col("doc_id"), col("pos"))
+        k = 4, w = 8, ordered = true)
   }
 
   /** d65 — local-overlap pairs by shared winnowed fingerprints

@@ -127,11 +127,13 @@ object Graphs {
       |        FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
       |SELECT n.id, COALESCE(c.n_tri, 0) AS n_tri
       |FROM nodes n LEFT JOIN cnt c USING (id) ORDER BY id""".stripMargin) { (s, dir) =>
+    // co-occurrence edges via the collect_set build (one container-
+    // keyed shuffle + narrow pair explosion — Graph.coOccurrenceEdges'
+    // scale rationale; the oracle keeps the independent self-join form)
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
-    val edges = li.join(l2, "l_orderkey")
-      .filter(col("l_suppkey") < col("s2"))
-      .select(col("l_suppkey").as("a"), col("s2").as("b"))
+    val edges = Graph.coOccurrenceEdges(li, col("l_orderkey"),
+        col("l_suppkey"), ordered = true)
+      .select(col("src").as("a"), col("dst").as("b"))
     Graph.triangleCounts(edges).orderBy(col("id"))
   }
 
@@ -155,11 +157,9 @@ object Graphs {
       |  SELECT r.y, w.d + 1 FROM walk w JOIN raw r ON r.x = w.id WHERE w.d < 3)
       |SELECT id, CAST(min(d) AS BIGINT) AS dist
       |FROM walk GROUP BY id ORDER BY id""".stripMargin) { (s, dir) =>
+    // collect_set co-occurrence build — see g03
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
-    val edges = li.join(l2, "l_orderkey")
-      .filter(col("l_suppkey") =!= col("s2"))
-      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+    val edges = Graph.coOccurrenceEdges(li, col("l_orderkey"), col("l_suppkey"))
     val seeds = Tables.supplier(s, dir).filter(col("s_suppkey") < 3)
       .select(col("s_suppkey").as("id"))
     Graph.bfsDistances(edges, seeds, maxHops = 3).orderBy(col("id"))
@@ -205,9 +205,12 @@ object Graphs {
          |SELECT id, rank_fp FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      // raw w=1 trade pairs: pageRankWeighted's contract folds parallel
+      // edges itself (repartition + groupBy sum), so pre-aggregating
+      // here would pay a second (src, dst) exchange for nothing
       val fwd = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(count(lit(1)).as("w"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"), lit(1L).as("w"))
       val edges = fwd.unionAll(
         fwd.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       Graph.pageRankWeighted(edges, iters = 3).orderBy(col("id"))
@@ -237,11 +240,9 @@ object Graphs {
       |SELECT w.id, CAST(m.md AS BIGINT) AS dist, CAST(min(w.lab) AS BIGINT) AS label
       |FROM walk w JOIN m ON w.id = m.id AND w.d = m.md
       |GROUP BY w.id, m.md ORDER BY w.id""".stripMargin) { (s, dir) =>
+    // collect_set co-occurrence build — see g03
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
-    val edges = li.join(l2, "l_orderkey")
-      .filter(col("l_suppkey") =!= col("s2"))
-      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+    val edges = Graph.coOccurrenceEdges(li, col("l_orderkey"), col("l_suppkey"))
     val seeds = Tables.supplier(s, dir).filter(col("s_suppkey") < 3)
       .select(col("s_suppkey").as("id"), (col("s_suppkey") % 2).as("label"))
     Graph.nearestSeedLabels(edges, seeds, maxHops = 3).orderBy(col("id"))
@@ -275,11 +276,9 @@ object Graphs {
        |  CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
        |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
        |ORDER BY seed, hop, src, dst""".stripMargin) { (s, dir) =>
+    // collect_set co-occurrence build — see g03
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val l2 = li.select(col("l_orderkey"), col("l_suppkey").as("s2"))
-    val edges = li.join(l2, "l_orderkey")
-      .filter(col("l_suppkey") =!= col("s2"))
-      .select(col("l_suppkey").as("src"), col("s2").as("dst"))
+    val edges = Graph.coOccurrenceEdges(li, col("l_orderkey"), col("l_suppkey"))
     val seeds = Tables.supplier(s, dir).filter(col("s_suppkey") % 5 === 0)
       .select(col("s_suppkey").as("id"))
     Graph.sampleNeighbors(edges, seeds, fanouts = Seq(3, 2))

@@ -31,9 +31,20 @@ class PlanLintAdvisorySpec extends SparkSpec {
       "d68_varint_postings", // posting-list materialization: per-term doc list is
                              // the ARTIFACT; a 100 TB hot term needs DF capping
                              // (d65's maxDf discipline) before this step
-      "t94_feature_hash"     // sparse-vector render: sort_array(collect_list)
+      "t94_feature_hash",    // sparse-vector render: sort_array(collect_list)
                              // over ≤ dim (=64) signed buckets per doc —
                              // dimension-bounded, never corpus-bounded
+      // g03/g08/g10: Graph.coOccurrenceEdges' collect_set of container
+      // members — group-bounded by the operator's documented bounded-
+      // membership precondition (the d65 maxDf discipline), never
+      // corpus-bounded; it buys back the membership self-join's
+      // exchange + double sort (measured 2× on the 907k-pair supplier
+      // build). g04/g07 share the helper but their loops materialize
+      // the edge frame at construction, so their RETURNED plan carries
+      // only checkpoint scans.
+      "g03_triangles",
+      "g08_neighbor_sample",
+      "g10_bipartite_project"
     )
     assert(users == reviewed,
       s"object-agg set drifted.\n+ ${(users -- reviewed).toSeq.sorted.mkString(", ")}\n- ${(reviewed -- users).toSeq.sorted.mkString(", ")}")
