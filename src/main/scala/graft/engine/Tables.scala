@@ -103,31 +103,39 @@ object WorkDirs {
   /** Best-effort, once per JVM: delete sibling `<label>_p<pid>` dirs
     * whose pid is no longer alive. Every step tolerates concurrent
     * deletion by another sweeping JVM (failures are swallowed — the
-    * next generation retries). */
+    * next generation retries). The catches are NonFatal, not just
+    * IOException: Files.walk/list traversal surfaces vanished entries
+    * as UncheckedIOException (a RuntimeException), and an overlong
+    * digit suffix makes pid.toLong throw NumberFormatException — two
+    * concurrently-starting JVMs sweeping the same root (the exact
+    * bench+Verify case this code targets) must not crash a live
+    * process inside processScoped. */
   private def sweepDeadPidRoots(parent: java.nio.file.Path): Unit = {
     if (!sweptOnce.compareAndSet(false, true)) return
     val self = ProcessHandle.current().pid()
+    def deadPid(pid: String): Boolean =
+      try pid.toLong != self && !ProcessHandle.of(pid.toLong).isPresent
+      catch { case scala.util.control.NonFatal(_) => false }
     try {
       val entries = java.nio.file.Files.list(parent)
       try {
         entries.iterator().forEachRemaining { p =>
           p.getFileName.toString match {
-            case PidDir(pid) if pid.toLong != self &&
-                !ProcessHandle.of(pid.toLong).isPresent =>
+            case PidDir(pid) if deadPid(pid) =>
               try {
                 val walk = java.nio.file.Files.walk(p)
                 try walk.sorted(java.util.Comparator.reverseOrder())
                   .forEach { f =>
                     try java.nio.file.Files.deleteIfExists(f)
-                    catch { case _: java.io.IOException => () }
+                    catch { case scala.util.control.NonFatal(_) => () }
                   }
                 finally walk.close()
-              } catch { case _: java.io.IOException => () }
+              } catch { case scala.util.control.NonFatal(_) => () }
             case _ => ()
           }
         }
       } finally entries.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }
 

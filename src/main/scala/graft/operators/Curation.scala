@@ -12,17 +12,15 @@ import org.apache.spark.sql.functions._
   * Scale shape of the composed plan:
   *  - exact dedup is one content-keyed shuffle ([[Dedup.exact]]) plus
   *    a semi-join on the canonical ids — the semi side is (id)-narrow;
-  *  - the quality and language gates share ONE tokenization pass
-  *    ([[TextAnalysis.languageQuality]] — the fused form of
-  *    qualityFeatures + langId) joined back once on `doc_id`
-  *    (tokenization dominates these stages at scale, so fusing the
-  *    gates halves the dominant cost versus composing them naively);
+  *  - the quality and language gates are ROW-LOCAL feature columns
+  *    ([[TextAnalysis.withLanguageQuality]]) appended in one
+  *    projection chain over the deduped rows — one tokenization, no
+  *    feature join, nothing cached: the gated frame flows straight
+  *    into selection as a single-consumer plan;
   *  - the final selection is [[Prefix.takeBudget]]'s distributed
-  *    two-pass prefix sum — no single-task global window.
-  *
-  * The deduped frame is pinned through [[graft.Caches]] (it feeds
-  * three consumers); callers call `Caches.releaseAll()` when done
-  * with the results, as the dedup operators document.
+  *    two-pass prefix sum — no single-task global window (it
+  *    checkpoints its ranged frame internally, which is also why the
+  *    gated plan needs no pin: takeBudget consumes it exactly once).
   */
 object Curation {
 
@@ -36,25 +34,42 @@ object Curation {
     * `predicted_lang`, and `cum` (running token total in selection
     * order). */
   def curate(docs: DataFrame, minTokens: Long = 5L,
-      minQuality: Double = 0.02, tokenBudget: Long = 15000L): DataFrame = {
+      minQuality: Double = 0.02, tokenBudget: Long = 15000L): DataFrame =
+    curateImpl(docs, featuresReady = false, minTokens, minQuality, tokenBudget)
+
+  /** The shared curation cascade. `featuresReady`: the fused span-cut
+    * path computed `n_tokens`/`quality`/`predicted_lang` upstream (in
+    * the same projection that cut the spans), so the gates are pure
+    * filters over existing columns; the public path derives them here
+    * from `text`. Output schema is identical either way. */
+  private def curateImpl(docs: DataFrame, featuresReady: Boolean,
+      minTokens: Long, minQuality: Double, tokenBudget: Long): DataFrame = {
     Seq("doc_id", "text").foreach { c =>
       require(docs.columns.contains(c), s"curate input needs a '$c' column")
     }
-    Seq("n_tokens", "quality", "predicted_lang", "cum").foreach { c =>
+    require(!docs.columns.contains("cum"),
+      "input already has a column named cum")
+    val featureCols = Seq("n_tokens", "quality", "predicted_lang")
+    if (featuresReady) featureCols.foreach { c =>
+      require(docs.columns.contains(c), s"featuresReady input needs '$c'")
+    } else featureCols.foreach { c =>
       require(!docs.columns.contains(c), s"input already has a column named $c")
     }
-    // stage 1: exact dedup — the canonical (min-id) row per content
+    // stage 1: exact dedup — the canonical (min-id) row per content.
+    // `docs` is consumed twice (the content shuffle and the semi-join
+    // left side); it is either a source scan (filters/pruning push
+    // down twice — cheaper than caching) or the caller's pinned frame
+    // (the span-cut path), never an unpinned expensive chain.
     val keep = Dedup.exact(docs, col("text"), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
     val deduped = docs.join(keep, Seq("doc_id"), "leftsemi")
-      .transform(d => graft.Caches.pin(d))
-    // stages 2+3: both gates' features from ONE tokenization pass
-    // (TextAnalysis.languageQuality — the fused form of
-    // qualityFeatures + langId), joined back once on doc_id
-    val features = TextAnalysis
-      .languageQuality(deduped, col("doc_id"), col("text"))
-    val gated = deduped
-      .join(features, Seq("doc_id"))
+    // stages 2+3: both gates from row-local feature columns — one
+    // tokenization appended in-line (no narrow frame, no join back)
+    val withF =
+      if (featuresReady) deduped
+      else TextAnalysis.withLanguageQuality(deduped,
+        graft.operators.TextHash.tokens(col("text")))
+    val gated = withF
       .filter(col("predicted_lang") =!= "unknown" &&
         col("quality") >= minQuality && col("n_tokens") >= minTokens)
     // stage 4: global token budget, best quality first (ties on id)
@@ -82,18 +97,28 @@ object Curation {
     Seq("doc_id", "text").foreach { c =>
       require(docs.columns.contains(c), s"curateSpanCut input needs a '$c' column")
     }
-    // the span-cut frame is PINNED before entering curate: curate's
-    // first stage consumes its input twice (the exact-dedup content
-    // shuffle AND the canonical-id semi-join left side), and without
-    // the pin each consumer re-executes the whole repeated-span chain
-    // (tokenize → span kernel → interval fold → token cut) — the
-    // dominant cost of this composition. With it the chain runs once
-    // into the registry and both consumers scan cached blocks; the
-    // registry releases it with every other corpus-scale pin at the
-    // caller's Caches.releaseAll() boundary (the documented contract).
-    val cleaned = Dedup.dropSpans(docs, col("doc_id"), col("text"), spanTokens)
-      .select(col("doc_id"), col("cleaned_text").as("text"))
-    val spanCut = graft.Caches.pin(docs.drop("text").join(cleaned, Seq("doc_id")))
-    curate(spanCut, minTokens, minQuality, tokenBudget)
+    // FUSED composition — one tokenize/span scan feeds everything:
+    //  - dropSpansTokens exposes the survivors' kept TOKEN ARRAY
+    //    (tokens(array_join(kept,' ')) == kept — its contract), so
+    //    the gate features and the joined text are computed from it
+    //    in the SAME projection chain that cut the spans: the curate
+    //    stage never re-tokenizes the corpus;
+    //  - non-text input columns ride the apply pass as carried
+    //    projections — no corpus-scale doc_id re-join to recover them;
+    //  - the result is PINNED (curate's first stage consumes its
+    //    input twice: the exact-dedup content shuffle AND the
+    //    semi-join left side — unpinned, each consumer would
+    //    re-execute the whole span chain, the dominant cost here).
+    //    The pin stores text + three feature scalars per row, no
+    //    token array; the registry releases it with every other
+    //    corpus-scale pin at the caller's Caches.releaseAll()
+    //    boundary (the documented contract).
+    val carry = docs.columns.filterNot(c => c == "doc_id" || c == "text").toSeq
+    val cut = Dedup.dropSpansTokens(docs, col("doc_id"), col("text"), spanTokens, carry)
+      .select(col("doc_id") +: (carry.map(col) ++ Seq(
+        array_join(col("kept"), " ").as("text"), col("kept"))): _*)
+    val spanCut = graft.Caches.pin(
+      TextAnalysis.withLanguageQuality(cut, col("kept")).drop("kept"))
+    curateImpl(spanCut, featuresReady = true, minTokens, minQuality, tokenBudget)
   }
 }

@@ -1161,7 +1161,28 @@ object Dedup {
     * twice (span discovery + apply), the unavoidable two-pass of any
     * first-occurrence-keeping rewrite. */
   def dropSpans(df: DataFrame, id: Column, text: Column,
-      spanTokens: Int = 10): DataFrame = {
+      spanTokens: Int = 10): DataFrame =
+    dropSpansTokens(df, id, text, spanTokens)
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+
+  /** `dropSpans` with the surviving TOKEN ARRAY exposed:
+    * (doc_id, [carry...,] n_tokens, kept). `cleaned_text` is
+    * array_join(kept, ' ') and — because kept tokens are case-folded,
+    * non-empty and space-free — tokens(cleaned_text) == kept exactly,
+    * so a downstream stage that needs the survivors' tokens (the fused
+    * curation path) can consume `kept` directly instead of
+    * re-tokenizing the joined string over the whole corpus. `carry`
+    * names input columns to ride the apply pass unchanged — they cost
+    * one projected column each, versus the corpus-scale doc_id re-join
+    * a caller would otherwise pay to recover them. Carry names must
+    * not collide with the operator's own output/working names. */
+  private[graft] def dropSpansTokens(df: DataFrame, id: Column, text: Column,
+      spanTokens: Int = 10, carry: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("doc_id", "n_tokens", "kept", "t", "graft_spans")
+    carry.foreach(c => require(!reserved(c),
+      s"dropSpansTokens carry column '$c' collides with a working name"))
     // null-text docs drop (like every token-keyed operator): tokens
     // of null is null and the legacy size(null) = -1 sentinel would
     // otherwise emit a garbage (-1, -1, null) row for them
@@ -1169,17 +1190,14 @@ object Dedup {
     val spans = repeatedSpanIntervals(in, id, text, spanTokens)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s0"), col("e0"))).as("graft_spans"))
-    in.select(id.as("doc_id"), tokens(text).as("t"))
+    in.select(id.as("doc_id") +: (carry.map(col) :+ tokens(text).as("t")): _*)
       .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id") +: (carry.map(col) ++ Seq(
         size(col("t")).cast("long").as("n_tokens"),
         when(col("graft_spans").isNull, col("t"))
           .otherwise(filter(col("t"), (_, i) =>
             !exists(col("graft_spans"), sp =>
-              i + 1 >= sp("s0") && i + 1 <= sp("e0")))).as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-        size(col("kept")).cast("long").as("n_kept"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+              i + 1 >= sp("s0") && i + 1 <= sp("e0")))).as("kept"))): _*)
   }
 
   /** CDC chunk dedup APPLIED — documents rebuilt from only the

@@ -19,7 +19,17 @@ import org.apache.spark.sql.functions._
   * per-round scalars (convergence delta + dangling-mass total), which
   * ride the SAME action that materializes each round's checkpoint, so
   * a probed round costs exactly one job.
-  */
+  *
+  * SINGLE-ACTION CONTRACT (pageRank / pageRankWeighted /
+  * labelPropagate): the FINAL round is returned as a pure,
+  * unmaterialized plan over the last checkpoint — the cheap shape for
+  * the common one-action caller (count, write, collect — exactly one).
+  * A caller running MULTIPLE actions on the result (e.g. write then
+  * count) re-executes that last round per action and its plan runs
+  * under the session's normal AQE settings (the staticLoopPlans
+  * AQE-off scope ends when the operator returns) — such callers should
+  * pin the result (`Caches.pin(df)`) before the first action and
+  * release at their usual `Caches.releaseAll()` boundary. */
 object Graph {
 
   /** Distinct-per-container directed co-occurrence pairs: (src, dst)
@@ -49,12 +59,16 @@ object Graph {
     * container; this one additionally holds the set in a single row.
     * Output rows are unique per container but NOT globally distinct —
     * callers dedup on their own key layout (every Graph loop already
-    * repartitions + distincts its edge input). */
+    * repartitions + distincts its edge input). NULL containers are
+    * dropped (groupBy would otherwise retain them as a group and emit
+    * pairs among their members — the equi-self-join this build
+    * replaced dropped null keys, and that is the semantics kept). */
   def coOccurrenceEdges(items: DataFrame, container: Column, member: Column,
       ordered: Boolean = false): DataFrame = {
     val parts = items.sparkSession.sessionState.conf.numShufflePartitions
     val pairs = items
       .select(container.as("graft_c"), member.cast("long").as("graft_m"))
+      .filter(col("graft_c").isNotNull)
       .groupBy(col("graft_c"))
       .agg(collect_set(col("graft_m")).as("graft_ss"))
       .select(col("graft_ss"))

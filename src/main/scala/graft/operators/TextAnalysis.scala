@@ -95,9 +95,19 @@ object TextAnalysis {
     * dominates these stages, so computing both gates' inputs from one
     * token array and joining ONCE is the shape a curation pipeline
     * wants; the standalone operators remain for single-gate use. */
-  def languageQuality(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def languageQuality(df: DataFrame, id: Column, text: Column): DataFrame =
+    languageQualityTokens(df, id, tokens(text))
+
+  /** [[languageQuality]] over a PRECOMPUTED token array — the fused
+    * curation path feeds the span-cut survivors' kept tokens here
+    * directly (tokens(array_join(kept, ' ')) == kept for this stack's
+    * case-folded space-free tokens), skipping a whole-corpus
+    * re-tokenize. `toksIn` must be `TextHash.tokens`-shaped (folded,
+    * non-empty elements) or the scores diverge from the text form. */
+  private[graft] def languageQualityTokens(df: DataFrame, id: Column,
+      toksIn: Column): DataFrame = {
     val toks = col("t")
-    df.select(id.as("doc_id"), tokens(text).as("t"))
+    df.select(id.as("doc_id"), toksIn.as("t"))
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
@@ -106,6 +116,34 @@ object TextAnalysis {
         ratioIn(toks, Lexicons("es")).as("es_score"))
       .select(col("doc_id"), col("n_tokens"),
         col("en_score").as("quality"), predictLang.as("predicted_lang"))
+  }
+
+  /** [[languageQuality]]'s feature columns APPENDED to the input frame
+    * — no narrow-frame-and-join-back: the features are row-local pure
+    * functions of the tokens, so a pipeline that holds the full rows
+    * (the curation cascade) adds them in one projection chain and
+    * skips a whole corpus-scale doc_id join. `toksIn` is any
+    * `TextHash.tokens`-shaped expression — tokens(text), or an
+    * existing token-array attribute (then the staging alias collapses
+    * to a reference and no work is duplicated). Appends `n_tokens`,
+    * `quality`, `predicted_lang` after the input's columns; the token
+    * array and per-language scores are staged as attributes through
+    * separate projections (HOFs are interpreted — no codegen CSE). */
+  private[graft] def withLanguageQuality(df: DataFrame, toksIn: Column): DataFrame = {
+    val pre = df.columns.toSeq
+    Seq("graft_lq_t", "n_tokens", "en_score", "de_score", "es_score",
+        "quality", "predicted_lang").foreach { c =>
+      require(!pre.contains(c), s"input already has a column named $c")
+    }
+    val toks = col("graft_lq_t")
+    df.select(pre.map(col) :+ toksIn.as("graft_lq_t"): _*)
+      .select(pre.map(col) ++ Seq(
+        size(toks).cast("long").as("n_tokens"),
+        ratioIn(toks, Lexicons("en")).as("en_score"),
+        ratioIn(toks, Lexicons("de")).as("de_score"),
+        ratioIn(toks, Lexicons("es")).as("es_score")): _*)
+      .select(pre.map(col) ++ Seq(col("n_tokens"),
+        col("en_score").as("quality"), predictLang.as("predicted_lang")): _*)
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex token count
@@ -160,7 +198,16 @@ object TextAnalysis {
     * the Caches registry before the sort: a global sort's range-
     * boundary sampling pass executes its child once and the shuffle
     * executes it again — unpinned, both kernel passes would run
-    * twice over the full text. */
+    * twice over the full text.
+    *
+    * PRECONDITION (`ordered = true` only): `id` is unique per input
+    * row. The compact sort orders by doc_id ALONE and relies on each
+    * doc's positions being ascending within its single struct-array
+    * row; duplicate-id inputs produce multiple rows per id whose
+    * positions interleave non-monotonically after the doc_id-only
+    * sort, breaking (doc_id, pos) order vs an ORDER BY doc_id, pos
+    * oracle (the fingerprintOverlapPairs precondition class). Dedup
+    * or re-key upstream; `ordered = false` has no such requirement. */
   def winnowIndex(df: DataFrame, id: Column, text: Column,
       k: Int = 4, w: Int = 8, ordered: Boolean = false): DataFrame = {
     val sel = df.select(id.as("doc_id"),

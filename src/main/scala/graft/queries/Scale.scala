@@ -705,31 +705,46 @@ object Scale {
     * (row_number = 1 over (user, type)), then running-sum the flags.
     * Both engines replay the identical two-window construction; ties
     * in ts break on event_id (unique) so the trajectory is
-    * deterministic. */
+    * deterministic. The oracle's window orders pin NULLS FIRST
+    * explicitly — Spark's ASC default; DuckDB's is NULLS LAST, which
+    * would silently reorder null-ts/-event_id rows (the t98 null-
+    * asymmetry class, hidden by the null-free fixture). A null
+    * event_type is counted as one more distinct type on BOTH engines
+    * (PARTITION BY groups nulls together everywhere) — symmetric by
+    * construction. */
   val q80RunningDistinct: Q = Q(
     "q80_running_distinct",
     """WITH f AS (
       |  SELECT user_id, event_id, ts, event_type,
       |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
-      |                                 ORDER BY ts, event_id) = 1
+      |                                 ORDER BY ts NULLS FIRST, event_id NULLS FIRST) = 1
       |         THEN 1 ELSE 0 END AS first_seen
       |  FROM events)
       |SELECT user_id, event_id,
-      |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  CAST(sum(first_seen) OVER (PARTITION BY user_id
+      |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types
       |FROM f ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    runningDistinct(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q80's engine construction, extracted so its null discipline is
+    * unit-testable on a null-bearing fixture (the catalogue fixture is
+    * null-free): Spark's ASC window default is NULLS FIRST — the
+    * oracle pins the same explicitly. */
+  private[graft] def runningDistinct(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val firstW = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
     val cumW = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
+    events
       .withColumn("first_seen",
         when(row_number().over(firstW) === 1, 1L).otherwise(0L))
       .select(col("user_id"), col("event_id"),
         sum(col("first_seen")).over(cumW).as("n_distinct_types"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** q81 — SCHEMA EVOLUTION across table generations: generation v1
@@ -815,26 +830,44 @@ object Scale {
     * bound, not the construct; an unbounded-frame collect would be the
     * q80 anti-pattern. Lower-median rule at even counts (position
     * ⌊(n+1)/2⌋ ascending), identical on both engines; cents in, cents
-    * out (exact). */
+    * out (exact). Null measurements and null timestamps are DROPPED
+    * on both legs (the t99 rolling-median rule): unfiltered, Spark's
+    * collect_list skips a null cent while DuckDB's list() keeps it
+    * (diverging n_window), array_sort puts nulls last vs list_sort
+    * first, and the window order places null ts at opposite ends
+    * (Spark NULLS FIRST default, DuckDB NULLS LAST) — all hidden by
+    * the null-free fixture; the oracle also pins NULLS FIRST on the
+    * event_id tiebreaker to match Spark's default. */
   val q83RollingMedian: Q = Q(
     "q83_rolling_median",
     """WITH e AS (
       |  SELECT user_id, event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       |w AS (
       |  SELECT user_id, event_id,
-      |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id NULLS FIRST
       |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win
       |  FROM e)
       |SELECT user_id, event_id,
       |  CAST(len(win) AS BIGINT) AS n_window,
       |  CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT) AS med_cents
       |FROM w ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    rollingMedian5(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q83's engine construction, extracted so its null discipline is
+    * unit-testable on a null-bearing fixture: rows with a null
+    * measurement or null timestamp are dropped BEFORE the window (the
+    * t99 rule) — without the filter, collect_list/list() and
+    * array_sort/list_sort disagree about nulls across engines. */
+  private[graft] def rollingMedian5(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w5 = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-4, Window.currentRow)
-    Tables.events(s, dir)
+    events
+      .filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
         round(col("value").cast("double") * lit(100)).cast("long").as("cents"))
       .withColumn("win", collect_list(col("cents")).over(w5))
@@ -842,7 +875,6 @@ object Scale {
         size(col("win")).cast("long").as("n_window"),
         element_at(array_sort(col("win")),
           ((size(col("win")) + 1) / 2).cast("int")).as("med_cents"))
-      .orderBy(col("user_id"), col("event_id"))
   }
 
   /** q84 — grouped exact WEIGHTED median

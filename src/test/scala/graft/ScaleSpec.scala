@@ -157,6 +157,40 @@ class ScaleSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q83 null discipline: null-value/null-ts rows drop before the rolling window") {
+    import spark.implicits._
+    // e2 (null value) and e3 (null ts) must NOT appear and must not
+    // occupy window slots — unfiltered, Spark's collect_list would
+    // skip e2's null cent while a DuckDB list() keeps it (diverging
+    // n_window), and null ts would order at opposite ends across
+    // engines (the t98/t99 null-asymmetry class).
+    val ev = Seq(
+      (1L, 1L, Option(1L), Option(1.00)),
+      (1L, 2L, Option(2L), Option.empty[Double]),
+      (1L, 3L, Option.empty[Long], Option(3.00)),
+      (1L, 4L, Option(4L), Option(2.00)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = graft.queries.Scale.rollingMedian5(ev)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(1L -> (1L, 100L), 4L -> (2L, 100L)))
+  }
+
+  test("q80 null discipline: null ts orders FIRST and a null type counts as one distinct type") {
+    import spark.implicits._
+    // Spark's ASC window default is NULLS FIRST — the oracle pins the
+    // same explicitly; a DuckDB default (NULLS LAST) would put e4 at
+    // the END of the trajectory instead
+    val ev = Seq(
+      (1L, 1L, Option(1L), Option("a")),
+      (1L, 2L, Option(2L), Option.empty[String]),
+      (1L, 3L, Option(3L), Option("a")),
+      (1L, 4L, Option.empty[Long], Option("b")))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.queries.Scale.runningDistinct(ev)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(4L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
