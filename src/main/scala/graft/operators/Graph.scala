@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   * release at their usual `Caches.releaseAll()` boundary. */
 object Graph {
 
+  /** The iterative loops' per-round join hint (see pageRankRound's
+    * rationale: SHJ streams the pinned edge frame unsorted instead of
+    * re-sorting it every round). Overridable per session via the
+    * `graft.dev.loopJoinHint` conf ("" disables hints) — a DEV-ONLY
+    * knob so DevLoopAB can A/B hinted vs planner-default rounds
+    * honestly (a conf like preferSortMergeJoin cannot: explicit hints
+    * win over it); production sessions never set it. */
+  private def hintLoop(df: DataFrame): DataFrame = {
+    val h = df.sparkSession.conf.get("graft.dev.loopJoinHint", "shuffle_hash")
+    if (h.isEmpty) df else df.hint(h)
+  }
+
   /** Distinct-per-container directed co-occurrence pairs: (src, dst)
     * for every pair of distinct members sharing a container (order,
     * basket, document...). `ordered = true` keeps only src < dst.
@@ -42,8 +54,12 @@ object Graph {
     * sort-merge still sorts every row), while this shape pays ONE
     * container-keyed exchange whose map-side partial collect_set
     * combines before shuffling, and the pair generation is a narrow
-    * explosion. Measured 2× at sf0.1 (0.84 s vs 1.74 s for the 907k-
-    * pair supplier co-occurrence build, repartition+distinct included).
+    * explosion. Re-measured under healthy per-arm parallel probes
+    * (DevEdgeAB, r12): 0.91-1.02 s vs 1.65 s for the 907k-pair
+    * supplier co-occurrence build, repartition+distinct included —
+    * ~1.7× on both AQE settings (the r11 "2×" was from a throttled
+    * host). A sorted-set slice-based ordered-pair variant measured a
+    * wash vs filter(src < dst) (0.95 vs 0.94 s) — not adopted.
     *
     * The compact set frame is round-robin re-spread to the session
     * shuffle parallelism before exploding: the explosion multiplies
@@ -283,12 +299,18 @@ object Graph {
     // (state / contribs), whose per-partition size is bounded by the
     // same partition-sizing discipline every shuffle here relies on;
     // trading SMJ spillability for no per-round edge sort is the
-    // standard iterative-graph-engine join shape.
+    // standard iterative-graph-engine join shape. HONEST STATUS
+    // (DevLoopAB r12, interleaved arms, per-arm parallel probes): at
+    // fixture scale the hint is a WASH vs planner default (g01 3.49
+    // vs 3.49, g05 3.12 vs 2.82, g04 2.71 vs 2.80, g07 2.31 vs 2.21 s
+    // min-of-3) — the r11 "2×" was a throttled-host artifact. Kept on
+    // the asymptotic argument alone: the fixture's edge sort is too
+    // small to register, while at real data sizes the per-round sort
+    // is edge-scale work the SHJ arm provably never does.
     val perEdge =
       if (weighted) expr("(rank_fp * edge_w) div outdeg")
       else expr("rank_fp div outdeg")
-    val contribs = state.filter(col("outdeg").isNotNull)
-      .hint("shuffle_hash")
+    val contribs = hintLoop(state.filter(col("outdeg").isNotNull))
       .join(eRenamed, col("id") === col("edge_src"))
       .groupBy(col("edge_dst"))
       .agg(sum(perEdge).as("contrib"))
@@ -298,7 +320,7 @@ object Graph {
     // `dang div n` over the broadcast 1-row frame
     val dangShare = dang / n
     state.select(col("id"), col("outdeg"), col("rank_fp").as("prev_fp"))
-      .join(contribs.hint("shuffle_hash"), col("id") === col("cid"), "left")
+      .join(hintLoop(contribs), col("id") === col("cid"), "left")
       .select(col("id"), col("outdeg"), col("prev_fp"),
         (lit(15L * base / 100L) + expr(
           s"(85 * (coalesce(contrib, CAST(0 AS BIGINT)) + CAST($dangShare AS BIGINT))) div 100"))
@@ -431,10 +453,9 @@ object Graph {
       // build side, streaming the pinned edge frame unsorted — see
       // pageRankRound
       val votes = sym
-        .join(labels.select(col("id").as("na"), col("label"))
-          .hint("shuffle_hash"), "na")
+        .join(hintLoop(labels.select(col("id").as("na"), col("label"))), "na")
         .select(col("nb").as("vid"), col("label"))
-        .join(labels.select(col("id").as("vid")).hint("shuffle_hash"),
+        .join(hintLoop(labels.select(col("id").as("vid"))),
           Seq("vid"), "left_anti")
         .groupBy(col("vid"), col("label"))
         .agg(count(lit(1)).as("cnt"))
@@ -524,9 +545,9 @@ object Graph {
       // side as build (frontier / distance table), so the edge-scale
       // stream side is never re-sorted per hop — see pageRankRound.
       val ck = graft.Caches.checkpoint(
-        frontier.hint("shuffle_hash").join(e, frontier("id") === e("src"))
+        hintLoop(frontier).join(e, frontier("id") === e("src"))
           .select(e("dst").as("id")).distinct()
-          .join(dist.hint("shuffle_hash"), Seq("id"), "left_anti")
+          .join(hintLoop(dist), Seq("id"), "left_anti")
           .select(col("id"), lit(hop.toLong).as("dist")),
         eager = false)._1
       n = ck.count()
@@ -593,10 +614,10 @@ object Graph {
       // previous frontier funnels a branching-factor-larger layer
       // through too few partitions at materialization)
       val ck = graft.Caches.checkpoint(
-        frontier.hint("shuffle_hash").join(e, frontier("id") === e("src"))
+        hintLoop(frontier).join(e, frontier("id") === e("src"))
           .select(e("dst").as("id"), frontier("label").as("label"))
           .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .join(known.hint("shuffle_hash"), Seq("id"), "left_anti")
+          .join(hintLoop(known), Seq("id"), "left_anti")
           .select(col("id"), lit(hop.toLong).as("dist"), col("label")),
         eager = false)._1
       n = ck.count()

@@ -1120,9 +1120,15 @@ object Extended {
          |WHERE cr.doc_id NOT IN (SELECT id FROM dropped)
          |ORDER BY cr.doc_id""".stripMargin
     }) { (s, dir) =>
+    // the id-narrow survivor frame is PINNED before the global sort
+    // (the d56 rule): the sort's range-sampling pass executes its
+    // child once and the shuffle again — unpinned, the anti-join's
+    // corpus side (the tokenize+slice chain-corpus build) runs twice
+    // per action
     Dedup.dropContainedMinimal(containmentChainCorpus(s, dir),
         col("doc_id"), col("text"), n = 3, threshold = 0.9)
       .select(col("doc_id"))
+      .transform(d => graft.Caches.pin(d))
       .orderBy(col("doc_id"))
   }
 

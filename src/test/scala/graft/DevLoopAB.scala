@@ -2,9 +2,31 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only A/B: iterative-loop join strategy (SMJ vs SHJ) and other
-  * session-flag experiments over the graph catalogue queries. */
+/** Dev-only A/B: iterative-loop join strategy (SHJ hints vs planner
+  * default) over the graph catalogue queries, via the
+  * `graft.dev.loopJoinHint` knob (a conf like preferSortMergeJoin
+  * cannot toggle EXPLICIT hints — hints win over it). Each timing
+  * prints its own n-way parallel spin probe so a throttled window is
+  * visible in the record (the r11 lesson: absolute claims from
+  * unprobed measurements are garbage). Also measures the
+  * final-round-as-pure-plan two-action cost (the documented
+  * single-action contract). */
 object DevLoopAB {
+  @volatile private var sink: Long = 0L
+  private def parProbeMs(n: Int): Double = {
+    def spin(): Long = {
+      var x = 0L; var i = 0
+      while (i < 10000000) { x += i.toLong * i; i += 1 }
+      x
+    }
+    val ts = (1 to n).map(_ => new Thread(new Runnable {
+      def run(): Unit = { sink ^= spin(); () }
+    }))
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    math.rint((System.nanoTime() - t0) / 1e3) / 1e3
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.lift(1).getOrElse("g01_pagerank").split(",").toSeq
@@ -16,18 +38,39 @@ object DevLoopAB {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Double = {
+    sink ^= parProbeMs(cpus.toInt).toLong // JIT/thread warm-up
+    def run(name: String): (Double, Double) = {
       Caches.releaseAll(); spark.catalog.clearCache()
+      val probe = parProbeMs(cpus.toInt)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, probe)
     }
     names.foreach { n => run(n) } // warm
-    for (pref <- Seq("true", "false"); rep <- 1 to 2) {
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
+    // interleaved arms so both share any ambient window
+    for (rep <- 1 to 3; hint <- Seq("shuffle_hash", "")) {
+      spark.conf.set("graft.dev.loopJoinHint", hint)
       names.foreach { n =>
-        println(f"preferSMJ=$pref rep$rep $n%-24s ${run(n)}%.3f s")
+        val (dt, probe) = run(n)
+        val arm = if (hint.isEmpty) "planner-default" else s"hint=$hint"
+        println(f"rep$rep $arm%-17s $n%-24s $dt%.3f s  par_probe=${probe}%.1f ms")
       }
+    }
+    spark.conf.set("graft.dev.loopJoinHint", "shuffle_hash")
+    // two-action cost: the final round is a pure plan — a second
+    // action on the SAME result re-executes it (the single-action
+    // contract in Graph's scaladoc)
+    names.headOption.foreach { n =>
+      Caches.releaseAll(); spark.catalog.clearCache()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val p1 = parProbeMs(cpus.toInt)
+      val t1 = System.nanoTime(); df.count()
+      val a1 = (System.nanoTime() - t1) / 1e9
+      val p2 = parProbeMs(cpus.toInt)
+      val t2 = System.nanoTime(); df.count()
+      val a2 = (System.nanoTime() - t2) / 1e9
+      println(f"two-action $n: first=$a1%.3f s (probe $p1%.1f ms)  " +
+        f"second=$a2%.3f s (probe $p2%.1f ms) — second re-pays the final round")
     }
     spark.stop()
   }
