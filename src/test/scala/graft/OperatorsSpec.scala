@@ -2004,6 +2004,27 @@ class OperatorsSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("coOccurrenceEdges: null containers are dropped; pairs are per-container distinct") {
+    import spark.implicits._
+    // container null holds {1,2}: the replaced equi-self-join dropped
+    // null keys, so no (1,2)/(2,1) pair may surface from it
+    val items = Seq(
+      (Option("a"), 1L), (Option("a"), 2L), (Option("a"), 2L), (Option("a"), 3L),
+      (Option.empty[String], 1L), (Option.empty[String], 2L),
+      (Option("b"), 4L))
+      .toDF("c", "m")
+    val pairs = graft.operators.Graph.coOccurrenceEdges(items, col("c"), col("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (for {
+      x <- Seq(1L, 2L, 3L); y <- Seq(1L, 2L, 3L) if x != y
+    } yield (x, y))
+    assert(pairs.sorted == expected.sorted) // b is a singleton; null container gone
+    val ordered = graft.operators.Graph.coOccurrenceEdges(items, col("c"), col("m"),
+        ordered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ordered.sorted == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("kmvSourceOverlap: the union estimator lands within 2x of exact truth corpus-wide") {
     import graft.operators.{TextAnalysis, TextHash}
     val out = TextAnalysis.kmvSourceOverlap(
