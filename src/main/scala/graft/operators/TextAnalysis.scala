@@ -128,20 +128,30 @@ object TextAnalysis {
     * to a reference and no work is duplicated). Appends `n_tokens`,
     * `quality`, `predicted_lang` after the input's columns; the token
     * array and per-language scores are staged as attributes through
-    * separate projections (HOFs are interpreted — no codegen CSE). */
+    * separate projections (HOFs are interpreted — no codegen CSE).
+    *
+    * The count/score stage is a [[graft.functions.ComputeOnce]]
+    * BARRIER: a caller's gate filter over the appended columns would
+    * otherwise be pushdown-SUBSTITUTED through these projections —
+    * measured before the barrier, the substituted Filter carried ~16
+    * tokenize copies per row (32 split() nodes in the optimized plan;
+    * the q31/t97 inlining class). The usual caveat applies: no caller
+    * predicate pushes below this operator — apply source-pruning
+    * filters upstream. */
   private[graft] def withLanguageQuality(df: DataFrame, toksIn: Column): DataFrame = {
     val pre = df.columns.toSeq
     Seq("graft_lq_t", "n_tokens", "en_score", "de_score", "es_score",
         "quality", "predicted_lang").foreach { c =>
       require(!pre.contains(c), s"input already has a column named $c")
     }
+    val once = graft.functions.ComputeOnce.once _
     val toks = col("graft_lq_t")
     df.select(pre.map(col) :+ toksIn.as("graft_lq_t"): _*)
       .select(pre.map(col) ++ Seq(
-        size(toks).cast("long").as("n_tokens"),
-        ratioIn(toks, Lexicons("en")).as("en_score"),
-        ratioIn(toks, Lexicons("de")).as("de_score"),
-        ratioIn(toks, Lexicons("es")).as("es_score")): _*)
+        once(size(toks).cast("long")).as("n_tokens"),
+        once(ratioIn(toks, Lexicons("en"))).as("en_score"),
+        once(ratioIn(toks, Lexicons("de"))).as("de_score"),
+        once(ratioIn(toks, Lexicons("es"))).as("es_score")): _*)
       .select(pre.map(col) ++ Seq(col("n_tokens"),
         col("en_score").as("quality"), predictLang.as("predicted_lang")): _*)
   }
