@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, ObjectHashAggregateExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -35,6 +36,14 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    (TypedImperativeAggregate) over an UN-pre-aggregated input is
   *    how t76 burned 25×; flagged as advisory so pre-aggregation
   *    regressions surface in review.
+  *  - `inlined-expensive-filter`: a Filter whose condition contains
+  *    the SAME expensive expression (interpreted HOF or a graft
+  *    kernel) two or more times semantically — the signature of
+  *    PushPredicateThroughNonJoin substituting a staged feature alias
+  *    into a gate predicate (the r12 curation find: the gates filter
+  *    carried ~16 tokenize copies per row; staging against
+  *    CollapseProject is NOT enough — a filter over the alias
+  *    re-inlines it unless the stage is a ComputeOnce barrier).
   *
   * The linter traverses adaptive wrappers and cached-relation
   * subtrees (a pin must not hide a hazard). Findings carry the node's
@@ -95,6 +104,19 @@ object PlanLint {
         Some(Finding("unpartitioned-window", render(w)))
       case o: ObjectHashAggregateExec =>
         Some(Finding("object-hash-aggregate", render(o)))
+      case f: FilterExec =>
+        // expensive = interpreted HOFs + this library's own kernels;
+        // two semantically-identical copies inside ONE condition means
+        // a staged alias was substituted into the predicate (per-row
+        // work duplicated against the projection that still computes it)
+        val expensive = f.condition.collect {
+          case e: HigherOrderFunction => e: org.apache.spark.sql.catalyst.expressions.Expression
+          case e if e.getClass.getName.startsWith("graft.functions.") =>
+            e: org.apache.spark.sql.catalyst.expressions.Expression
+        }
+        if (expensive.groupBy(_.canonicalized).exists(_._2.size >= 2))
+          Some(Finding("inlined-expensive-filter", render(f)))
+        else None
       case _ => None
     }
   }

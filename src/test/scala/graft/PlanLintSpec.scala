@@ -39,4 +39,36 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"scale hazards in the catalogue:\n${offenders.mkString("\n")}")
   }
+
+  test("inlined-expensive-filter fires on the unbarriered staged-alias gate shape") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("lint_hof").toString
+    import spark.implicits._
+    Seq((1L, "the cat is here"), (2L, "a dog runs there"))
+      .toDF("id", "text").write.mode("overwrite").parquet(tmp)
+    val docs = spark.read.parquet(tmp)
+    // the r12 curation bug shape: an expensive HOF staged as an alias,
+    // then a filter over DERIVED columns — PushPredicateThroughNonJoin
+    // substitutes the alias into the predicate (several copies)
+    val toks = col("t")
+    val unbarriered = docs
+      .select(col("id"), filter(split(col("text"), " "), x => x =!= "").as("t"))
+      .select(col("id"),
+        size(filter(toks, x => x === "the")).as("a"),
+        size(filter(toks, x => x === "a")).as("b"))
+      .filter(col("a") > 0 && col("b") >= 0 && col("a") >= col("b"))
+    val rules = PlanLint.lint(unbarriered).map(_.rule).toSet
+    assert(rules.contains("inlined-expensive-filter"),
+      s"expected the substitution smell to be flagged, got $rules:\n" +
+        unbarriered.queryExecution.executedPlan)
+    // the barriered twin is clean
+    val once = graft.functions.ComputeOnce.once _
+    val barriered = docs
+      .select(col("id"), filter(split(col("text"), " "), x => x =!= "").as("t"))
+      .select(col("id"),
+        once(size(filter(toks, x => x === "the"))).as("a"),
+        once(size(filter(toks, x => x === "a"))).as("b"))
+      .filter(col("a") > 0 && col("b") >= 0 && col("a") >= col("b"))
+    assert(!PlanLint.lint(barriered).map(_.rule).contains("inlined-expensive-filter"))
+  }
 }
