@@ -104,21 +104,29 @@ object PlanLint {
         Some(Finding("unpartitioned-window", render(w)))
       case o: ObjectHashAggregateExec =>
         Some(Finding("object-hash-aggregate", render(o)))
-      case f: FilterExec =>
-        // expensive = interpreted HOFs + this library's own kernels;
-        // two semantically-identical copies inside ONE condition means
-        // a staged alias was substituted into the predicate (per-row
-        // work duplicated against the projection that still computes it)
-        val expensive = f.condition.collect {
-          case e: HigherOrderFunction => e: org.apache.spark.sql.catalyst.expressions.Expression
-          case e if e.getClass.getName.startsWith("graft.functions.") =>
-            e: org.apache.spark.sql.catalyst.expressions.Expression
-        }
-        if (expensive.groupBy(_.canonicalized).exists(_._2.size >= 2))
-          Some(Finding("inlined-expensive-filter", render(f)))
-        else None
+      case f: FilterExec if hasDuplicatedExpensive(Seq(f.condition)) =>
+        Some(Finding("inlined-expensive-filter", render(f)))
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if hasDuplicatedExpensive(j.condition.toSeq) =>
+        // same substitution channel through PushPredicateThroughJoin
+        Some(Finding("inlined-expensive-filter", render(j)))
       case _ => None
     }
+  }
+
+  /** expensive = interpreted HOFs + this library's own kernels; two
+    * semantically-identical copies inside ONE predicate means a staged
+    * alias was substituted into it (per-row work duplicated against
+    * the projection that still computes it). */
+  private def hasDuplicatedExpensive(
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
+    val expensive = conds.flatMap(_.collect {
+      case e: HigherOrderFunction =>
+        e: org.apache.spark.sql.catalyst.expressions.Expression
+      case e if e.getClass.getName.startsWith("graft.functions.") =>
+        e: org.apache.spark.sql.catalyst.expressions.Expression
+    })
+    expensive.groupBy(_.canonicalized).exists(_._2.size >= 2)
   }
 
   /** Mechanized probe for the `driver-action` advisory class: runs

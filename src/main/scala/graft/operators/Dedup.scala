@@ -302,8 +302,15 @@ object Dedup {
         lit(threshold) * greatest(col("na"), col("nb")))
     val sa = sh.select(col("doc_id").as("a"), col("s").as("sa"))
     val sb = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    // ComputeOnce on the merge-scan count: the threshold filter would
+    // otherwise be pushdown-substituted into the pair join's CONDITION
+    // with the kernel inlined TWICE (the jaccard ratio references ni
+    // twice), plus once more in the output projection — three
+    // intersection scans per candidate pair instead of one (the r12
+    // inlined-expensive-filter lint class)
     survivors.join(sa, "a").join(sb, "b")
-      .withColumn("ni", intersectCount(col("sa"), col("sb")))
+      .withColumn("ni",
+        graft.functions.ComputeOnce.once(intersectCount(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
@@ -450,9 +457,14 @@ object Dedup {
     val sa = sh.select(col("doc_id").as("a"), col("s").as("sa"),
       size(col("s")).as("na"))
     val sb = sh.select(col("doc_id").as("b"), col("s").as("sb"))
+    // the once() barrier stops the threshold predicate from inlining
+    // the merge-scan into the join condition — unbarriered, the kernel
+    // ran once in the pushed condition and again in the output
+    // projection (see verifyJaccardWith)
     cands.join(sa, "a").join(sb, "b")
-      .withColumn("graft_ni", graft.functions.SortedIntersectCount
-        .sortedIntersectCount(col("sa"), col("sb")))
+      .withColumn("graft_ni", graft.functions.ComputeOnce.once(
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("sa"), col("sb"))))
       .filter(col("graft_ni").cast("double") >= lit(threshold) * col("na"))
       .select(col("a").as("contained"), col("b").as("container"),
         (col("graft_ni").cast("double") / col("na")).as("containment"))
@@ -643,11 +655,14 @@ object Dedup {
       col("s").as("sc"), size(col("s")).as("nc"))
     val sd = dsh.select(col("doc_id").as("delta_id"),
       col("s").as("sd"), size(col("s")).as("nd"))
+    // once(): same join-condition-inlining guard as verifyJaccardWith
+    // (the jaccard predicate would carry the merge-scan twice)
     cand.join(sc, "corpus_id").join(sd, "delta_id")
       .filter(least(col("nc"), col("nd")).cast("double") >=
         lit(threshold) * greatest(col("nc"), col("nd")))
-      .withColumn("ni", graft.functions.SortedIntersectCount
-        .sortedIntersectCount(col("sc"), col("sd")))
+      .withColumn("ni", graft.functions.ComputeOnce.once(
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("sc"), col("sd"))))
       .withColumn("jaccard",
         col("ni").cast("double") / (col("nc") + col("nd") - col("ni")))
       .filter(col("jaccard") >= threshold)
