@@ -69,15 +69,23 @@ object Sampling {
     require(weights.forall(_._2 > 0),
       s"split weights must be positive, got: $weights")
     require(!df.columns.contains(out), s"input already has a column named $out")
+    require(!df.columns.contains("graft_bucket"),
+      "input already has a column named graft_bucket")
     val cuts = weights.map(_._2).scanLeft(0)(_ + _).tail // cumulative upper bounds
-    val bucket = pmod(polyHashFast(key.cast("string")), lit(100))
+    // the bucket hash is STAGED as its own projection: the CASE chain
+    // references it once per cut, and an inlined expression would hash
+    // the key |weights| times per row (non-cheap multi-referenced
+    // aliases survive CollapseProject)
+    val bucket = col("graft_bucket")
     val assign = weights.map(_._1).zip(cuts)
     val labeled = assign.tail.foldLeft(
       when(bucket < assign.head._2, lit(assign.head._1))) {
       case (acc, (name, cut)) => acc.when(bucket < cut, lit(name))
     }
-    df.withColumn(out,
-      when(key.isNull, lit(weights.head._1)).otherwise(labeled))
+    df.withColumn("graft_bucket", pmod(polyHashFast(key.cast("string")), lit(100)))
+      .withColumn(out,
+        when(key.isNull, lit(weights.head._1)).otherwise(labeled))
+      .drop("graft_bucket")
   }
 
   /** Stratified hash-Bernoulli sample: per-stratum keep-percentages

@@ -211,8 +211,15 @@ object Similarity {
     val bestCell = bestCentroidStruct(cents).getField("cid")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    corpus.select(col("vec_id"), col("embedding"), bestCell.as("cell"))
-      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= qid)
+    // vec_id filter BELOW the projection (it stays scan-pushable);
+    // once() on the assigned cell — the isin probe filter would
+    // otherwise be pushdown-substituted with the whole per-centroid
+    // scoring chain inlined, re-scoring every corpus row against all
+    // centroids a second time (the inlined-expensive-filter class)
+    corpus.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.ComputeOnce.once(bestCell).as("cell"))
+      .filter(col("cell").isin(probed: _*))
       .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
         col("cell"), dot(col("embedding"), qCol).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))

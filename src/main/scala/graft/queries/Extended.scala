@@ -999,10 +999,14 @@ object Extended {
     * first-half token-prefix docs). */
   private def containmentCorpus(s: SparkSession, dir: String) = {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val t = tokens(col("text"))
+    // tokens staged as an attribute: slice + size reference it, and
+    // the inlined form tokenized every synthetic row twice (found by
+    // the r12 project-duplication sweep)
     base.unionAll(base.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), tokens(col("text")).as("graft_t"))
       .select((col("doc_id") + 2000000).as("doc_id"),
-        array_join(slice(t, lit(1), (size(t) + 1) / 2), " ").as("text")))
+        array_join(slice(col("graft_t"), lit(1), (size(col("graft_t")) + 1) / 2), " ")
+          .as("text")))
   }
 
   val d56Containment: Q = Q(
