@@ -116,9 +116,14 @@ object Similarity {
   def nearDupPairsWithCell(vectors: DataFrame, threshold: Double): DataFrame = {
     val l = vectors.select(col("label").as("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
     val r = vectors.select(col("label").as("cell"), col("vec_id").as("b"), col("embedding").as("eb"))
+    // once(): the threshold predicate would otherwise be pushed into
+    // the cell join's condition with the dot product inlined — every
+    // same-cell pair paid the full-dimension dot TWICE (condition +
+    // output projection); the a<b pruning predicate still pushes
     l.join(r, "cell")
       .filter(col("a") < col("b"))
-      .withColumn("score", dot(col("ea"), col("eb")))
+      .withColumn("score",
+        graft.functions.ComputeOnce.once(dot(col("ea"), col("eb"))))
       .filter(col("score") >= threshold)
       .select(col("cell"), col("a"), col("b"), col("score"))
   }
