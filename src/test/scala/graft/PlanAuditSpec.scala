@@ -393,6 +393,11 @@ class PlanAuditSpec extends SparkSpec {
   test("g08: the sampled adjacency ranks inside a src-partitioned window; expansion joins broadcast or hash") {
     val p = plan("g08_neighbor_sample")
     assert(!p.contains("CartesianProduct"), s"g08 plans a cartesian:\n$p")
+    // at shuffle partitions = 1 every hash exchange plans (and prints)
+    // as SinglePartition — the keyed-window assertion is meaningless
+    // there; cancel like the single-partition-funnel audit does
+    assume(spark.sessionState.conf.numShufflePartitions > 1,
+      "src-keyed-exchange audit needs shuffle parallelism > 1")
     // the ranked window is keyed: hashpartitioning on src feeds it
     assert(p.contains("hashpartitioning(src"),
       s"g08: expected a src-keyed exchange before the rank window:\n$p")
