@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, ObjectHashAggregateExec}
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -36,14 +36,23 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    (TypedImperativeAggregate) over an UN-pre-aggregated input is
   *    how t76 burned 25×; flagged as advisory so pre-aggregation
   *    regressions surface in review.
-  *  - `inlined-expensive-filter`: a Filter whose condition contains
-  *    the SAME expensive expression (interpreted HOF or a graft
-  *    kernel) two or more times semantically — the signature of
-  *    PushPredicateThroughNonJoin substituting a staged feature alias
-  *    into a gate predicate (the r12 curation find: the gates filter
-  *    carried ~16 tokenize copies per row; staging against
-  *    CollapseProject is NOT enough — a filter over the alias
-  *    re-inlines it unless the stage is a ComputeOnce barrier).
+  *  - `inlined-expensive-filter`: a node whose expressions contain
+  *    the SAME expensive expression (interpreted HOF or a
+  *    [[graft.functions.CostlyKernel]]) two or more times semantically
+  *    — the signature of Catalyst substituting a staged feature alias
+  *    into a consumer (the r12 curation find: the gates filter carried
+  *    ~16 tokenize copies per row; staging against CollapseProject is
+  *    NOT enough — a consumer of the alias re-inlines it unless the
+  *    stage is a ComputeOnce barrier). Checked on Filter conditions
+  *    and join conditions (the original find), and since r13 on
+  *    Project lists, Aggregate expressions and Window expressions —
+  *    the same substitution mechanics reach all of them.
+  *  - `expensive-sort-key`: a Sort (or top-k) whose ORDER BY contains
+  *    an expensive expression AT ALL — sort comparators re-evaluate
+  *    non-attribute keys per COMPARISON, so one kernel in a sort key
+  *    is O(n log n) kernel evaluations. The fix is structural: stage
+  *    the key as a column (ComputeOnce if a filter consumes it too)
+  *    and sort by the attribute.
   *
   * The linter traverses adaptive wrappers and cached-relation
   * subtrees (a pin must not hide a hazard). Findings carry the node's
@@ -94,38 +103,79 @@ object PlanLint {
     }
     val nodes = expand(plan)
     def render(p: SparkPlan): String = p.simpleStringWithNodeId()
-    nodes.flatMap {
-      case c: CartesianProductExec =>
-        Some(Finding("cartesian-product", render(c)))
-      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition
-          && !isGlobalPartialAgg(e.child) =>
-        Some(Finding("single-partition-exchange", render(e)))
-      case w: WindowExec if w.partitionSpec.isEmpty =>
-        Some(Finding("unpartitioned-window", render(w)))
-      case o: ObjectHashAggregateExec =>
-        Some(Finding("object-hash-aggregate", render(o)))
-      case f: FilterExec if hasDuplicatedExpensive(Seq(f.condition)) =>
-        Some(Finding("inlined-expensive-filter", render(f)))
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
-          if hasDuplicatedExpensive(j.condition.toSeq) =>
-        // same substitution channel through PushPredicateThroughJoin
-        Some(Finding("inlined-expensive-filter", render(j)))
-      case _ => None
+    // a node can trip several rules at once (e.g. an unpartitioned
+    // window that ALSO carries a duplicated kernel) — collect all of
+    // them, not just the first matching case
+    nodes.flatMap { node =>
+      val structural: Seq[Finding] = node match {
+        case c: CartesianProductExec =>
+          Seq(Finding("cartesian-product", render(c)))
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition
+            && !isGlobalPartialAgg(e.child) =>
+          Seq(Finding("single-partition-exchange", render(e)))
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          Seq(Finding("unpartitioned-window", render(w)))
+        case o: ObjectHashAggregateExec =>
+          Seq(Finding("object-hash-aggregate", render(o)))
+        case _ => Nil
+      }
+      // the re-inlined-staged-kernel family: the substitution channels
+      // are PushPredicateThroughNonJoin/Join (filter + join conds, the
+      // r12 find) and alias substitution into any other consumer list
+      val inlined: Seq[Finding] = node match {
+        case f: FilterExec if hasDuplicatedExpensive(Seq(f.condition)) =>
+          Seq(Finding("inlined-expensive-filter", render(f)))
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+            if hasDuplicatedExpensive(j.condition.toSeq) =>
+          Seq(Finding("inlined-expensive-filter", render(j)))
+        case p: ProjectExec if hasDuplicatedExpensive(p.projectList) =>
+          Seq(Finding("inlined-expensive-filter", render(p)))
+        case a: BaseAggregateExec if hasDuplicatedExpensive(
+            a.groupingExpressions ++ a.aggregateExpressions ++ a.resultExpressions) =>
+          Seq(Finding("inlined-expensive-filter", render(a)))
+        case w: WindowExec if hasDuplicatedExpensive(
+            w.windowExpression ++ w.partitionSpec ++ w.orderSpec.map(_.child)) =>
+          Seq(Finding("inlined-expensive-filter", render(w)))
+        case _ => Nil
+      }
+      // per-COMPARISON re-evaluation: one expensive key is enough
+      val sortKey: Seq[Finding] = node match {
+        case s: SortExec if s.sortOrder.exists(o => collectExpensive(o.child).nonEmpty) =>
+          Seq(Finding("expensive-sort-key", render(s)))
+        case t: TakeOrderedAndProjectExec
+            if t.sortOrder.exists(o => collectExpensive(o.child).nonEmpty) =>
+          Seq(Finding("expensive-sort-key", render(t)))
+        case _ => Nil
+      }
+      structural ++ inlined ++ sortKey
     }
   }
 
-  /** expensive = interpreted HOFs + this library's own kernels; two
-    * semantically-identical copies inside ONE predicate means a staged
-    * alias was substituted into it (per-row work duplicated against
-    * the projection that still computes it). */
+  /** expensive = interpreted HOFs + this library's own kernels (the
+    * [[graft.functions.CostlyKernel]] marker — NOT a package-name
+    * match: ComputeOnce lives in the kernels' package but is a
+    * barrier, and a kernel defined elsewhere must not escape).
+    * Subtrees under a ComputeOnce are NOT collected: the barrier's
+    * contract is one evaluation per row, so canonically-equal kernels
+    * inside two barriered stages are each computed once. Outermost
+    * match only — one finding per staged unit, not per nested node. */
+  private def collectExpensive(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case _: graft.functions.ComputeOnce => Nil
+    case k: graft.functions.CostlyKernel =>
+      Seq(k.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression])
+    case h: HigherOrderFunction => Seq(h)
+    case other => other.children.flatMap(collectExpensive)
+  }
+
+  /** Two semantically-identical expensive copies inside ONE node's
+    * expression list means a staged alias was substituted into it
+    * (per-row work duplicated against the projection that still
+    * computes it). */
   private def hasDuplicatedExpensive(
       conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
-    val expensive = conds.flatMap(_.collect {
-      case e: HigherOrderFunction =>
-        e: org.apache.spark.sql.catalyst.expressions.Expression
-      case e if e.getClass.getName.startsWith("graft.functions.") =>
-        e: org.apache.spark.sql.catalyst.expressions.Expression
-    })
+    val expensive = conds.flatMap(collectExpensive)
     expensive.groupBy(_.canonicalized).exists(_._2.size >= 2)
   }
 

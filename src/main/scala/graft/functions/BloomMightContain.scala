@@ -21,7 +21,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * results exact.
   */
 case class BloomMightContain(child: Expression, bloom: BloomFilter)
-    extends UnaryExpression {
+    extends UnaryExpression with CostlyKernel {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"

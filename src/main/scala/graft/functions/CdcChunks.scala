@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * chunks tile the string exactly (Σ len = length, no gaps). Empty
   * input → empty array.
   */
-case class CdcChunks(child: Expression, w: Int, mask: Long) extends UnaryExpression {
+case class CdcChunks(child: Expression, w: Int, mask: Long) extends UnaryExpression with CostlyKernel {
   require(w >= 1, s"window width must be >= 1, got $w")
   require(mask >= 1 && (mask & (mask - 1)) == 0,
     s"mask must be a power of two, got $mask")

@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   * knn/near-dup benches the dot product is the innermost operation of
   * an O(|Q|·|N|·d) scan, so the constant factor is the entire cost.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression with CostlyKernel {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

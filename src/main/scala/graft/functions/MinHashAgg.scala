@@ -26,7 +26,8 @@ import graft.operators.TextHash.{A, B, P}
   */
 case class MinHashAgg(child: Expression, k: Int = 8)
     extends DeclarativeAggregate
-    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression]
+    with CostlyKernel {
   require(k >= 1 && k <= A.length,
     s"k must be in [1, ${A.length}] (the affine-mixer family size), got $k")
 

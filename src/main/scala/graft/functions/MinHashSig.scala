@@ -25,7 +25,7 @@ import graft.operators.TextHash.{A, B, P}
   * array inside whole-stage codegen — the HOF form re-walks the array
   * k times, interpreted.
   */
-case class MinHashSig(child: Expression, k: Int = 8) extends UnaryExpression {
+case class MinHashSig(child: Expression, k: Int = 8) extends UnaryExpression with CostlyKernel {
   require(k >= 1 && k <= A.length, s"k must be in [1, ${A.length}]")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)

@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * and walks the string once. Same operator shape, ~an order of
   * magnitude less per-row cost in the dedup/fingerprint hot paths.
   */
-case class PolyHash(child: Expression, base: Long = 31L) extends UnaryExpression {
+case class PolyHash(child: Expression, base: Long = 31L) extends UnaryExpression with CostlyKernel {
   require(base >= 2 && base < PolyHash.P, s"base must be in [2, P), got $base")
 
   override def dataType: DataType = LongType

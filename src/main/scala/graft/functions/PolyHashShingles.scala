@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Windows are in Unicode code points (matching substring/length
   * semantics in both Spark and the DuckDB oracle).
   */
-case class PolyHashShingles(child: Expression, n: Int) extends UnaryExpression {
+case class PolyHashShingles(child: Expression, n: Int) extends UnaryExpression with CostlyKernel {
   require(n >= 1, "shingle width must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

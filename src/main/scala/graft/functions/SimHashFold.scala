@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * ties are "not > 0", so the fingerprint is 0 — NOT null. Charikar,
   * "Similarity estimation techniques from rounding algorithms" (2002).
   */
-case class SimHashFold(child: Expression) extends UnaryExpression {
+case class SimHashFold(child: Expression) extends UnaryExpression with CostlyKernel {
 
   override def dataType: DataType = LongType
 

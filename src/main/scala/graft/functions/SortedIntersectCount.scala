@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * once per DOCUMENT, not per pair.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CostlyKernel {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"

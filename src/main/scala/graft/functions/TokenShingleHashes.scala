@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the sf0.1 bench.
   */
 case class TokenShingleHashes(child: Expression, n: Int, base: Long = 31L)
-    extends UnaryExpression {
+    extends UnaryExpression with CostlyKernel {
   require(n >= 1, "shingle width must be >= 1")
   require(base >= 2 && base < PolyHash.P, s"base must be in [2, P), got $base")
 

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
   * convention), never a silently corrupt blob; decode returns NULL on
   * truncated input. `decode(encode(x)) == x` is property-tested.
   */
-case class DeltaVarintEncode(child: Expression) extends UnaryExpression {
+case class DeltaVarintEncode(child: Expression) extends UnaryExpression with CostlyKernel {
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -49,7 +49,7 @@ case class DeltaVarintEncode(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-case class DeltaVarintDecode(child: Expression) extends UnaryExpression {
+case class DeltaVarintDecode(child: Expression) extends UnaryExpression with CostlyKernel {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

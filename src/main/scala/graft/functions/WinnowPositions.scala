@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   * (Long.MaxValue), matching SQL ascending NULLS LAST — the
   * PolyHashShingles producer never emits nulls, this is defensive.
   */
-case class WinnowPositions(child: Expression, w: Int) extends UnaryExpression {
+case class WinnowPositions(child: Expression, w: Int) extends UnaryExpression with CostlyKernel {
   require(w >= 1, "winnow window must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

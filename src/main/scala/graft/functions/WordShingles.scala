@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * with a pluggable kernel (e.g. the xxhash64 production variant)
   * rather than the portable poly_hash. Duplicates are not removed.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression with CostlyKernel {
   require(n >= 1, "shingle width must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

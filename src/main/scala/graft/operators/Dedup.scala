@@ -542,9 +542,26 @@ object Dedup {
   def dropContainedMinimal(docs: DataFrame, id: Column, text: Column,
       n: Int = DefaultShingleN, threshold: Double = 0.9, maxIter: Int = 20): DataFrame = {
     val pairs = containmentPairs(docs, id, text, n, threshold)
-    // canonical edge (c contained-in p); mutual pairs fold to hi→lo,
-    // the same keep-min-id rule as dropContained
-    val (edges0, releaseEdges0) = graft.Caches.checkpoint(
+    // ONE MATERIALIZING ACTION PER ROUND (the pageRank lazy-checkpoint
+    // + fused-probe pattern, ported per the r12 profile: under a
+    // throttled driver the old loop's ~5 scheduling points per round —
+    // two eager checkpoints, two counts, one more checkpoint —
+    // dominated d58's variance). The round state is a SINGLE tagged
+    // frame carrying
+    // both the unresolved edges (edge = true: c contained-in p,
+    // mutual pairs folded hi→lo, the keep-min-id rule) and the
+    // accumulated drop set (edge = false, p null); each round builds
+    // the next state as one lazy localCheckpoint whose materializing
+    // action is the fused probe agg (edges remaining + drops so far —
+    // both counts in one scan of the just-written blocks). Progress
+    // and the cyclic-remainder exit both fall out of the probe: a
+    // round that drops nothing while edges remain means no sinks ⇒
+    // the remainder is a containment cycle, conservatively KEPT (see
+    // scaladoc). Every frame stays id-narrow (≤ 2 longs + 1 bool);
+    // the previous round's blocks are released only AFTER the next
+    // state is materialized (a lazy localCheckpoint reads the
+    // parent's blocks).
+    var (state, releaseState) = graft.Caches.checkpoint(
       pairs.select(
           least(col("contained"), col("container")).as("lo"),
           greatest(col("contained"), col("container")).as("hi"),
@@ -556,47 +573,63 @@ object Dedup {
           when(col("has_fwd") && !col("has_rev"), col("lo"))
             .otherwise(col("hi")).as("c"),
           when(col("has_fwd") && !col("has_rev"), col("hi"))
-            .otherwise(col("lo")).as("p")))
-    var rem = edges0
-    var releaseRem = releaseEdges0
-    var nRem = rem.count()
-    var (dropped, releaseDropped) = graft.Caches.checkpoint(
-      rem.select(col("c").as("graft_drop")).limit(0))
+            .otherwise(col("lo")).as("p"),
+          lit(true).as("graft_edge")),
+      eager = false)
+    def probe(s: DataFrame): (Long, Long) = {
+      val r = s.agg(
+        count(when(col("graft_edge"), lit(1))),
+        count(when(!col("graft_edge"), lit(1)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var (nRem, nDropped) = probe(state)
     var iter = 0
-    while (nRem > 0 && iter < maxIter) {
+    var cyclic = false
+    // deliberately NOT staticLoopPlans: the peel frames SHRINK round
+    // over round, and AQE's runtime coalescing tracks the shrinkage
+    // (the Caches shrinking-loop rule) — A/B at sf0.1 under equal
+    // probes: 2.5 s with AQE vs 3.3 s static. Under AQE the lazy
+    // checkpoint is itself a stage-running execution (toRdd finalizes
+    // the adaptive plan), so a round costs exactly TWO scheduling
+    // points — the checkpoint's non-final stages and the probe's
+    // final stage — down from the five the pre-r13 loop paid
+    // (PlanAuditSpec pins 2 executions per round + 2 for init).
+    while (nRem > 0 && !cyclic && iter < maxIter) {
+      val edges = state.filter(col("graft_edge"))
+        .select(col("c"), col("p"))
+      val drops = state.filter(!col("graft_edge"))
       // sinks: unresolved docs that appear as a container but never as
       // a containee — nothing above them, so they are KEPT
-      val kept = rem.select(col("p").as("id")).distinct()
-        .join(rem.select(col("c").as("id")).distinct(), Seq("id"), "left_anti")
-      // everything directly contained in a kept doc is DROPPED
-      val (d, releaseD) = graft.Caches.checkpoint(
-        rem.join(kept.select(col("id").as("p")), Seq("p"))
-          .select(col("c").as("graft_drop")).distinct())
-      val nD = d.count()
-      if (nD == 0L) {
-        // no sinks ⇒ the remainder is cyclic: keep it (see scaladoc)
-        releaseD()
-        nRem = 0L
-      } else {
-        // rounds resolve disjoint node sets, so the union needs no
-        // distinct (d is distinct within its round already)
-        val (nextDropped, releaseNextDropped) = graft.Caches.checkpoint(
-          dropped.unionAll(d))
-        val resolved = kept
-          .unionAll(d.select(col("graft_drop").as("id")))
-        val (nextRem, releaseNextRem) = graft.Caches.checkpoint(
-          rem.join(resolved.select(col("id").as("c")), Seq("c"), "left_anti")
-            .join(resolved.select(col("id").as("p")), Seq("p"), "left_anti")
-            .select(col("c"), col("p")))
-        nRem = nextRem.count()
-        releaseRem(); releaseDropped(); releaseD()
-        rem = nextRem; releaseRem = releaseNextRem
-        dropped = nextDropped; releaseDropped = releaseNextDropped
-      }
+      val kept = edges.select(col("p").as("id")).distinct()
+        .join(edges.select(col("c").as("id")).distinct(), Seq("id"), "left_anti")
+      // everything directly contained in a kept doc is DROPPED;
+      // rounds resolve disjoint node sets, so the accumulated drop set
+      // needs no cross-round distinct
+      val newDrop = edges.join(kept.select(col("id").as("p")), Seq("p"))
+        .select(col("c")).distinct()
+      val resolved = kept
+        .unionAll(newDrop.select(col("c").as("id")))
+      val nextEdges = edges
+        .join(resolved.select(col("id").as("c")), Seq("c"), "left_anti")
+        .join(resolved.select(col("id").as("p")), Seq("p"), "left_anti")
+      val (nextState, releaseNext) = graft.Caches.checkpoint(
+        nextEdges.select(col("c"), col("p"), lit(true).as("graft_edge"))
+          .unionAll(drops)
+          .unionAll(newDrop.select(col("c"),
+            lit(null).cast("long").as("p"), lit(false).as("graft_edge"))),
+        eager = false)
+      val (nextRem, nextDropped) = probe(nextState)
+      // no new drops while edges remain ⇒ no sinks ⇒ cyclic remainder
+      cyclic = nextDropped == nDropped && nextRem > 0
+      releaseState()
+      state = nextState; releaseState = releaseNext
+      nRem = nextRem; nDropped = nextDropped
       iter += 1
     }
-    require(nRem == 0L,
+    require(nRem == 0L || cyclic,
       s"dropContainedMinimal did not resolve in $maxIter rounds — chain depth exceeds the bound; raise maxIter")
+    val dropped = state.filter(!col("graft_edge"))
+      .select(col("c").as("graft_drop"))
     docs.join(dropped, id === col("graft_drop"), "left_anti")
   }
 

@@ -449,7 +449,8 @@ object Advanced {
     * built-in. */
   val q40SessionWindow: Q = Q(
     "q40_session_window",
-    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |           WHERE ts IS NOT NULL),
       |d AS (SELECT user_id, ts, value,
       |        CASE WHEN lag(ts) OVER w IS NULL
       |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
@@ -462,7 +463,19 @@ object Advanced {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
-    Tables.events(s, dir)
+    sessionAgg(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** q40's engine construction, extracted so its null discipline is
+    * unit-testable on a null-bearing fixture: sessions are defined
+    * over TIMESTAMPED events only — a null ts orders at opposite
+    * partition ends across engines in the oracle's lag derivation, and
+    * session_window's null-key group is engine-defined — so null-ts
+    * rows are dropped on both legs before sessionization. */
+  private[graft] def sessionAgg(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .filter(col("ts").isNotNull)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -472,8 +485,6 @@ object Advanced {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
-      .orderBy(col("user_id"), col("session_start"))
-  }
 
   /** q49 — map-typed column surface: construction, key listing,
     * value extraction, cardinality. (DuckDB's `m[key]` yields a LIST —

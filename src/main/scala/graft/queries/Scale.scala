@@ -724,9 +724,9 @@ object Scale {
       |  CAST(sum(first_seen) OVER (PARTITION BY user_id
       |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_distinct_types
-      |FROM f ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      |FROM f ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin) { (s, dir) =>
     runningDistinct(Tables.events(s, dir))
-      .orderBy(col("user_id"), col("event_id"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
   /** q80's engine construction, extracted so its null discipline is
@@ -851,9 +851,9 @@ object Scale {
       |SELECT user_id, event_id,
       |  CAST(len(win) AS BIGINT) AS n_window,
       |  CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT) AS med_cents
-      |FROM w ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      |FROM w ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin) { (s, dir) =>
     rollingMedian5(Tables.events(s, dir))
-      .orderBy(col("user_id"), col("event_id"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
   /** q83's engine construction, extracted so its null discipline is

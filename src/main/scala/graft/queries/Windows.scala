@@ -31,9 +31,10 @@ object Windows {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
       |    / CAST(COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_avg
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey"))
     val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val last3 = w.rowsBetween(-2, Window.currentRow)
     Tables.orders(s, dir)
@@ -136,9 +137,22 @@ object Windows {
       |    (PARTITION BY o_custkey ORDER BY day_no RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS total_30d
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
-      |      FROM orders)
+      |      FROM orders WHERE o_orderdate IS NOT NULL)
       |ORDER BY o_custkey, day_no, o_orderkey""".stripMargin) { (s, dir) =>
-    val base = Tables.orders(s, dir).select(
+    rangeFrame30d(Tables.orders(s, dir))
+      .orderBy(col("o_custkey"), col("day_no"), col("o_orderkey"))
+  }
+
+  /** q37's engine construction, extracted so its null discipline is
+    * unit-testable on a null-bearing fixture (the catalogue fixture is
+    * null-free): RANGE frames are defined over NON-NULL ordering keys
+    * only — a null day_no row would sit in an engine-defined null peer
+    * group (Spark and DuckDB place and frame it differently), so rows
+    * with a null order date are dropped BEFORE the window. */
+  private[graft] def rangeFrame30d(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = orders
+      .filter(col("o_orderdate").isNotNull)
+      .select(
       col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
       datediff(col("o_orderdate").cast("date"), lit(java.sql.Date.valueOf("1990-01-01")))
         .cast("long").as("day_no"))
@@ -146,7 +160,6 @@ object Windows {
       .rangeBetween(-30, Window.currentRow)
     base.select(col("o_custkey"), col("o_orderkey"), col("day_no"),
         sum(dec(col("o_totalprice"))).over(w).cast("double").as("total_30d"))
-      .orderBy(col("o_custkey"), col("day_no"), col("o_orderkey"))
   }
 
   /** q38 — ranking family: rank / dense_rank / percent_rank /
@@ -161,10 +174,10 @@ object Windows {
       |  cume_dist() OVER w AS cdist,
       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
       |FROM customer
-      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST, c_custkey)
       |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey"))
     Tables.customer(s, dir).select(
         col("c_nationkey"), col("c_custkey"),
         rank().over(w).cast("long").as("rnk"),
@@ -180,16 +193,16 @@ object Windows {
   val q39ValueWindows: Q = Q(
     "q39_value_windows",
     """SELECT o_custkey, o_orderkey,
-      |  first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
-      |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
-      |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.orders(s, dir).select(
         col("o_custkey"), col("o_orderkey"),
@@ -209,8 +222,8 @@ object Windows {
     "q51_streaks",
     """WITH e AS (
       |  SELECT user_id, event_type,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-      |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS isl
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+      |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id) AS isl
       |  FROM events),
       |islands AS (
       |  SELECT user_id, event_type, isl, count(*) AS streak
@@ -221,9 +234,9 @@ object Windows {
       |FROM islands GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
     val wAll = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts").asc_nulls_first, col("event_id"))
     val wType = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts").asc_nulls_first, col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
         (row_number().over(wAll) - row_number().over(wType)).as("isl"))
@@ -247,12 +260,12 @@ object Windows {
       |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
       |  FROM events)
       |SELECT event_id, user_id,
-      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts").asc_nulls_first, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
@@ -314,11 +327,11 @@ object Windows {
       |m AS (SELECT user_id, event_type, ts, event_id,
       |        lag(event_type) OVER w AS prev,
       |        row_number() OVER w AS rn
-      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)),
       |c AS (SELECT user_id, event_type, ts, event_id FROM m
       |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
       |f AS (SELECT user_id, event_type AS attr_value, epoch_us(ts) AS valid_from,
-      |        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to
+      |        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)) AS valid_to
       |      FROM c)
       |SELECT user_id, attr_value, valid_from, valid_to,
       |  (valid_to IS NULL) AS is_current
@@ -327,7 +340,7 @@ object Windows {
         Tables.events(s, dir).select(col("user_id"), col("event_type"),
           col("ts"), col("event_id")),
         key = Seq(col("user_id")), attr = col("event_type"),
-        validFrom = col("ts"), order = Seq(col("ts"), col("event_id")))
+        validFrom = col("ts"), order = Seq(col("ts").asc_nulls_first, col("event_id")))
       .select(col("user_id"), col("attr_value"),
         unix_micros(col("valid_from")).as("valid_from"),
         unix_micros(col("valid_to")).as("valid_to"), col("is_current"))

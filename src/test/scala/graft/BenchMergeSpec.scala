@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench-baseline MERGE contract (r12 verdict item 1): a full
+  * bench run inside a contended host window must not replace the
+  * healthy per-query baseline — that happened in r12 (d57's recorded
+  * min2 went 1.45 → 7.48 s) and de-sensitized the >3× regression
+  * trigger by up to 5×. These tests drive the parse + merge helpers on
+  * literal record JSON, simulating exactly that overwrite. */
+class BenchMergeSpec extends AnyFunSuite {
+
+  // the shape of a persisted healthy-window record (r12 format, no
+  // min2_norm field yet) — values from the real incident
+  private val healthy =
+    """{"metric":"total","value":146.8,"unit":"sec",""" +
+    """"queries":{"d57_drop_contained":1.47,"g10_bipartite":2.02},""" +
+    """"min2":{"d57_drop_contained":1.45,"g10_bipartite":2.00},""" +
+    """"total_min2":144.8,"failed":[],"rerun_regressed":[],""" +
+    """"effective_cores":18.3,"par_probe_best_ms":11.6,""" +
+    """"sf":"/root/testdata/sf0.1"}"""
+
+  test("parseRecord reads sf and the min2 map; absent min2_norm parses empty") {
+    val r = Bench.parseRecord(healthy).get
+    assert(r.sf == "/root/testdata/sf0.1")
+    assert(r.min2 == Map("d57_drop_contained" -> 1.45, "g10_bipartite" -> 2.00))
+    assert(r.min2Norm.isEmpty)
+  }
+
+  test("parseRecordMap matches field names exactly (min2 vs min2_norm vs min2_session)") {
+    val txt = """{"min2":{"a":1.0},"min2_session":{"a":2.0},"min2_norm":{"a":3.0}}"""
+    assert(Bench.parseRecordMap(txt, "min2") == Map("a" -> 1.0))
+    assert(Bench.parseRecordMap(txt, "min2_session") == Map("a" -> 2.0))
+    assert(Bench.parseRecordMap(txt, "min2_norm") == Map("a" -> 3.0))
+  }
+
+  test("a simulated contended session leaves healthy per-query min2s intact") {
+    val prior = Bench.parseRecord(healthy).get
+    // the r12 driver window: every query 3-5× inflated
+    val contendedSession = Map("d57_drop_contained" -> 7.48, "g10_bipartite" -> 8.86)
+    val merged = Bench.mergeBaseline(prior.min2, contendedSession, Set.empty)
+    assert(merged == Map("d57_drop_contained" -> 1.45, "g10_bipartite" -> 2.00))
+  }
+
+  test("a genuinely faster session lowers the baseline; a new query enters at its session time") {
+    val prior = Bench.parseRecord(healthy).get
+    val session = Map("d57_drop_contained" -> 1.12, "q99_new" -> 0.8)
+    val merged = Bench.mergeBaseline(prior.min2, session, Set.empty)
+    assert(merged("d57_drop_contained") == 1.12)
+    assert(merged("q99_new") == 0.8)
+    // removed/renamed queries' stale priors are dropped (session keys drive)
+    assert(!merged.contains("g10_bipartite"))
+  }
+
+  test("a failed query's time-until-crash never becomes the baseline") {
+    val prior = Map("d57_drop_contained" -> 1.45)
+    val session = Map("d57_drop_contained" -> 0.03, "q99_new" -> 0.02)
+    val merged = Bench.mergeBaseline(prior, session,
+      failed = Set("d57_drop_contained", "q99_new"))
+    assert(merged == Map("d57_drop_contained" -> 1.45)) // prior kept; never-passed query absent
+  }
+
+  test("normalization factor is capped at a 2x correction") {
+    assert(Bench.normFactor(10.0, 10.0) == 1.0)
+    assert(Bench.normFactor(10.0, 15.0) == 10.0 / 15.0)
+    // a 4x probe outlier must not scale a timing down 4x — cap at 0.5
+    assert(Bench.normFactor(10.0, 40.0) == 0.5)
+    // degenerate probes normalize to identity
+    assert(Bench.normFactor(10.0, 0.0) == 1.0)
+    assert(Bench.normFactor(0.0, 10.0) == 1.0)
+  }
+
+  test("a record from a different scale factor is not a baseline") {
+    val r = Bench.parseRecord(healthy).get
+    assert(r.sf != "/root/testdata/sf0.01")
+  }
+}

@@ -13,19 +13,10 @@ import org.apache.spark.sql.SparkSession
   * single-action contract). */
 object DevLoopAB {
   @volatile private var sink: Long = 0L
-  private def parProbeMs(n: Int): Double = {
-    def spin(): Long = {
-      var x = 0L; var i = 0
-      while (i < 10000000) { x += i.toLong * i; i += 1 }
-      x
-    }
-    val ts = (1 to n).map(_ => new Thread(new Runnable {
-      def run(): Unit = { sink ^= spin(); () }
-    }))
-    val t0 = System.nanoTime()
-    ts.foreach(_.start()); ts.foreach(_.join())
-    math.rint((System.nanoTime() - t0) / 1e3) / 1e3
-  }
+  // Bench's probe, not a copy: the two drifted once (identical code
+  // duplicated here) and a re-tuned spin would have made Bench and
+  // DevLoopAB probe readings silently incomparable
+  private def parProbeMs(n: Int): Double = Bench.parProbeMs(n)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

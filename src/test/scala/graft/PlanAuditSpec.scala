@@ -437,4 +437,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"DECIMAL output columns in: ${offenders.mkString("; ")}")
   }
+
+  test("d58 peel loop: one fused probe per round (lazy checkpoint + fused probe)") {
+    // r12 profile: the old loop paid ~5 scheduling points per round
+    // (two eager checkpoints + two counts + one more checkpoint) —
+    // under a throttled driver that dominated d58's variance. The
+    // fused rewrite checkpoints each round LAZILY and makes the
+    // edges-remaining/drops-so-far probe agg the materializing action.
+    // Under AQE (kept: the shrinking-loop A/B at sf0.1 measured 2.5 s
+    // AQE vs 3.3 s static) a lazy checkpoint's toRdd is itself a
+    // stage-running execution, so the observable floor is exactly TWO
+    // SQL executions per round (checkpoint + probe) and two for init —
+    // this test pins that floor; any regression back to per-round
+    // counts/eager checkpoints shows up as extra executions. The
+    // returned frame is a pure plan (no action inside the operator for
+    // the caller's own action to re-pay).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    graft.Caches.releaseAll()
+    val ts = (1 to 20).map(i => f"w$i%02d")
+    val x = ts.mkString(" ")
+    val h = (ts.take(14) :+ "zz").mkString(" ")
+    val p = (ts.slice(7, 14) :+ "zz").mkString(" ")
+    // materialize the fixture BEFORE counting so its job is excluded
+    val corpus = Seq((1L, x), (2L, h), (3L, p)).toDF("doc_id", "text")
+      .localCheckpoint(true)
+    val starts = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          starts.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = graft.operators.Dedup.dropContainedMinimal(
+        corpus, col("doc_id"), col("text"), threshold = 0.9)
+      org.apache.spark.GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
+      // the P ⊂ H ⊂ X chain resolves in ONE round (H dropped, its
+      // edges cleared) ⇒ (checkpoint + probe) × (init + 1 round) = 4
+      assert(starts.get() == 4,
+        s"expected 4 SQL executions (2 init + 2 for the single round), got ${starts.get()}")
+      assert(out.count() == 2) // X and P survive
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

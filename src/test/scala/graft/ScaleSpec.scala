@@ -191,6 +191,41 @@ class ScaleSpec extends SparkSpec {
     assert(out == Map(4L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("q37 null discipline: null-order-date rows drop before the RANGE frame") {
+    import spark.implicits._
+    // a RANGE frame is defined over NON-NULL ordering keys only: a
+    // null day_no row would sit in an engine-defined null peer group
+    // (Spark and DuckDB place and frame it differently), so the null
+    // o_orderdate row must neither appear nor contribute to any frame
+    val orders = Seq(
+      (1L, 10L, 100.0, Option("1990-01-05")),
+      (1L, 11L, 50.0, Option.empty[String]),
+      (1L, 12L, 30.0, Option("1990-01-20")))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    val out = graft.queries.Windows.rangeFrame30d(orders)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // order 12 is within 30 days of order 10 → 130; the null row gone
+    assert(out == Map(10L -> 100.0, 12L -> 130.0), s"got $out")
+  }
+
+  test("q40 null discipline: null-ts events drop before sessionization") {
+    import spark.implicits._
+    // sessions are defined over TIMESTAMPED events only — a null ts
+    // orders at opposite partition ends across engines in the oracle's
+    // lag derivation, and session_window's null-key group is
+    // engine-defined
+    val ev = Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), Option(1.0)),
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-01 10:10:00")), Option(2.0)),
+      (1L, Option.empty[java.sql.Timestamp], Option(99.0)),
+      (1L, Option(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")), Option(4.0)))
+      .toDF("user_id", "ts", "value")
+    val out = graft.queries.Advanced.sessionAgg(ev)
+      .collect().map(r => (r.getLong(3), r.getDouble(4)))
+    // two sessions; the null-ts row's value (99.0) appears nowhere
+    assert(out.toSet == Set((2L, 3.0), (1L, 4.0)), s"got ${out.toSeq}")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
