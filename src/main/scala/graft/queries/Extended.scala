@@ -2270,6 +2270,117 @@ object Extended {
     }
   }
 
+  /** The t89/d72 URL corpus: a deterministic messy URL per document
+    * (the documents table carries no URL column — the same
+    * induce-it-deterministically pattern as q53's nulls), derived from
+    * (doc_id, source) so both engines generate the identical string.
+    * The variants exercise every canonicalization rule: upper-case
+    * scheme/host (d%2 adds WWW.), default vs non-default vs absent
+    * port (d%4 × d%3), repeated paths (d%10), tracking params with
+    * PER-DOC varying values (utm_campaign=c<d>, gclid=g<d>,
+    * fbclid=f<d> — so raw URLs are distinct while canonicals collide:
+    * the collapsing is provably the canonicalizer's work), unsorted
+    * params (d%5=1), no query (d%5=3), and per-doc fragments (odd d).
+    * Canonical identity is the d%60 class within a source. */
+  private def urlGen(d: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ds = d.cast("string")
+    concat(
+      when(d % 3 === 0, lit("HTTP")).otherwise(lit("HTTPS")), lit("://"),
+      when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      source, lit(".Example.COM"),
+      when(d % 4 === 0, when(d % 3 === 0, lit(":80")).otherwise(lit(":443")))
+        .when(d % 4 === 1, lit(":8080")).otherwise(lit("")),
+      lit("/Docs/D"), (d % 10).cast("string"),
+      when(d % 5 === 0, concat(lit("?utm_source=x&id="), (d % 3).cast("string"),
+          lit("&utm_campaign=c"), ds))
+        .when(d % 5 === 1, concat(lit("?b=2&a=1&id="), (d % 3).cast("string")))
+        .when(d % 5 === 2, concat(lit("?gclid=g"), ds))
+        .when(d % 5 === 3, lit(""))
+        .otherwise(concat(lit("?a=1&fbclid=f"), ds, lit("&ref=tw"))),
+      when(d % 2 === 1, concat(lit("#Sec-"), ds)).otherwise(lit("")))
+  }
+  private val urlGenSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN 'HTTP' ELSE 'HTTPS' END || '://' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END || source || '.Example.COM' ||
+      |  CASE WHEN doc_id % 4 = 0 THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+      |       WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+      |  '/Docs/D' || CAST(doc_id % 10 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+      |       WHEN doc_id % 5 = 1 THEN '?b=2&a=1&id=' || CAST(doc_id % 3 AS VARCHAR)
+      |       WHEN doc_id % 5 = 2 THEN '?gclid=g' || CAST(doc_id AS VARCHAR)
+      |       WHEN doc_id % 5 = 3 THEN ''
+      |       ELSE '?a=1&fbclid=f' || CAST(doc_id AS VARCHAR) || '&ref=tw' END ||
+      |  CASE WHEN doc_id % 2 = 1 THEN '#Sec-' || CAST(doc_id AS VARCHAR) ELSE '' END""".stripMargin
+
+  /** The shared DuckDB canonicalization CTE chain (emitters from
+    * graft.operators.Urls — same pattern constants as the engine's
+    * Column builders, the twin-emitter discipline), ending in a `z`
+    * relation of (doc_id, url_canon, host_key). */
+  private val urlCanonCtesSql: String = {
+    import graft.operators.Urls
+    s"""u AS (SELECT doc_id, $urlGenSql AS url FROM documents),
+       |b AS (SELECT doc_id, ${Urls.stripFragSql("url")} AS base FROM u),
+       |x AS (SELECT doc_id,
+       |        ${Urls.schemeSql("base")} AS sch,
+       |        ${Urls.hostPortSql("base")} AS hp,
+       |        ${Urls.pathSql("base")} AS path0,
+       |        ${Urls.querySql("base")} AS q0
+       |      FROM b),
+       |y AS (SELECT doc_id, sch,
+       |        ${Urls.stripPortSql("hp")} AS host,
+       |        ${Urls.portSql("hp")} AS port,
+       |        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+       |        ${Urls.cleanQuerySql("q0")} AS q1
+       |      FROM x),
+       |z AS (SELECT doc_id,
+       |        sch || '://' ||
+       |        CASE WHEN port = '' OR (sch = 'http' AND port = '80') OR (sch = 'https' AND port = '443')
+       |             THEN host ELSE host || ':' || port END ||
+       |        path ||
+       |        CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_canon,
+       |        ${Urls.hostKeyFromHostSql("host")} AS host_key
+       |      FROM (SELECT *, ${Urls.sortParamsSql("q1")} AS q2 FROM y))""".stripMargin
+  }
+
+  /** t89 — canonical URL normalization (Urls.canonicalUrl/hostKey):
+    * the crawl-curation identity key. Pure codegen'd per-row string
+    * built-ins — no shuffle, no HOFs; the oracle replays the identical
+    * rules from the shared emitters. */
+  val t89UrlCanon: Q = Q(
+    "t89_url_canon",
+    s"""WITH $urlCanonCtesSql
+       |SELECT doc_id, url_canon, host_key FROM z ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val u = urlGen(col("doc_id"), col("source"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.operators.Urls.canonicalUrl(u).as("url_canon"),
+        graft.operators.Urls.hostKey(u).as("host_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d72 — exact dedup BY CANONICAL URL (Urls.canonicalUrl feeding the
+    * d40 keep-min-id rule): raw URLs are pairwise DISTINCT by
+    * construction (per-doc tracking values and fragments), so every
+    * collapsed group below is the canonicalizer's work, not string
+    * equality. One hash aggregate on the canonical key — the identical
+    * shuffle shape d40 runs on content hashes; at crawl scale this is
+    * the cheapest dedup pass and runs FIRST, before any content
+    * hashing. */
+  val d72UrlDedup: Q = Q(
+    "d72_url_dedup",
+    s"""WITH $urlCanonCtesSql
+       |SELECT url_canon, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM z GROUP BY url_canon ORDER BY url_canon""".stripMargin) { (s, dir) =>
+    val u = urlGen(col("doc_id"), col("source"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.operators.Urls.canonicalUrl(u).as("url_canon"))
+      .groupBy(col("url_canon"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("url_canon"))
+  }
+
   /** t90 — PORTABLE HyperLogLog distinct-token estimate, fully
     * oracle-hash-matched — the counterexample to "HLL sketches are not
     * SQL-expressible" (q36's no_oracle carve-out): with the portable
@@ -3333,7 +3444,8 @@ object Extended {
     t66Redact, t67TokenBudget, t68Tfidf, t69MixShuffle, t70PackSequences, t71BigramLm,
     t74QuantileFilter, t75SourceCap, t76HeavyHitters, t77CurationPipeline, t78CmSketch,
     t79CurationSpans, t80LmGate, t81BpePairs, t82BpeMerge, t83BpeTrain, t84BpeEncode,
-    t85Bm25, t86VocabGrowth, t87LinearScore, t88PhraseSearch, t90HllDistinct,
+    t85Bm25, t86VocabGrowth, t87LinearScore, t88PhraseSearch, t89UrlCanon,
+    d72UrlDedup, t90HllDistinct,
     t72SegmentDedup,
     m70MultimodalMeta, m71PayloadChunks,
     m72PayloadAhash, m73PayloadNearDup, m74ImageDecode, m75AudioDecode, m76PatchAhash,

@@ -2097,4 +2097,59 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((100L, 2L, 1260L, 2L))) // first rel at rank 2 → 2520/2
   }
+
+  test("Urls.canonicalUrl: every documented rule on literal URLs") {
+    import spark.implicits._
+    val cases = Seq(
+      // case fold + default port + tracking strip + param sort + fragment
+      ("HTTPS://WWW.Example.COM:443/A/B?utm_source=x&b=2&a=1#frag",
+        "https://www.example.com/A/B?a=1&b=2", "example.com"),
+      // non-default port kept; all-tracking query drops entirely
+      ("http://Host.com:8080/p?gclid=1&fbclid=2&ref=x",
+        "http://host.com:8080/p", "host.com"),
+      // empty path → "/"; http default port stripped
+      ("HTTP://h.com:80", "http://h.com/", "h.com"),
+      // no port, no query, path case PRESERVED
+      ("https://A.B.c/Path/Case", "https://a.b.c/Path/Case", "a.b.c"),
+      // utm key variants; leading tracking param; kept params re-sorted
+      ("https://x.io/?utm_campaign=9&z=1&utm_a1=2&y=0",
+        "https://x.io/?y=0&z=1", "x.io"))
+      .toDF("url", "want_canon", "want_host")
+    val got = cases.select(
+        graft.operators.Urls.canonicalUrl(col("url")).as("canon"),
+        graft.operators.Urls.hostKey(col("url")).as("host"),
+        col("want_canon"), col("want_host"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(0) == r.getString(2), s"canon: got ${r.getString(0)}")
+      assert(r.getString(1) == r.getString(3), s"host: got ${r.getString(1)}")
+    }
+  }
+
+  test("host-key cap composes with the t75 source-cap path: www/case/port variants share one cap bucket") {
+    import spark.implicits._
+    // four raw-distinct URLs of ONE logical site + one other site; cap
+    // at 2 docs per host key — the t75 TopKAgg path keyed on hostKey
+    // must treat the four variants as one bucket
+    val docs = Seq(
+      (1L, "HTTPS://WWW.Site.COM/a", 10L),
+      (2L, "https://site.com:443/b", 8L),
+      (3L, "http://Site.com/c?utm_source=x", 6L),
+      (4L, "https://www.site.com/d", 4L),
+      (5L, "https://other.org/e", 2L))
+      .toDF("doc_id", "url", "n")
+    val capped = docs
+      .select(graft.operators.Urls.hostKey(col("url")).as("host_key"),
+        col("doc_id"), col("n"))
+      .groupBy(col("host_key"))
+      .agg(graft.functions.TopKAgg.topK(2)(
+        col("n").cast("double"), col("doc_id")).as("top"))
+      .select(col("host_key"), explode(col("top")).as("t"))
+      .select(col("host_key"), col("t._2").as("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byHost = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byHost == Map(
+      "site.com" -> Set(1L, 2L), // top-2 by n across ALL four variants
+      "other.org" -> Set(5L)), s"got $byHost")
+  }
 }
