@@ -2282,7 +2282,7 @@ object Extended {
     * the collapsing is provably the canonicalizer's work), unsorted
     * params (d%5=1), no query (d%5=3), and per-doc fragments (odd d).
     * Canonical identity is the d%60 class within a source. */
-  private def urlGen(d: org.apache.spark.sql.Column,
+  private[graft] def urlGen(d: org.apache.spark.sql.Column,
       source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val ds = d.cast("string")
     concat(

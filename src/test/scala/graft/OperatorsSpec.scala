@@ -2126,6 +2126,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Urls.canonicalUrl is idempotent over the whole t89 corpus; hostKey is canonicalization-invariant") {
+    import graft.operators.Urls
+    // canonical form is a FIXED POINT: re-canonicalizing must be the
+    // identity (lowercases already folded, params already sorted,
+    // tracking already gone, default ports already stripped) — the
+    // property that makes the canonical key safe to store and re-derive
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val u = graft.queries.Extended.urlGen(col("doc_id"), col("source"))
+    val c1 = Urls.canonicalUrl(u)
+    val bad = docs.select(
+        c1.as("c1"), Urls.canonicalUrl(c1).as("c2"),
+        Urls.hostKey(u).as("h1"), Urls.hostKey(c1).as("h2"))
+      .filter(col("c1") =!= col("c2") || col("h1") =!= col("h2"))
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
   test("host-key cap composes with the t75 source-cap path: www/case/port variants share one cap bucket") {
     import spark.implicits._
     // four raw-distinct URLs of ONE logical site + one other site; cap
