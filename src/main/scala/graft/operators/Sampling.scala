@@ -144,9 +144,16 @@ object Sampling {
       .agg(sum(col("n_tokens")).as("c"))
       .withColumn("w", floor(sqrt(col("c").cast("double"))).cast("long"))
     val wsum = weights.agg(sum(col("w")).as("ws"))
+    // ws = 0 (every source all-zero-token — valid, degenerate input)
+    // must not reach the division: under ANSI mode (this engine's
+    // default) integral div-by-zero THROWS where DuckDB's // yields
+    // NULL — the r13 division-by-zero sweep's one live finding. With
+    // alloc 0 both engines admit exactly the zero-token docs (they
+    // consume nothing), same as the ws > 0 path already did.
     val alloc = weights.crossJoin(broadcast(wsum))
       .select(col("source"),
-        expr(s"CAST((CAST($budget AS BIGINT) * w) div ws AS BIGINT)").as("alloc"))
+        expr(s"CAST(CASE WHEN ws > 0 THEN (CAST($budget AS BIGINT) * w) div ws ELSE 0 END AS BIGINT)")
+          .as("alloc"))
     val rankKey = (col("doc_id") * lit(A(2)) + lit(B(2))) % lit(P)
     val w = Window.partitionBy(col("source"))
       .orderBy(rankKey, col("doc_id"))

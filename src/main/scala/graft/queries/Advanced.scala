@@ -520,11 +520,11 @@ object Advanced {
       |  CAST(COUNT(*) AS BIGINT) AS n,
       |  (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
       |     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
-      |  / sqrt(
+      |  / NULLIF(sqrt(
       |      (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
       |         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
       |      * (COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-      |         - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)))
+      |         - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))), 0.0)
       |  AS corr_qd
       |FROM lineitem
       |GROUP BY l_returnflag
@@ -541,7 +541,11 @@ object Advanced {
       .groupBy(col("l_returnflag"))
       .agg(
         n.as("n"),
-        ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        // NULLIF'd denominator: a constant column in a group zeroes the
+        // variance product — ANSI division would THROW engine-side where
+        // DuckDB yields NULL (the r13 division-by-zero sweep)
+        ((n * sxy - sx * sy) / nullif(
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), lit(0.0d)))
           .as("corr_qd"))
       .orderBy(col("l_returnflag"))
   }
@@ -577,7 +581,7 @@ object Advanced {
     val SY = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
     val SXX = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
     val SXY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-    val SLOPE = s"(COUNT(*) * $SXY - $SX * $SY) / (COUNT(*) * $SXX - $SX * $SX)"
+    val SLOPE = s"(COUNT(*) * $SXY - $SX * $SY) / NULLIF(COUNT(*) * $SXX - $SX * $SX, 0.0)"
     Q(
       "q56_group_linreg",
       s"""SELECT l_returnflag,
@@ -594,7 +598,9 @@ object Advanced {
       val sy = sum(y).cast("double")
       val sxx = sum(x * x).cast("double")
       val sxy = sum(x * y).cast("double")
-      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      // NULLIF'd x-variance (constant-quantity group): ANSI-safe NULL
+      // slope/intercept on both engines instead of an engine-side throw
+      val slope = (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, lit(0.0d))
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(n.as("n"), slope.as("slope"),

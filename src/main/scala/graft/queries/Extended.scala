@@ -3374,7 +3374,7 @@ object Extended {
        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS c FROM q GROUP BY source),
        |wt AS (SELECT source, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS w FROM tot),
        |ws AS (SELECT CAST(sum(w) AS BIGINT) AS ws FROM wt),
-       |al AS (SELECT source, (20000 * w) // ws AS alloc FROM wt CROSS JOIN ws),
+       |al AS (SELECT source, CASE WHEN ws > 0 THEN (20000 * w) // ws ELSE 0 END AS alloc FROM wt CROSS JOIN ws),
        |r AS (SELECT doc_id, source, n_tokens,
        |        sum(n_tokens) OVER (PARTITION BY source
        |          ORDER BY (doc_id * 3079 + 5024) % 1000000007, doc_id

@@ -2098,6 +2098,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((100L, 2L, 1260L, 2L))) // first rel at rank 2 → 2520/2
   }
 
+  test("temperatureBudget: all-zero-token corpus neither divides by zero (ANSI) nor drops the free docs") {
+    import spark.implicits._
+    // ws = floor(sqrt(0)) summed = 0 — under ANSI (this engine's
+    // default) an unguarded `div ws` THROWS where DuckDB's // yields
+    // NULL; the guarded alloc is 0 and zero-token docs (cum 0 <= 0)
+    // stay admitted, same as the ws > 0 path always treated them
+    val q = Seq((1L, "s1", 0L), (2L, "s2", 0L)).toDF("doc_id", "source", "n_tokens")
+    val out = graft.operators.Sampling.temperatureBudget(q, budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSet == Set(("s1", 1L, 0L), ("s2", 2L, 0L)), s"got ${out.toSeq}")
+  }
+
   test("Urls.canonicalUrl: every documented rule on literal URLs") {
     import spark.implicits._
     val cases = Seq(
