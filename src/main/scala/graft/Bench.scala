@@ -276,11 +276,12 @@ object Bench {
     // — while `min2_session`/`total_min2_session` keep this session's
     // honest measurement alongside
     val sessionMin2 = min2.toMap
-    val priorNorm = prior.map(p =>
-      if (p.min2Norm.nonEmpty) p.min2Norm else p.min2).getOrElse(Map.empty)
     val mergedMin2 = mergeBaseline(
       prior.map(_.min2).getOrElse(Map.empty), sessionMin2, failed.toSet)
-    val mergedNorm = mergeBaseline(priorNorm, sessionNorm, failed.toSet)
+    // priorMin2 IS the normalized prior (min2_norm preferred, min2
+    // fallback) — one selection rule, used by both the trigger above
+    // and this merge
+    val mergedNorm = mergeBaseline(priorMin2, sessionNorm, failed.toSet)
     // name-sorted key order: stable, diffable across rounds
     def mapJson(m: Iterable[(String, Double)]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }

@@ -612,11 +612,15 @@ object Dedup {
       val nextEdges = edges
         .join(resolved.select(col("id").as("c")), Seq("c"), "left_anti")
         .join(resolved.select(col("id").as("p")), Seq("p"), "left_anti")
+      // the drop rows' null p must carry the CALLER'S id type (the
+      // signature takes an arbitrary id Column — string ids are
+      // valid); a hardcoded long would fail the union's analysis
+      val idType = state.schema("p").dataType
       val (nextState, releaseNext) = graft.Caches.checkpoint(
         nextEdges.select(col("c"), col("p"), lit(true).as("graft_edge"))
           .unionAll(drops)
           .unionAll(newDrop.select(col("c"),
-            lit(null).cast("long").as("p"), lit(false).as("graft_edge"))),
+            lit(null).cast(idType).as("p"), lit(false).as("graft_edge"))),
         eager = false)
       val (nextRem, nextDropped) = probe(nextState)
       // no new drops while edges remain ⇒ no sinks ⇒ cyclic remainder

@@ -78,7 +78,14 @@ object Urls {
     val path0 = regexp_extract(base, PathPat, 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val q0 = regexp_extract(base, "\\?(.*)", 1)
-    val q1 = regexp_replace(regexp_replace(q0, TrackingPat, ""), "^&+", "")
+    // after tracking-strip: collapse raw '&&' runs and trim boundary
+    // '&'s so split never yields EMPTY params — an empty segment would
+    // sort to the front and rejoin as a leading '&', breaking the
+    // fixed-point (idempotence) contract ('?a=1&' vs '?a=1' must share
+    // one canonical key)
+    val q1 = regexp_replace(
+      regexp_replace(regexp_replace(q0, TrackingPat, ""), "&&+", "&"),
+      "^&+|&+\\z", "")
     val q2 = when(q1 === "", lit(""))
       .otherwise(array_join(sort_array(split(q1, "&")), "&"))
     concat(sch, lit("://"), hostOut, path,
@@ -107,7 +114,7 @@ object Urls {
   def portSql(hp: String): String =
     s"regexp_extract($hp, '$PortTailPat', 1)"
   def cleanQuerySql(q0: String): String =
-    s"regexp_replace(regexp_replace($q0, '$TrackingPat', '', 'g'), '^&+', '', 'g')"
+    s"regexp_replace(regexp_replace(regexp_replace($q0, '$TrackingPat', '', 'g'), '&&+', '&', 'g'), '^&+|&+\\z', '', 'g')"
   def sortParamsSql(q1: String): String =
     s"CASE WHEN $q1 = '' THEN '' ELSE array_to_string(list_sort(string_split($q1, '&')), '&') END"
   def hostKeyFromHostSql(host: String): String =

@@ -222,8 +222,8 @@ object Windows {
     "q51_streaks",
     """WITH e AS (
       |  SELECT user_id, event_type,
-      |    row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
-      |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id) AS isl
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+      |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS isl
       |  FROM events),
       |islands AS (
       |  SELECT user_id, event_type, isl, count(*) AS streak
@@ -234,9 +234,9 @@ object Windows {
       |FROM islands GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
     val wAll = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc_nulls_first, col("event_id"))
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
     val wType = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").asc_nulls_first, col("event_id"))
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
         (row_number().over(wAll) - row_number().over(wType)).as("isl"))
@@ -260,12 +260,12 @@ object Windows {
       |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
       |  FROM events)
       |SELECT event_id, user_id,
-      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM v
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc_nulls_first, col("event_id"))
+      .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"),
@@ -327,11 +327,11 @@ object Windows {
       |m AS (SELECT user_id, event_type, ts, event_id,
       |        lag(event_type) OVER w AS prev,
       |        row_number() OVER w AS rn
-      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)),
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
       |c AS (SELECT user_id, event_type, ts, event_id FROM m
       |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
       |f AS (SELECT user_id, event_type AS attr_value, epoch_us(ts) AS valid_from,
-      |        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)) AS valid_to
+      |        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) AS valid_to
       |      FROM c)
       |SELECT user_id, attr_value, valid_from, valid_to,
       |  (valid_to IS NULL) AS is_current
@@ -340,7 +340,7 @@ object Windows {
         Tables.events(s, dir).select(col("user_id"), col("event_type"),
           col("ts"), col("event_id")),
         key = Seq(col("user_id")), attr = col("event_type"),
-        validFrom = col("ts"), order = Seq(col("ts").asc_nulls_first, col("event_id")))
+        validFrom = col("ts"), order = Seq(col("ts").asc_nulls_first, col("event_id").asc_nulls_first))
       .select(col("user_id"), col("attr_value"),
         unix_micros(col("valid_from")).as("valid_from"),
         unix_micros(col("valid_to")).as("valid_to"), col("is_current"))

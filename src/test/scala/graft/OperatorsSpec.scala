@@ -350,6 +350,17 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Set(1L, 3L), s"twins: $m") // 10 mutual-loses to 1; H dropped; P kept
   }
 
+  test("dropContainedMinimal accepts non-long document ids (the drop rows' null p follows the caller's id type)") {
+    val words = (1 to 30).map(i => s"w$i")
+    val corpus = Seq(
+      ("doc-a", words.take(12).mkString(" ")), // quote of doc-b → dropped
+      ("doc-b", words.mkString(" ")))          // container → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropContainedMinimal(corpus, col("doc_id"), col("text"))
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("doc-b"), s"got $kept")
+  }
+
   test("containment screen: catches a sub-threshold-Jaccard containment near-dup misses; twins estimate 1.0") {
     val big = (1 to 20).map(i => s"w$i").mkString(" ")   // 18 shingles
     val part = (1 to 14).map(i => s"w$i").mkString(" ")  // 12 shingles, all shared → J = 2/3
@@ -2125,7 +2136,12 @@ class OperatorsSpec extends SparkSpec {
       ("https://A.B.c/Path/Case", "https://a.b.c/Path/Case", "a.b.c"),
       // utm key variants; leading tracking param; kept params re-sorted
       ("https://x.io/?utm_campaign=9&z=1&utm_a1=2&y=0",
-        "https://x.io/?y=0&z=1", "x.io"))
+        "https://x.io/?y=0&z=1", "x.io"),
+      // EMPTY param segments ('&&' runs, trailing '&') must not split
+      // the canonical key — '?a=1&' and '?a=1' are the same params
+      ("https://h.com/p?a=1&&b=2", "https://h.com/p?a=1&b=2", "h.com"),
+      ("https://h.com/p?a=1&", "https://h.com/p?a=1", "h.com"),
+      ("https://h.com/p?&utm_source=x&", "https://h.com/p", "h.com"))
       .toDF("url", "want_canon", "want_host")
     val got = cases.select(
         graft.operators.Urls.canonicalUrl(col("url")).as("canon"),
