@@ -74,4 +74,28 @@ class BenchMergeSpec extends AnyFunSuite {
     val r = Bench.parseRecord(healthy).get
     assert(r.sf != "/root/testdata/sf0.01")
   }
+
+  test("the committed BENCH_FULL.json round-trips through parseRecord (emitter/parser drift guard)") {
+    // the emitter (Bench.main's record line) and parseRecord live ~150
+    // lines apart; a field rename in one silently returns empty maps
+    // from the other and de-sensitizes the regression trigger — the
+    // same failure class the merge protection exists for, one level up.
+    // Parsing the real committed artifact pins them together.
+    val path = java.nio.file.Paths.get("BENCH_FULL.json")
+    assume(java.nio.file.Files.exists(path), "no committed bench record")
+    val txt = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val r = Bench.parseRecord(txt).get
+    assert(r.sf.nonEmpty && r.min2.nonEmpty)
+    // r13+ records carry the normalized merged baseline too
+    assert(r.min2Norm.nonEmpty, "min2_norm absent — emitter/parser drift")
+    // merge invariant on the artifact itself: the merged baseline is
+    // never above the session measurement for any query
+    val session = Bench.parseRecordMap(txt, "min2_session")
+    assert(session.nonEmpty)
+    val above = session.collect {
+      case (k, v) if r.min2.get(k).exists(_ > v + 1e-9) => k
+    }
+    assert(above.isEmpty, s"merged min2 above session time for: $above")
+  }
 }
