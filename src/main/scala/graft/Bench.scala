@@ -76,9 +76,12 @@ object Bench {
 
   /** The fields of a persisted BENCH_FULL.json record that baseline
     * merging and regression triggering read back. `min2Norm` is empty
-    * on pre-r13 records (the field didn't exist yet). */
+    * on pre-r13 records (the field didn't exist yet); `normHist` (the
+    * last ≤3 session-normalized min2s per query, newest last) is empty
+    * on pre-r14 records. */
   private[graft] final case class PriorRecord(sf: String,
-      min2: Map[String, Double], min2Norm: Map[String, Double])
+      min2: Map[String, Double], min2Norm: Map[String, Double],
+      normHist: Map[String, Seq[Double]])
 
   /** Extract a `"field":{"k":v,...}` flat map from a record line.
     * Field names are matched exactly (`"min2":{` does not match
@@ -92,9 +95,29 @@ object Bench {
         catch { case _: Throwable => None }
       }.toMap
 
+  /** Extract a `"field":["a","b",...]` string array from a record
+    * line. Same exact-name discipline as [[parseRecordMap]]. */
+  private[graft] def parseRecordList(txt: String, field: String): Seq[String] =
+    ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse("").split(",").toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+
+  /** Extract a `"field":{"k":[v,v],...}` map-of-number-arrays (the
+    * norm_hist shape). Entries are matched individually — the flat
+    * comma split of [[parseRecordMap]] would break inside arrays. */
+  private[graft] def parseRecordHist(txt: String, field: String): Map[String, Seq[Double]] =
+    ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt).map(_.group(1))
+      .map { body =>
+        "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
+          m.group(1) -> m.group(2).split(",").toSeq.filter(_.nonEmpty)
+            .flatMap(v => try Some(v.toDouble) catch { case _: Throwable => None })
+        }.toMap
+      }.getOrElse(Map.empty)
+
   private[graft] def parseRecord(txt: String): Option[PriorRecord] =
     """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).map { sf =>
-      PriorRecord(sf, parseRecordMap(txt, "min2"), parseRecordMap(txt, "min2_norm"))
+      PriorRecord(sf, parseRecordMap(txt, "min2"), parseRecordMap(txt, "min2_norm"),
+        parseRecordHist(txt, "norm_hist"))
     }
 
   /** Parallel-probe normalization factor, CAPPED at a 2× correction:
@@ -124,6 +147,51 @@ object Bench {
       if (failed.contains(k)) prior.get(k).map(k -> _)
       else Some(k -> prior.get(k).fold(v)(p => math.min(p, v)))
     }
+
+  /** Per-query session-norm history window (r13 verdict item 1): the
+    * merged min2/min2_norm baselines are a one-way MIN ratchet, so a
+    * permanent 1.5-3× slowdown never surfaces there — it hides in the
+    * `_session` fields round after round, indistinguishable from
+    * contention, and nothing accumulates the evidence. The record
+    * therefore carries `norm_hist`: the last ≤`keep` session-normalized
+    * min2s per query (newest LAST), appended each session a query
+    * actually PASSED (a failed query's time-until-crash is not a
+    * measurement and would poison the window). Session keys drive the
+    * output — a removed/renamed query's stale history is dropped. */
+  private[graft] def updateHistory(prior: Map[String, Seq[Double]],
+      session: Map[String, Double], failed: Set[String],
+      keep: Int = 3): Map[String, Seq[Double]] =
+    session.flatMap { case (k, v) =>
+      if (failed.contains(k)) prior.get(k).map(k -> _)
+      else Some(k -> (prior.getOrElse(k, Seq.empty) :+ v).takeRight(keep))
+    }
+
+  /** The persistent-elevation flag: a query is `suspect` when its last
+    * TWO recorded session norms (this session and the previous one)
+    * BOTH exceed `factor`× the merged normalized baseline. One
+    * contended session cannot flag (a single elevated entry is
+    * contention until corroborated); a genuine improvement clears (the
+    * newest healthy entry breaks the run). This is the channel that
+    * catches real regressions the min ratchet can never show. */
+  private[graft] def suspects(hist: Map[String, Seq[Double]],
+      baseline: Map[String, Double], factor: Double = 1.5): Seq[String] =
+    hist.collect { case (k, h) if h.size >= 2 &&
+      baseline.get(k).exists(b => b > 0 && h.takeRight(2).forall(_ > factor * b)) =>
+      k }.toSeq.sorted
+
+  /** The SHORT trailing summary record (r13 verdict item 2/4): the
+    * driver keeps only a ~2000-char tail of stdout, and the full
+    * record line is ~100 KB — every BENCH_rN.json carried an
+    * unparseable fragment. Printed AFTER the full line so any tail
+    * window captures parseable totals. `total_min2` is the best-known-
+    * across-sessions merged baseline (the min ratchet); round-over-
+    * round slowdown comparisons must use `total_min2_session`. */
+  private[graft] def summaryJson(total: Double, totalMin2: Double,
+      totalMin2Session: Double, effectiveCores: Double, nFailed: Int,
+      suspect: Seq[String], sf: String): String = {
+    val s = suspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"summary","total":$total,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"effective_cores":$effectiveCores,"n_failed":$nFailed,"suspect":$s,"sf":"$sf"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -282,6 +350,12 @@ object Bench {
     // fallback) — one selection rule, used by both the trigger above
     // and this merge
     val mergedNorm = mergeBaseline(priorMin2, sessionNorm, failed.toSet)
+    // persistent-elevation detection (see updateHistory/suspects): the
+    // session-norm window accumulates across rounds in the record
+    // itself; two consecutive elevated sessions flag, one does not
+    val normHist = updateHistory(
+      prior.map(_.normHist).getOrElse(Map.empty), sessionNorm, failed.toSet)
+    val suspect = suspects(normHist, mergedNorm)
     // name-sorted key order: stable, diffable across rounds
     def mapJson(m: Iterable[(String, Double)]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
@@ -307,16 +381,28 @@ object Bench {
     val probeBest =
       if (probes1.isEmpty && probes2.isEmpty) 0.0
       else (probes1.values ++ probes2.values).min
+    val histJson = normHist.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s"\"" + k + "\":" + vs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"norm_hist":$histJson,"suspect":$suspectJson,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":"$sfDir"}"""
     println(line)
+    // the short summary tail — printed LAST so the driver's 2000-char
+    // stdout tail always captures a parseable record (see summaryJson)
+    val summary = summaryJson(total, totalMin2, totalMin2Session, health,
+      failed.size, suspect, sfDir)
+    println(summary)
     // stdout tails get truncated in driver logs (r4 lost 41 of 104
     // per-query timings) — persist the full line for round-over-round
     // diffing. Subset (SPARK_GRAFT_ONLY) dev probes must NOT overwrite
     // it: the file is the prior-min2 baseline the regression-rerun
     // logic reads, and a 2-query probe would erase the full record.
+    // the summary line is persisted too (full record first — parsers
+    // take the FIRST match of each field, so the scalar-only summary
+    // can never shadow the maps)
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n" + summary + "\n")
       catch { case _: Throwable => () }
     spark.stop()
   }

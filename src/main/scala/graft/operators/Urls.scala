@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *    PATH AND QUERY CASE PRESERVED (case-sensitive per RFC 3986)
   *  - fragment dropped
   *  - default port stripped (http:80, https:443); other ports kept
-  *  - tracking params dropped (utm_*, gclid, fbclid, ref — exact-case
-  *    key match), remaining params sorted byte-wise (order-insensitive
-  *    dedup identity), empty query dropped
+  *  - tracking params dropped (utm_*, gclid, fbclid, ref —
+  *    case-insensitive key match; values untouched), remaining params
+  *    sorted byte-wise (order-insensitive dedup identity), empty
+  *    query dropped
   *  - empty path canonicalized to "/"
   *  - userinfo (user:pass@) is NOT handled — out of the corpus shape
   * Host key: lowercased host, port stripped, leading "www." stripped —
@@ -42,8 +43,13 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /** Tracking parameters stripped by canonicalization, matched on the
-    * "key=value" form at a param boundary. */
-  val TrackingPat = "(^|&)(utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*"
+    * "key=value" form at a param boundary. The key match is
+    * CASE-INSENSITIVE (`(?i:...)` — same syntax and semantics in Java
+    * regex and RE2): real crawls carry `UTM_Source=`/`Ref=` variants,
+    * and a case-exact match would let them survive canonicalization
+    * and split otherwise-identical canonical keys — inconsistent with
+    * the case-fold rationale applied to scheme/host (r13 advice). */
+  val TrackingPat = "(^|&)(?i:utm_[a-z0-9]+|gclid|fbclid|ref)=[^&]*"
   private val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostPortPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
   private val PathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"

@@ -70,6 +70,63 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.normFactor(0.0, 10.0) == 1.0)
   }
 
+  test("parseRecordHist reads the map-of-arrays shape; absent field parses empty") {
+    val txt = """{"norm_hist":{"a":[1.2,1.3],"b":[0.5]},"suspect":[],"sf":"x"}"""
+    assert(Bench.parseRecordHist(txt, "norm_hist") ==
+      Map("a" -> Seq(1.2, 1.3), "b" -> Seq(0.5)))
+    assert(Bench.parseRecordHist(healthy, "norm_hist").isEmpty)
+  }
+
+  test("updateHistory appends newest-last, caps the window, drops stale keys, freezes failed") {
+    val prior = Map("a" -> Seq(1.0, 1.1, 1.2), "gone" -> Seq(9.0), "f" -> Seq(2.0))
+    val session = Map("a" -> 1.3, "new" -> 0.7, "f" -> 0.01)
+    val h = Bench.updateHistory(prior, session, failed = Set("f"))
+    assert(h("a") == Seq(1.1, 1.2, 1.3)) // capped at 3, newest last
+    assert(h("new") == Seq(0.7))
+    assert(!h.contains("gone")) // session keys drive
+    assert(h("f") == Seq(2.0)) // failed: time-until-crash never enters
+  }
+
+  // the persistent-elevation contract (r13 verdict item 1): the merged
+  // min2 is a one-way MIN ratchet, so a permanent slowdown can only be
+  // caught by consecutive elevated session norms
+  test("suspects: a one-session spike does NOT flag") {
+    val baseline = Map("q" -> 1.0)
+    assert(Bench.suspects(Map("q" -> Seq(1.0, 3.2)), baseline) == Seq.empty)
+    // a brand-new query (single entry) cannot flag either
+    assert(Bench.suspects(Map("q" -> Seq(3.2)), baseline) == Seq.empty)
+  }
+
+  test("suspects: two consecutive elevated sessions DO flag") {
+    val baseline = Map("q" -> 1.0, "ok" -> 1.0)
+    val hist = Map("q" -> Seq(1.0, 2.9, 3.1), "ok" -> Seq(1.1, 1.2))
+    assert(Bench.suspects(hist, baseline) == Seq("q"))
+  }
+
+  test("suspects: a genuine improvement clears the run") {
+    val baseline = Map("q" -> 1.0)
+    // elevated twice, then recovered: newest healthy entry breaks it
+    assert(Bench.suspects(Map("q" -> Seq(2.9, 3.1, 1.05)), baseline) == Seq.empty)
+    // degenerate/missing baselines never flag
+    assert(Bench.suspects(Map("q" -> Seq(3.0, 3.0)), Map("q" -> 0.0)) == Seq.empty)
+    assert(Bench.suspects(Map("q" -> Seq(3.0, 3.0)), Map.empty) == Seq.empty)
+  }
+
+  test("summaryJson emits the short tail record with every driver-needed total") {
+    val s = Bench.summaryJson(156.2, 140.9, 156.2, 18.3, 1,
+      Seq("d57_drop_contained"), "/root/testdata/sf0.1")
+    assert(s.startsWith("""{"metric":"summary","""))
+    assert(s.contains(""""total":156.2"""))
+    assert(s.contains(""""total_min2":140.9"""))
+    assert(s.contains(""""total_min2_session":156.2"""))
+    assert(s.contains(""""effective_cores":18.3"""))
+    assert(s.contains(""""n_failed":1"""))
+    assert(Bench.parseRecordList(s, "suspect") == Seq("d57_drop_contained"))
+    // short enough that a 2000-char stdout tail always holds it whole,
+    // with generous headroom for a long suspect list
+    assert(s.length < 400)
+  }
+
   test("a record from a different scale factor is not a baseline") {
     val r = Bench.parseRecord(healthy).get
     assert(r.sf != "/root/testdata/sf0.01")
@@ -93,8 +150,14 @@ class BenchMergeSpec extends AnyFunSuite {
     // never above the session measurement for any query
     val session = Bench.parseRecordMap(txt, "min2_session")
     assert(session.nonEmpty)
+    // failed queries are EXEMPT (r13 advice): mergeBaseline keeps the
+    // prior baseline for a query that failed this session, which can
+    // legitimately exceed the session's time-until-crash — the
+    // invariant holds only for queries that actually passed
+    val failedQs = Bench.parseRecordList(txt, "failed").toSet
     val above = session.collect {
-      case (k, v) if r.min2.get(k).exists(_ > v + 1e-9) => k
+      case (k, v) if !failedQs.contains(k) &&
+        r.min2.get(k).exists(_ > v + 1e-9) => k
     }
     assert(above.isEmpty, s"merged min2 above session time for: $above")
   }

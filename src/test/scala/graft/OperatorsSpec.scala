@@ -2141,7 +2141,12 @@ class OperatorsSpec extends SparkSpec {
       // the canonical key — '?a=1&' and '?a=1' are the same params
       ("https://h.com/p?a=1&&b=2", "https://h.com/p?a=1&b=2", "h.com"),
       ("https://h.com/p?a=1&", "https://h.com/p?a=1", "h.com"),
-      ("https://h.com/p?&utm_source=x&", "https://h.com/p", "h.com"))
+      ("https://h.com/p?&utm_source=x&", "https://h.com/p", "h.com"),
+      // tracking KEY match is case-insensitive (r13 advice): UTM_Source=
+      // and Ref= variants must collapse into the same canonical key as
+      // their lowercase twins; non-tracking param VALUES stay untouched
+      ("https://h.com/p?UTM_Source=x&a=1&Ref=Y", "https://h.com/p?a=1", "h.com"),
+      ("http://h.com/p?GCLID=9&FbClid=z&a=B", "http://h.com/p?a=B", "h.com"))
       .toDF("url", "want_canon", "want_host")
     val got = cases.select(
         graft.operators.Urls.canonicalUrl(col("url")).as("canon"),

@@ -477,9 +477,14 @@ class PlanAuditSpec extends SparkSpec {
         corpus, col("doc_id"), col("text"), threshold = 0.9)
       org.apache.spark.GraftListenerBridge.waitUntilListenerBusEmpty(spark.sparkContext)
       // the P ⊂ H ⊂ X chain resolves in ONE round (H dropped, its
-      // edges cleared) ⇒ (checkpoint + probe) × (init + 1 round) = 4
-      assert(starts.get() == 4,
-        s"expected 4 SQL executions (2 init + 2 for the single round), got ${starts.get()}")
+      // edges cleared) ⇒ (checkpoint + probe) × (init + 1 round) = 4.
+      // UPPER bound only (r13 advice): a Spark upgrade that adds an
+      // auxiliary execution per ACTION (AQE subquery, new planner
+      // pass) would break an exact pin without any contract violation;
+      // only regressions — EXTRA per-round actions (eager checkpoints,
+      // separate counts) — must fail.
+      assert(starts.get() <= 4 && starts.get() > 0,
+        s"expected <=4 SQL executions (2 init + 2 for the single round), got ${starts.get()}")
       assert(out.count() == 2) // X and P survive
     } finally spark.sparkContext.removeSparkListener(listener)
   }
