@@ -53,6 +53,22 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    is O(n log n) kernel evaluations. The fix is structural: stage
   *    the key as a column (ComputeOnce if a filter consumes it too)
   *    and sort by the attribute.
+  *  - `wide-scan`: a FileSourceScan emitting a column that NO other
+  *    node in the plan references and that is not in the plan's final
+  *    output — column pruning silently defeated (a barrier, a manual
+  *    plan build, an optimizer change). At 100 TB an unpruned scan
+  *    column is the whole game: a 10-column read for a 2-column query
+  *    multiplies IO ~5×. Mechanizes the by-hand "scans prune to
+  *    [doc_id, source]" verification (r13 verdict item 3). Columns
+  *    consumed only by the scan's OWN pushed filters count as used
+  *    (they must be read to filter); partition columns are exempt
+  *    (FileSourceStrategy appends every partition column to every
+  *    scan's output whether consumed or not, and they are derived
+  *    from the file path — zero IO); cached-relation subtrees are
+  *    exempt (a pin stores the full frame by contract — its scan
+  *    width is the pin's, not the consumer's); Union children's
+  *    outputs are conservatively treated as consumed (Union maps
+  *    columns positionally, not by reference).
   *
   * The linter traverses adaptive wrappers and cached-relation
   * subtrees (a pin must not hide a hazard). Findings carry the node's
@@ -148,6 +164,50 @@ object PlanLint {
         case _ => Nil
       }
       structural ++ inlined ++ sortKey
+    } ++ wideScanFindings(plan)
+  }
+
+  /** The `wide-scan` pass (see object doc). Plan-global: needs the
+    * union of every node's references, so it cannot run per-node. */
+  private def wideScanFindings(plan: SparkPlan): Seq[Finding] = {
+    // expand adaptive wrappers but do NOT descend into cached-relation
+    // subtrees: a pinned frame's scan legitimately reads every column
+    // the pin stores, regardless of what one consumer projects
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case m: InMemoryTableScanExec => Seq(m)
+      case other => other +: other.children.flatMap(expand)
+    }
+    val nodes = expand(plan)
+    val referenced: Set[org.apache.spark.sql.catalyst.expressions.ExprId] =
+      nodes.flatMap {
+        // a scan's `expressions` include its own output attributes —
+        // only its filters genuinely CONSUME columns
+        case s: FileSourceScanExec =>
+          (s.partitionFilters ++ s.dataFilters).flatMap(_.references.toSeq.map(_.exprId))
+        // Union maps child columns to its output POSITIONALLY (fresh
+        // exprIds) — treat all child outputs as consumed rather than
+        // false-positive every scan under a non-first branch
+        case u: org.apache.spark.sql.execution.UnionExec =>
+          u.children.flatMap(_.output.map(_.exprId))
+        case n => n.expressions.flatMap(_.references.toSeq.map(_.exprId))
+      }.toSet ++ plan.output.map(_.exprId)
+    nodes.flatMap {
+      case s: FileSourceScanExec =>
+        // partition columns are exempt: FileSourceStrategy appends ALL
+        // of a relation's partition columns to every scan's output
+        // (readDataColumns ++ partitionColumns) whether consumed or
+        // not, and they cost zero IO — derived from the file PATH, not
+        // read from the data. Only unconsumed DATA columns are a
+        // pruning failure.
+        val partCols = s.relation.partitionSchema.fieldNames.toSet
+        val unused = s.output.filterNot(a =>
+          referenced.contains(a.exprId) || partCols.contains(a.name))
+        if (unused.isEmpty) Nil
+        else Seq(Finding("wide-scan",
+          s.simpleStringWithNodeId() +
+            unused.map(_.name).mkString(" reads-unconsumed=[", ",", "]")))
+      case _ => Nil
     }
   }
 

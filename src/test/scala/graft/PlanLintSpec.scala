@@ -59,6 +59,56 @@ class PlanLintSpec extends SparkSpec {
       s"scale hazards in the catalogue:\n${offenders.mkString("\n")}")
   }
 
+  test("wide-scan fires on a deliberately unpruned scan and stays quiet on pruned and pinned plans") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, ProjectExec}
+    val tmp = java.nio.file.Files.createTempDirectory("lint_scan").toString
+    import spark.implicits._
+    Seq((1L, "a", 1.0, "x", 10L), (2L, "b", 2.0, "y", 20L))
+      .toDF("id", "s", "d", "t", "n").write.mode("overwrite").parquet(tmp)
+    // pruned: Catalyst pushes the 1-column projection into the scan
+    val pruned = spark.read.parquet(tmp).select(col("id"))
+    assert(!PlanLint.lint(pruned).map(_.rule).contains("wide-scan"),
+      pruned.queryExecution.executedPlan.toString)
+    // filter-only consumption counts as used: `s` is read for the
+    // residual filter even though only `id` survives upward
+    val filtered = spark.read.parquet(tmp).filter(col("s") === "a").select(col("id"))
+    assert(!PlanLint.lint(filtered).map(_.rule).contains("wide-scan"),
+      filtered.queryExecution.executedPlan.toString)
+    // DELIBERATELY defeated pruning (what a barrier/manual plan/optimizer
+    // change would produce): a full-width scan under a 1-column Project
+    val full = spark.read.parquet(tmp)
+    val scan = full.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in\n" +
+      full.queryExecution.executedPlan))
+    assert(scan.output.size == 5)
+    val mutated = ProjectExec(Seq(scan.output.head), scan)
+    val findings = PlanLint.lintPlan(mutated)
+    assert(findings.exists(f => f.rule == "wide-scan" &&
+      f.node.contains("reads-unconsumed=")),
+      s"expected the unpruned scan flagged, got $findings")
+    // partition columns are exempt: FileSourceStrategy appends every
+    // partition column to every scan's output whether consumed or not
+    // (q81's mergeSchema read is the catalogue case) — they are
+    // path-derived, zero IO, not a pruning failure
+    val ptmp = java.nio.file.Files.createTempDirectory("lint_part").toString
+    Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "s", "g")
+      .write.partitionBy("g").mode("overwrite").parquet(ptmp)
+    val partitioned = spark.read.parquet(ptmp)
+      .groupBy(col("s")).agg(count(col("id")).as("n"))
+    assert(!PlanLint.lint(partitioned).map(_.rule).contains("wide-scan"),
+      partitioned.queryExecution.executedPlan.toString)
+    // pinned subtrees are exempt: a cached full frame consumed narrowly
+    // is the pin's contract, not a pruning failure
+    val pinned = spark.read.parquet(tmp).persist()
+    try {
+      val narrow = pinned.select(col("id"))
+      assert(!PlanLint.lint(narrow).map(_.rule).contains("wide-scan"),
+        narrow.queryExecution.executedPlan.toString)
+    } finally { pinned.unpersist(); () }
+  }
+
   test("inlined-expensive-filter fires on the unbarriered staged-alias gate shape") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("lint_hof").toString
