@@ -184,6 +184,11 @@ object Quantiles {
     * shape; a row-level running sum would resurrect the q60 ntile
     * trap of splitting ties).
     *
+    * Weight totals accumulate as BIGINT: safe while a group's total
+    * weight stays under 2⁶³ (row counts and quantity-like weights are
+    * corpus-bounded ≲10¹⁵ at 100 TB); callers with genuinely
+    * unbounded weights should pre-scale them (r14 overflow sweep).
+    *
     * Output: (group…, wmedian, total_weight). */
   def weightedMedian(df: DataFrame, group: Seq[String], value: Column,
       weight: Column): DataFrame = {

@@ -150,9 +150,16 @@ object Sampling {
     // NULL — the r13 division-by-zero sweep's one live finding. With
     // alloc 0 both engines admit exactly the zero-token docs (they
     // consume nothing), same as the ws > 0 path already did.
+    // budget·w runs in DECIMAL(38,0): both factors are BIGINTs of
+    // unbounded product (w ≤ √corpusTokens ~ 3×10⁹; a trillion-token
+    // budget puts budget·w past 2⁶³, and ANSI long multiplication
+    // THROWS on overflow — the r14 integer-overflow sweep's one live
+    // intermediate-overflow finding). The QUOTIENT is ≤ budget by
+    // construction (w ≤ ws), so the final BIGINT cast can never
+    // overflow — classic in-range-result/out-of-range-intermediate.
     val alloc = weights.crossJoin(broadcast(wsum))
       .select(col("source"),
-        expr(s"CAST(CASE WHEN ws > 0 THEN (CAST($budget AS BIGINT) * w) div ws ELSE 0 END AS BIGINT)")
+        expr(s"CAST(CASE WHEN ws > 0 THEN (CAST($budget AS DECIMAL(38,0)) * w) div ws ELSE 0 END AS BIGINT)")
           .as("alloc"))
     val rankKey = (col("doc_id") * lit(A(2)) + lit(B(2))) % lit(P)
     val w = Window.partitionBy(col("source"))

@@ -99,7 +99,13 @@ object Skew {
     * would NOT be hash-stable). Map-side partial aggregation already
     * bounds the first shuffle; the salt bounds the REDUCE side, which
     * partials alone cannot (a single hot key still lands one task).
-    * The aggregate twin of `saltedJoin`. */
+    * The aggregate twin of `saltedJoin`.
+    *
+    * `value` sums in ITS OWN type: under ANSI mode a BIGINT sum whose
+    * per-key total can pass 2⁶³ throws engine-side — callers summing
+    * unbounded magnitudes should pass `value.cast("decimal(38,0)")`
+    * (the r14 integer-overflow sweep rule; counts and token/byte
+    * totals are corpus-bounded ≲10¹⁴ and safe as BIGINT). */
   def saltedAgg(df: DataFrame, key: Column, value: Column, rowTag: Column,
       saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")

@@ -481,6 +481,28 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
       .filter(col("bg").isNotNull)
 
+  /** The per-doc LM fit aggregates over a joined (doc_id, n, c2, c1)
+    * frame — factored so the r14 overflow spec can drive them with
+    * synthetic near-2⁶³ counts no small fixture can produce. n·c2 and
+    * its per-doc sum run in DECIMAL(38,0): c2 is corpus-bigram-bounded
+    * (~2×10¹³ at 100 TB) and n doc-length-bounded (~10⁶), so a hot
+    * bigram recurring through a large doc passes 2⁶³ AT the design
+    * point — ANSI long arithmetic would throw engine-side (the r14
+    * integer-overflow sweep). sum_pair/sum_left therefore leave the
+    * operator as decimal, and the catalogue queries EMIT them as
+    * digit strings (the t84 round-8 rule: wider-than-BIGINT integers
+    * cross a compared schema as VARCHAR, never DECIMAL or BIGINT). */
+  private[graft] def lmAggCols(nullSafe: Boolean): Seq[Column] = {
+    def d(name: String) = {
+      val dec = col(name).cast(DecimalType(38, 0))
+      if (nullSafe) coalesce(dec, lit(0).cast(DecimalType(38, 0))) else dec
+    }
+    Seq(
+      sum(col("n")).cast("long").as("n_bigrams"),
+      sum(col("n") * d("c2")).cast(DecimalType(38, 0)).as("sum_pair"),
+      sum(col("n") * d("c1")).cast(DecimalType(38, 0)).as("sum_left"))
+  }
+
   def bigramLm(df: DataFrame, id: Column, text: Column): DataFrame = {
     val bgc = bigramCounts(df, id, text)
       .transform(d => graft.Caches.pin(d))
@@ -495,9 +517,11 @@ object TextAnalysis {
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .join(lft, Seq("w1"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).cast("long").as("n_bigrams"),
-        sum(col("n") * col("c2")).cast("long").as("sum_pair"),
-        sum(col("n") * col("c1")).cast("long").as("sum_left"))
+      .agg(lmAggCols(nullSafe = false).head,
+        lmAggCols(nullSafe = false).tail: _*)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_pair").cast("string").as("sum_pair"),
+        col("sum_left").cast("string").as("sum_left"))
   }
 
   // ---- BPE tokenizer training ----------------------------------------
@@ -715,26 +739,32 @@ object TextAnalysis {
     val lft = pair
       .select(element_at(split(col("bg"), " "), 1).as("w1"), col("c2"))
       .groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // per-doc sums in DECIMAL(38,0) (lmAggCols: n·c2 passes 2⁶³ at
+    // the 100 TB design point under ANSI long arithmetic); the gate's
+    // cross-multiplication stays inside decimal(38,0) for natural
+    // Zipf corpora at 100 TB (sum_pair·tsl ~ 10³⁷) — an adversarial
+    // hot-word corpus can exceed it, at which point BOTH engines
+    // throw the same decimal overflow (bound documented, NOTES r14)
     val lm = bgc
       .join(pair, Seq("bg"), "left")
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .join(lft, Seq("w1"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).cast("long").as("n_bigrams"),
-        sum(col("n") * coalesce(col("c2"), lit(0L))).cast("long").as("sum_pair"),
-        sum(col("n") * coalesce(col("c1"), lit(0L))).cast("long").as("sum_left"))
+      .agg(lmAggCols(nullSafe = true).head, lmAggCols(nullSafe = true).tail: _*)
       .transform(d => graft.Caches.pin(d))
     val tot = lm.agg(
-      sum(col("sum_pair").cast("decimal(38,0)")).as("tsp"),
-      sum(col("sum_left").cast("decimal(38,0)")).as("tsl"))
+      sum(col("sum_pair")).as("tsp"),
+      sum(col("sum_left")).as("tsl"))
     val pass =
       if (num == 0) lit(true)
       else col("sum_left") > 0 &&
-        col("sum_pair").cast("decimal(38,0)") * col("tsl") * lit(den) >=
-        col("sum_left").cast("decimal(38,0)") * col("tsp") * lit(num)
+        col("sum_pair") * col("tsl") * lit(den) >=
+        col("sum_left") * col("tsp") * lit(num)
     lm.crossJoin(broadcast(tot))
       .filter(pass)
-      .select(col("doc_id"), col("n_bigrams"), col("sum_pair"), col("sum_left"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_pair").cast("string").as("sum_pair"),
+        col("sum_left").cast("string").as("sum_left"))
   }
 
   /** Linear model scoring over hashed bag-of-words features — the

@@ -1972,8 +1972,8 @@ object Extended {
        |${pairLftCtes("bgc")}
        |SELECT bgc.doc_id,
        |  CAST(sum(bgc.n) AS BIGINT) AS n_bigrams,
-       |  CAST(sum(bgc.n * pair.c2) AS BIGINT) AS sum_pair,
-       |  CAST(sum(bgc.n * lft.c1) AS BIGINT) AS sum_left
+       |  CAST(sum(bgc.n * CAST(pair.c2 AS HUGEINT)) AS VARCHAR) AS sum_pair,
+       |  CAST(sum(bgc.n * CAST(lft.c1 AS HUGEINT)) AS VARCHAR) AS sum_left
        |FROM bgc JOIN pair USING (bg)
        |JOIN lft ON string_split(bgc.bg, ' ')[1] = lft.w1
        |GROUP BY bgc.doc_id
@@ -2001,17 +2001,19 @@ object Extended {
        |${pairLftCtes("rbgc")},
        |lm AS (SELECT bgc.doc_id,
        |    CAST(sum(bgc.n) AS BIGINT) AS n_bigrams,
-       |    CAST(sum(bgc.n * coalesce(pair.c2, 0)) AS BIGINT) AS sum_pair,
-       |    CAST(sum(bgc.n * coalesce(lft.c1, 0)) AS BIGINT) AS sum_left
+       |    sum(bgc.n * CAST(coalesce(pair.c2, 0) AS HUGEINT)) AS sum_pair,
+       |    sum(bgc.n * CAST(coalesce(lft.c1, 0) AS HUGEINT)) AS sum_left
        |  FROM bgc LEFT JOIN pair USING (bg)
        |  LEFT JOIN lft ON string_split(bgc.bg, ' ')[1] = lft.w1
        |  GROUP BY bgc.doc_id),
        |tot AS (SELECT sum(sum_pair) AS tsp, sum(sum_left) AS tsl FROM lm)
-       |SELECT doc_id, n_bigrams, sum_pair, sum_left
+       |SELECT doc_id, n_bigrams,
+       |  CAST(sum_pair AS VARCHAR) AS sum_pair,
+       |  CAST(sum_left AS VARCHAR) AS sum_left
        |FROM lm, tot
        |WHERE sum_left > 0
-       |  AND CAST(sum_pair AS HUGEINT) * CAST(tsl AS HUGEINT) >=
-       |      CAST(sum_left AS HUGEINT) * CAST(tsp AS HUGEINT)
+       |  AND sum_pair * CAST(tsl AS HUGEINT) >=
+       |      sum_left * CAST(tsp AS HUGEINT)
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     TextAnalysis.lmQualityGate(docs, col("doc_id"), col("text"),
@@ -3374,7 +3376,7 @@ object Extended {
        |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS c FROM q GROUP BY source),
        |wt AS (SELECT source, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS w FROM tot),
        |ws AS (SELECT CAST(sum(w) AS BIGINT) AS ws FROM wt),
-       |al AS (SELECT source, CASE WHEN ws > 0 THEN (20000 * w) // ws ELSE 0 END AS alloc FROM wt CROSS JOIN ws),
+       |al AS (SELECT source, CASE WHEN ws > 0 THEN (CAST(20000 AS HUGEINT) * w) // ws ELSE 0 END AS alloc FROM wt CROSS JOIN ws),
        |r AS (SELECT doc_id, source, n_tokens,
        |        sum(n_tokens) OVER (PARTITION BY source
        |          ORDER BY (doc_id * 3079 + 5024) % 1000000007, doc_id

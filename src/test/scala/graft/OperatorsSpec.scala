@@ -1530,7 +1530,8 @@ class OperatorsSpec extends SparkSpec {
     val n = all.count()
     Caches.releaseAll()
     assert(n == 4L)
-    assert(soup.head.getLong(0) == 0L && soup.head.getLong(1) == 0L)
+    // digit-string emission (r14 overflow sweep): zero sums render "0"
+    assert(soup.head.getString(0) == "0" && soup.head.getString(1) == "0")
   }
 
   test("pq rerank: full-cell shortlist reproduces the exact in-cell top-k") {
