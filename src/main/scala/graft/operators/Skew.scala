@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for shuffle joins: salting.
@@ -114,5 +115,43 @@ object Skew {
       .agg(count(lit(1)).as("graft_n"), sum(value).as("graft_s"))
       .groupBy(col("graft_key"))
       .agg(sum(col("graft_n")).as("n"), sum(col("graft_s")).as("total"))
+  }
+
+  /** Per-key CAP — keep at most `k` rows per key, first by `ord` —
+    * that a hot key cannot funnel into one window task. The naive cap
+    * (row_number over PARTITION BY key) sends a mega-key's ENTIRE
+    * volume to one task; here stage 1 ranks within (key, salt) and
+    * keeps each sub-key's first k — bounding the corpus-scale window's
+    * partitions to ~hotRows/saltFactor — and stage 2 re-ranks only the
+    * ≤ k·saltFactor survivors per key. A key's global first-k is
+    * contained in the union of its per-salt first-ks, so the output
+    * rows are EXACTLY the naive cap's (OperatorsSpec proves set
+    * equality under a 50 %-one-host fixture).
+    *
+    * `ord` must be row-unique for a deterministic cap (the t96 rule:
+    * hash-then-id, e.g. `Seq(pmod(hash(id), P), id)`); `rowTag` seeds
+    * the salt (any row-unique column — NOT rand(), reproducibility).
+    * With `key = Urls.hostKey(url)` this is the per-site cap a crawl
+    * curation pass runs — the Urls scaladoc's 100 TB recipe,
+    * executable. The cap twin of `saltedJoin`/`saltedAgg`. */
+  def saltedCap(df: DataFrame, key: Column, ord: Seq[Column], k: Int,
+      rowTag: Column, saltFactor: Int): DataFrame = {
+    require(k >= 1, s"cap k must be positive, got $k")
+    require(saltFactor >= 1, s"saltFactor must be positive, got $saltFactor")
+    require(ord.nonEmpty, "saltedCap needs at least one ordering column")
+    Seq("graft_salt", "graft_capkey", "graft_rn").foreach { c =>
+      require(!df.columns.contains(c), s"input already has a column named $c")
+    }
+    val w1 = Window.partitionBy(col("graft_capkey"), col("graft_salt"))
+      .orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("graft_capkey")).orderBy(ord: _*)
+    df.withColumn("graft_capkey", key)
+      .withColumn("graft_salt", pmod(hash(rowTag), lit(saltFactor)))
+      .withColumn("graft_rn", row_number().over(w1))
+      .filter(col("graft_rn") <= k)
+      .drop("graft_salt")
+      .withColumn("graft_rn", row_number().over(w2))
+      .filter(col("graft_rn") <= k)
+      .drop("graft_rn", "graft_capkey")
   }
 }

@@ -2202,4 +2202,61 @@ class OperatorsSpec extends SparkSpec {
       "site.com" -> Set(1L, 2L), // top-2 by n across ALL four variants
       "other.org" -> Set(5L)), s"got $byHost")
   }
+
+  test("mega-host composition: hostKey feeds saltedAgg/saltedCap exactly (the Urls 100 TB recipe, executable)") {
+    import graft.operators.{Skew, Urls}
+    // one host carries 50% of the corpus (r13 verdict item 7's
+    // fixture): 2000 mega-host URLs under case/port/tracking/www
+    // VARIANTS (hostKey must still collapse them into ONE key — the
+    // composition is only real if canonicalization feeds the salt),
+    // 2000 more spread over 200 cold hosts
+    val mega = (0 until 2000).map { i =>
+      val variant = i % 4 match {
+        case 0 => s"https://WWW.Mega.Example.COM/p$i"
+        case 1 => s"https://mega.example.com:443/p$i?utm_source=x"
+        case 2 => s"http://Mega.example.com/p$i"
+        case _ => s"https://www.mega.example.com/p$i?b=2&a=1"
+      }
+      (i.toLong, variant)
+    }
+    val cold = (0 until 2000).map(i =>
+      (2000L + i, s"https://h${i % 200}.example.org/p$i"))
+    val docs = (mega ++ cold).toDF("doc_id", "url")
+      .withColumn("host_key", Urls.hostKey(col("url")))
+
+    // the fixture IS skewed the way the recipe claims: profile sees
+    // the mega host at half the corpus
+    val prof = Skew.profile(docs, Seq("host_key"))
+      .select(col("hot_key"), col("max_key_rows")).collect().head
+    assert(prof.getString(0) == "mega.example.com" && prof.getLong(1) == 2000L)
+
+    // saltedAgg per host == plain groupBy (the scaladoc's agg leg)
+    val salted = Skew.saltedAgg(docs, col("host_key"), lit(1L),
+        col("doc_id"), saltFactor = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = docs.groupBy(col("host_key")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain && salted("mega.example.com") == 2000L)
+
+    // saltedCap per host == the naive single-window cap, row for row
+    // (deterministic order: hash then id — the t96 rule); the naive
+    // window would funnel the mega host's 2000 rows into ONE task,
+    // the salted one bounds every stage-1 partition to ~2000/8
+    val ord = Seq(pmod(hash(col("doc_id")), lit(1000000007L)), col("doc_id"))
+    val cappedIds = Skew.saltedCap(docs, col("host_key"), ord, k = 5,
+        rowTag = col("doc_id"), saltFactor = 8)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host_key")).orderBy(ord: _*)
+    val naiveIds = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select(col("doc_id")).as[Long].collect().toSet
+    assert(cappedIds == naiveIds, s"salted cap diverged from naive cap")
+    // every cold host keeps all ≤ 10 of its docs or its first 5; the
+    // mega host keeps exactly 5 of 2000
+    val perHost = docs.filter(col("doc_id").isin(cappedIds.toSeq.map(Long.box): _*))
+      .groupBy(col("host_key")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perHost("mega.example.com") == 5L)
+    assert(perHost.values.forall(_ <= 5L))
+  }
 }
