@@ -10,7 +10,7 @@ value hash (columns sorted by name, rows sorted by all columns).
 
 Dev-only tool (driver-side python); NOT part of the Spark library.
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -51,6 +51,7 @@ def main():
     names = sorted(set(oracle) | {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*")
                                   if not p.endswith(".json")})
     for name in names:
+        t0 = time.time()
         spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_glob:
             print(f"FAIL {name}: no spark output")
@@ -93,7 +94,9 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems[:3]))
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(s_rows)} rows)")
+            # oracle wall time: at derived-sf1 stress scale the DuckDB
+            # side dominates — the timing column the NOTES table wants
+            print(f"PASS {name} ({len(s_rows)} rows, {time.time() - t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
