@@ -172,12 +172,31 @@ object Bench {
     * contended session cannot flag (a single elevated entry is
     * contention until corroborated); a genuine improvement clears (the
     * newest healthy entry breaks the run). This is the channel that
-    * catches real regressions the min ratchet can never show. */
+    * catches real regressions the min ratchet can never show.
+    *
+    * Queries that FAILED this session are excluded: updateHistory
+    * freezes a failed query's window, so its "last two" entries are
+    * stale pre-failure sessions — flagging on them would keep
+    * re-reporting old data every session the query fails, and the
+    * failure itself is already loudly recorded in `failed`. */
   private[graft] def suspects(hist: Map[String, Seq[Double]],
-      baseline: Map[String, Double], factor: Double = 1.5): Seq[String] =
-    hist.collect { case (k, h) if h.size >= 2 &&
+      baseline: Map[String, Double], failed: Set[String] = Set.empty,
+      factor: Double = 1.5): Seq[String] =
+    hist.collect { case (k, h) if !failed.contains(k) && h.size >= 2 &&
       baseline.get(k).exists(b => b > 0 && h.takeRight(2).forall(_ > factor * b)) =>
       k }.toSeq.sorted
+
+  /** JSON string literal with `\` and `"` (and control chars) escaped —
+    * shared by both record emitters. Interpolating a raw sf path or
+    * query name would yield an unparseable record line the moment one
+    * carried a quote or backslash. */
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** The SHORT trailing summary record (r13 verdict item 2/4): the
     * driver keeps only a ~2000-char tail of stdout, and the full
@@ -185,12 +204,18 @@ object Bench {
     * unparseable fragment. Printed AFTER the full line so any tail
     * window captures parseable totals. `total_min2` is the best-known-
     * across-sessions merged baseline (the min ratchet); round-over-
-    * round slowdown comparisons must use `total_min2_session`. */
+    * round slowdown comparisons must use `total_min2_session`.
+    *
+    * The suspect array is CAPPED at `maxSuspect` names (the full list
+    * lives in the full record line) with the true count in
+    * `n_suspect` — a mass-flagging round must not grow the summary
+    * past the 2000-char tail the record exists to fit. */
   private[graft] def summaryJson(total: Double, totalMin2: Double,
       totalMin2Session: Double, effectiveCores: Double, nFailed: Int,
-      suspect: Seq[String], sf: String): String = {
-    val s = suspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"summary","total":$total,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"effective_cores":$effectiveCores,"n_failed":$nFailed,"suspect":$s,"sf":"$sf"}"""
+      suspect: Seq[String], sf: String, maxSuspect: Int = 6): String = {
+    val sorted = suspect.sorted
+    val s = sorted.take(maxSuspect).map(jsonStr).mkString("[", ",", "]")
+    s"""{"metric":"summary","total":$total,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"effective_cores":$effectiveCores,"n_failed":$nFailed,"n_suspect":${sorted.size},"suspect":$s,"sf":${jsonStr(sf)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -355,10 +380,10 @@ object Bench {
     // itself; two consecutive elevated sessions flag, one does not
     val normHist = updateHistory(
       prior.map(_.normHist).getOrElse(Map.empty), sessionNorm, failed.toSet)
-    val suspect = suspects(normHist, mergedNorm)
+    val suspect = suspects(normHist, mergedNorm, failed.toSet)
     // name-sorted key order: stable, diffable across rounds
     def mapJson(m: Iterable[(String, Double)]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      m.toSeq.sortBy(_._1).map { case (k, v) => jsonStr(k) + ":" + v }
         .mkString("{", ",", "}")
     val qs = mapJson(results)
     val m2 = mapJson(mergedMin2)
@@ -367,26 +392,26 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMin2 = if (mergedMin2.nonEmpty) mergedMin2.values.sum else 0.0
     val totalMin2Session = if (min2.nonEmpty) min2.map(_._2).sum else 0.0
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.sorted.map(jsonStr).mkString("[", ",", "]")
     // regression-triggered reruns are recorded so a round's NOTES can
     // say whether a spike was throttle (second run recovered) or real
-    val rerunJson = regressed.toSeq.sorted.map("\"" + _ + "\"")
+    val rerunJson = regressed.toSeq.sorted.map(jsonStr)
       .mkString("[", ",", "]")
     val health = effectiveCores(cpus.toInt)
     // per-query health record: probe wall-ms per measured run, plus
     // the session's best (fastest) probe — the healthy-host yardstick.
     // t_normalized = t * probe_best / probe_ms[name].
     def probeJson(m: scala.collection.mutable.LinkedHashMap[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
     val probeBest =
       if (probes1.isEmpty && probes2.isEmpty) 0.0
       else (probes1.values ++ probes2.values).min
     val histJson = normHist.toSeq.sortBy(_._1).map { case (k, vs) =>
-      s"\"" + k + "\":" + vs.mkString("[", ",", "]")
+      jsonStr(k) + ":" + vs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspectJson = suspect.map(jsonStr).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"norm_hist":$histJson,"suspect":$suspectJson,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"norm_hist":$histJson,"suspect":$suspectJson,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":${jsonStr(sfDir)}}"""
     println(line)
     // the short summary tail — printed LAST so the driver's 2000-char
     // stdout tail always captures a parseable record (see summaryJson)

@@ -2383,6 +2383,46 @@ object Extended {
       .orderBy(col("url_canon"))
   }
 
+  /** t100 — PER-HOST CAP (Urls.hostKey + Skew.saltedCap): keep each
+    * site's top-k documents by length — the crawl-curation pass the
+    * Urls scaladoc's 100 TB recipe describes, driver-gated (r14
+    * verdict item 2: saltedCap was the one operator whose correctness
+    * rested on a spec alone). The engine runs the TWO-STAGE salted cap
+    * — per-(host, salt) rank bounds every window partition to
+    * ~hotRows/saltFactor, then a re-rank of the ≤ k·saltFactor
+    * survivors — which is provably row-identical to the naive single
+    * window; the oracle IS that naive single window (row_number OVER
+    * (PARTITION BY host_key)), so the equivalence is hash-checked on
+    * the real corpus, not just the spec's mega-host fixture. Ordering
+    * is (n_chars DESC, doc_id): row-unique via the id tiebreak, the
+    * deterministic-cap rule. */
+  val t100HostCap: Q = Q(
+    "t100_host_cap",
+    s"""WITH u AS (SELECT doc_id, n_chars, $urlGenSql AS url FROM documents),
+       |h AS (SELECT doc_id, n_chars,
+       |        ${graft.operators.Urls.hostKeyFromHostSql(
+               graft.operators.Urls.stripPortSql(
+                 graft.operators.Urls.hostPortSql(
+                   graft.operators.Urls.stripFragSql("url"))))} AS host_key
+       |      FROM u),
+       |r AS (SELECT host_key, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY host_key
+       |                           ORDER BY n_chars DESC, doc_id) AS rn
+       |      FROM h)
+       |SELECT host_key, CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_chars AS BIGINT) AS n_chars
+       |FROM r WHERE rn <= 5 ORDER BY host_key, doc_id""".stripMargin) { (s, dir) =>
+    val u = urlGen(col("doc_id"), col("source"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.operators.Urls.hostKey(u).as("host_key"))
+    graft.operators.Skew.saltedCap(docs, key = col("host_key"),
+        ord = Seq(col("n_chars").desc, col("doc_id")), k = 5,
+        rowTag = col("doc_id"), saltFactor = 8)
+      .select(col("host_key"), col("doc_id"), col("n_chars"))
+      .orderBy(col("host_key"), col("doc_id"))
+  }
+
   /** t90 — PORTABLE HyperLogLog distinct-token estimate, fully
     * oracle-hash-matched — the counterexample to "HLL sketches are not
     * SQL-expressible" (q36's no_oracle carve-out): with the portable
@@ -3455,5 +3495,6 @@ object Extended {
     t91RrfFusion, d70LeakageSplit, t92LengthBatching, t93TvDrift,
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
-    d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian)
+    d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
+    t100HostCap)
 }

@@ -662,7 +662,7 @@ object Scale {
     "q79_csv_roundtrip",
     """SELECT l_returnflag,
       |  CAST(count(*) AS BIGINT) AS n_rows,
-      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS VARCHAR) AS sum_price_cents,
       |  CAST(count(*) FILTER (l_linenumber % 7 = 0) AS BIGINT) AS n_null_tag,
       |  min(l_shipdate) AS min_ship
       |FROM lineitem WHERE l_orderkey % 50 = 0
@@ -690,7 +690,13 @@ object Scale {
       .withColumn("l_shipdate", to_timestamp(col("ship_s"), "yyyy-MM-dd HH:mm:ss"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(round(col("l_extendedprice") * lit(100)).cast("long"))
+        // whole-slice per-flag cents ≈ 5×10¹⁸ at 100 TB — the thinnest
+        // BIGINT margin in the money family (r14 overflow sweep): a 2×
+        // corpus-shape change crosses 2⁶³ and an ANSI sum(BIGINT)
+        // throws. Sum in DECIMAL(38,0), emit digit strings (the
+        // t84/t93 pattern; DuckDB's sum already rides HUGEINT).
+        sum(round(col("l_extendedprice") * lit(100)).cast("long")
+            .cast("decimal(38,0)")).cast("string")
           .as("sum_price_cents"),
         sum(when(col("tag").isNull, 1L).otherwise(0L)).as("n_null_tag"),
         min(col("l_shipdate")).as("min_ship"))

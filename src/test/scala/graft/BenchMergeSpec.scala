@@ -112,6 +112,35 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.suspects(Map("q" -> Seq(3.0, 3.0)), Map.empty) == Seq.empty)
   }
 
+  test("suspects: a query that failed THIS session is exempt (frozen history is stale)") {
+    // updateHistory freezes a failed query's window, so its "last two"
+    // entries predate the failure — flagging on them re-reports old
+    // data every failing session (r14 advice)
+    val baseline = Map("q" -> 1.0)
+    val hist = Map("q" -> Seq(2.9, 3.1)) // elevated, but frozen pre-failure
+    assert(Bench.suspects(hist, baseline, failed = Set("q")) == Seq.empty)
+    // and the same history flags normally once the query passes again
+    assert(Bench.suspects(hist, baseline) == Seq("q"))
+  }
+
+  test("jsonStr escapes quotes, backslashes and control chars (record stays parseable)") {
+    assert(Bench.jsonStr("plain") == "\"plain\"")
+    assert(Bench.jsonStr("""a"b""") == """"a\"b"""")
+    assert(Bench.jsonStr("""a\b""") == """"a\\b"""")
+    assert(Bench.jsonStr("a\nb") == "\"a\\u000ab\"")
+  }
+
+  test("summaryJson caps the suspect array; n_suspect carries the true count") {
+    val many = (1 to 30).map(i => f"q$i%02d_some_rather_long_name")
+    val s = Bench.summaryJson(156.2, 140.9, 156.2, 18.3, 0, many,
+      "/root/testdata/sf0.1")
+    assert(s.contains(""""n_suspect":30"""))
+    assert(Bench.parseRecordList(s, "suspect") == many.sorted.take(6))
+    // bounded even under mass flagging: the 2000-char driver tail the
+    // summary exists to fit must always hold it whole
+    assert(s.length < 500)
+  }
+
   test("summaryJson emits the short tail record with every driver-needed total") {
     val s = Bench.summaryJson(156.2, 140.9, 156.2, 18.3, 1,
       Seq("d57_drop_contained"), "/root/testdata/sf0.1")
@@ -130,6 +159,32 @@ class BenchMergeSpec extends AnyFunSuite {
   test("a record from a different scale factor is not a baseline") {
     val r = Bench.parseRecord(healthy).get
     assert(r.sf != "/root/testdata/sf0.01")
+  }
+
+  test("round-close rule: a non-empty committed suspect list has a NOTES adjudication") {
+    // the suspect channel (persistent-elevation detector) is only
+    // useful if somebody ACTS on it — this gate makes a flagged query
+    // fail the suite until NOTES.md names it (r14 verdict item 6: the
+    // summary carries `suspect`, but nothing failed loudly on it).
+    // Adjudication = the query's name appears in NOTES.md — the round
+    // log either explains the elevation (throttle/decimal-width/real
+    // regression + fix) or the flag is stale and the entry documents
+    // why.
+    val bench = java.nio.file.Paths.get("BENCH_FULL.json")
+    assume(java.nio.file.Files.exists(bench), "no committed bench record")
+    val txt = new String(java.nio.file.Files.readAllBytes(bench),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val suspect = Bench.parseRecordList(txt, "suspect")
+    if (suspect.nonEmpty) {
+      val notes = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("NOTES.md")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val unadjudicated = suspect.filterNot(notes.contains)
+      assert(unadjudicated.isEmpty,
+        s"committed record flags $suspect as persistently elevated but " +
+        s"NOTES.md never mentions: $unadjudicated — adjudicate before " +
+        "closing the round (profile, fix, or document why it's benign)")
+    }
   }
 
   test("the committed BENCH_FULL.json round-trips through parseRecord (emitter/parser drift guard)") {

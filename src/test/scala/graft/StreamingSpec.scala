@@ -117,6 +117,85 @@ class StreamingSpec extends SparkSpec {
     assert(streamedIds.nonEmpty && streamedIds == batchIds)
   }
 
+  test("streaming transitions equal the batch lag window on the corpus with SHUFFLED in-batch arrival") {
+    // r14 verdict item 7: the hand-fixture pin covers a 2-row repair;
+    // this runs the whole corpus through 4 micro-batches whose INTERNAL
+    // arrival order is scrambled (hash-of-id order — out of event time
+    // for nearly every adjacent pair). Cross-batch per-user order still
+    // holds (chunks cut along global (ts, id) order) — that is the
+    // operator's documented input contract; IN-batch disorder is what
+    // the per-batch sort must repair, and what this pins.
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = StreamOps.transitionsStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("trans_corpus")
+      .outputMode(OutputMode.Append()).start()
+    fixture.grouped((fixture.length + 3) / 4).foreach { chunk =>
+      // deterministic scramble (no unseeded Random in tests)
+      mem.addData(chunk.sortBy(e => e.event_id * 2654435761L % 4096).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("trans_corpus")
+      .groupBy("user_id", "prev_type", "next_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = graft.engine.Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("user_id"), col("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming forward fill equals the batch IGNORE-NULLS window on the corpus with SHUFFLED in-batch arrival") {
+    // the fillForwardStream sibling of the shuffled-transitions pin:
+    // corpus-derived (user, idx, cents-with-gaps) rows, 4 micro-batches
+    // cut along idx order (the cross-batch contract), each batch's
+    // arrival order scrambled — the one-cell carry must survive both
+    // the batch boundary and the in-batch repair sort.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{FillIn, FillOut}
+    val fixture = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .sortBy { case (id, t, _, _) => (t.getTime, id) }
+      .zipWithIndex.map { case ((id, _, u, v), i) =>
+        // every 3rd row is a gap; values are exact cents (no-float rule)
+        FillIn(u, i.toLong, if (id % 3 == 0) None else Some(math.round(v * 100)))
+      }
+    val mem = MemoryStream[FillIn]
+    val q = StreamOps.fillForwardStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("ffill_corpus")
+      .outputMode("update").start()
+    fixture.grouped((fixture.length + 3) / 4).foreach { chunk =>
+      mem.addData(chunk.sortBy(r => r.idx * 2654435761L % 4096).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ffill_corpus").as[FillOut].collect()
+      .map(r => (r.user_id, r.idx) -> r.fill_cents).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("idx").rowsBetween(Long.MinValue, 0)
+    val twin = fixture.toSeq.toDF()
+      .withColumn("f", last(col("cents"), ignoreNulls = true).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.nonEmpty && got == twin)
+  }
+
   test("restart from checkpoint is exactly-once: pre-restart rows counted once, none lost") {
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val src = base.resolve("src").toString
