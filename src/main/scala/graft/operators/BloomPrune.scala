@@ -28,6 +28,15 @@ object BloomPrune {
   def prunedJoin(fact: DataFrame, dim: DataFrame,
       factKey: Column, dimKey: Column,
       expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
+    // an EMPTY build side legitimately reaches here at corpus scale
+    // (a filtered dim can drop every row — the r15 empty-corpus sweep
+    // class): Spark's bloom aggregate yields a null-bit-buffer sketch
+    // over zero rows and mightContainLong NPEs on it. Inner-join
+    // semantics make the degenerate answer exact and free — no build
+    // rows, no joined rows. The isEmpty probe is a limit-1 job on the
+    // SMALL side, next to the full dim aggregation one line below.
+    if (dim.isEmpty)
+      return fact.limit(0).join(dim, factKey === dimKey, "inner")
     val bloom = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
     fact.filter(BloomMightContain.mightContain(bloom, factKey))
       .join(dim, factKey === dimKey, "inner")

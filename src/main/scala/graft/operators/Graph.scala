@@ -161,7 +161,18 @@ object Graph {
     val init = state0.agg(
       count(lit(1)), count(when(col("outdeg").isNull, lit(1)))).head()
     val n = init.getLong(0)
-    require(n > 0, "pageRank: empty graph")
+    // an EMPTY graph legitimately reaches here at corpus scale (an
+    // upstream filter can drop every edge — the r15 empty-corpus
+    // sweep class): ranks over no nodes are an empty frame, not a
+    // crash (base = unit/n would divide by zero below)
+    if (n == 0L) {
+      releaseState()
+      // derived from edges, NOT the just-released checkpoint (whose
+      // truncated lineage cannot recompute); limit(0) folds to an
+      // empty local relation
+      edges.select(col("src").cast("long").as("id"),
+        lit(0L).as("rank_fp")).limit(0)
+    } else {
     val base = unit / n
     var dang = init.getLong(1) * base
     // rank enters as a literal projection on round 1's own scan — no
@@ -207,6 +218,7 @@ object Graph {
     }
     val out = if (lastRound != null) lastRound else state
     out.select(col("id"), col("rank_fp"))
+    }
   }
 
   /** Weighted PageRank: same fixed-point arithmetic as [[pageRank]]
@@ -246,7 +258,12 @@ object Graph {
     val init = state0.agg(
       count(lit(1)), count(when(col("outdeg").isNull, lit(1)))).head()
     val n = init.getLong(0)
-    require(n > 0, "pageRankWeighted: empty graph")
+    // empty graph → empty ranks, same as pageRank (the r15 sweep class)
+    if (n == 0L) {
+      releaseState()
+      edges.select(col("src").cast("long").as("id"),
+        lit(0L).as("rank_fp")).limit(0)
+    } else {
     val base = unit / n
     var dang = init.getLong(1) * base
     var state = state0.select(col("id"), col("outdeg"),
@@ -276,6 +293,7 @@ object Graph {
     }
     val out = if (lastRound != null) lastRound else state
     out.select(col("id"), col("rank_fp"))
+    }
   }
 
   /** One PageRank round as a pure plan over the (id, outdeg, rank_fp)

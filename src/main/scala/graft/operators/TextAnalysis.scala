@@ -653,23 +653,39 @@ object TextAnalysis {
       wordFreq(df, text)
         .select(col("word"), col("freq"), charsOf(col("word")).as("syms")))
     var out: DataFrame = null
-    for (step <- 1 to merges) {
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
       val top = symPairCounts(vocab)
         .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b"))).as("t"))
         .select(lit(step.toLong).as("step"), col("t.a").as("a"),
           col("t.b").as("b"), (-col("t.nc")).as("cnt"))
+        // a PAIRLESS vocabulary (empty corpus, or every word already a
+        // single symbol) gives this GLOBAL aggregate one all-null row,
+        // not a winner — unfiltered it emitted null merge rows, and
+        // the cross-join below with an empty winner would wrongly
+        // EMPTY the vocabulary (the r15 empty-corpus sweep)
+        .filter(col("a").isNotNull)
       // materialize the winner NOW (1 row): later rounds and the final
       // union must not re-derive it from a released vocab
       val (topC, _) = graft.Caches.checkpoint(top)
-      out = if (out == null) topC else out.union(topC)
-      val (nextVocab, releaseNext) = graft.Caches.checkpoint(
-        vocab.crossJoin(broadcast(
-            topC.select(col("a").as("ta"), col("b").as("tb"))))
-          .select(col("word"), col("freq"),
-            mergeFold(col("syms"), col("ta"), col("tb")).as("syms")))
-      releaseVocab()
-      vocab = nextVocab
-      releaseVocab = releaseNext
+      if (topC.isEmpty) {
+        // no pair anywhere — no later round can find one either; stop,
+        // returning the merges learned so far (possibly none)
+        out = if (out == null) topC else out
+        exhausted = true
+      } else {
+        out = if (out == null) topC else out.union(topC)
+        val (nextVocab, releaseNext) = graft.Caches.checkpoint(
+          vocab.crossJoin(broadcast(
+              topC.select(col("a").as("ta"), col("b").as("tb"))))
+            .select(col("word"), col("freq"),
+              mergeFold(col("syms"), col("ta"), col("tb")).as("syms")))
+        releaseVocab()
+        vocab = nextVocab
+        releaseVocab = releaseNext
+      }
+      step += 1
     }
     (out, vocab)
   }

@@ -295,10 +295,10 @@ object Advanced {
     stage(1)
     FileLedger.commit(s, FileLedger.newFiles(s, glob, ledgerDir, 2L), ledgerDir, 2L)
     // the audited read: final ledger state joined to the live listing
-    val listing = s.read.format("binaryFile").load(glob)
-      .select(col("path"), col("length").cast("long").as("n_bytes"))
+    // (FileLedger.listing — the guarded read; an empty corpus stages
+    // no files and an unguarded glob would PATH_NOT_FOUND)
     FileLedger.ledger(s, ledgerDir)
-      .join(listing, Seq("path"))
+      .join(FileLedger.listing(s, glob), Seq("path"))
       .select(col("run"),
         regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1).cast("long").as("doc_id"),
         col("n_bytes"))

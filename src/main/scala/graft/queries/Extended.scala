@@ -1524,7 +1524,7 @@ object Extended {
        |ti AS (SELECT query_id, neighbor_id FROM irk WHERE rank <= 3)
        |SELECT CAST(count(ti.neighbor_id) AS BIGINT) AS hits,
        |       CAST(count(*) AS BIGINT) AS total,
-       |       CAST(count(ti.neighbor_id) AS DOUBLE) / count(*) AS recall
+       |       CAST(count(ti.neighbor_id) AS DOUBLE) / NULLIF(count(*), 0) AS recall
        |FROM tb LEFT JOIN ti ON tb.query_id = ti.query_id AND tb.neighbor_id = ti.neighbor_id""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
@@ -1533,8 +1533,12 @@ object Extended {
     val ivf = Similarity.ivfTopK(emb, queries, 3)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      // an empty corpus leaves total = 0 in this GLOBAL aggregate's
+      // one row — ANSI division throws where the lazy when/NULLIF
+      // pair yields null on both legs (the r15 empty-corpus sweep)
       .agg(count(col("hit")).as("hits"), count(lit(1)).as("total"),
-        (count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+        when(count(lit(1)) > 0,
+          count(col("hit")).cast("double") / count(lit(1))).as("recall"))
   }
 
   /** d45 — pluggable-kernel MinHash: the same signature operator over

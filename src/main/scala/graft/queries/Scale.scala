@@ -559,7 +559,9 @@ object Scale {
     val li = Tables.lineitem(s, dir)
     val tmp = graft.engine.WorkDirs.path("dpp", dir)
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
-    val fact = s.read.parquet(tmp)
+    // EXPLICIT read schema (never infer — the 100 TB rule, and a
+    // 0-row staging write leaves no files to infer from at all)
+    val fact = s.read.schema(li.schema).parquet(tmp)
     val flags = li.groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity")).as("flag_qty"))
       .transform(d => graft.Caches.pin(d))
@@ -570,8 +572,11 @@ object Scale {
     // Spark's DPP insertion heuristic (isLikelySelective) requires a
     // literal comparison on the pruning side — an attribute-vs-
     // attribute filter never qualifies.
-    val bestQty = flags.agg(max(col("flag_qty"))).head.getDouble(0)
-    val dim = flags.filter(col("flag_qty") >= lit(bestQty))
+    // max over an EMPTY flags frame is null — null-safe unwrap keeps
+    // the degenerate corpus an empty result, not a driver NPE
+    val bestRow = flags.agg(max(col("flag_qty"))).head
+    val dim = (if (bestRow.isNullAt(0)) flags.limit(0)
+      else flags.filter(col("flag_qty") >= lit(bestRow.getDouble(0))))
       .select(col("l_returnflag"))
     fact.join(dim, "l_returnflag")
       .groupBy(col("l_returnflag"))

@@ -56,29 +56,34 @@ object FileLedger {
     }
   }
 
+  /** Metadata-only listing of `glob` as (path, n_bytes) — the shared
+    * guarded read: a poll window that matches NO files is an ordinary
+    * continuous-ingestion state (Spark's glob resolution throws
+    * PATH_NOT_FOUND on it), so an empty glob is an empty frame, never
+    * an error. Bodies are NOT read (binaryFile schema pruned to
+    * path/length). */
+  def listing(spark: SparkSession, glob: String): DataFrame =
+    try spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("length").cast("long").as("n_bytes"))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_bytes",
+              org.apache.spark.sql.types.LongType))))
+    }
+
   /** Files under `glob` not yet committed by any OTHER run: the set
-    * this `runId` must process. Metadata-only listing (binaryFile
-    * schema pruned to path/length); an empty glob is an empty input,
-    * not an error. */
+    * this `runId` must process. */
   def newFiles(spark: SparkSession, glob: String, ledgerDir: String,
       runId: Long): DataFrame = {
-    val listing =
-      try spark.read.format("binaryFile").load(glob)
-        .select(col("path"), col("length").cast("long").as("n_bytes"))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          return spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("path",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("n_bytes",
-                org.apache.spark.sql.types.LongType))))
-      }
     val done = ledger(spark, ledgerDir)
       .filter(col("run") =!= runId)
       .select(col("path"))
-    listing.join(done, Seq("path"), "left_anti")
+    listing(spark, glob).join(done, Seq("path"), "left_anti")
   }
 
   /** Commit this run's processed file set: overwrite the ledger

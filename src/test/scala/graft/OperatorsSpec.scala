@@ -2259,4 +2259,59 @@ class OperatorsSpec extends SparkSpec {
     assert(perHost("mega.example.com") == 5L)
     assert(perHost.values.forall(_ <= 5L))
   }
+
+  // ---- the r15 empty-corpus sweep class: an upstream filter can
+  // legitimately empty any input at 100 TB — operators must produce
+  // the empty answer (or fail through a documented require), never
+  // NPE / PATH_NOT_FOUND / ANSI-divide on the degenerate frame
+
+  test("bloom-pruned join with an EMPTY build side is the empty join, not an NPE") {
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim = Seq((1L, "x")).toDF("k", "w").filter(col("k") < 0)
+    // Spark's bloom aggregate over zero rows yields a null-bit-buffer
+    // sketch; mightContainLong NPE'd on it before the guard
+    val out = graft.operators.BloomPrune.prunedJoin(
+      fact, dim, fact("k"), dim("k"), expectedDimKeys = 8)
+    assert(out.count() == 0L)
+    // and the guard changes nothing on a live build side
+    val dim2 = Seq((1L, "x")).toDF("k", "w")
+    val out2 = graft.operators.BloomPrune.prunedJoin(
+      fact, dim2, fact("k"), dim2("k"), expectedDimKeys = 8)
+    assert(out2.select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
+  test("pageRank / pageRankWeighted on an EMPTY graph return empty ranks, not a crash") {
+    val e = Seq((1L, 2L)).toDF("src", "dst").filter(col("src") < 0)
+    assert(graft.operators.Graph.pageRank(e, iters = 2).count() == 0L)
+    val ew = Seq((1L, 2L, 3L)).toDF("src", "dst", "w").filter(col("src") < 0)
+    assert(graft.operators.Graph.pageRankWeighted(ew, iters = 2).count() == 0L)
+    // self-loop-only input reduces to the empty graph too
+    val loops = Seq((7L, 7L)).toDF("src", "dst")
+    assert(graft.operators.Graph.pageRank(loops, iters = 1).count() == 0L)
+  }
+
+  test("bpeTrain on a PAIRLESS vocabulary learns zero merges and keeps the vocabulary intact") {
+    // every word a single character: no symbol pair exists anywhere.
+    // The unfixed loop emitted `merges` all-null winner rows AND
+    // cross-joined the vocabulary against an empty winner — emptying
+    // it, so bpeEncode dropped every doc.
+    val corpus = Seq((1L, "a b c"), (2L, "b c a")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(corpus, col("text"), merges = 4).count() == 0L)
+    val enc = TextAnalysis.bpeEncode(corpus, col("doc_id"), col("text"), merges = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // vocabulary intact: 3 words per doc, 1 symbol per 1-char word
+    assert(enc == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L))))
+    // and the empty corpus trains zero merges without a row of nulls
+    val none = corpus.filter(col("doc_id") < 0)
+    assert(TextAnalysis.bpeTrain(none, col("text"), merges = 4).count() == 0L)
+  }
+
+  test("FileLedger.listing of a glob matching NO files is the empty frame, not PATH_NOT_FOUND") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ledger_empty")
+    val out = graft.sources.FileLedger.listing(spark, s"$base/files/*.txt")
+    assert(out.columns.toSeq == Seq("path", "n_bytes") && out.count() == 0L)
+    // newFiles over the same empty world: nothing to ingest, no throw
+    assert(graft.sources.FileLedger.newFiles(
+      spark, s"$base/files/*.txt", s"$base/ledger", 1L).count() == 0L)
+  }
 }
