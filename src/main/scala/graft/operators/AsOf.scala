@@ -105,7 +105,13 @@ object AsOf {
     val l = left.select(leftKey.as("asof_key") +: leftTime.as("asof_t") +:
       lit(1).as("asof_is_left") +:
       (leftCols.map(col) :+ lit(null).cast(rStructType).as("asof_r")): _*)
-    val r = right.select(rightKey.as("asof_key") +: rightTime.as("asof_t") +:
+    // a NULL-keyed right row can never match under asofJoin's ===
+    // equi-join, but partitionBy(asof_key) groups null keys into one
+    // live partition — unfiltered, a null-key left row would carry a
+    // null-key right row and the two physical forms would diverge on
+    // exactly the rows the equality semantics say match nothing
+    val r = right.filter(rightKey.isNotNull)
+      .select(rightKey.as("asof_key") +: rightTime.as("asof_t") +:
       lit(0).as("asof_is_left") +:
       (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rightCols.map(col): _*).as("asof_r")): _*)

@@ -85,7 +85,12 @@ object Incremental {
     val keys = keyNames.map(col)
     val state = base.groupBy(keys: _*)
       .agg(min(cents).as("m"), count(lit(1)).as("n"))
-    val dels = base.join(deleteIds.select(col(idName)), idName)
+    // DISTINCT ids: delete feeds are at-least-once in practice (the
+    // q87/dedupStream delivery model), and a replayed id would inflate
+    // `dn` below — the live-rows anti-join is duplicate-immune, so the
+    // algebraic and recompute legs would silently disagree on n_events
+    val delIds = deleteIds.select(col(idName)).distinct()
+    val dels = base.join(delIds, idName)
     val delAgg = dels.groupBy(keys: _*)
       .agg(min(cents).as("dmin"), count(lit(1)).as("dn"))
       .select(keyNames.map(k => col(k).as(s"del_$k")) :+ col("dmin") :+ col("dn"): _*)
@@ -109,7 +114,7 @@ object Incremental {
           - coalesce(col("dn"), lit(0L))).as("n_events"),
         least(col("m"), col("imin")).as("min_cents")): _*)
       .filter(col("n_events") > 0)
-    val live = base.join(deleteIds.select(col(idName)), Seq(idName), "left_anti")
+    val live = base.join(delIds, Seq(idName), "left_anti")
       .select(keys :+ cents.as("graft_cents"): _*)
       .unionByName(inserts.select(keys :+ cents.as("graft_cents"): _*))
     // null-SAFE semi-join (the same <=> rule as every other key match

@@ -34,6 +34,14 @@ object Interval {
     // w = 0 would make `div 0` null on both sides → silently empty
     // result instead of the rt == lt rows the caller meant
     require(w > 0, s"window must be positive seconds, got $w")
+    // bare-name payload selection below — misuse must error at
+    // construction, not as a runtime AMBIGUOUS_REFERENCE (the AsOf rule)
+    val overlap = leftCols.intersect(rightCols)
+    require(overlap.isEmpty,
+      s"left and right payload column names must be disjoint; shared: ${overlap.mkString(",")}")
+    val reserved = (leftCols ++ rightCols).filter(_.startsWith("iv_"))
+    require(reserved.isEmpty,
+      s"payload columns must not use the reserved iv_ prefix: ${reserved.mkString(",")}")
     val wUs = w * 1000000L
     // left probes its own bucket and the previous one (a right row at
     // most w seconds earlier lives in floor(lt/w) or floor(lt/w)-1);

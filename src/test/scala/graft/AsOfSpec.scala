@@ -261,4 +261,24 @@ class AsOfSpec extends SparkSpec {
       col("user_id"), col("p_user"), col("ts"), col("p_ts"), Seq("event_id"), Seq("value")))
     assert(a == b && a.nonEmpty)
   }
+
+  test("NULL keys: both forms agree a null-key left row matches nothing (equality semantics)") {
+    // a null-key right row can never match under the join form's ===;
+    // before the r15 fix the sorted form's partitionBy grouped null
+    // keys into a live partition and carried the match
+    val l = Seq((1L, Option.empty[Long], ts("2024-01-01 12:00:00")),
+        (2L, Option(7L), ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((Option.empty[Long], ts("2024-01-01 10:00:00"), 99.0),
+        (Option(7L), ts("2024-01-01 10:00:00"), 10.0))
+      .toDF("p_user", "p_ts", "value")
+    val a = run(AsOf.asofJoin(l, r,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    val b = run(AsOf.asofJoinSorted(l, r,
+      col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+      Seq("event_id"), Seq("value")))
+    val want = Map(1L -> None, 2L -> Some(10.0))
+    assert(a == want && b == want)
+  }
 }

@@ -1955,6 +1955,25 @@ class OperatorsSpec extends SparkSpec {
       "d" -> (1L, 99L))) // insert-only new group
   }
 
+  test("maintainMin: a REPLAYED delete id (at-least-once feed) counts once, both paths") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    val base = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L), (5L, "b", 50L)).toDF("event_id", "k", "cents")
+    val inserts = spark.emptyDataset[(Long, String, Long)]
+      .toDF("event_id", "k", "cents")
+    // id 5 (b's non-min, algebraic path) and id 1 (a's min, recompute
+    // path) each arrive TWICE — before the r15 distinct, the algebraic
+    // leg's dn double-counted the replay while the live anti-join
+    // ignored it, so b's n_events came back 0 and the group vanished
+    val deleteIds = Seq(5L, 5L, 1L, 1L).toDF("event_id")
+    val got = Incremental.maintainMin(base, inserts, deleteIds,
+        Seq("k"), "event_id", col("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> (2L, 20L), "b" -> (1L, 5L)))
+  }
+
   test("maintainMin: a null-keyed group taking the recompute path keeps its surviving rows") {
     import spark.implicits._
     import graft.operators.Incremental
