@@ -34,7 +34,11 @@ object Quantiles {
     Seq("graft_v", "graft_c", "graft_cum", "graft_tot").foreach { c =>
       require(!df.columns.contains(c), s"input already has a column named $c")
     }
-    val counts = df.groupBy(group.map(col) :+ value.as("graft_v"): _*)
+    // nulls are IGNORED (SQL percentile semantics, same as the
+    // continuous variant): unfiltered they sort first and inflate the
+    // cumulative ranks, shifting every threshold
+    val counts = df.filter(value.isNotNull)
+      .groupBy(group.map(col) :+ value.as("graft_v"): _*)
       .agg(count(lit(1)).as("graft_c"))
     // both windows share one (group)-partitioned exchange; ROWS frame
     // is exact because (group, value) rows are distinct post-groupBy
@@ -64,7 +68,9 @@ object Quantiles {
     Seq("graft_v", "graft_c", "graft_cum", "graft_tot", "graft_k").foreach { c =>
       require(!df.columns.contains(c), s"input already has a column named $c")
     }
-    val counts = df.groupBy(group.map(col) :+ value.as("graft_v"): _*)
+    // nulls ignored — the discretePercentile rule
+    val counts = df.filter(value.isNotNull)
+      .groupBy(group.map(col) :+ value.as("graft_v"): _*)
       .agg(count(lit(1)).as("graft_c"))
     val wCum = Window.partitionBy(group.map(col): _*).orderBy(col("graft_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -193,7 +199,10 @@ object Quantiles {
   def weightedMedian(df: DataFrame, group: Seq[String], value: Column,
       weight: Column): DataFrame = {
     val keys = group.map(col)
-    val agg = df.groupBy(keys :+ value.as("graft_v"): _*)
+    // null values ignored (the discretePercentile rule); a null weight
+    // is no evidence — the row carries nothing into the distribution
+    val agg = df.filter(value.isNotNull && weight.isNotNull)
+      .groupBy(keys :+ value.as("graft_v"): _*)
       .agg(sum(weight.cast("long")).as("graft_w"))
     val wCum = Window.partitionBy(keys: _*).orderBy(col("graft_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -20,7 +20,10 @@ object Sampling {
     * engine with the same hash (the DuckDB oracle uses the emitted
     * twin formula). Sampling unit = the key, so all rows of one key
     * stay in or out together (choose the row id as key for row-level
-    * sampling). */
+    * sampling). NULL keys are dropped at every pct (hash of null is
+    * null, which passes no comparison — the same on both engines, so
+    * the oracle twin agrees); callers for whom null-keyed rows matter
+    * route them explicitly, as in `split`. */
   def hashBernoulli(df: DataFrame, key: Column, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0, 100], got $pct")
     df.filter(pmod(polyHashFast(key.cast("string")), lit(100)) < pct)
@@ -38,6 +41,9 @@ object Sampling {
     * within strata and offset ranks per range. */
   def systematic(df: DataFrame, strata: Seq[Column], order: Seq[Column],
       k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(!df.columns.contains("graft_rn"),
+      "input already has a column named graft_rn")
     val w = Window.partitionBy(strata: _*).orderBy(order: _*)
     df.withColumn("graft_rn", row_number().over(w))
       .filter((col("graft_rn") - 1) % k === 0)

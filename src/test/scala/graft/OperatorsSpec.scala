@@ -2102,6 +2102,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map("g" -> (10L, 6L), "h" -> (5L, 3L)))
   }
 
+  test("quantiles IGNORE null values (SQL percentile semantics), r15 fix") {
+    import spark.implicits._
+    import graft.operators.Quantiles
+    // two null values would sort first and shift the cumulative rank:
+    // unfixed, the median of {10,20,30} plus 2 nulls came back 10
+    val d = Seq(("g", Some(10L)), ("g", Some(20L)), ("g", Some(30L)),
+      ("g", None), ("g", None)).toDF("grp", "v")
+    val thr = Quantiles.discretePercentile(d, Seq("grp"), col("v"), 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr == Map("g" -> 20L))
+    val cuts = Quantiles.discreteQuantileCuts(d, Seq("grp"), col("v"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cuts == Map("g" -> 20L))
+    // null WEIGHT carries nothing; null value rows are ignored
+    val wd = Seq(("g", Some(10L), Some(1L)), ("g", Some(20L), Some(1L)),
+      ("g", Some(30L), Some(1L)), ("g", Some(1L), None), ("g", None, Some(9L)))
+      .toDF("grp", "v", "w")
+    val wm = Quantiles.weightedMedian(wd, Seq("grp"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wm == Map("g" -> (20L, 3L)))
+  }
+
   test("ngramNovelty: shared 5-grams counted, unique docs score zero shared") {
     import spark.implicits._
     val d = Seq(
