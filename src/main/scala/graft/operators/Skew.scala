@@ -133,7 +133,16 @@ object Skew {
     * the salt (any row-unique column — NOT rand(), reproducibility).
     * With `key = Urls.hostKey(url)` this is the per-site cap a crawl
     * curation pass runs — the Urls scaladoc's 100 TB recipe,
-    * executable. The cap twin of `saltedJoin`/`saltedAgg`. */
+    * executable. The cap twin of `saltedJoin`/`saltedAgg`.
+    *
+    * Plan note (t100's audit): Spark 4 plans row_number caps as
+    * WindowGroupLimit with a map-side Partial pass, so even the naive
+    * cap only SHUFFLES ≤ k rows per (key, input partition). What the
+    * partial pass cannot bound is the REDUCE side: a mega-key still
+    * lands ~k·numInputPartitions rows in ONE task for the final
+    * limit+window — the salt spreads exactly that over `saltFactor`
+    * tasks. Both stages here get the Partial treatment too (the
+    * whole operator is four WindowGroupLimits, two per stage). */
   def saltedCap(df: DataFrame, key: Column, ord: Seq[Column], k: Int,
       rowTag: Column, saltFactor: Int): DataFrame = {
     require(k >= 1, s"cap k must be positive, got $k")

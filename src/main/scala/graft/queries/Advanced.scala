@@ -586,8 +586,8 @@ object Advanced {
       "q56_group_linreg",
       s"""SELECT l_returnflag,
          |  CAST(COUNT(*) AS BIGINT) AS n,
-         |  $SLOPE AS slope,
-         |  ($SY - ($SLOPE) * $SX) / COUNT(*) AS intercept
+         |  round($SLOPE, 6) AS slope,
+         |  round(($SY - ($SLOPE) * $SX) / COUNT(*), 6) AS intercept
          |FROM lineitem
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -601,10 +601,16 @@ object Advanced {
       // NULLIF'd x-variance (constant-quantity group): ANSI-safe NULL
       // slope/intercept on both engines instead of an engine-side throw
       val slope = (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, lit(0.0d))
+      // emitted at 6 dp on BOTH legs (the interpolated-percentile
+      // rounding rule): the closed form's numerator is a catastrophic
+      // cancellation of ~10²¹ products, which amplifies a single-ulp
+      // decimal→double conversion difference between engines into
+      // ~1e-12 relative slope noise (found by the r15 organic sweep —
+      // invisible on corpora whose sums happen to convert identically)
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(n.as("n"), slope.as("slope"),
-          ((sy - slope * sx) / n).as("intercept"))
+        .agg(n.as("n"), round(slope, 6).as("slope"),
+          round((sy - slope * sx) / n, 6).as("intercept"))
         .orderBy(col("l_returnflag"))
     }
   }

@@ -507,7 +507,7 @@ object Scale {
     * group-sized and broadcasts. */
   val q75Mad: Q = Q(
     "q75_mad",
-    """WITH v AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+    """WITH v AS (SELECT l_returnflag AS g, CAST(trunc(l_quantity) AS BIGINT) AS q FROM lineitem),
       |c1 AS (SELECT g, q, count(*) AS c FROM v GROUP BY g, q),
       |w1 AS (SELECT g, q, sum(c) OVER (PARTITION BY g ORDER BY q) AS cum,
       |       sum(c) OVER (PARTITION BY g) AS tot FROM c1),
@@ -896,7 +896,7 @@ object Scale {
     "q84_weighted_median",
     """WITH a AS (
       |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |    CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS w
       |  FROM lineitem GROUP BY l_returnflag, v),
       |c AS (
       |  SELECT l_returnflag, v, w,

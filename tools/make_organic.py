@@ -16,10 +16,11 @@ derivation VARIES the non-key content deterministically per replica:
  - embeddings get their first coordinate perturbed by r·2⁻⁷ (exact in
    binary FP — both engines see identical doubles) — the 10-way exact
    ANN ties of the sf1 corpus disappear, distances spread;
- - events shift ts by r hours and value by r·0.125 (exact) — window,
-   session and resample shapes vary per replica;
- - lineitem prices/quantities shift by exact binary fractions —
-   money/agg families see spread, not 10 identical strata.
+ - events shift ts by r hours and value by r·0.11 — window, session
+   and resample shapes vary per replica;
+ - lineitem quantities shift by exact binary fractions and prices by
+   2-decimal deltas — money/agg families see spread, not 10 identical
+   strata (deltas stay 2-decimal: see the MUTATE comment).
 
 All mutation happens HERE, in the derivation — both engines read the
 same bytes, so the differential stays exact. Key domains shift as in
@@ -82,11 +83,16 @@ MUTATE = {
     },
     "events": {
         "ts": "t.ts + to_hours(r.r)",
-        "value": "t.value + r.r * 0.125",
+        # 2-DECIMAL deltas only: money/value columns feed round(v*100) and
+        # DECIMAL(18,2) casts — a 3-decimal delta (0.125) parks half the
+        # corpus on exact half-cent midpoints where the engines' double
+        # rounding legitimately disagrees (found by this sweep's first run:
+        # thousands of one-cent diffs summing to ~35 per aggregate)
+        "value": "t.value + r.r * 0.11",
     },
     "lineitem": {
         "l_quantity": "t.l_quantity + r.r * 0.25",
-        "l_extendedprice": "t.l_extendedprice + r.r * 0.125",
+        "l_extendedprice": "t.l_extendedprice + r.r * 0.13",
     },
 }
 
