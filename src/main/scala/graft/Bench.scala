@@ -81,7 +81,8 @@ object Bench {
     * on pre-r14 records. */
   private[graft] final case class PriorRecord(sf: String,
       min2: Map[String, Double], min2Norm: Map[String, Double],
-      normHist: Map[String, Seq[Double]])
+      normHist: Map[String, Seq[Double]], coresHist: Seq[Double],
+      baselineCores: Double)
 
   /** Extract a `"field":{"k":v,...}` flat map from a record line.
     * Field names are matched exactly (`"min2":{` does not match
@@ -91,7 +92,7 @@ object Bench {
       .getOrElse("").split(",").toSeq.filter(_.contains(":"))
       .flatMap { kv =>
         val Array(k, v) = kv.split(":", 2)
-        try Some(k.replace("\"", "") -> v.toDouble)
+        try Some(unJsonStr(k.trim.stripPrefix("\"").stripSuffix("\"")) -> v.toDouble)
         catch { case _: Throwable => None }
       }.toMap
 
@@ -100,7 +101,8 @@ object Bench {
   private[graft] def parseRecordList(txt: String, field: String): Seq[String] =
     ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt).map(_.group(1))
       .getOrElse("").split(",").toSeq
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map(e => unJsonStr(e.trim.stripPrefix("\"").stripSuffix("\"")))
+      .filter(_.nonEmpty)
 
   /** Extract a `"field":{"k":[v,v],...}` map-of-number-arrays (the
     * norm_hist shape). Entries are matched individually — the flat
@@ -109,15 +111,33 @@ object Bench {
     ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(txt).map(_.group(1))
       .map { body =>
         "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(body).map { m =>
-          m.group(1) -> m.group(2).split(",").toSeq.filter(_.nonEmpty)
+          unJsonStr(m.group(1)) -> m.group(2).split(",").toSeq.filter(_.nonEmpty)
             .flatMap(v => try Some(v.toDouble) catch { case _: Throwable => None })
         }.toMap
       }.getOrElse(Map.empty)
 
+  /** Extract a `"field":[1.2,3.4,...]` bare number array (the
+    * cores_hist shape). Absent field parses empty. */
+  private[graft] def parseRecordNums(txt: String, field: String): Seq[Double] =
+    ("\"" + field + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse("").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap(v => try Some(v.toDouble) catch { case _: Throwable => None })
+
+  /** Extract a `"field":1.23` bare number scalar; 0.0 when absent. */
+  private[graft] def parseRecordNum(txt: String, field: String): Double =
+    ("\"" + field + "\":(-?[0-9.Ee+]+)").r.findFirstMatchIn(txt).map(_.group(1))
+      .flatMap(v => try Some(v.toDouble) catch { case _: Throwable => None })
+      .getOrElse(0.0)
+
   private[graft] def parseRecord(txt: String): Option[PriorRecord] =
-    """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).map { sf =>
+    // sf may contain jsonStr-escaped quotes/backslashes — span them
+    // and unescape, so an escaped path round-trips (prior-baseline sf
+    // matching silently failed on exactly those inputs before)
+    """"sf":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(txt)
+      .map(m => unJsonStr(m.group(1))).map { sf =>
       PriorRecord(sf, parseRecordMap(txt, "min2"), parseRecordMap(txt, "min2_norm"),
-        parseRecordHist(txt, "norm_hist"))
+        parseRecordHist(txt, "norm_hist"), parseRecordNums(txt, "cores_hist"),
+        parseRecordNum(txt, "baseline_cores"))
     }
 
   /** Parallel-probe normalization factor, CAPPED at a 2× correction:
@@ -179,12 +199,43 @@ object Bench {
     * stale pre-failure sessions — flagging on them would keep
     * re-reporting old data every session the query fails, and the
     * failure itself is already loudly recorded in `failed`. */
+  /** Effective-cores scaling for the suspect threshold (r15 verdict
+    * item 3): three consecutive sessions at 15.8-17.5 of 32 effective
+    * cores manufactured a rotating false-flag class — the 2×-capped
+    * normFactor leaves a 1.5-2.0× residual on scan-saturating shapes
+    * when a throttled session is measured against baselines minted in
+    * ≥20-core windows, and every such flag cost an adjudication cycle.
+    * Each history entry's threshold is therefore scaled by that
+    * session's core deficit vs the healthiest baseline-minting era:
+    * scale = clamp(baselineCores / sessionCores, 1, 2) — capped at 2×
+    * to mirror normFactor (a real regression plus throttle shows >3×
+    * and still flags; a genuine 1.5× slowdown inside a throttle era
+    * surfaces the next healthy session, when its entry stays elevated
+    * at scale 1). */
+  private[graft] def coresScale(baselineCores: Double, sessionCores: Double): Double =
+    if (baselineCores <= 0 || sessionCores <= 0) 1.0
+    else math.min(2.0, math.max(1.0, baselineCores / sessionCores))
+
+  /** `coresHist` pairs positionally with each query's last history
+    * entries (both newest-last, appended once per session); a query
+    * whose window froze on a failed session can pair an entry with a
+    * neighbouring session's cores — bounded by the 2× scale cap, and
+    * such queries are exempt while failing anyway. Empty coresHist
+    * (pre-r16 records) degrades to the unscaled threshold. */
   private[graft] def suspects(hist: Map[String, Seq[Double]],
       baseline: Map[String, Double], failed: Set[String] = Set.empty,
-      factor: Double = 1.5): Seq[String] =
+      factor: Double = 1.5, coresHist: Seq[Double] = Seq.empty,
+      baselineCores: Double = 0.0): Seq[String] = {
+    val scales2 = {
+      val last2 = coresHist.takeRight(2)
+      val padded = Seq.fill(2 - last2.size)(0.0) ++ last2
+      padded.map(coresScale(baselineCores, _))
+    }
     hist.collect { case (k, h) if !failed.contains(k) && h.size >= 2 &&
-      baseline.get(k).exists(b => b > 0 && h.takeRight(2).forall(_ > factor * b)) =>
+      baseline.get(k).exists(b => b > 0 &&
+        h.takeRight(2).zip(scales2).forall { case (t, s) => t > factor * s * b }) =>
       k }.toSeq.sorted
+  }
 
   /** JSON string literal with `\` and `"` (and control chars) escaped —
     * shared by both record emitters. Interpolating a raw sf path or
@@ -198,6 +249,39 @@ object Bench {
       case c => c.toString
     } + "\""
 
+  /** Inverse of [[jsonStr]]'s escaping (r15 advice: the emitters
+    * escaped but the parsers never unescaped — an sf path carrying a
+    * quote or backslash wrote a valid record whose read-back sf was
+    * still escaped, silently failing the prior-baseline sf match for
+    * exactly the inputs jsonStr was added to handle). */
+  private[graft] def unJsonStr(s: String): String = {
+    val b = new StringBuilder(s.length); var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case '"'  => b += '"'; i += 2
+        case '\\' => b += '\\'; i += 2
+        case 'u' if i + 6 <= s.length =>
+          b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case _ => b += c; i += 1
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** JSON key emitter for query names: the flat-split parsers
+    * (parseRecordMap/List/Hist) are exact only for names free of
+    * quote/backslash/control chars, so emit FAILS LOUDLY on one
+    * instead of writing a record those parsers would silently
+    * truncate. Query names are code-defined identifiers — a special
+    * char in one is a bug, not data. Free-form strings (sf paths) use
+    * [[jsonStr]] + [[unJsonStr]], which round-trip fully. */
+  private[graft] def jsonKey(s: String): String = {
+    require(s.forall(c => c != '"' && c != '\\' && c >= ' '),
+      s"query name contains a char the record parsers cannot round-trip: $s")
+    jsonStr(s)
+  }
+
   /** The SHORT trailing summary record (r13 verdict item 2/4): the
     * driver keeps only a ~2000-char tail of stdout, and the full
     * record line is ~100 KB — every BENCH_rN.json carried an
@@ -209,13 +293,19 @@ object Bench {
     * The suspect array is CAPPED at `maxSuspect` names (the full list
     * lives in the full record line) with the true count in
     * `n_suspect` — a mass-flagging round must not grow the summary
-    * past the 2000-char tail the record exists to fit. */
+    * past the 2000-char tail the record exists to fit. The cap is 24
+    * (r15 verdict item 6: at 6, `n_suspect: 8` with 6 names hid the
+    * two names adjudication needed — 24 names × ~30 chars still fits
+    * the tail with headroom, and a >24 flagging round additionally
+    * emits an explicit `"suspect_truncated":true` so the summary can
+    * never silently disagree with the full record on membership). */
   private[graft] def summaryJson(total: Double, totalMin2: Double,
       totalMin2Session: Double, effectiveCores: Double, nFailed: Int,
-      suspect: Seq[String], sf: String, maxSuspect: Int = 6): String = {
+      suspect: Seq[String], sf: String, maxSuspect: Int = 24): String = {
     val sorted = suspect.sorted
-    val s = sorted.take(maxSuspect).map(jsonStr).mkString("[", ",", "]")
-    s"""{"metric":"summary","total":$total,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"effective_cores":$effectiveCores,"n_failed":$nFailed,"n_suspect":${sorted.size},"suspect":$s,"sf":${jsonStr(sf)}}"""
+    val s = sorted.take(maxSuspect).map(jsonKey).mkString("[", ",", "]")
+    val trunc = if (sorted.size > maxSuspect) """"suspect_truncated":true,""" else ""
+    s"""{"metric":"summary","total":$total,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"effective_cores":$effectiveCores,"n_failed":$nFailed,"n_suspect":${sorted.size},$trunc"suspect":$s,"sf":${jsonStr(sf)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -380,10 +470,9 @@ object Bench {
     // itself; two consecutive elevated sessions flag, one does not
     val normHist = updateHistory(
       prior.map(_.normHist).getOrElse(Map.empty), sessionNorm, failed.toSet)
-    val suspect = suspects(normHist, mergedNorm, failed.toSet)
     // name-sorted key order: stable, diffable across rounds
     def mapJson(m: Iterable[(String, Double)]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => jsonStr(k) + ":" + v }
+      m.toSeq.sortBy(_._1).map { case (k, v) => jsonKey(k) + ":" + v }
         .mkString("{", ",", "}")
     val qs = mapJson(results)
     val m2 = mapJson(mergedMin2)
@@ -392,26 +481,42 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMin2 = if (mergedMin2.nonEmpty) mergedMin2.values.sum else 0.0
     val totalMin2Session = if (min2.nonEmpty) min2.map(_._2).sum else 0.0
-    val failedJson = failed.sorted.map(jsonStr).mkString("[", ",", "]")
+    val failedJson = failed.sorted.map(jsonKey).mkString("[", ",", "]")
     // regression-triggered reruns are recorded so a round's NOTES can
     // say whether a spike was throttle (second run recovered) or real
-    val rerunJson = regressed.toSeq.sorted.map(jsonStr)
+    val rerunJson = regressed.toSeq.sorted.map(jsonKey)
       .mkString("[", ",", "]")
     val health = effectiveCores(cpus.toInt)
+    // session effective-cores history (global, last ≤3, newest last —
+    // pairs positionally with each query's norm_hist window) and the
+    // running max across recorded sessions: the suspect threshold for
+    // each history entry scales by that session's core deficit vs the
+    // healthiest baseline-minting era (see coresScale). Records
+    // predating the field seed baseline_cores from the documented
+    // healthy-era figure (NOTES r9 close: the 19.9-effective-core
+    // session that minted the bulk of the min ratchet).
+    val healthyEraCores = 19.9
+    val coresHist = (prior.map(_.coresHist).getOrElse(Seq.empty) :+ health)
+      .takeRight(3)
+    val baselineCores = math.max(health,
+      prior.map(_.baselineCores).filter(_ > 0).getOrElse(healthyEraCores))
+    val suspect = suspects(normHist, mergedNorm, failed.toSet,
+      coresHist = coresHist, baselineCores = baselineCores)
     // per-query health record: probe wall-ms per measured run, plus
     // the session's best (fastest) probe — the healthy-host yardstick.
     // t_normalized = t * probe_best / probe_ms[name].
     def probeJson(m: scala.collection.mutable.LinkedHashMap[String, Double]) =
-      m.map { case (k, v) => jsonStr(k) + ":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => jsonKey(k) + ":" + v }.mkString("{", ",", "}")
     val probeBest =
       if (probes1.isEmpty && probes2.isEmpty) 0.0
       else (probes1.values ++ probes2.values).min
     val histJson = normHist.toSeq.sortBy(_._1).map { case (k, vs) =>
-      jsonStr(k) + ":" + vs.mkString("[", ",", "]")
+      jsonKey(k) + ":" + vs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val suspectJson = suspect.map(jsonStr).mkString("[", ",", "]")
+    val suspectJson = suspect.map(jsonKey).mkString("[", ",", "]")
+    val coresHistJson = coresHist.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"norm_hist":$histJson,"suspect":$suspectJson,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"norm_hist":$histJson,"suspect":$suspectJson,"cores_hist":$coresHistJson,"baseline_cores":$baselineCores,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":${jsonStr(sfDir)}}"""
     println(line)
     // the short summary tail — printed LAST so the driver's 2000-char
     // stdout tail always captures a parseable record (see summaryJson)

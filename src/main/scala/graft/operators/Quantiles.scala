@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * The percentile is an INTEGER percent and the rank compare is
   * integer-exact (`cum·100 ≥ total·pct` — no float quantile position),
   * so engines can't disagree on boundary rows.
+  *
+  * Null contract (explicit, r15 advice): null VALUES are ignored
+  * per SQL percentile semantics, and a group whose values are ALL
+  * null is DROPPED from the output — where SQL `GROUP BY` +
+  * `percentile` would emit `(group, NULL)`. The drop is deliberate:
+  * a null threshold is unusable by every downstream consumer here
+  * (cutoff joins treat it as "no cutoff" anyway), and re-attaching
+  * all-null groups would cost a second distinct-groups pass + left
+  * join per call. Oracles for these operators must filter null
+  * values BEFORE grouping (`WHERE v IS NOT NULL`) to match.
   */
 object Quantiles {
 

@@ -52,7 +52,11 @@ object FileLedger {
     try spark.read.parquet(ledgerDir)
       .groupBy(col("path")).agg(min(col("run").cast("long")).as("run"))
     catch {
-      case _: org.apache.spark.sql.AnalysisException => emptyLedger(spark)
+      // only the no-readable-parquet conditions mean "empty ledger";
+      // anything else (corrupt footer, permission) must surface
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+             e.getCondition == "PATH_NOT_FOUND" => emptyLedger(spark)
     }
   }
 
@@ -66,7 +70,13 @@ object FileLedger {
     try spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("length").cast("long").as("n_bytes"))
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      // ONLY the no-files-matched condition is an empty window; any
+      // other AnalysisException (bad option, unresolvable column
+      // after a Spark upgrade) is a genuine error and must surface —
+      // silently converting it to an empty frame would make the
+      // audited read report "nothing to ingest" forever (r15 advice)
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(

@@ -130,15 +130,83 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.jsonStr("a\nb") == "\"a\\u000ab\"")
   }
 
-  test("summaryJson caps the suspect array; n_suspect carries the true count") {
+  test("unJsonStr inverts jsonStr; an escaped sf path round-trips through parseRecord") {
+    // r15 advice: emitters escaped but parsers never unescaped — the
+    // prior-baseline sf match silently failed for exactly the inputs
+    // jsonStr was added to handle
+    for (s <- Seq("plain", "a\"b", "a\\b", "a\nb", "q\\\"x", "/root/test data/sf0.1"))
+      assert(Bench.unJsonStr(Bench.jsonStr(s).stripPrefix("\"").stripSuffix("\"")) == s)
+    val weird = """/tmp/sf"0.1\x"""
+    val rec = s"""{"metric":"total","min2":{"a":1.0},"sf":${Bench.jsonStr(weird)}}"""
+    assert(Bench.parseRecord(rec).get.sf == weird)
+  }
+
+  test("jsonKey fails loudly on names the flat-split parsers cannot round-trip") {
+    assert(Bench.jsonKey("q01_agg") == "\"q01_agg\"")
+    intercept[IllegalArgumentException](Bench.jsonKey("a\"b"))
+    intercept[IllegalArgumentException](Bench.jsonKey("a\\b"))
+    intercept[IllegalArgumentException](Bench.jsonKey("a\nb"))
+  }
+
+  test("parseRecordNums/parseRecordNum read the cores fields; absent fields degrade") {
+    val txt = """{"cores_hist":[17.0,15.8],"baseline_cores":19.9,"sf":"x"}"""
+    assert(Bench.parseRecordNums(txt, "cores_hist") == Seq(17.0, 15.8))
+    assert(Bench.parseRecordNum(txt, "baseline_cores") == 19.9)
+    assert(Bench.parseRecordNums(healthy, "cores_hist").isEmpty)
+    assert(Bench.parseRecordNum(healthy, "baseline_cores") == 0.0)
+  }
+
+  test("coresScale: clamped core-deficit ratio, identity on degenerate inputs") {
+    assert(Bench.coresScale(19.9, 19.9) == 1.0)
+    assert(Bench.coresScale(19.9, 15.8) == 19.9 / 15.8) // ≈1.26
+    assert(Bench.coresScale(19.9, 25.0) == 1.0) // healthier than baseline era: no relaxation
+    assert(Bench.coresScale(40.0, 10.0) == 2.0) // capped, mirroring normFactor
+    assert(Bench.coresScale(0.0, 15.8) == 1.0)
+    assert(Bench.coresScale(19.9, 0.0) == 1.0)
+  }
+
+  test("suspects: a throttled-era 1.5-2.0x residual does not flag under cores scaling") {
+    // the r15 false-flag class: baselines minted at ~19.9 effective
+    // cores, sessions at ~15.8-17.5 — the 2x-capped normFactor leaves
+    // a 1.5-2.0x residual on scan-saturating shapes. With the last two
+    // sessions' cores recorded, the threshold scales to ~1.9x and the
+    // class self-clears (d40's real shape: ratios 2.0 then 1.79).
+    val baseline = Map("d40" -> 0.394)
+    val hist = Map("d40" -> Seq(0.692, 0.789, 0.706))
+    assert(Bench.suspects(hist, baseline) == Seq("d40")) // unscaled: flags
+    assert(Bench.suspects(hist, baseline,
+      coresHist = Seq(17.0, 16.4, 15.8), baselineCores = 19.9) == Seq.empty)
+    // a REAL regression plus throttle still flags: 3x entries clear 1.5*2
+    val bad = Map("d40" -> Seq(1.2, 1.25))
+    assert(Bench.suspects(bad, baseline,
+      coresHist = Seq(16.4, 15.8), baselineCores = 19.9) == Seq("d40"))
+    // healthy sessions (cores >= baseline era) keep the unscaled threshold
+    assert(Bench.suspects(hist, baseline,
+      coresHist = Seq(19.9, 19.9), baselineCores = 19.9) == Seq("d40"))
+    // pre-r16 records (no cores_hist) degrade to unscaled behavior
+    assert(Bench.suspects(hist, baseline,
+      coresHist = Seq.empty, baselineCores = 19.9) == Seq("d40"))
+  }
+
+  test("summaryJson caps the suspect array; n_suspect carries the true count; truncation is explicit") {
     val many = (1 to 30).map(i => f"q$i%02d_some_rather_long_name")
     val s = Bench.summaryJson(156.2, 140.9, 156.2, 18.3, 0, many,
       "/root/testdata/sf0.1")
     assert(s.contains(""""n_suspect":30"""))
-    assert(Bench.parseRecordList(s, "suspect") == many.sorted.take(6))
+    assert(Bench.parseRecordList(s, "suspect") == many.sorted.take(24))
+    // a capped list can never silently disagree with the full record
+    // on membership (r15 verdict item 6: n_suspect 8 with 6 names hid
+    // the names adjudication needed) — truncation is marked
+    assert(s.contains(""""suspect_truncated":true"""))
     // bounded even under mass flagging: the 2000-char driver tail the
     // summary exists to fit must always hold it whole
-    assert(s.length < 500)
+    assert(s.length < 1200)
+    // an 8-name round (the r15 shape) now carries every name
+    val eight = (1 to 8).map(i => f"d$i%02d_rather_long_query_name")
+    val s8 = Bench.summaryJson(156.2, 140.9, 156.2, 18.3, 0, eight,
+      "/root/testdata/sf0.1")
+    assert(Bench.parseRecordList(s8, "suspect") == eight.sorted)
+    assert(!s8.contains("suspect_truncated"))
   }
 
   test("summaryJson emits the short tail record with every driver-needed total") {
@@ -176,8 +244,14 @@ class BenchMergeSpec extends AnyFunSuite {
       java.nio.charset.StandardCharsets.UTF_8)
     val suspect = Bench.parseRecordList(txt, "suspect")
     if (suspect.nonEmpty) {
-      val notes = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("NOTES.md")),
+      // a missing NOTES.md is itself an un-adjudicated state — fail
+      // with the adjudication message, not a NoSuchFileException
+      // (r15 advice)
+      val notesPath = java.nio.file.Paths.get("NOTES.md")
+      assert(java.nio.file.Files.exists(notesPath),
+        s"committed record flags $suspect as persistently elevated but " +
+        "NOTES.md is absent — adjudicate before closing the round")
+      val notes = new String(java.nio.file.Files.readAllBytes(notesPath),
         java.nio.charset.StandardCharsets.UTF_8)
       val unadjudicated = suspect.filterNot(notes.contains)
       assert(unadjudicated.isEmpty,
