@@ -233,6 +233,61 @@ object Similarity {
         col("score"))
   }
 
+  /** BATCH multi-probe IVF top-k — [[ivfMultiProbeTopK]] generalized
+    * to an N-row query set, which is what production retrieval always
+    * is (the single-query path's `require(qRows.length == 1)` was the
+    * r15-flagged design gap). Fully declarative: the per-query
+    * centroid ranking that the single-query path does driver-side is
+    * here a column-side explode of the k scored centroid structs over
+    * the query frame (N·k tiny rows), ranked (score DESC, cid) — the
+    * SAME left-fold dot and tie rule, so a 1-row batch reproduces the
+    * single-query output bit-for-bit.
+    *
+    * Scale shape: the corpus is scanned ONCE, computing each row's
+    * assigned cell in the scan stage (s52's argmax struct, `once()`d
+    * so the join can't inline it twice); the (query_id, q_emb, cell)
+    * probe set — N·nProbe rows — BROADCASTS into a hash join on the
+    * cell, so the corpus never shuffles; the only wide op is the
+    * per-query top-k rank over matched candidates. At a real
+    * deployment the corpus is partitioned by assigned cell and the
+    * broadcast join prunes partitions. An EMPTY query set returns an
+    * empty frame (a batch of zero queries is a legitimate request;
+    * contrast the single-query path's loud contract). Output:
+    * (query_id, rank, neighbor_id, cell, score). */
+  def ivfMultiProbeTopKBatch(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe $nProbe must be >= 1")
+    val cents = collectCentroids(centroids)
+    val scored = cents.map { case (cid, ce) =>
+      val ceCol = array(ce.toSeq.map(v => lit(v.toDouble)): _*)
+      struct(dot(col("q_emb"), ceCol).as("score"), lit(cid).as("cid"))
+    }
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs.score").desc, col("cs.cid"))
+    val probed = queries
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(array(scored: _*)).as("cs"))
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cs.cid").as("cell"))
+    val bestCell = bestCentroidStruct(cents).getField("cid")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.ComputeOnce.once(bestCell).as("cell"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        dot(col("embedding"), col("q_emb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        col("score"))
+  }
+
   /** Scalar int8 quantization with a per-vector max-abs scale — the
     * storage/compression step of a large embedding corpus (4× smaller
     * than float32; dequantize ≈ q/127·scale). Quantized values use
@@ -414,6 +469,44 @@ object Similarity {
     coded.select(col("vec_id"),
       array_join(transform(col("code"), c => c.cast("string")), "-").as("code_s"),
       adc.as("adc"))
+  }
+
+  /** BATCH PQ asymmetric-distance scoring — [[pqAdcScore]] generalized
+    * to an N-row query set (the r15 single-query design gap, ADC leg).
+    * The per-query m×k lookup table the single-query path computes
+    * driver-side is here m map-literal COLUMNS built over the query
+    * frame: tbl_j[cid] = ⟨q_j, c_j⟩ by the same slice left fold, so a
+    * 1-row batch reproduces `pqAdcScore` bit-for-bit (the m lookups
+    * still add left-to-right). The coded corpus cross-joins the
+    * BROADCAST (N-row) table frame — the corpus side is the one
+    * `pqEncode` scan, never shuffled, and each (row, query) pair pays
+    * m map lookups, not a dot. An empty query set returns an empty
+    * frame. Output: (query_id, vec_id, code_s, adc). */
+  def pqAdcScoreBatch(vectors: DataFrame, centroids: DataFrame,
+      queries: DataFrame, m: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val dim = cents.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val tbls = (0 until m).map { j =>
+      val entries = cents.flatMap { case (cid, ce) =>
+        val cj = ce.slice(j * sub, (j + 1) * sub)
+        val cjCol = array(cj.toSeq.map(v => lit(v.toDouble)): _*)
+        Seq(lit(cid), dot(slice(col("q_emb"), j * sub + 1, sub), cjCol))
+      }
+      map(entries: _*).as(s"tbl$j")
+    }
+    val q = queries
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb"))
+      .select(col("query_id") +: tbls.map(c => c): _*)
+    val adc = (0 until m).map { j =>
+      element_at(col(s"tbl$j"), element_at(col("code"), j + 1))
+    }.reduce(_ + _)
+    pqEncode(vectors, centroids, m).crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        array_join(transform(col("code"), c => c.cast("string")), "-").as("code_s"),
+        adc.as("adc"))
   }
 
   /** IVF+PQ top-k — the FAISS-style IVFADC layout that production ANN

@@ -466,6 +466,31 @@ object Extended {
         .orderBy(col("vec_id"))
     }
 
+  /** s66 — BATCH PQ asymmetric-distance scoring
+    * (Similarity.pqAdcScoreBatch): s56's encode+ADC lifecycle for the
+    * same 8-query batch as s65 — per (query, vector) the m map
+    * lookups add in the engine's fixed left-to-right order, the
+    * corpus stays compressed end to end. Oracle = the s56 chain
+    * CROSS JOINed against the multi-row query CTE. */
+  val s66BatchAdc: Q =
+    Q("s66_batch_adc",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 61 = 3),
+         |${PqSql.chain("embeddings")}
+         |SELECT q.qid AS query_id, cd.vec_id,
+         |  array_to_string([CAST(cd.c0 AS VARCHAR), CAST(cd.c1 AS VARCHAR),
+         |    CAST(cd.c2 AS VARCHAR), CAST(cd.c3 AS VARCHAR)], '-') AS code_s,
+         |  ${PqSql.adc} AS adc
+         |FROM codes cd
+         |${PqSql.codeJoins}
+         |CROSS JOIN q
+         |ORDER BY query_id, cd.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqAdcScoreBatch(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") % 61 === 3), m = 4)
+        .orderBy(col("query_id"), col("vec_id"))
+    }
+
   /** s57 — IVF+PQ top-k (FAISS-style IVFADC: Similarity.ivfPqTopK):
     * the query probes its coarse cell and the cell's members rank by
     * the PQ asymmetric-distance score — the corpus stays compressed
@@ -2591,6 +2616,47 @@ object Extended {
       .orderBy(col("rank"))
   }
 
+  /** s65 — BATCH multi-probe IVF top-k
+    * (Similarity.ivfMultiProbeTopKBatch): the s60 lifecycle for an
+    * 8-query batch (every 61st vector offset 3) — production
+    * retrieval's shape, closing the r15 single-query design gap. Per
+    * query: rank the 8 coarse centroids, probe the best 3 cells,
+    * score candidates by exact dot, keep top-5. Oracle = s60's chain
+    * with every window re-partitioned by the query id. */
+  val s65BatchKnn: Q = Q(
+    "s65_batch_knn",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 61 = 3),
+       |cr AS (SELECT q.qid, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         JOIN q ON q.qid = p.qid
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
+       |rk AS (SELECT qid, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfMultiProbeTopKBatch(emb, emb.filter(col("vec_id") < 8),
+        emb.filter(col("vec_id") % 61 === 3), k = 5, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** s59 — semantic dedup APPLIED (Similarity.embedDedupApply, the
     * SemDeDup shape): s55's clusters collapse to their min-vec_id
     * representative, each carrying its cluster size; the oracle runs
@@ -3500,5 +3566,5 @@ object Extended {
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
-    t100HostCap)
+    t100HostCap, s65BatchKnn, s66BatchAdc)
 }

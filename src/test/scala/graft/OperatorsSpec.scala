@@ -1639,6 +1639,43 @@ class OperatorsSpec extends SparkSpec {
     assert(one == 1L)
   }
 
+  test("batch multi-probe: a 1-row batch reproduces the single-query path bit-for-bit; all-cells batch equals per-query brute force") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val one = emb.filter(col("vec_id") === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(Similarity.ivfMultiProbeTopKBatch(emb, centroids, one, k = 7, nProbe = 2))
+        == rows(Similarity.ivfMultiProbeTopK(emb, centroids, one, k = 7, nProbe = 2)))
+    // probing every cell = exact: each query's batch top-k equals brute force
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    val batch = Similarity.ivfMultiProbeTopKBatch(emb, centroids, qs, k = 4, nProbe = 8)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batch == brute, s"batch=$batch brute=$brute")
+    // an empty batch is a legitimate request → empty frame, no throw
+    assert(Similarity.ivfMultiProbeTopKBatch(emb, centroids,
+      emb.filter(col("vec_id") < 0), k = 4, nProbe = 2).count() == 0L)
+  }
+
+  test("batch ADC: a 1-row batch reproduces pqAdcScore bit-for-bit") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val one = emb.filter(col("vec_id") === 3)
+    val batch = Similarity.pqAdcScoreBatch(emb, centroids, one, m = 4)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).sortBy(_._1).toSeq
+    val single = Similarity.pqAdcScore(emb, centroids, one, m = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(batch == single)
+  }
+
   test("bpe encode: counts match the hand-trained merge table exactly") {
     // same fixture as the training test: after 4 merges "the" and
     // "cat" are single symbols — 4 words, 4 symbols, 12 chars

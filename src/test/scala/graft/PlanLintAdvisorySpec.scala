@@ -120,6 +120,10 @@ object DriverActionReviewed {
     "t84_bpe_encode",
     "s52_centroid_assign", "s56_pq_adc", "s57_ivfpq_topk", "s58_pq_rerank",
     "s60_multiprobe", "s61_kmeans_step",
+    // s65/s66 = the batch-query generalizations share the SAME bounded
+    // k-centroid collect (collectCentroids); the N-row query set is a
+    // broadcast join side, never collected
+    "s65_batch_knn", "s66_batch_adc",
     // s64 = the same bounded codebook collect (collectCentroids) the
     // whole PQ family shares
     "s64_pq_train",
