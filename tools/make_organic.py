@@ -20,7 +20,16 @@ derivation VARIES the non-key content deterministically per replica:
    and resample shapes vary per replica;
  - lineitem quantities shift by exact binary fractions and prices by
    2-decimal deltas — money/agg families see spread, not 10 identical
-   strata (deltas stay 2-decimal: see the MUTATE comment).
+   strata (deltas stay 2-decimal: see the MUTATE comment);
+ - lineitem SUPPLIER TOPOLOGY rewires per replica (r16, the last
+   family never verified off byte-identical replicas): within replica
+   r each order's suppliers rotate by (orderkey % 7)·r mod nSupp —
+   per-order supplier-set sizes hold but WHICH suppliers co-occur
+   changes per replica — and ~1/13 of replica>0 lineitems override to
+   GLOBAL supplier 0: a deliberate degree-skew hub adjacent to every
+   replica (cross-replica links), the shape where triangle
+   enumeration and PageRank contribution joins hit their hot-key
+   cliffs. FK integrity holds: every produced key is a valid supplier.
 
 All mutation happens HERE, in the derivation — both engines read the
 same bytes, so the differential stays exact. Key domains shift as in
@@ -32,6 +41,8 @@ Spark library. Output is written OUTSIDE the repo (default
 """
 import sys
 import duckdb
+
+from derive_common import validate_shifts
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_organic"
@@ -63,9 +74,23 @@ SHIFTS = {
 # non-key content mutation per table; `r.r` is the replica index,
 # column refs are t.<col>. Replica 0 keeps the source bytes EXACTLY
 # (every mutation is a no-op at r = 0), so the original corpus is a
-# strict subset. Deltas are exact binary fractions — identical doubles
-# in every engine.
+# strict subset. The embedding delta (r·2⁻⁷) is an exact binary
+# fraction — identical doubles in every engine; the money/value deltas
+# (0.11/0.13/0.25) are NOT and don't need to be: mutation happens once
+# HERE in the derivation, both engines then read the same stored
+# doubles (what they must NOT do is land on half-cent midpoints — see
+# the 2-decimal rule below).
 MUTATE = {
+    # one appended letter per replica (r16): cross-replica name pairs
+    # sit at Levenshtein distance EXACTLY 1 (append vs original,
+    # substitute vs sibling replica) — the fuzzy-join family (q66)
+    # gets genuine near-matches instead of uniform-sf1's byte-equal
+    # copies, a recall test of the symmetric-delete candidate
+    # generation under a shape the uniform corpus cannot produce
+    "customer": {
+        "c_name": "CASE WHEN r.r = 0 THEN t.c_name "
+                  "ELSE t.c_name || chr(CAST(96 + r.r AS INTEGER)) END",
+    },
     "documents": {
         "text": "CASE WHEN r.r = 0 THEN t.text ELSE t.text || "
                 "' shard' || CAST(r.r AS VARCHAR) || "
@@ -96,6 +121,34 @@ MUTATE = {
     },
 }
 
+# TOPOLOGY mutation for SHIFTED key columns (r16): the graph family
+# (supplier co-occurrence, customer⇄supplier trade, bipartite
+# part-supplier) derives entirely from lineitem.l_suppkey, so uniform
+# key-shifting reproduces 10 isomorphic copies — degree-skew and
+# cross-replica structure can never appear. This map REPLACES the
+# plain shift expression for (table, column); `{off}` is that
+# domain's r*(max+1) offset and `{n}` the domain size (max+1; keys
+# are 0-based contiguous — asserted below). Semantics:
+#  - rewire: within replica r, every supplier of order o rotates by
+#    (o % 7)·r mod n — per-order supplier-set SIZES are preserved
+#    (all lines of an order rotate together) but the co-occurrence
+#    EDGE SET differs per replica;
+#  - hub: ~1/13 of replica>0 lineitems override to GLOBAL supplier 0
+#    (replica 0's domain) — one supplier adjacent to every replica:
+#    a ~10× degree hub plus cross-replica links, the classic hot-key
+#    shape for triangle enumeration and PageRank contribution joins.
+# At r = 0 both branches are the identity, keeping replica 0
+# byte-identical. Every produced key is in [0, n·R) and lands on an
+# existing supplier row, so FK integrity holds.
+KEY_MUTATE = {
+    ("lineitem", "l_suppkey"): (
+        "suppkey",
+        "CASE WHEN r.r > 0 AND (t.l_orderkey * 31 + t.l_linenumber) % 13 = 0 "
+        "THEN 0 "
+        "ELSE ((t.l_suppkey + (t.l_orderkey % 7) * r.r) % {n}) + r.r * {off} "
+        "END"),
+}
+
 
 def main():
     import os
@@ -106,6 +159,18 @@ def main():
         off[dom] = con.execute(
             f"SELECT max({c}) + 1 FROM read_parquet('{SRC}/{tbl}.parquet')"
         ).fetchone()[0]
+    validate_shifts(con, SRC, SHIFTS, off, R)
+    # KEY_MUTATE's modular rotation assumes each mutated domain is
+    # 0-based contiguous (every value in [0, max] exists)
+    for (tbl, c), (dom, _) in KEY_MUTATE.items():
+        src_tbl, src_c = DOMAINS[dom]
+        lo, n = con.execute(
+            f"SELECT min({src_c}), count(DISTINCT {src_c}) "
+            f"FROM read_parquet('{SRC}/{src_tbl}.parquet')").fetchone()
+        if lo != 0 or n != off[dom]:
+            sys.exit(f"ERROR: domain {dom} not 0-based contiguous "
+                     f"(min {lo}, {n} distinct, max+1 {off[dom]}) — "
+                     f"KEY_MUTATE's modular rotation would break FKs")
     for tbl, shifts in SHIFTS.items():
         desc = con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
@@ -117,11 +182,19 @@ def main():
                             TO '{DST}/{tbl}.parquet' (FORMAT PARQUET)""")
         else:
             mut = MUTATE.get(tbl, {})
+
+            def expr(c):
+                if (tbl, c) in KEY_MUTATE:
+                    dom, tmpl = KEY_MUTATE[(tbl, c)]
+                    return tmpl.format(n=off[dom], off=off[dom])
+                if c in shifts:
+                    return f"t.{c} + r.r * {off[shifts[c]]}"
+                if c in mut:
+                    return mut[c]
+                return None
             sel = ", ".join(
-                f"CAST(t.{c} + r.r * {off[shifts[c]]} AS {types[c]}) AS {c}"
-                if c in shifts else
-                (f"CAST({mut[c]} AS {types[c]}) AS {c}" if c in mut
-                 else f"t.{c}")
+                f"CAST({expr(c)} AS {types[c]}) AS {c}"
+                if expr(c) is not None else f"t.{c}"
                 for c in cols)
             con.execute(f"""COPY (
                 SELECT {sel}

@@ -24,6 +24,8 @@ Spark library. Output is written OUTSIDE the repo (default /tmp/sf1).
 import sys
 import duckdb
 
+from derive_common import validate_shifts
+
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
@@ -55,16 +57,6 @@ SHIFTS = {
 }
 
 
-# narrowest integer each DuckDB type can carry — shifted keys keep the
-# SOURCE column type (replica 0 stays bit-identical), so max_key*R must
-# fit it; a key domain overflowing its type would otherwise CAST-throw
-# (or, worse, a future non-ANSI path could wrap silently)
-INT_MAX = {"TINYINT": 2**7 - 1, "SMALLINT": 2**15 - 1,
-           "INTEGER": 2**31 - 1, "BIGINT": 2**63 - 1,
-           "UTINYINT": 2**8 - 1, "USMALLINT": 2**16 - 1,
-           "UINTEGER": 2**32 - 1, "UBIGINT": 2**64 - 1}
-
-
 def main():
     import os
     os.makedirs(DST, exist_ok=True)
@@ -75,23 +67,8 @@ def main():
             f"SELECT max({c}) + 1 FROM read_parquet('{SRC}/{tbl}.parquet')"
         ).fetchone()[0]
     # validate every shifted column's max against ITS OWN type before
-    # writing anything: the highest replica's key is max + (R-1)*offset
-    for tbl, shifts in SHIFTS.items():
-        if not shifts:
-            continue
-        desc = con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
-        ).fetchall()
-        types = {d[0]: d[1] for d in desc}
-        for c, dom in shifts.items():
-            hi = con.execute(
-                f"SELECT max({c}) FROM read_parquet('{SRC}/{tbl}.parquet')"
-            ).fetchone()[0] + (R - 1) * off[dom]
-            cap = INT_MAX.get(types[c].upper())
-            if cap is not None and hi > cap:
-                sys.exit(f"ERROR: {tbl}.{c} ({types[c]}) would reach {hi} "
-                         f"at {R} replicas — exceeds the type's max {cap}; "
-                         f"lower the replica count or widen the column")
+    # writing anything (shared with make_organic.py)
+    validate_shifts(con, SRC, SHIFTS, off, R)
     for tbl, shifts in SHIFTS.items():
         desc = con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
