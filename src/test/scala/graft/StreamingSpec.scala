@@ -415,6 +415,121 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming HLL equals the batch construction under globally SHUFFLED arrival") {
+    // r15 verdict item 8: the in-order pin above says the registers
+    // merge across batches; this pins the stronger claim the register
+    // max is built on — FULL order-insensitivity. Corpus-derived
+    // (lang, token) pairs are scrambled ACROSS batch boundaries (no
+    // cross-batch order contract at all, unlike transitions) and cut
+    // into 4 micro-batches; the final registers must equal the batch
+    // construction bit-for-bit.
+    implicit val sqlCtx = spark.sqlContext
+    val pairs = graft.engine.Tables.documents(spark, sfDir)
+      .select((col("doc_id") % 3).cast("string").as("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .as[(String, String)].collect()
+      .sortBy { case (l, t) => (l + "" + t).hashCode * 2654435761L % 65536 }
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.hllStream(mem.toDF().toDF("lang", "token"))
+      .writeStream.format("memory").queryName("hll_shuffled")
+      .outputMode(OutputMode.Complete()).start()
+    pairs.grouped((pairs.length + 3) / 4).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("hll_shuffled")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val batch = StreamOps.hllStream(pairs.toSeq.toDF("lang", "token"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming count-min sketch equals the batch sketch under globally SHUFFLED arrival") {
+    // counter adds commute, so ANY arrival order — across batches too —
+    // must land on the identical d×w grid; corpus tokens, 4 batches
+    implicit val sqlCtx = spark.sqlContext
+    val toks = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .as[String].collect()
+      .sortBy(t => t.hashCode * 2654435761L % 65536)
+    val mem = MemoryStream[String]
+    val q = StreamOps.cmSketchStream(mem.toDF().toDF("token"), d = 4, w = 8)
+      .writeStream.format("memory").queryName("cm_shuffled")
+      .outputMode(OutputMode.Complete()).start()
+    toks.grouped((toks.length + 3) / 4).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cm_shuffled")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.TextAnalysis.cmSketchFromCounts(
+        toks.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .toDF("tok", "cnt"), d = 4, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming heavy hitters: exact regime is order-insensitive; guarantee survives decrement-heavy arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // exact regime (vocab ≤ capacity → pure counting, no decrements):
+    // the final state must be arrival-order-INSENSITIVE. Corpus-shaped
+    // small vocab: event types per user-parity "lang", scrambled
+    // across batch boundaries.
+    val pairs = graft.engine.Tables.events(spark, sfDir)
+      .select((col("user_id") % 2).cast("string").as("lang"),
+        col("event_type").as("token"))
+      .as[(String, String)].collect()
+      .sortBy { case (l, t) => (l + "" + t).hashCode * 2654435761L % 65536 }
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.heavyHittersStream(
+        spark, mem.toDS().toDF("lang", "token"), capacity = 64)
+      .writeStream.format("memory").queryName("hh_shuffled")
+      .outputMode(OutputMode.Update()).start()
+    pairs.grouped((pairs.length + 3) / 4).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("hh_shuffled")
+      .select(col("lang"), col("n_tokens"),
+        expr("transform(candidates, c -> struct(c.token, c.weight))"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2)
+          .map(c => c.getString(0) -> c.getLong(1)).toMap))
+    val exact = pairs.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+    }.toMap
+    exact.foreach { case (lang, (n, counts)) =>
+      val fin = rows.filter(_._1 == lang).maxBy(_._2)
+      assert(fin._2 == n && fin._3 == counts,
+        s"lang $lang: got $fin, want ($n, $counts)")
+    }
+    // decrement-heavy arrival: capacity 2, the hot token's entries
+    // interleave with 6 DISTINCT noise tokens so full-sketch
+    // decrements fire against the hot counter in EVERY batch — the
+    // MG guarantee (count > n/(k+1) ⇒ candidate) must hold anyway
+    val mem2 = MemoryStream[(String, String)]
+    val q2 = StreamOps.heavyHittersStream(
+        spark, mem2.toDS().toDF("lang", "token"), capacity = 2)
+      .writeStream.format("memory").queryName("hh_decr")
+      .outputMode(OutputMode.Update()).start()
+    Seq(
+      Seq.fill(4)(("en", "hot")) ++ Seq(("en", "n1"), ("en", "n2")),
+      Seq(("en", "n3")) ++ Seq.fill(4)(("en", "hot")) ++ Seq(("en", "n4")),
+      Seq(("en", "n5"), ("en", "n6")) ++ Seq.fill(4)(("en", "hot"))
+    ).foreach { b => mem2.addData(b: _*); q2.processAllAvailable() }
+    q2.stop()
+    val cands = spark.table("hh_decr").orderBy(col("n_tokens").desc)
+      .select(expr("transform(candidates, c -> c.token)")).head()
+      .getSeq[String](0).toSet
+    assert(cands.contains("hot"), s"heavy hitter lost from $cands") // 12/18 > 18/3
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
