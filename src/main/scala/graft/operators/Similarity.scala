@@ -578,6 +578,85 @@ object Similarity {
         col("score"))
   }
 
+  /** BATCH IVF+PQ top-k — [[ivfPqTopK]] generalized to an N-row query
+    * set (completing the batch family: with this and
+    * [[ivfPqRerankBatch]] every retrieval lifecycle op accepts a
+    * query BATCH). Per query the coarse probe is its own cell
+    * (`label`, as in `ivfTopK`); scoring is the PQ asymmetric
+    * distance via the same per-query map-literal tables as
+    * [[pqAdcScoreBatch]], so a 1-row batch reproduces the
+    * single-query path bit-for-bit.
+    *
+    * Scale shape: the corpus pays ONE scan computing its PQ code in
+    * the scan stage; the (query_id, cell, m map columns) frame —
+    * N·(k·m) small values — BROADCASTS into a hash join on the cell,
+    * so the corpus never shuffles and each matched (row, query) pair
+    * pays m map lookups, not a dot. The only wide op is the per-query
+    * top-k rank over one cell's members. Empty query set ⇒ empty
+    * frame. Output: (query_id, rank, neighbor_id, score). */
+  def ivfPqTopKBatch(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, m: Int = 4): DataFrame = {
+    val cents = collectCentroids(centroids)
+    val dim = cents.head._2.length
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val tbls = (0 until m).map { j =>
+      val entries = cents.flatMap { case (cid, ce) =>
+        val cj = ce.slice(j * sub, (j + 1) * sub)
+        val cjCol = array(cj.toSeq.map(v => lit(v.toDouble)): _*)
+        Seq(lit(cid), dot(slice(col("q_emb"), j * sub + 1, sub), cjCol))
+      }
+      map(entries: _*).as(s"tbl$j")
+    }
+    val q = queries
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("label").as("q_cell"), col("embedding").as("q_emb"))
+      .select(col("query_id") +: col("q_cell") +: tbls: _*)
+    val adc = (0 until m).map { j =>
+      element_at(col(s"tbl$j"), element_at(col("code"), j + 1))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus
+      .select(col("vec_id"), col("label").as("c_cell"),
+        pqCodeColumn(cents, m).as("code"))
+      .join(broadcast(q), col("c_cell") === col("q_cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** BATCH IVF+PQ with exact re-ranking — [[ivfPqRerank]] generalized
+    * to an N-row query set: the compressed index proposes each
+    * query's `shortlist` by batch ADC, then ONLY those (query, row)
+    * pairs pay a full-precision dot and the top `k` re-rank by the
+    * exact score. The N·shortlist proposal frame broadcasts back
+    * against the corpus, so the exact pass touches shortlist rows per
+    * query — never the cell, never the corpus. A 1-row batch
+    * reproduces the single-query path bit-for-bit. Output:
+    * (query_id, rank, neighbor_id, adc, score). */
+  def ivfPqRerankBatch(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int, m: Int = 4): DataFrame = {
+    val short = ivfPqTopKBatch(corpus, centroids, queries, shortlist, m)
+      .select(col("query_id"), col("neighbor_id"), col("score").as("adc"))
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_emb"))
+    val proposals = short.join(q, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(proposals), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        dot(col("embedding"), col("q_emb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"),
+        col("score"))
+  }
+
   /** PQ codebook TRAINING step — one Lloyd iteration per subspace
     * (the per-subspace k-means that learns the Jégou-style codebooks
     * s56/s57/s58 consume): every vector's subvector j is assigned to

@@ -557,6 +557,71 @@ object Extended {
         .orderBy(col("rank"))
     }
 
+  /** s67 — BATCH IVF+PQ top-k (Similarity.ivfPqTopKBatch): s57's
+    * IVFADC lifecycle for the same 8-query batch as s65/s66 — each
+    * query probes its own coarse cell, candidates score by the PQ
+    * asymmetric distance, corpus compressed end to end. The oracle
+    * encodes the WHOLE corpus once (the engine computes codes in the
+    * scan stage too) and joins scored candidates on the query's cell,
+    * ranked per query. */
+  val s67BatchIvfPq: Q =
+    Q("s67_batch_ivfpq",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS qid, label AS qcell, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 61 = 3),
+         |${PqSql.chain("embeddings")},
+         |scored AS (SELECT q.qid, cd.vec_id, ${PqSql.adc} AS score
+         |  FROM codes cd
+         |  ${PqSql.codeJoins}
+         |  JOIN embeddings e ON e.vec_id = cd.vec_id
+         |  JOIN q ON e.label = q.qcell AND cd.vec_id <> q.qid),
+         |rk AS (SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, score
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopKBatch(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") % 61 === 3), k = 10, m = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }
+
+  /** s68 — BATCH IVF+PQ exact re-rank (Similarity.ivfPqRerankBatch):
+    * s58's ADC-propose / exact-decide refinement for the 8-query
+    * batch — each query's 30-candidate compressed shortlist pays the
+    * full-precision dot, top-10 by exact score; both scores ride
+    * through (adc proposed, score decided). */
+  val s68BatchRerank: Q =
+    Q("s68_batch_rerank",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |q AS (SELECT vec_id AS qid, label AS qcell, embedding AS qe
+         |      FROM embeddings WHERE vec_id % 61 = 3),
+         |${PqSql.chain("embeddings")},
+         |scored AS (SELECT q.qid, cd.vec_id, ${PqSql.adc} AS score
+         |  FROM codes cd
+         |  ${PqSql.codeJoins}
+         |  JOIN embeddings e ON e.vec_id = cd.vec_id
+         |  JOIN q ON e.label = q.qcell AND cd.vec_id <> q.qid),
+         |rk AS (SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored),
+         |short AS (SELECT qid, vec_id, score AS adc FROM rk WHERE rank <= 30),
+         |ex AS (SELECT sh.qid, sh.vec_id, sh.adc, ${dotSql("e.embedding", "q.qe")} AS score
+         |       FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+         |       JOIN q ON q.qid = sh.qid),
+         |rk2 AS (SELECT qid, vec_id, adc, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |  FROM ex)
+         |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, adc, score
+         |FROM rk2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqRerankBatch(emb, emb.filter(col("vec_id") < 8),
+          emb.filter(col("vec_id") % 61 === 3), k = 10, shortlist = 30, m = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -3566,5 +3631,5 @@ object Extended {
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
-    t100HostCap, s65BatchKnn, s66BatchAdc)
+    t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank)
 }

@@ -1665,6 +1665,33 @@ class OperatorsSpec extends SparkSpec {
       emb.filter(col("vec_id") < 0), k = 4, nProbe = 2).count() == 0L)
   }
 
+  test("batch IVF+PQ and rerank: a 1-row batch reproduces the single-query paths bit-for-bit") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val one = emb.filter(col("vec_id") === 0)
+    val batchPq = Similarity.ivfPqTopKBatch(emb, centroids, one, k = 10, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val singlePq = Similarity.ivfPqTopK(emb, centroids, one, k = 10, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batchPq == singlePq && batchPq.nonEmpty)
+    val batchRr = Similarity.ivfPqRerankBatch(emb, centroids, one,
+        k = 5, shortlist = 20, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val singleRr = Similarity.ivfPqRerank(emb, centroids, one,
+        k = 5, shortlist = 20, m = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(batchRr == singleRr && batchRr.nonEmpty)
+    // empty batch is a legitimate request → empty frame, no throw
+    assert(Similarity.ivfPqTopKBatch(emb, centroids,
+      emb.filter(col("vec_id") < 0), k = 4, m = 4).count() == 0L)
+  }
+
   test("batch ADC: a 1-row batch reproduces pqAdcScore bit-for-bit") {
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") < 8)

@@ -123,7 +123,7 @@ object DriverActionReviewed {
     // s65/s66 = the batch-query generalizations share the SAME bounded
     // k-centroid collect (collectCentroids); the N-row query set is a
     // broadcast join side, never collected
-    "s65_batch_knn", "s66_batch_adc",
+    "s65_batch_knn", "s66_batch_adc", "s67_batch_ivfpq", "s68_batch_rerank",
     // s64 = the same bounded codebook collect (collectCentroids) the
     // whole PQ family shares
     "s64_pq_train",
