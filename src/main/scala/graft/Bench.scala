@@ -231,9 +231,32 @@ object Bench {
       val padded = Seq.fill(2 - last2.size)(0.0) ++ last2
       padded.map(coresScale(baselineCores, _))
     }
+    // ambient-elevation channel (r16: the cores ratio alone
+    // under-corrects — the contention penalty is SUPER-linear in the
+    // core deficit, so a 19.9→18.2-core session still showed a
+    // uniform ~1.3× median lift that manufactured 11 false flags):
+    // per aligned position, the MEDIAN of session_norm/baseline over
+    // all non-failed queries is the observed ambient lift — a
+    // throttle raises everything, a regression raises an OUTLIER.
+    // Clamped to [1, 2] like coresScale/normFactor so a fleet-wide
+    // REAL slowdown (>2× everything after a bad commit) still flags
+    // rather than self-certifying as ambient. The threshold uses
+    // max(cores, ambient) per position — whichever estimator explains
+    // more of the lift. A median over fewer than 8 queries is not an
+    // ambient estimate (1-2 samples ARE the candidate outliers), so
+    // small populations fall back to the cores channel alone.
+    val ambient2 = (0 until 2).map { i =>
+      val els = hist.collect { case (k, h)
+        if !failed.contains(k) && h.size >= 2 &&
+          baseline.get(k).exists(_ > 0) =>
+        h.takeRight(2)(i) / baseline(k) }.toSeq.sorted
+      if (els.size < 8) 1.0
+      else math.min(2.0, math.max(1.0, els((els.size - 1) / 2)))
+    }
+    val eff2 = scales2.zip(ambient2).map { case (c, a) => math.max(c, a) }
     hist.collect { case (k, h) if !failed.contains(k) && h.size >= 2 &&
       baseline.get(k).exists(b => b > 0 &&
-        h.takeRight(2).zip(scales2).forall { case (t, s) => t > factor * s * b }) =>
+        h.takeRight(2).zip(eff2).forall { case (t, s) => t > factor * s * b }) =>
       k }.toSeq.sorted
   }
 

@@ -123,6 +123,31 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.suspects(hist, baseline) == Seq("q"))
   }
 
+  // the ambient-elevation channel (r16): a throttle lifts EVERYTHING —
+  // the per-position median elevation is the observed ambient and the
+  // threshold scales by max(cores, ambient), clamped to 2×, engaging
+  // only with ≥8 measurable queries (tiny populations ARE the outliers)
+  test("suspects: uniform ambient elevation does not flag; an outlier against it does") {
+    // 11 queries uniformly ~1.7× elevated both sessions (the r16
+    // false-flag shape at 18 of 32 effective cores): median = 1.7 →
+    // threshold 2.55× → nothing flags
+    val uniform = (1 to 11).map(i => s"q$i" -> Seq(1.7, 1.72)).toMap
+    val baseline = (1 to 11).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.suspects(uniform, baseline) == Seq.empty)
+    // the same ambient with ONE genuine outlier (4× both sessions):
+    // only the outlier flags
+    val withReg = uniform + ("bad" -> Seq(4.0, 4.1))
+    assert(Bench.suspects(withReg, baseline + ("bad" -> 1.0)) == Seq("bad"))
+    // fleet-wide REAL slowdown: everything at 3.2× — the 2× clamp
+    // stops the ambient estimate self-certifying it; all flag
+    val fleet = (1 to 11).map(i => s"q$i" -> Seq(3.2, 3.3)).toMap
+    assert(Bench.suspects(fleet, baseline).size == 11)
+    // under 8 measurable queries the ambient channel stays out (the
+    // 2-query fixture's median IS the candidate): elevated pair flags
+    val tiny = Map("q" -> Seq(2.9, 3.1), "ok" -> Seq(1.1, 1.2))
+    assert(Bench.suspects(tiny, Map("q" -> 1.0, "ok" -> 1.0)) == Seq("q"))
+  }
+
   test("jsonStr escapes quotes, backslashes and control chars (record stays parseable)") {
     assert(Bench.jsonStr("plain") == "\"plain\"")
     assert(Bench.jsonStr("""a"b""") == """"a\"b"""")
