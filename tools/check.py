@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local differential checker mimicking the driver's correctness gate.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [nameRegex]
+
+An optional third argument restricts the run to query names matching
+the (re.search) regex — the derived-sf1 sweeps use it to front-load
+the families under investigation before the multi-hour full pass.
 
 Reads outDir/<name>/ (Spark parquet from graft.Verify) and
 outDir/oracle_sql.json, runs each oracle against DuckDB views over the
@@ -50,6 +54,10 @@ def main():
     n_pass = n_fail = 0
     names = sorted(set(oracle) | {p.split("/")[-1] for p in glob.glob(f"{out_dir}/*")
                                   if not p.endswith(".json")})
+    if len(sys.argv) > 3:
+        import re
+        pat = re.compile(sys.argv[3])
+        names = [n for n in names if pat.search(n)]
     for name in names:
         spark_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_glob:
