@@ -156,26 +156,240 @@ object Similarity {
       .select(col("id").as("vec_id"), col("cluster_id"), col("cluster_size"))
   }
 
-  /** Nearest-centroid assignment — the k-means assignment step that
-    * builds/maintains an IVF layout (and, iterated with a mean-update
-    * step, k-means itself). The centroid set is collected once at plan
-    * construction (k vectors — the same bounded driver-side build a
-    * bloom sketch or a RangePartitioner sample does) and inlined as
-    * per-centroid score structs folded with `greatest`, so the corpus
-    * is scanned ONCE with zero shuffle: per row, k codegen'd dot
-    * products + a struct max — a pure map stage whose parallelism is
-    * the scan's. (A crossJoin + row_number formulation would shuffle k
-    * copies of the corpus through the window — the opposite of what
-    * the operator exists for.) Ties break deterministically: equal
-    * scores prefer the smaller centroid id (the struct carries the
-    * negated id as the second sort field). */
-  def centroidAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val best = bestCentroidStruct(collectCentroids(centroids))
-    corpus.select(col("vec_id"), best.as("best"))
+  // ---- codebook access: literal inlining vs broadcast frame -----------
+
+  /** Above this many centroids the inlined literal-codebook expression
+    * tree is replaced by a BROADCAST CODEBOOK FRAME. The literal form
+    * (`greatest` over k score structs, k-entry map literals) is the
+    * fastest shape at IVF-probe sizes — fully codegen'd, zero extra
+    * operators — but its expression tree grows linearly with k, and at
+    * a production coarse-quantizer nlist (1k–64k cells) it blows
+    * whole-stage codegen's 64KB method limit (or falls back to
+    * interpreted per-term evaluation) AND forces a driver-side collect
+    * of the whole codebook. Past this threshold every codebook
+    * consumer switches to the frame path: the centroid FRAME is
+    * aggregated to ONE row holding a cid-sorted `array<struct<cid,
+    * ce>>`, broadcast-cross-joined to the corpus (the `quantizedExplode`
+    * gscale pattern), and the argmax / scoring / lookup-table builds
+    * become single HOF expressions over that array column — constant
+    * expression-tree size at any nlist, the codebook never lands on
+    * the driver, and the corpus still pays exactly one scan with zero
+    * shuffle. Both paths share the dot kernel, fold order and the
+    * (score DESC, centroid id ASC) tie rule, so they are bit-identical
+    * (OperatorsSpec pins literal-vs-frame equality op by op). */
+  val LiteralCodebookMax = 64
+
+  private val CentsCol = "graft_cents"
+
+  /** One codebook, two physical strategies (see [[LiteralCodebookMax]]).
+    * Every centroid-consuming operator builds its plan through this
+    * interface so the literal/frame decision cannot drift per call
+    * site. */
+  private[graft] sealed trait Codebook {
+    def dim: Int
+    /** Make the codebook visible to per-row expressions: identity for
+      * the literal form, a 1-row broadcast cross join for the frame
+      * form (the attached column is dropped by the caller's select). */
+    def attach(df: DataFrame): DataFrame
+    /** The argmax struct (score, neg_cid, cid) of `emb` against every
+      * centroid — ties prefer the SMALLER centroid id (neg_cid makes
+      * the struct comparison implement that). */
+    def bestStruct(emb: Column): Column
+    /** Every centroid scored against `qEmb`: array<struct<score, cid>>
+      * (the batch multi-probe explode input). */
+    def scoredAll(qEmb: Column): Column
+    /** The PQ code array (argmax sub-centroid per subspace, score =
+      * ⟨x_j,c_j⟩ − ‖c_j‖²/2, ties prefer the smaller id). */
+    def pqCode(emb: Column, m: Int): Column
+    /** ADC lookup table for subspace `j`: map cid → ⟨q_j, c_j⟩. Both
+      * forms fail loud on duplicate centroid ids (DUPLICATED_MAP_KEY). */
+    def adcTable(qEmb: Column, j: Int, m: Int): Column
+    final def subDim(m: Int): Int = {
+      require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+      dim / m
+    }
+    /** Loud dim contract for BATCH query frames (the single-query
+      * paths require() driver-side): a query embedding whose length
+      * differs from the centroid dim would otherwise NULL its dots and
+      * be silently ranked NULLS-LAST / summed to NULL adc. */
+    final def checkedQuery(qEmb: Column): Column =
+      when(size(qEmb) === dim, qEmb).otherwise(raise_error(concat(
+        lit("query dim "), coalesce(size(qEmb).cast("string"), lit("NULL")),
+        lit(s" != centroid dim $dim"))))
+  }
+
+  /** k ≤ [[LiteralCodebookMax]]: the codebook is a bounded driver-side
+    * collect (cid-sorted, distinct-checked) inlined as literal
+    * expression trees — fully codegen'd, zero extra plan nodes. */
+  private final class LiteralCodebook(val cents: Seq[(Long, Array[Float])])
+      extends Codebook {
+    val dim: Int = cents.head._2.length
+    def attach(df: DataFrame): DataFrame = df
+    private def ceCol(ce: Array[Float]): Column =
+      array(ce.toSeq.map(v => lit(v.toDouble)): _*)
+    def bestStruct(emb: Column): Column = {
+      val scored = cents.map { case (cid, ce) =>
+        struct(dot(emb, ceCol(ce)).as("score"),
+          lit(-cid).as("neg_cid"), lit(cid).as("cid"))
+      }
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    }
+    def scoredAll(qEmb: Column): Column =
+      array(cents.map { case (cid, ce) =>
+        struct(dot(qEmb, ceCol(ce)).as("score"), lit(cid).as("cid"))
+      }: _*)
+    def pqCode(emb: Column, m: Int): Column = {
+      val sub = subDim(m)
+      val codes = (0 until m).map { j =>
+        val xs = slice(emb, j * sub + 1, sub)
+        val scored = cents.map { case (cid, ce) =>
+          val cj = ce.slice(j * sub, (j + 1) * sub)
+          // ‖c_j‖²/2 by the same left fold the oracle's dotSql pins
+          var nrm = 0.0d
+          var i = 0
+          while (i < sub) { nrm += cj(i).toDouble * cj(i).toDouble; i += 1 }
+          struct((dot(xs, ceCol(cj)) - nrm / 2).as("score"),
+            lit(-cid).as("neg_cid"), lit(cid).as("cid"))
+        }
+        (if (scored.size == 1) scored.head else greatest(scored: _*))
+          .getField("cid")
+      }
+      array(codes: _*)
+    }
+    def adcTable(qEmb: Column, j: Int, m: Int): Column = {
+      val sub = subDim(m)
+      map(cents.flatMap { case (cid, ce) =>
+        val cj = ce.slice(j * sub, (j + 1) * sub)
+        Seq(lit(cid), dot(slice(qEmb, j * sub + 1, sub), ceCol(cj)))
+      }: _*)
+    }
+  }
+
+  /** k > [[LiteralCodebookMax]]: the codebook stays a DataFrame,
+    * aggregated to one cid-sorted array<struct<cid, ce>> row and
+    * broadcast; argmax / scoring / table builds are single HOF
+    * expressions over the attached array column. The dot kernel casts
+    * float elements to double exactly as the literal form's
+    * `lit(v.toDouble)` does, so values are bit-identical. Duplicate
+    * centroid ids are not pre-checked here (that would be an unbounded
+    * driver action); the map-building ops still fail loud at runtime
+    * (DUPLICATED_MAP_KEY) and the argmax is well-defined under
+    * (score, −cid) regardless. */
+  private final class FrameCodebook(centroids: DataFrame, val dim: Int)
+      extends Codebook {
+    private lazy val centsFrame: DataFrame =
+      centroids
+        .select(col("vec_id").cast("long").as("cid"), col("embedding").as("ce"))
+        .agg(sort_array(collect_list(struct(col("cid"), col("ce"))))
+          .as(CentsCol))
+    def attach(df: DataFrame): DataFrame = df.crossJoin(broadcast(centsFrame))
+    def bestStruct(emb: Column): Column =
+      array_max(transform(col(CentsCol), c =>
+        struct(dot(emb, c.getField("ce")).as("score"),
+          (-c.getField("cid")).as("neg_cid"), c.getField("cid").as("cid"))))
+    def scoredAll(qEmb: Column): Column =
+      transform(col(CentsCol), c =>
+        struct(dot(qEmb, c.getField("ce")).as("score"),
+          c.getField("cid").as("cid")))
+    def pqCode(emb: Column, m: Int): Column = {
+      val sub = subDim(m)
+      val codes = (0 until m).map { j =>
+        array_max(transform(col(CentsCol), c => {
+          val cj = slice(c.getField("ce"), j * sub + 1, sub)
+          // dot(cj, cj) is the same left fold as the literal form's
+          // driver-side ‖c_j‖² accumulation — identical doubles
+          struct((dot(slice(emb, j * sub + 1, sub), cj) - dot(cj, cj) / 2)
+              .as("score"),
+            (-c.getField("cid")).as("neg_cid"), c.getField("cid").as("cid"))
+        })).getField("cid")
+      }
+      array(codes: _*)
+    }
+    def adcTable(qEmb: Column, j: Int, m: Int): Column = {
+      val sub = subDim(m)
+      map_from_entries(transform(col(CentsCol), c =>
+        struct(c.getField("cid"),
+          dot(slice(qEmb, j * sub + 1, sub),
+            slice(c.getField("ce"), j * sub + 1, sub)))))
+    }
+  }
+
+  /** Pick the codebook strategy with ONE bounded driver action: a
+    * limit(threshold+1) probe — if the probe fits, it IS the full set
+    * (literal form, sorted + distinct-checked exactly as before); if
+    * not, only the dim is taken from it and the codebook never lands
+    * on the driver (frame form). None = empty centroid set. */
+  private def codebookOpt(centroids: DataFrame): Option[Codebook] = {
+    val probe = centroids.select(col("vec_id").cast("long"), col("embedding"))
+      .limit(LiteralCodebookMax + 1).collect()
+    if (probe.isEmpty) None
+    else if (probe.length > LiteralCodebookMax)
+      Some(new FrameCodebook(centroids, probe.head.getSeq[Float](1).length))
+    else {
+      val cents = probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toSeq.sortBy(_._1)
+      // duplicate ids would crash the ADC literal map at runtime
+      // (DUPLICATED_MAP_KEY) and silently corrupt argmax ties elsewhere
+      require(cents.map(_._1).distinct.size == cents.size,
+        s"centroid ids are not distinct: ${cents.map(_._1).mkString(",")}")
+      Some(new LiteralCodebook(cents))
+    }
+  }
+
+  private def codebook(centroids: DataFrame): Codebook = {
+    val cb = codebookOpt(centroids)
+    require(cb.nonEmpty, "centroid set is empty")
+    cb.get
+  }
+
+  /** Test seams (OperatorsSpec pins literal-vs-frame bit-equality op
+    * by op): force one strategy regardless of [[LiteralCodebookMax]]. */
+  private[graft] def literalCodebookOf(centroids: DataFrame): Codebook = {
+    val rows = centroids.select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+    require(rows.nonEmpty, "centroid set is empty")
+    val cents = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .toSeq.sortBy(_._1)
+    require(cents.map(_._1).distinct.size == cents.size,
+      s"centroid ids are not distinct: ${cents.map(_._1).mkString(",")}")
+    new LiteralCodebook(cents)
+  }
+
+  private[graft] def frameCodebookOf(centroids: DataFrame): Codebook = {
+    val d = centroids.select(size(col("embedding"))).head().getInt(0)
+    new FrameCodebook(centroids, d)
+  }
+
+  private[graft] def centroidAssignWith(cb: Codebook, corpus: DataFrame): DataFrame =
+    cb.attach(corpus)
+      .select(col("vec_id"), cb.bestStruct(col("embedding")).as("best"))
       .select(col("vec_id"),
         col("best.cid").as("centroid_id"),
         col("best.score").as("score"))
-  }
+
+  /** Empty result frame with the caller's exact output schema — the
+    * BATCH entry points' answer to an empty centroid set (a zero-cell
+    * index legitimately matches nothing, consistent with their
+    * empty-query-batch stance; the single-query/assignment paths keep
+    * the loud `centroid set is empty` contract). */
+  private def emptyResult(like: DataFrame, fields: (String, String)*): DataFrame =
+    like.limit(0).select(fields.map { case (n, t) =>
+      lit(null).cast(t).as(n) }: _*)
+
+  /** Nearest-centroid assignment — the k-means assignment step that
+    * builds/maintains an IVF layout (and, iterated with a mean-update
+    * step, k-means itself). Small codebooks are inlined as literal
+    * score structs folded with `greatest`; above [[LiteralCodebookMax]]
+    * the broadcast-frame path takes over (same argmax, one HOF) — in
+    * BOTH regimes the corpus is scanned ONCE with zero shuffle: per
+    * row, k dot products + a struct max, a pure map stage whose
+    * parallelism is the scan's. (A crossJoin + row_number formulation
+    * would shuffle k copies of the corpus through the window — the
+    * opposite of what the operator exists for.) Ties break
+    * deterministically: equal scores prefer the smaller centroid id
+    * (the struct carries the negated id as the second sort field). */
+  def centroidAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    centroidAssignWith(codebook(centroids), corpus)
 
   /** Multi-probe IVF top-k — the standard recall fix for single-cell
     * IVF (`ivfTopK` loses every neighbor assigned to another cell):
@@ -196,41 +410,49 @@ object Similarity {
     require(nProbe >= 1, s"nProbe $nProbe must be >= 1")
     val qRows = query.select(col("vec_id").cast("long"), col("embedding")).collect()
     require(qRows.length == 1, s"query must be a single row, got ${qRows.length}")
-    val qid = qRows.head.getLong(0)
-    val qe = qRows.head.getSeq[Float](1).toArray
-    val cents = collectCentroids(centroids)
-    // a query/centroid dim mismatch must FAIL here, loudly: the
-    // driver-side ranking would silently truncate to the shorter
-    // length while the column-side dots null out — probed cells chosen
-    // by a different metric than the scores
-    require(cents.forall(_._2.length == qe.length),
-      s"query dim ${qe.length} != centroid dim ${cents.head._2.length}")
-    // rank cells by the SAME left-fold dot the oracle's dotSql pins
-    val probed = cents.map { case (cid, ce) =>
-      var s = 0.0d
-      var i = 0
-      while (i < qe.length) { s += qe(i).toDouble * ce(i).toDouble; i += 1 }
-      (cid, s)
-    }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
-    val qCol = array(qe.toSeq.map(v => lit(v.toDouble)): _*)
-    val bestCell = bestCentroidStruct(cents).getField("cid")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    // vec_id filter BELOW the projection (it stays scan-pushable);
-    // once() on the assigned cell — the isin probe filter would
-    // otherwise be pushdown-substituted with the whole per-centroid
-    // scoring chain inlined, re-scoring every corpus row against all
-    // centroids a second time (the inlined-expensive-filter class)
-    corpus.filter(col("vec_id") =!= qid)
-      .select(col("vec_id"), col("embedding"),
-        graft.functions.ComputeOnce.once(bestCell).as("cell"))
-      .filter(col("cell").isin(probed: _*))
-      .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-        col("cell"), dot(col("embedding"), qCol).as("score"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
-        col("score"))
+    codebook(centroids) match {
+      case cb: FrameCodebook =>
+        // large codebook: the driver-side probe ranking below would
+        // collect the whole centroid set — delegate to the batch plan,
+        // which is pinned bit-identical for a 1-row batch
+        multiProbeBatchImpl(corpus, cb, query, k, nProbe)
+      case lc: LiteralCodebook =>
+        val qid = qRows.head.getLong(0)
+        val qe = qRows.head.getSeq[Float](1).toArray
+        val cents = lc.cents
+        // a query/centroid dim mismatch must FAIL here, loudly: the
+        // driver-side ranking would silently truncate to the shorter
+        // length while the column-side dots null out — probed cells chosen
+        // by a different metric than the scores
+        require(cents.forall(_._2.length == qe.length),
+          s"query dim ${qe.length} != centroid dim ${cents.head._2.length}")
+        // rank cells by the SAME left-fold dot the oracle's dotSql pins
+        val probed = cents.map { case (cid, ce) =>
+          var s = 0.0d
+          var i = 0
+          while (i < qe.length) { s += qe(i).toDouble * ce(i).toDouble; i += 1 }
+          (cid, s)
+        }.sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
+        val qCol = array(qe.toSeq.map(v => lit(v.toDouble)): _*)
+        val bestCell = lc.bestStruct(col("embedding")).getField("cid")
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        // vec_id filter BELOW the projection (it stays scan-pushable);
+        // once() on the assigned cell — the isin probe filter would
+        // otherwise be pushdown-substituted with the whole per-centroid
+        // scoring chain inlined, re-scoring every corpus row against all
+        // centroids a second time (the inlined-expensive-filter class)
+        corpus.filter(col("vec_id") =!= qid)
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.ComputeOnce.once(bestCell).as("cell"))
+          .filter(col("cell").isin(probed: _*))
+          .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+            col("cell"), dot(col("embedding"), qCol).as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+            col("score"))
+    }
   }
 
   /** BATCH multi-probe IVF top-k — [[ivfMultiProbeTopK]] generalized
@@ -257,25 +479,29 @@ object Similarity {
   def ivfMultiProbeTopKBatch(corpus: DataFrame, centroids: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     require(nProbe >= 1, s"nProbe $nProbe must be >= 1")
-    val cents = collectCentroids(centroids)
-    val scored = cents.map { case (cid, ce) =>
-      val ceCol = array(ce.toSeq.map(v => lit(v.toDouble)): _*)
-      struct(dot(col("q_emb"), ceCol).as("score"), lit(cid).as("cid"))
+    codebookOpt(centroids) match {
+      case None => emptyResult(queries, "query_id" -> "long", "rank" -> "long",
+        "neighbor_id" -> "long", "cell" -> "long", "score" -> "double")
+      case Some(cb) => multiProbeBatchImpl(corpus, cb, queries, k, nProbe)
     }
+  }
+
+  private[graft] def multiProbeBatchImpl(corpus: DataFrame, cb: Codebook,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val cw = Window.partitionBy(col("query_id"))
       .orderBy(col("cs.score").desc, col("cs.cid"))
-    val probed = queries
-      .select(col("vec_id").cast("long").as("query_id"),
-        col("embedding").as("q_emb"))
+    val probed = cb.attach(queries
+        .select(col("vec_id").cast("long").as("query_id"),
+          cb.checkedQuery(col("embedding")).as("q_emb")))
       .select(col("query_id"), col("q_emb"),
-        explode(array(scored: _*)).as("cs"))
+        explode(cb.scoredAll(col("q_emb"))).as("cs"))
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cs.cid").as("cell"))
-    val bestCell = bestCentroidStruct(cents).getField("cid")
+    val bestCell = cb.bestStruct(col("embedding")).getField("cid")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    corpus
+    cb.attach(corpus)
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(bestCell).as("cell"))
       .join(broadcast(probed), Seq("cell"))
@@ -332,42 +558,14 @@ object Similarity {
     // that is a pure scan-stage expression. A centroid that attracts
     // NO vectors this iteration emits no rows: the consumer keeps the
     // previous centroid for empty clusters (standard Lloyd handling).
-    val best = bestCentroidStruct(collectCentroids(centroids))
-    quantizedExplode(corpus,
-        extras = Seq("centroid_id" -> best.getField("cid")))
+    val cb = codebook(centroids)
+    quantizedExplode(cb.attach(corpus),
+        extras = Seq("centroid_id" -> cb.bestStruct(col("embedding")).getField("cid")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("qv")).as("sum_q"))
   }
 
   // ---- product quantization ------------------------------------------
-
-  /** Collected (cid, embedding) centroid rows, id-sorted; the same
-    * bounded driver-side build as `centroidAssign`. */
-  private def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] = {
-    val cents = centroids.select(col("vec_id").cast("long"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      .sortBy(_._1)
-    require(cents.nonEmpty, "centroid set is empty")
-    // duplicate ids would crash pqAdcScore's literal map at runtime
-    // (DUPLICATED_MAP_KEY) and silently corrupt argmax ties elsewhere
-    require(cents.map(_._1).distinct.size == cents.size,
-      s"centroid ids are not distinct: ${cents.map(_._1).mkString(",")}")
-    cents
-  }
-
-  /** The shared argmax-centroid struct — score = ⟨embedding, c⟩, ties
-    * prefer the SMALLER centroid id (the neg_cid field makes the
-    * struct comparison implement that). One builder so centroidAssign,
-    * the multi-probe cell assignment and the quantized k-means step
-    * cannot drift on the tie-break contract. */
-  private def bestCentroidStruct(cents: Seq[(Long, Array[Float])]): Column = {
-    val scored = cents.map { case (cid, ce) =>
-      val ceCol = array(ce.toSeq.map(v => lit(v.toDouble)): _*)
-      struct(dot(col("embedding"), ceCol).as("score"),
-        lit(-cid).as("neg_cid"), lit(cid).as("cid"))
-    }
-    if (scored.size == 1) scored.head else greatest(scored: _*)
-  }
 
   /** The shared global-scale int8 quantize-explode: (vec_id, dim, qv
     * [, extras…]) with qv = floor(x/gscale·127 + 0.5) over the corpus
@@ -399,39 +597,21 @@ object Similarity {
     * float vector compresses to `m` small codes — the layout that
     * lets a 100 TB embedding corpus live in RAM-sized shards.
     *
-    * Scale shape: the codebook is a bounded driver-side collect
-    * (k·d floats, like `centroidAssign`); encoding is per-row m·k
-    * dot folds in the scan stage — zero shuffle, nothing scales with
-    * corpus size but the scan. Output: (vec_id, code: array<long>). */
+    * Scale shape: small codebooks are a bounded driver-side collect
+    * (k·d floats, like `centroidAssign`); above [[LiteralCodebookMax]]
+    * the broadcast-frame path takes over. Either way encoding is
+    * per-row m·k dot folds in the scan stage — zero shuffle, nothing
+    * scales with corpus size but the scan. Output: (vec_id,
+    * code: array<long>). */
   def pqEncode(vectors: DataFrame, centroids: DataFrame, m: Int = 4): DataFrame =
-    vectors.select(col("vec_id"),
-      pqCodeColumn(collectCentroids(centroids), m).as("code"))
+    pqEncodeWith(codebook(centroids), vectors, m)
 
-  /** The PQ code array as a pure scan-stage Column over `embedding` —
-    * shared by [[pqEncode]] and [[pqTrainStep]] so the train step can
-    * attach codes in its own select instead of joining the n-row
-    * encode output against the n·dims exploded frame. */
-  private def pqCodeColumn(cents: Seq[(Long, Array[Float])], m: Int): Column = {
-    val dim = cents.head._2.length
-    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-    val sub = dim / m
-    val codes = (0 until m).map { j =>
-      val xs = slice(col("embedding"), j * sub + 1, sub)
-      val scored = cents.map { case (cid, ce) =>
-        val cj = ce.slice(j * sub, (j + 1) * sub)
-        // ‖c_j‖²/2 by the same left fold the oracle's dotSql pins
-        var nrm = 0.0d
-        var i = 0
-        while (i < sub) { nrm += cj(i).toDouble * cj(i).toDouble; i += 1 }
-        val cjCol = array(cj.toSeq.map(v => lit(v.toDouble)): _*)
-        struct((dot(xs, cjCol) - nrm / 2).as("score"),
-          lit(-cid).as("neg_cid"), lit(cid).as("cid"))
-      }
-      (if (scored.size == 1) scored.head else greatest(scored: _*))
-        .getField("cid")
-    }
-    array(codes: _*)
-  }
+  /** [[pqEncode]] against an already-built codebook — the ADC/IVFPQ
+    * paths reuse their codebook instead of re-probing the centroid
+    * frame. */
+  private[graft] def pqEncodeWith(cb: Codebook, vectors: DataFrame, m: Int): DataFrame =
+    cb.attach(vectors).select(col("vec_id"),
+      cb.pqCode(col("embedding"), m).as("code"))
 
   /** PQ asymmetric-distance scoring (ADC): the query's per-(subspace,
     * centroid) dot products form an m×k lookup table computed ONCE
@@ -442,33 +622,43 @@ object Similarity {
     * comparator-hashable — the s53 lesson). */
   def pqAdcScore(vectors: DataFrame, centroids: DataFrame, query: DataFrame,
       m: Int = 4): DataFrame = {
-    val cents = collectCentroids(centroids)
-    val dim = cents.head._2.length
-    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-    val sub = dim / m
+    val cb = codebook(centroids)
     val qRows = query.select(col("embedding")).collect()
     require(qRows.length == 1, s"query must be a single row, got ${qRows.length}")
-    val q = qRows.head.getSeq[Float](0).toArray
-    require(q.length == dim, s"query dim ${q.length} != centroid dim $dim")
-    val table: Seq[Seq[(Long, Double)]] = (0 until m).map { j =>
-      cents.map { case (cid, ce) =>
-        var s = 0.0d
-        var i = 0
-        while (i < sub) {
-          s += q(j * sub + i).toDouble * ce(j * sub + i).toDouble; i += 1
+    cb match {
+      case cb: FrameCodebook =>
+        // large codebook: the driver-side m×k table below would
+        // collect the whole codebook — the batch plan (pinned
+        // bit-identical for a 1-row batch) computes the table
+        // column-side over the broadcast query frame instead
+        pqAdcBatchImpl(vectors, cb, query, m)
+          .select(col("vec_id"), col("code_s"), col("adc"))
+      case lc: LiteralCodebook =>
+        val cents = lc.cents
+        val dim = lc.dim
+        val sub = lc.subDim(m)
+        val q = qRows.head.getSeq[Float](0).toArray
+        require(q.length == dim, s"query dim ${q.length} != centroid dim $dim")
+        val table: Seq[Seq[(Long, Double)]] = (0 until m).map { j =>
+          cents.map { case (cid, ce) =>
+            var s = 0.0d
+            var i = 0
+            while (i < sub) {
+              s += q(j * sub + i).toDouble * ce(j * sub + i).toDouble; i += 1
+            }
+            (cid, s)
+          }
         }
-        (cid, s)
-      }
+        val coded = pqEncodeWith(lc, vectors, m)
+        val adc = (0 until m).map { j =>
+          val lookup = map(table(j).flatMap { case (cid, v) =>
+            Seq(lit(cid), lit(v)) }: _*)
+          element_at(lookup, element_at(col("code"), j + 1))
+        }.reduce(_ + _)
+        coded.select(col("vec_id"),
+          array_join(transform(col("code"), c => c.cast("string")), "-").as("code_s"),
+          adc.as("adc"))
     }
-    val coded = pqEncode(vectors, centroids, m)
-    val adc = (0 until m).map { j =>
-      val lookup = map(table(j).flatMap { case (cid, v) =>
-        Seq(lit(cid), lit(v)) }: _*)
-      element_at(lookup, element_at(col("code"), j + 1))
-    }.reduce(_ + _)
-    coded.select(col("vec_id"),
-      array_join(transform(col("code"), c => c.cast("string")), "-").as("code_s"),
-      adc.as("adc"))
   }
 
   /** BATCH PQ asymmetric-distance scoring — [[pqAdcScore]] generalized
@@ -483,27 +673,24 @@ object Similarity {
     * m map lookups, not a dot. An empty query set returns an empty
     * frame. Output: (query_id, vec_id, code_s, adc). */
   def pqAdcScoreBatch(vectors: DataFrame, centroids: DataFrame,
-      queries: DataFrame, m: Int = 4): DataFrame = {
-    val cents = collectCentroids(centroids)
-    val dim = cents.head._2.length
-    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-    val sub = dim / m
-    val tbls = (0 until m).map { j =>
-      val entries = cents.flatMap { case (cid, ce) =>
-        val cj = ce.slice(j * sub, (j + 1) * sub)
-        val cjCol = array(cj.toSeq.map(v => lit(v.toDouble)): _*)
-        Seq(lit(cid), dot(slice(col("q_emb"), j * sub + 1, sub), cjCol))
-      }
-      map(entries: _*).as(s"tbl$j")
+      queries: DataFrame, m: Int = 4): DataFrame =
+    codebookOpt(centroids) match {
+      case None => emptyResult(queries, "query_id" -> "long",
+        "vec_id" -> "long", "code_s" -> "string", "adc" -> "double")
+      case Some(cb) => pqAdcBatchImpl(vectors, cb, queries, m)
     }
-    val q = queries
-      .select(col("vec_id").cast("long").as("query_id"),
-        col("embedding").as("q_emb"))
-      .select(col("query_id") +: tbls.map(c => c): _*)
+
+  private[graft] def pqAdcBatchImpl(vectors: DataFrame, cb: Codebook,
+      queries: DataFrame, m: Int): DataFrame = {
+    val q = cb.attach(queries
+        .select(col("vec_id").cast("long").as("query_id"),
+          cb.checkedQuery(col("embedding")).as("q_emb")))
+      .select(col("query_id") +:
+        (0 until m).map(j => cb.adcTable(col("q_emb"), j, m).as(s"tbl$j")): _*)
     val adc = (0 until m).map { j =>
       element_at(col(s"tbl$j"), element_at(col("code"), j + 1))
     }.reduce(_ + _)
-    pqEncode(vectors, centroids, m).crossJoin(broadcast(q))
+    pqEncodeWith(cb, vectors, m).crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"),
         array_join(transform(col("code"), c => c.cast("string")), "-").as("code_s"),
         adc.as("adc"))
@@ -595,31 +782,29 @@ object Similarity {
     * top-k rank over one cell's members. Empty query set ⇒ empty
     * frame. Output: (query_id, rank, neighbor_id, score). */
   def ivfPqTopKBatch(corpus: DataFrame, centroids: DataFrame,
-      queries: DataFrame, k: Int, m: Int = 4): DataFrame = {
-    val cents = collectCentroids(centroids)
-    val dim = cents.head._2.length
-    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-    val sub = dim / m
-    val tbls = (0 until m).map { j =>
-      val entries = cents.flatMap { case (cid, ce) =>
-        val cj = ce.slice(j * sub, (j + 1) * sub)
-        val cjCol = array(cj.toSeq.map(v => lit(v.toDouble)): _*)
-        Seq(lit(cid), dot(slice(col("q_emb"), j * sub + 1, sub), cjCol))
-      }
-      map(entries: _*).as(s"tbl$j")
+      queries: DataFrame, k: Int, m: Int = 4): DataFrame =
+    codebookOpt(centroids) match {
+      case None => emptyResult(queries, "query_id" -> "long", "rank" -> "long",
+        "neighbor_id" -> "long", "score" -> "double")
+      case Some(cb) => ivfPqBatchImpl(corpus, cb, queries, k, m)
     }
-    val q = queries
-      .select(col("vec_id").cast("long").as("query_id"),
-        col("label").as("q_cell"), col("embedding").as("q_emb"))
-      .select(col("query_id") +: col("q_cell") +: tbls: _*)
+
+  private[graft] def ivfPqBatchImpl(corpus: DataFrame, cb: Codebook,
+      queries: DataFrame, k: Int, m: Int): DataFrame = {
+    val q = cb.attach(queries
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("label").as("q_cell"),
+          cb.checkedQuery(col("embedding")).as("q_emb")))
+      .select(col("query_id") +: col("q_cell") +:
+        (0 until m).map(j => cb.adcTable(col("q_emb"), j, m).as(s"tbl$j")): _*)
     val adc = (0 until m).map { j =>
       element_at(col(s"tbl$j"), element_at(col("code"), j + 1))
     }.reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    corpus
+    cb.attach(corpus)
       .select(col("vec_id"), col("label").as("c_cell"),
-        pqCodeColumn(cents, m).as("code"))
+        cb.pqCode(col("embedding"), m).as("code"))
       .join(broadcast(q), col("c_cell") === col("q_cell") &&
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -680,10 +865,10 @@ object Similarity {
     // a pure scan-stage value. A sub-centroid with NO assigned vectors
     // emits no rows (the kmeansStepQuantized empty-cluster contract:
     // the consumer keeps the previous sub-centroid).
-    val cents = collectCentroids(centroids)
-    val sub = cents.head._2.length / m
-    quantizedExplode(corpus,
-        extras = Seq("code" -> pqCodeColumn(cents, m)))
+    val cb = codebook(centroids)
+    val sub = cb.dim / m
+    quantizedExplode(cb.attach(corpus),
+        extras = Seq("code" -> cb.pqCode(col("embedding"), m)))
       .select(col("vec_id"),
         expr(s"CAST(dim div $sub AS BIGINT)").as("subspace"),
         (col("dim") % sub).cast("long").as("subdim"), col("qv"), col("code"))

@@ -622,6 +622,70 @@ object Extended {
         .orderBy(col("query_id"), col("rank"))
     }
 
+  /** s69 — LARGE-nlist nearest-centroid assignment: s52's argmax over
+    * a 256-centroid codebook — 4× past Similarity.LiteralCodebookMax,
+    * so this is the driver gate for the BROADCAST-FRAME codebook path
+    * (the literal `greatest(k structs)` inlining would blow
+    * whole-stage codegen's method limit at a production nlist; here
+    * the codebook stays a 1-row broadcast array and the argmax is one
+    * HOF, constant plan size at any k). Same dot fold, same
+    * (score DESC, centroid ASC) tie rule — the oracle is s52's SQL
+    * with the wider centroid set. */
+  val s69CentroidAssignBig: Q = Q(
+    "s69_centroid_assign_big",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
+       |sc AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |       FROM embeddings e CROSS JOIN c),
+       |rk AS (SELECT vec_id, centroid_id, score,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |       FROM sc)
+       |SELECT vec_id, centroid_id, score FROM rk WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.centroidAssign(emb, emb.filter(col("vec_id") < 256))
+      .orderBy(col("vec_id"))
+  }
+
+  /** s70 — LARGE-nlist BATCH multi-probe top-k: s65's retrieval
+    * lifecycle against the 256-centroid codebook — per-query probe
+    * ranking, cell assignment and candidate scoring all run through
+    * the broadcast-frame codebook path (probe ranking = explode of
+    * the scored array column; cell argmax = the s69 HOF). The
+    * verdict-named 100-TB regime limit, driver-gated end to end. */
+  val s70BatchKnnBig: Q = Q(
+    "s70_batch_knn_big",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 61 = 3),
+       |cr AS (SELECT q.qid, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         JOIN q ON q.qid = p.qid
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
+       |rk AS (SELECT qid, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfMultiProbeTopKBatch(emb, emb.filter(col("vec_id") < 256),
+        emb.filter(col("vec_id") % 61 === 3), k = 5, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -3631,5 +3695,6 @@ object Extended {
     t94FeatureHash, s62RetrievalEval, d71SketchError, s63FilteredKnn, t95LangIdEval,
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
-    t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank)
+    t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank,
+    s69CentroidAssignBig, s70BatchKnnBig)
 }

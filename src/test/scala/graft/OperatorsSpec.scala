@@ -1703,6 +1703,113 @@ class OperatorsSpec extends SparkSpec {
     assert(batch == single)
   }
 
+  test("codebook strategies: literal and broadcast-frame paths are bit-identical on every centroid consumer") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 12)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    val litCb = Similarity.literalCodebookOf(centroids)
+    val frmCb = Similarity.frameCodebookOf(centroids)
+    // assignment argmax (incl. the (score, -cid) tie rule)
+    def asg(cb: Similarity.Codebook) =
+      Similarity.centroidAssignWith(cb, emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(asg(litCb) == asg(frmCb))
+    // PQ encode (per-subspace argmax with the -||c||²/2 correction)
+    def codes(cb: Similarity.Codebook) =
+      Similarity.pqEncodeWith(cb, emb, m = 4)
+        .select(col("vec_id"),
+          array_join(transform(col("code"), c => c.cast("string")), "-"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(codes(litCb) == codes(frmCb))
+    // multi-probe batch (probe ranking + cell join + top-k)
+    def mp(cb: Similarity.Codebook) =
+      Similarity.multiProbeBatchImpl(emb, cb, qs, k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(mp(litCb) == mp(frmCb) && mp(litCb).nonEmpty)
+    // batch ADC (map-literal vs map_from_entries lookup tables)
+    def adc(cb: Similarity.Codebook) =
+      Similarity.pqAdcBatchImpl(emb, cb, qs, m = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(adc(litCb) == adc(frmCb) && adc(litCb).nonEmpty)
+    // batch IVF+PQ (corpus-side code column + per-query tables)
+    def ivfpq(cb: Similarity.Codebook) =
+      Similarity.ivfPqBatchImpl(emb, cb, qs, k = 5, m = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(ivfpq(litCb) == ivfpq(frmCb) && ivfpq(litCb).nonEmpty)
+  }
+
+  test("codebook auto-selection: above LiteralCodebookMax the frame path engages and matches a forced-literal run") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val big = emb.filter(col("vec_id") < 100) // > LiteralCodebookMax=64
+    assert(Similarity.LiteralCodebookMax == 64)
+    val auto = Similarity.centroidAssign(emb, big)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val forced = Similarity.centroidAssignWith(Similarity.literalCodebookOf(big), emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(auto == forced && auto.nonEmpty)
+    // the auto plan really is the frame path: a broadcast join appears
+    // (the literal form is join-free)
+    val plan = Similarity.centroidAssign(emb, big)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"expected the 1-row codebook broadcast in:\n$plan")
+    // single-query multi-probe above the threshold delegates to the
+    // (bit-identical) batch plan instead of collecting the codebook
+    val one = emb.filter(col("vec_id") === 0)
+    val mpBig = Similarity.ivfMultiProbeTopK(emb, big, one, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._2).toSeq
+    val mpBatch = Similarity.ivfMultiProbeTopKBatch(emb, big, one, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._2).toSeq
+    assert(mpBig == mpBatch && mpBig.nonEmpty)
+  }
+
+  test("batch ANN: an empty centroid set is a legitimate zero-result request; single-query/assignment contracts stay loud") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val none = emb.filter(col("vec_id") < 0)
+    val qs = emb.filter(col("vec_id") === 0)
+    assert(Similarity.ivfMultiProbeTopKBatch(emb, none, qs, k = 4, nProbe = 2).count() == 0L)
+    assert(Similarity.pqAdcScoreBatch(emb, none, qs, m = 4).count() == 0L)
+    assert(Similarity.ivfPqTopKBatch(emb, none, qs, k = 4, m = 4).count() == 0L)
+    assert(Similarity.ivfPqRerankBatch(emb, none, qs, k = 4, shortlist = 8, m = 4).count() == 0L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.centroidAssign(emb, none)
+    }
+    assert(e.getMessage.contains("centroid set is empty"))
+  }
+
+  test("batch ANN: a query whose dim differs from the centroids fails loud, not NULL-ranked") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val narrow = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"),
+        col("label"))
+    def msg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getMessage == null || !c.getMessage.contains("query dim"))) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    val e1 = intercept[Throwable] {
+      Similarity.ivfMultiProbeTopKBatch(emb, centroids, narrow, k = 4, nProbe = 2).collect()
+    }
+    assert(msg(e1).contains("query dim"), s"got: ${msg(e1)}")
+    val e2 = intercept[Throwable] {
+      Similarity.pqAdcScoreBatch(emb, centroids, narrow, m = 4).collect()
+    }
+    assert(msg(e2).contains("query dim"), s"got: ${msg(e2)}")
+    val e3 = intercept[Throwable] {
+      Similarity.ivfPqTopKBatch(emb, centroids, narrow, k = 4, m = 4).collect()
+    }
+    assert(msg(e3).contains("query dim"), s"got: ${msg(e3)}")
+  }
+
   test("bpe encode: counts match the hand-trained merge table exactly") {
     // same fixture as the training test: after 4 merges "the" and
     // "cat" are single symbols — 4 words, 4 symbols, 12 chars

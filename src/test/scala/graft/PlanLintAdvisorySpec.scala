@@ -44,7 +44,15 @@ class PlanLintAdvisorySpec extends SparkSpec {
       // only checkpoint scans.
       "g03_triangles",
       "g08_neighbor_sample",
-      "g10_bipartite_project"
+      "g10_bipartite_project",
+      // s69/s70: the LARGE-nlist codebook path aggregates the centroid
+      // FRAME to one cid-sorted array row (sort_array(collect_list)) —
+      // codebook-bounded (k centroids, the literal-inlining threshold's
+      // replacement), never corpus-bounded; it exists precisely so the
+      // codebook does NOT become a k-term literal expression tree or a
+      // driver-side collect
+      "s69_centroid_assign_big",
+      "s70_batch_knn_big"
     )
     assert(users == reviewed,
       s"object-agg set drifted.\n+ ${(users -- reviewed).toSeq.sorted.mkString(", ")}\n- ${(reviewed -- users).toSeq.sorted.mkString(", ")}")
@@ -146,7 +154,12 @@ object DriverActionReviewed {
     // writes the two arrival waves) plus the ledger COMMITS, which are
     // the operator's own exactly-once protocol — the audited read is
     // the ledger⋈listing aggregation
-    "q87_incremental_ingest"
+    "q87_incremental_ingest",
+    // s69/s70 = the codebook-strategy PROBE (limit(threshold+1)
+    // collect at Similarity.scala): one bounded driver action that
+    // decides literal vs broadcast-frame — in frame mode the codebook
+    // itself never lands on the driver
+    "s69_centroid_assign_big", "s70_batch_knn_big"
     // q81 is the same materializing-fixture class, but its generation
     // writes report as "parquet at Scale.scala" — the same site prefix
     // as DataFrameReader scan inference, which the infrastructure
