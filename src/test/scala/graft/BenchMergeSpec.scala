@@ -127,25 +127,42 @@ class BenchMergeSpec extends AnyFunSuite {
   // the per-position median elevation is the observed ambient and the
   // threshold scales by max(cores, ambient), clamped to 2×, engaging
   // only with ≥8 measurable queries (tiny populations ARE the outliers)
-  test("suspects: uniform ambient elevation does not flag; an outlier against it does") {
+  // AND a corroborating core deficit at that position (r16 advice: a
+  // full-cores session's uniform lift is a real regression, not
+  // ambient)
+  test("suspects: uniform ambient elevation under a core deficit does not flag; an outlier against it does") {
     // 11 queries uniformly ~1.7× elevated both sessions (the r16
-    // false-flag shape at 18 of 32 effective cores): median = 1.7 →
-    // threshold 2.55× → nothing flags
+    // false-flag shape at 18.2 of a 19.9-core baseline era): median =
+    // 1.7 → threshold 2.55× → nothing flags
+    val deficit = Seq(18.2, 18.2) // coresScale ≈ 1.09 > 1: gate open
     val uniform = (1 to 11).map(i => s"q$i" -> Seq(1.7, 1.72)).toMap
     val baseline = (1 to 11).map(i => s"q$i" -> 1.0).toMap
-    assert(Bench.suspects(uniform, baseline) == Seq.empty)
+    assert(Bench.suspects(uniform, baseline,
+      coresHist = deficit, baselineCores = 19.9) == Seq.empty)
     // the same ambient with ONE genuine outlier (4× both sessions):
     // only the outlier flags
     val withReg = uniform + ("bad" -> Seq(4.0, 4.1))
-    assert(Bench.suspects(withReg, baseline + ("bad" -> 1.0)) == Seq("bad"))
-    // fleet-wide REAL slowdown: everything at 3.2× — the 2× clamp
-    // stops the ambient estimate self-certifying it; all flag
+    assert(Bench.suspects(withReg, baseline + ("bad" -> 1.0),
+      coresHist = deficit, baselineCores = 19.9) == Seq("bad"))
+    // fleet-wide REAL slowdown under the deficit: everything at 3.2×
+    // — the 2× clamp stops the ambient estimate self-certifying it;
+    // all flag
     val fleet = (1 to 11).map(i => s"q$i" -> Seq(3.2, 3.3)).toMap
-    assert(Bench.suspects(fleet, baseline).size == 11)
+    assert(Bench.suspects(fleet, baseline,
+      coresHist = deficit, baselineCores = 19.9).size == 11)
+    // FULL-CORES session: the gate keeps ambient out, so the same
+    // uniform 1.7× lift is a fleet-wide real regression — all flag
+    // (pre-gate this self-certified as ambient)
+    assert(Bench.suspects(uniform, baseline,
+      coresHist = Seq(19.9, 19.9), baselineCores = 19.9).size == 11)
+    // no cores history at all (pre-r16 records): no contention
+    // evidence → gate closed → the uniform lift flags too
+    assert(Bench.suspects(uniform, baseline).size == 11)
     // under 8 measurable queries the ambient channel stays out (the
     // 2-query fixture's median IS the candidate): elevated pair flags
     val tiny = Map("q" -> Seq(2.9, 3.1), "ok" -> Seq(1.1, 1.2))
-    assert(Bench.suspects(tiny, Map("q" -> 1.0, "ok" -> 1.0)) == Seq("q"))
+    assert(Bench.suspects(tiny, Map("q" -> 1.0, "ok" -> 1.0),
+      coresHist = deficit, baselineCores = 19.9) == Seq("q"))
   }
 
   test("jsonStr escapes quotes, backslashes and control chars (record stays parseable)") {
@@ -283,6 +300,37 @@ class BenchMergeSpec extends AnyFunSuite {
         s"committed record flags $suspect as persistently elevated but " +
         s"NOTES.md never mentions: $unadjudicated — adjudicate before " +
         "closing the round (profile, fix, or document why it's benign)")
+    }
+  }
+
+  test("round-close rule: a non-empty rerun_regressed list is acknowledged in NOTES") {
+    // r16 verdict item 5: the >3×-first-run rerun channel was recorded
+    // "so a round's NOTES can use it" but carried no obligation — 10
+    // spikes rode through a close silently. Rule: min2-RECOVERED
+    // spikes need no per-name adjudication (the recovery is in the
+    // record itself — compare `queries` vs `min2_session`), but the
+    // CHANNEL must not be silent: when the committed list is
+    // non-empty, NOTES.md must either name every entry or carry the
+    // literal `rerun_regressed` token next to that round's accounting
+    // (count + recovered/not). A spike that did NOT recover stays
+    // elevated in norm_hist and is separately caught by the suspect
+    // gate above.
+    val bench = java.nio.file.Paths.get("BENCH_FULL.json")
+    assume(java.nio.file.Files.exists(bench), "no committed bench record")
+    val txt = new String(java.nio.file.Files.readAllBytes(bench),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val rerun = Bench.parseRecordList(txt, "rerun_regressed")
+    if (rerun.nonEmpty) {
+      val notesPath = java.nio.file.Paths.get("NOTES.md")
+      assert(java.nio.file.Files.exists(notesPath),
+        s"committed record carries rerun_regressed=$rerun but NOTES.md " +
+        "is absent — acknowledge the channel before closing the round")
+      val notes = new String(java.nio.file.Files.readAllBytes(notesPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(notes.contains("rerun_regressed") || rerun.forall(notes.contains),
+        s"committed record carries rerun_regressed=$rerun but NOTES.md " +
+        "neither names them nor mentions `rerun_regressed` — add the " +
+        "round's accounting line (count + min2-recovered or not)")
     }
   }
 
