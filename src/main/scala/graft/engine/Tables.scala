@@ -76,62 +76,92 @@ object WorkDirs {
     root.toString
   }
 
-  /** Per-PROCESS scratch root, for queries whose ORACLE SQL must name
-    * the same staged files the engine wrote (q86): the oracle string
-    * and the query fn are built in the same JVM, so a pid-suffixed
-    * path is deterministic within one process while two concurrent
-    * harness processes (bench + Verify) can never delete each other's
-    * files mid-read — the round-9 race class. LIVE siblings are never
-    * touched (that would reintroduce the race this exists to retire);
-    * roots left by DEAD pids are swept best-effort on first use per
-    * JVM, so /tmp does not grow without bound across JVM generations.
-    * Liveness is checked via ProcessHandle.of(pid): a reused pid makes
-    * the sweep skip a genuinely-dead dir (conservative — it stays a
-    * few KB until a later generation), never delete a live one. */
-  def processScoped(label: String): String = {
+  /** Per-RUN scratch root, for queries whose ORACLE SQL must name the
+    * same staged files the engine wrote (q86): the oracle string and
+    * the query fn are built in the same JVM, so a nonce-suffixed path
+    * is deterministic within one run while two concurrent harness
+    * processes (bench + Verify) can never write into — let alone
+    * delete — each other's dirs (the round-9 race class).
+    *
+    * Why a NONCE and not the pid (r16 verdict item 3): the pid scheme
+    * swept DEAD pids' dirs on next use, and a differential is a
+    * multi-JVM protocol — Verify (JVM 1) exits, the DuckDB oracle
+    * reads the staged files afterwards; any JVM starting in between
+    * (another corpus's Verify, a bench) declared JVM 1 dead and
+    * deleted the very artifacts the oracle still needed, which is
+    * exactly how q86 failed the organic-corpus full-catalogue sweeps
+    * two rounds running (the "back-to-back recipe" workaround).
+    * Liveness of a PROCESS is simply the wrong predicate for
+    * artifacts that must OUTLIVE their process. The nonce
+    * (pid × JVM-start-millis) also cannot collide across container
+    * generations the way a reused pid can.
+    *
+    * Disk stays bounded by AGE instead: stale sibling run dirs are
+    * swept only once they are older than [[StaleRunTtlMillis]] —
+    * far beyond any differential's Verify→oracle window, so no
+    * interleaved or post-hoc JVM can delete artifacts a protocol
+    * still needs, while /tmp carries at most a day of few-KB staged
+    * fixtures. */
+  def runScoped(label: String): String = {
     val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work",
-      s"${label}_p${ProcessHandle.current().pid()}")
+      sys.props("java.io.tmpdir"), "graft_work", s"${label}_n$runNonce")
     java.nio.file.Files.createDirectories(root.getParent)
-    sweepDeadPidRoots(root.getParent)
+    sweepStaleRunRoots(root.getParent)
     root.toString
   }
 
-  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private val PidDir = """.*_p(\d+)""".r
+  /** Unique per JVM: pid alone recurs across container generations;
+    * xor-folding the JVM start instant in makes two runs share a
+    * nonce only if the same pid starts twice in the same millisecond. */
+  private lazy val runNonce: String = {
+    val h = ProcessHandle.current()
+    val start = h.info().startInstant()
+      .map[java.lang.Long](i => java.lang.Long.valueOf(i.toEpochMilli))
+      .orElse(java.lang.Long.valueOf(System.currentTimeMillis()))
+    java.lang.Long.toHexString(h.pid()) + "x" +
+      java.lang.Long.toHexString(start.longValue())
+  }
 
-  /** Best-effort, once per JVM: delete sibling `<label>_p<pid>` dirs
-    * whose pid is no longer alive. Every step tolerates concurrent
+  /** 24 h: longer than any observed full-catalogue differential
+    * (organic sf1 ≈ multi-hour) with an order-of-magnitude margin. */
+  private val StaleRunTtlMillis: Long = 24L * 60 * 60 * 1000
+
+  private val sweptOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val RunDir = """.*_n[0-9a-f]+x[0-9a-f]+""".r
+
+  /** Best-effort, once per JVM: delete sibling `<label>_n<nonce>` dirs
+    * whose last-modified time is older than the TTL (never our own —
+    * the fresh nonce guarantees that). Every step tolerates concurrent
     * deletion by another sweeping JVM (failures are swallowed — the
-    * next generation retries). The catches are NonFatal, not just
-    * IOException: Files.walk/list traversal surfaces vanished entries
-    * as UncheckedIOException (a RuntimeException), and an overlong
-    * digit suffix makes pid.toLong throw NumberFormatException — two
-    * concurrently-starting JVMs sweeping the same root (the exact
-    * bench+Verify case this code targets) must not crash a live
-    * process inside processScoped. */
-  private def sweepDeadPidRoots(parent: java.nio.file.Path): Unit = {
+    * next generation retries); the catches are NonFatal because
+    * Files.walk/list traversal surfaces vanished entries as
+    * UncheckedIOException (a RuntimeException). Legacy `_p<pid>` dirs
+    * from the retired pid scheme age out under the same rule (they
+    * match no live writer anymore). */
+  private def sweepStaleRunRoots(parent: java.nio.file.Path): Unit = {
     if (!sweptOnce.compareAndSet(false, true)) return
-    val self = ProcessHandle.current().pid()
-    def deadPid(pid: String): Boolean =
-      try pid.toLong != self && !ProcessHandle.of(pid.toLong).isPresent
+    val cutoff = System.currentTimeMillis() - StaleRunTtlMillis
+    def stale(p: java.nio.file.Path): Boolean =
+      try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case scala.util.control.NonFatal(_) => false }
+    def legacyPidDir(name: String): Boolean =
+      name.matches(""".*_p\d+""")
     try {
       val entries = java.nio.file.Files.list(parent)
       try {
         entries.iterator().forEachRemaining { p =>
-          p.getFileName.toString match {
-            case PidDir(pid) if deadPid(pid) =>
-              try {
-                val walk = java.nio.file.Files.walk(p)
-                try walk.sorted(java.util.Comparator.reverseOrder())
-                  .forEach { f =>
-                    try java.nio.file.Files.deleteIfExists(f)
-                    catch { case scala.util.control.NonFatal(_) => () }
-                  }
-                finally walk.close()
-              } catch { case scala.util.control.NonFatal(_) => () }
-            case _ => ()
+          val name = p.getFileName.toString
+          val ours = name.endsWith(s"_n$runNonce")
+          if (!ours && (RunDir.matches(name) || legacyPidDir(name)) && stale(p)) {
+            try {
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach { f =>
+                  try java.nio.file.Files.deleteIfExists(f)
+                  catch { case scala.util.control.NonFatal(_) => () }
+                }
+              finally walk.close()
+            } catch { case scala.util.control.NonFatal(_) => () }
           }
         }
       } finally entries.close()

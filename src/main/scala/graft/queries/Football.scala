@@ -150,18 +150,21 @@ object Football {
     * parses the corrupt bytes) and derive the `corrupt_input` dead
     * row from `glob()`, which lists files without reading them.
     *
-    * The staged root is PROCESS-scoped (`WorkDirs.processScoped`):
-    * the oracle SQL string and the query fn are built in the same
-    * JVM, so both name the same pid-suffixed path, and two
-    * concurrent harness processes (bench + Verify — the round-9
+    * The staged root is RUN-scoped (`WorkDirs.runScoped`): the
+    * oracle SQL string and the query fn are built in the same JVM,
+    * so both name the same nonce-suffixed path; two concurrent
+    * harness processes (bench + Verify — the round-9
     * phantom-FileNotFoundException race) can never delete each
-    * other's staged files mid-read. Content depends only on the
-    * fixed 25-row nation table, so any sf's run stages identical
-    * bytes. The 25-row collect is the bounded driver-side staging
-    * step (Staging's documented design: acquisition is driver-side,
-    * never a distributed job). */
+    * other's staged files mid-read, and — unlike the retired
+    * pid-scoped scheme, whose dead-pid sweep deleted artifacts a
+    * post-hoc DuckDB differential still needed (r16 verdict item 3)
+    * — interleaved or later JVMs only age out dirs a day old.
+    * Content depends only on the fixed 25-row nation table, so any
+    * sf's run stages identical bytes. The 25-row collect is the
+    * bounded driver-side staging step (Staging's documented design:
+    * acquisition is driver-side, never a distributed job). */
   val q86ParityPipeline: Q = {
-    val root = graft.engine.WorkDirs.processScoped("q86_stage")
+    val root = graft.engine.WorkDirs.runScoped("q86_stage")
     // the latestOnly replay: only the lexicographically-latest run file
     // per endpoint DIRECTORY participates (Normalize.latestOnly —
     // without it a second staged run joins 2x teams against 2x
