@@ -959,4 +959,24 @@ object StreamOps {
     q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Run with `Trigger.AvailableNow` — the PRODUCTION backfill/catch-up
+    * trigger (and the one a scheduled 100-TB reprocess uses): the
+    * query snapshots the input available at start, paces through it in
+    * rate-limited micro-batches honoring the source's read limits
+    * (`maxFilesPerTrigger` here), commits each batch to the
+    * checkpoint, then TERMINATES ON ITS OWN — unlike
+    * [[runToMemory]]'s `processAllAvailable`, a test-harness wait on
+    * an otherwise-unbounded query. Returns the result table once the
+    * query has stopped itself. */
+  def runAvailableNow(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
 }
