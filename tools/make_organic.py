@@ -42,7 +42,7 @@ Spark library. Output is written OUTSIDE the repo (default
 import sys
 import duckdb
 
-from derive_common import validate_shifts
+from derive_common import domain_offsets, validate_shifts
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_organic"
@@ -80,6 +80,34 @@ SHIFTS = {
 # HERE in the derivation, both engines then read the same stored
 # doubles (what they must NOT do is land on half-cent midpoints — see
 # the 2-decimal rule below).
+# PAYLOAD perturbation (r17, r16 verdict item 4): the m-family's
+# binary payloads derive from the first 192 (m74 PPM) / 768 (m76/d69
+# patch grid) chars of documents.text — the append-only suffix
+# mutation below never touched that range for long docs, so the
+# patch/aHash near-dup operators had only ever matched byte-IDENTICAL
+# payloads at scale. For ~1/3 of replica>0 docs, XOR the LOW BIT of
+# one char inside each range (positions deterministic per (doc, r);
+# docs shorter than a position keep that flip off). 1-2 one-bit byte
+# deltas = genuine near-duplicate payloads with controlled amplitude,
+# length-preserving (n_chars and every token-count oracle stay
+# consistent — a flip can at most split/join a token, and both engines
+# read the same stored bytes). ASCII corpus: xor-1 maps [32,126] into
+# [32,127], never NUL/newline.
+_P1 = "(1 + (t.doc_id * 13 + r.r * 7) % 192)"
+_P2 = "(193 + (t.doc_id * 11 + r.r * 5) % 576)"
+
+
+def _lowbit_flip(base, pos):
+    return (f"CASE WHEN length({base}) >= {pos} THEN "
+            f"substr({base}, 1, {pos} - 1) || "
+            f"chr(xor(ascii(substr({base}, {pos}, 1)), 1)) || "
+            f"substr({base}, {pos} + 1) ELSE {base} END")
+
+
+_FLIPPED_TEXT = ("CASE WHEN (t.doc_id * 7 + r.r) % 3 = 0 THEN " +
+                 _lowbit_flip(_lowbit_flip("t.text", _P1), _P2) +
+                 " ELSE t.text END")
+
 MUTATE = {
     # one appended letter per replica (r16): cross-replica name pairs
     # sit at Levenshtein distance EXACTLY 1 (append vs original,
@@ -92,7 +120,7 @@ MUTATE = {
                   "ELSE t.c_name || chr(CAST(96 + r.r AS INTEGER)) END",
     },
     "documents": {
-        "text": "CASE WHEN r.r = 0 THEN t.text ELSE t.text || "
+        "text": "CASE WHEN r.r = 0 THEN t.text ELSE " + _FLIPPED_TEXT + " || "
                 "' shard' || CAST(r.r AS VARCHAR) || "
                 "'w' || CAST((t.doc_id * 7 + r.r * 13) % 97 AS VARCHAR) || "
                 "' extra' || CAST((t.doc_id + r.r) % 31 AS VARCHAR) END",
@@ -130,9 +158,12 @@ MUTATE = {
 # domain's r*(max+1) offset and `{n}` the domain size (max+1; keys
 # are 0-based contiguous — asserted below). Semantics:
 #  - rewire: within replica r, every supplier of order o rotates by
-#    (o % 7)·r mod n — per-order supplier-set SIZES are preserved
-#    (all lines of an order rotate together) but the co-occurrence
-#    EDGE SET differs per replica;
+#    (o % 7)·r mod n — all lines of an order rotate together, so an
+#    order UNTOUCHED by the hub override keeps its supplier-set size;
+#    for hub-hit orders the overridden line's supplier 0 can collide
+#    with a rotated sibling and the set may shrink by one (nothing
+#    downstream relies on size preservation — the point is that the
+#    co-occurrence EDGE SET differs per replica);
 #  - hub: ~1/13 of replica>0 lineitems override to GLOBAL supplier 0
 #    (replica 0's domain) — one supplier adjacent to every replica:
 #    a ~10× degree hub plus cross-replica links, the classic hot-key
@@ -154,11 +185,7 @@ def main():
     import os
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    off = {}
-    for dom, (tbl, c) in DOMAINS.items():
-        off[dom] = con.execute(
-            f"SELECT max({c}) + 1 FROM read_parquet('{SRC}/{tbl}.parquet')"
-        ).fetchone()[0]
+    off = domain_offsets(con, SRC, DOMAINS)
     validate_shifts(con, SRC, SHIFTS, off, R)
     # KEY_MUTATE's modular rotation assumes each mutated domain is
     # 0-based contiguous (every value in [0, max] exists)

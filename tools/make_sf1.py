@@ -24,7 +24,7 @@ Spark library. Output is written OUTSIDE the repo (default /tmp/sf1).
 import sys
 import duckdb
 
-from derive_common import validate_shifts
+from derive_common import domain_offsets, validate_shifts
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
@@ -61,11 +61,7 @@ def main():
     import os
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
-    off = {}
-    for dom, (tbl, c) in DOMAINS.items():
-        off[dom] = con.execute(
-            f"SELECT max({c}) + 1 FROM read_parquet('{SRC}/{tbl}.parquet')"
-        ).fetchone()[0]
+    off = domain_offsets(con, SRC, DOMAINS)
     # validate every shifted column's max against ITS OWN type before
     # writing anything (shared with make_organic.py)
     validate_shifts(con, SRC, SHIFTS, off, R)

@@ -37,6 +37,8 @@ Spark library. Output is written OUTSIDE the repo.
 import sys
 import duckdb
 
+from derive_common import TABLES
+
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_single"
 
@@ -51,8 +53,6 @@ FACTS = {
     "documents": "doc_id = 0",
     "embeddings": "vec_id = 0",
 }
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 
 def main():
