@@ -1746,6 +1746,11 @@ class OperatorsSpec extends SparkSpec {
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
     val big = emb.filter(col("vec_id") < 100) // > LiteralCodebookMax=64
     assert(Similarity.LiteralCodebookMax == 64)
+    // exact boundary: k = 64 stays literal (no broadcast), k = 65 flips
+    def hasBroadcast(k: Int): Boolean =
+      Similarity.centroidAssign(emb, emb.filter(col("vec_id") < k))
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    assert(!hasBroadcast(64) && hasBroadcast(65))
     val auto = Similarity.centroidAssign(emb, big)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1).toSeq

@@ -267,6 +267,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"PQ hash-shuffles:\n$p")
   }
 
+  test("s69/s70: the frame codebook is a 1-row broadcast — corpus scanned once, no hash shuffle before the argmax") {
+    // above LiteralCodebookMax the codebook rides a broadcast
+    // cross join (BroadcastNestedLoopJoin over the 1-row array frame)
+    // instead of a k-term literal tree; the corpus must still pay
+    // exactly ONE scan and never hash-shuffle for the assignment —
+    // the only exchanges are the codebook's single-row aggregate and
+    // the output orderBy (s69) / per-query top-k window (s70)
+    val p69 = plan("s69_centroid_assign_big")
+    assert(p69.contains("BroadcastNestedLoopJoin"),
+      s"s69 did not broadcast the codebook frame:\n$p69")
+    assert(!p69.contains("CartesianProduct"), s"s69 plans a cartesian:\n$p69")
+    val embScans69 = "embeddings\\.parquet".r.findAllIn(p69).size
+    assert(embScans69 <= 2, // corpus scan + the centroid-frame scan
+      s"s69 scans embeddings $embScans69 times:\n$p69")
+    val p70 = plan("s70_batch_knn_big")
+    assert(p70.contains("BroadcastNestedLoopJoin") &&
+      p70.contains("BroadcastHashJoin"),
+      s"s70 missing the codebook broadcast or the probe hash join:\n$p70")
+    assert(!p70.contains("CartesianProduct"), s"s70 plans a cartesian:\n$p70")
+  }
+
   test("d64: the winnow index is scan-stage work — both kernels per-row, no pre-sort shuffle") {
     // rolling k-gram hashes + deque selection are codegen'd
     // expressions; the only exchange the plan may contain is the
