@@ -216,6 +216,54 @@ object Bench {
     if (baselineCores <= 0 || sessionCores <= 0) 1.0
     else math.min(2.0, math.max(1.0, baselineCores / sessionCores))
 
+  /** Contention-normalized baseline RE-MINT (r17 verdict item 2, the
+    * host-never-recovers path): six consecutive sessions ran at
+    * 13.3-18.3 of 32 effective cores against norm baselines minted in
+    * the 19.9-core era, which parks the suspect detector's floor at
+    * ~3× (factor 1.5 × the 2×-clamped cores/ambient scale) — real
+    * 1.5-2.5× regressions are invisible for as long as the throttle
+    * lasts. When the deficit is SUSTAINED (the whole recorded
+    * cores_hist window, i.e. ≥3 sessions, each >5% below the
+    * baseline-minting era — the observed throttle runs 19.9 → 13.3-
+    * 18.3, i.e. 8-33%), the norm baselines are re-minted INTO the
+    * current era: each is scaled by the session's observed ambient
+    * lift (the median of session_norm/baseline over all non-failed
+    * queries — the same estimator the suspect channel trusts; the
+    * contention penalty is SUPER-linear in the core deficit, so the
+    * deficit is the qualifying EVIDENCE while the lift is the
+    * MEASUREMENT — a 10% core deficit has carried a 1.4× lift), and
+    * `baseline_cores` is reset to this session's measurement so the
+    * cores/ambient channels read ~1.0 from here on. The suspect
+    * threshold is back to ~1.5× at the NEXT session.
+    *
+    * Why this is safe: (a) a median over the whole catalogue cannot
+    * be dragged by the regressions it exists to expose; (b) the raw
+    * `min2` ratchet — the judge's round-over-round yardstick — is
+    * NOT touched; (c) the re-mint is idempotent (after one, the
+    * median lift is ~1.0, below the engage threshold); (d) a later
+    * HEALTHY session pulls every re-minted value back down through
+    * the ordinary min-merge and raises baseline_cores via max(), so
+    * nothing persists past the era that justified it. */
+  private[graft] def sustainedDeficit(coresHist: Seq[Double],
+      baselineCores: Double): Boolean =
+    coresHist.size >= 3 &&
+      coresHist.takeRight(3).forall(c => coresScale(baselineCores, c) > 1.05)
+
+  /** The observed ambient lift of this session vs the stored norm
+    * baselines: median over non-failed queries of session/baseline.
+    * Fewer than 8 aligned samples is not an estimate (the suspects()
+    * rule); clamped to [1, 3] — a re-mint never LOWERS a baseline
+    * (that is the min-ratchet's job) and never credits more than the
+    * worst plausible contention. */
+  private[graft] def remintLift(prior: Map[String, Double],
+      session: Map[String, Double], failed: Set[String]): Double = {
+    val ratios = session.collect { case (k, v)
+      if !failed.contains(k) && prior.get(k).exists(_ > 0) =>
+      v / prior(k) }.toSeq.sorted
+    if (ratios.size < 8) 1.0
+    else math.min(3.0, math.max(1.0, ratios((ratios.size - 1) / 2)))
+  }
+
   /** `coresHist` pairs positionally with each query's last history
     * entries (both newest-last, appended once per session); a query
     * whose window froze on a failed session can pair an entry with a
@@ -348,6 +396,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // harness opt-in for the nanos-generation events parquet (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // execution-time DPP even when exchange reuse misses under AQE
+      // (the r18 q76 finding — see TestSpark / Scale.q76DppPrune)
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up actions so the first measured queries don't
@@ -505,10 +556,32 @@ object Bench {
     val sessionMin2 = min2.toMap
     val mergedMin2 = mergeBaseline(
       prior.map(_.min2).getOrElse(Map.empty), sessionMin2, failed.toSet)
+    // contention-normalized RE-MINT (see sustainedDeficit/remintLift):
+    // under a sustained multi-session core deficit the stored norm
+    // baselines move INTO the current era before the merge, so the
+    // suspect detector's threshold returns to ~1.5× instead of the
+    // 2×-clamp floor. Ordering matters: the deficit test reads the
+    // PRE-re-mint baseline_cores (the era the baselines came from).
+    val healthyEraCores = 19.9
+    val coresHistPrior = prior.map(_.coresHist).getOrElse(Seq.empty)
+    val health = effectiveCores(cpus.toInt)
+    val coresHist = (coresHistPrior :+ health).takeRight(3)
+    val priorBaselineCores = math.max(health,
+      prior.map(_.baselineCores).filter(_ > 0).getOrElse(healthyEraCores))
+    val lift =
+      if (sustainedDeficit(coresHist, priorBaselineCores))
+        remintLift(priorMin2, sessionNorm, failed.toSet)
+      else 1.0
+    val reminted = lift > 1.05 // noise-level medians don't move baselines
+    val normPrior =
+      if (reminted) priorMin2.map { case (k, v) => k -> v * lift }
+      else priorMin2
+    if (reminted) System.err.println(
+      f"[bench] sustained core deficit (cores_hist ${coresHist.map(c => f"$c%.1f").mkString("/")} vs baseline era $priorBaselineCores%.1f) — re-minting norm baselines x$lift%.3f into the current era; baseline_cores := $health%.1f, suspect threshold returns to ~1.5x")
     // priorMin2 IS the normalized prior (min2_norm preferred, min2
     // fallback) — one selection rule, used by both the trigger above
     // and this merge
-    val mergedNorm = mergeBaseline(priorMin2, sessionNorm, failed.toSet)
+    val mergedNorm = mergeBaseline(normPrior, sessionNorm, failed.toSet)
     // persistent-elevation detection (see updateHistory/suspects): the
     // session-norm window accumulates across rounds in the record
     // itself; two consecutive elevated sessions flag, one does not
@@ -530,20 +603,18 @@ object Bench {
     // say whether a spike was throttle (second run recovered) or real
     val rerunJson = regressed.toSeq.sorted.map(jsonKey)
       .mkString("[", ",", "]")
-    val health = effectiveCores(cpus.toInt)
     // session effective-cores history (global, last ≤3, newest last —
     // pairs positionally with each query's norm_hist window) and the
     // running max across recorded sessions: the suspect threshold for
     // each history entry scales by that session's core deficit vs the
-    // healthiest baseline-minting era (see coresScale). Records
-    // predating the field seed baseline_cores from the documented
-    // healthy-era figure (NOTES r9 close: the 19.9-effective-core
-    // session that minted the bulk of the min ratchet).
-    val healthyEraCores = 19.9
-    val coresHist = (prior.map(_.coresHist).getOrElse(Seq.empty) :+ health)
-      .takeRight(3)
-    val baselineCores = math.max(health,
-      prior.map(_.baselineCores).filter(_ > 0).getOrElse(healthyEraCores))
+    // baseline-minting era (see coresScale). Records predating the
+    // field seed baseline_cores from the documented healthy-era
+    // figure (NOTES r9 close: the 19.9-effective-core session that
+    // minted the bulk of the min ratchet). A RE-MINT resets the era
+    // to this session's cores — the re-minted baselines ARE
+    // current-era values now, so measuring future deficits against
+    // the retired 19.9-core era would double-correct.
+    val baselineCores = if (reminted) health else priorBaselineCores
     val suspect = suspects(normHist, mergedNorm, failed.toSet,
       coresHist = coresHist, baselineCores = baselineCores)
     // per-query health record: probe wall-ms per measured run, plus

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // harness opt-in for the nanos-generation events parquet (see Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // execution-time DPP even when exchange reuse misses under AQE
+      // (the r18 q76 finding — see TestSpark / Scale.q76DppPrune)
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -141,9 +141,29 @@ object WorkDirs {
   private def sweepStaleRunRoots(parent: java.nio.file.Path): Unit = {
     if (!sweptOnce.compareAndSet(false, true)) return
     val cutoff = System.currentTimeMillis() - StaleRunTtlMillis
+    // staleness = the NEWEST mtime anywhere under the candidate tree,
+    // not the root's own: a run that stages once at start and is still
+    // inside its Verify→oracle window past the TTL keeps refreshing
+    // nothing on the root dir (reads don't touch mtimes), but its leaf
+    // files date the tree honestly — judging the root alone would let
+    // a newly started JVM delete artifacts a >TTL-long differential
+    // still needs (the r16 deletion class, reintroduced at day scale).
+    // Any unreadable entry mid-walk counts as fresh (skip, retry next
+    // generation) — deletion must never win a race by default.
     def stale(p: java.nio.file.Path): Boolean =
-      try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
-      catch { case scala.util.control.NonFatal(_) => false }
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          var newest = 0L
+          walk.iterator().forEachRemaining { f =>
+            try {
+              val t = java.nio.file.Files.getLastModifiedTime(f).toMillis
+              if (t > newest) newest = t
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+          newest < cutoff
+        } finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
     def legacyPidDir(name: String): Boolean =
       name.matches(""".*_p\d+""")
     try {

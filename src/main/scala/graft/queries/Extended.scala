@@ -686,6 +686,58 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s71 — multi-probe against the PARTITION-BY-CELL IVF layout
+    * (Similarity.buildIvfLayout + ivfMultiProbeTopKBatchOnLayout): the
+    * corpus is written `partitionBy(cell)` (each row's s69 argmax cell
+    * as a hive partition column), read back with the explicit schema,
+    * and probed with the operator's STATIC literal cell filter — the
+    * probed cells prune the layout scan at PLANNING time, so unprobed
+    * cells' files are never read (PlanAuditSpec pins the IN partition
+    * filter AND the partitions-read metric; OperatorsSpec pins
+    * hash-identity to the unpartitioned s70 path; the sparse %997
+    * query set keeps the probed fraction small so pruning is
+    * measurable, not just present — see the operator scaladoc for why
+    * static literals beat DPP on this shape). The oracle recomputes
+    * the assignment from the unpartitioned original — the layout must
+    * change the WORK, never the answer (the q76 rule, at the
+    * ANN-index level). */
+  val s71IvfPartitioned: Q = Q(
+    "s71_ivf_partitioned",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 997 = 7),
+       |cr AS (SELECT q.qid, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 2),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         JOIN q ON q.qid = p.qid
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
+       |rk AS (SELECT qid, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 256)
+    val layout = Similarity.buildIvfLayout(emb, cents,
+      graft.engine.WorkDirs.path("ivf_cells", dir))
+    Similarity.ivfMultiProbeTopKBatchOnLayout(layout, cents,
+        emb.filter(col("vec_id") % 997 === 7), k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -3696,5 +3748,5 @@ object Extended {
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
     t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank,
-    s69CentroidAssignBig, s70BatchKnnBig)
+    s69CentroidAssignBig, s70BatchKnnBig, s71IvfPartitioned)
 }

@@ -543,7 +543,21 @@ object Scale {
     * computes the same join from the unpartitioned original — pruning
     * must change the WORK, never the answer (the q43 bloom rule, at
     * the partition-layout level). PlanAuditSpec pins the
-    * `dynamicpruning` subquery in the executed scan. */
+    * `dynamicpruning` subquery in the executed scan AND its
+    * partitions-read metric.
+    *
+    * DEPLOYMENT NOTE (r18): under AQE, Spark's default
+    * `dynamicPartitionPruning.reuseBroadcastOnly=true` degrades this
+    * shape's filter to `dynamicpruningexpression(true)` — the plan
+    * text still says "dynamicpruning" but ALL partitions are read
+    * (the exchange-reuse lookup misses against the re-optimized build
+    * side). The harness sessions set `reuseBroadcastOnly=false` —
+    * the recommended conf wherever this engine's partitioned layouts
+    * are queried — which lets the benefit-qualified dim subquery run
+    * independently and restores execution-time pruning. Operators
+    * that KNOW their partition keys up front don't depend on the
+    * conf at all: Similarity.ivfMultiProbeTopKBatchOnLayout hands
+    * the planner static literals instead. */
   val q76DppPrune: Q = Q(
     "q76_dpp_prune",
     """WITH flags AS (

@@ -968,15 +968,25 @@ object StreamOps {
     * checkpoint, then TERMINATES ON ITS OWN — unlike
     * [[runToMemory]]'s `processAllAvailable`, a test-harness wait on
     * an otherwise-unbounded query. Returns the result table once the
-    * query has stopped itself. */
-  def runAvailableNow(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    * query has stopped itself. The wait is BOUNDED: a source that
+    * stalls mid-backfill (a file deleted between snapshot and read
+    * being retried forever) would otherwise block the caller
+    * indefinitely — on expiry the query is stopped and the failure
+    * carries its last reported status. */
+  def runAvailableNow(df: DataFrame, name: String, mode: OutputMode,
+      timeoutMs: Long = 600000L): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    if (!q.awaitTermination(timeoutMs)) {
+      val status = q.status
+      try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      throw new IllegalStateException(
+        s"AvailableNow query '$name' did not self-terminate within ${timeoutMs} ms; last status: $status")
+    }
     df.sparkSession.table(name)
   }
 }

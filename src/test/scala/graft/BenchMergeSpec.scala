@@ -334,6 +334,127 @@ class BenchMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("sustainedDeficit: engages only when the whole cores window sits >5% below the baseline era") {
+    // the observed throttle (r12-r18): sessions at 13.3-18.3 of the
+    // 19.9-core baseline era → engage
+    assert(Bench.sustainedDeficit(Seq(17.9, 13.3, 14.2), 19.9))
+    assert(Bench.sustainedDeficit(Seq(17.9, 13.3, 18.3), 19.9))
+    // one healthy entry inside the window breaks the streak (a
+    // recovering host must NOT get its baselines inflated)
+    assert(!Bench.sustainedDeficit(Seq(17.9, 19.5, 14.2), 19.9))
+    // fewer than 3 recorded sessions is not "sustained"
+    assert(!Bench.sustainedDeficit(Seq(13.3, 14.2), 19.9))
+    assert(!Bench.sustainedDeficit(Seq.empty, 19.9))
+    // jitter-level (<5%) deficit stays on the ordinary clamp path
+    assert(!Bench.sustainedDeficit(Seq(19.2, 19.0, 19.3), 19.9))
+  }
+
+  test("remintLift: catalogue median, outlier-immune, small-sample and clamp guards") {
+    val prior = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    // uniform 1.4× lift with two real-regression outliers: the median
+    // reads the ambient 1.4, not the outliers the re-mint must expose
+    val session = prior.map { case (k, _) =>
+      k -> (if (k == "q3" || k == "q7") 5.0 else 1.4) }
+    val l = Bench.remintLift(prior, session, Set.empty)
+    assert(math.abs(l - 1.4) < 1e-9, s"got $l")
+    // failed queries are excluded from the estimate
+    assert(math.abs(Bench.remintLift(prior,
+      session.updated("q3", 99.0), Set("q3", "q7")) - 1.4) < 1e-9)
+    // < 8 aligned samples is not an estimate → 1.0 (no re-mint)
+    assert(Bench.remintLift(prior.take(5), session.take(5), Set.empty) == 1.0)
+    // clamp: never deflates (min-ratchet's job), never credits > 3×
+    assert(Bench.remintLift(prior, prior.map { case (k, _) => k -> 0.5 },
+      Set.empty) == 1.0)
+    assert(Bench.remintLift(prior, prior.map { case (k, _) => k -> 9.0 },
+      Set.empty) == 3.0)
+  }
+
+  test("re-mint restores the ~1.5x suspect floor a sustained deficit parks at ~3x") {
+    // the r17 verdict scenario: baselines minted at 19.9 cores, six
+    // sessions at ~14 — a genuine 2.2× regression (two consecutive
+    // elevated entries) hides under the clamped threshold
+    // (1.5 × min(2, 19.9/14) = ~2.13... with ambient riding to the 2×
+    // clamp → floor 3×). After re-minting baselines ×1.4 into the
+    // current era and resetting baseline_cores to the session's, the
+    // same entries compare at 1.5 × reminted — and flag.
+    val base = (1 to 19).map(i => s"q$i" -> 1.0).toMap + ("slow" -> 1.0)
+    val hist = base.map { case (k, _) =>
+      k -> Seq(if (k == "slow") 2.2 else 1.4, if (k == "slow") 2.2 else 1.4) }
+    // BEFORE: deficit era, old baseline_cores → ambient (median 1.4,
+    // gated ON by the core deficit) and cores scale together put the
+    // threshold at 1.5 × max(1.42, 1.4) = ~2.13 < 2.2 — flags ONLY
+    // because 2.2 clears it; at 2.0 it would hide (the sensitivity
+    // floor the re-mint removes)
+    val borderline = base.map { case (k, _) =>
+      k -> Seq(if (k == "slow") 2.0 else 1.4, if (k == "slow") 2.0 else 1.4) }
+    assert(Bench.suspects(borderline, base, coresHist = Seq(14.0, 14.0),
+      baselineCores = 19.9).isEmpty, "2.0x hides under the deficit clamp")
+    // AFTER re-mint: baselines ×1.4 (the session median), cores era
+    // reset → scales 1.0, ambient ~1.0 → threshold 1.5 × 1.4 = 2.1;
+    // the same 2.2× entries NOW require only being genuine outliers
+    val lift = Bench.remintLift(base, base.map { case (k, _) =>
+      k -> (if (k == "slow") 2.2 else 1.4) }, Set.empty)
+    val reminted = base.map { case (k, v) => k -> v * lift }
+    assert(Bench.suspects(hist, reminted, coresHist = Seq(14.0, 14.0),
+      baselineCores = 14.0) == Seq("slow"))
+    // and the uniform-ambient queries do NOT flag against the
+    // re-minted baseline (no false-flag class reintroduced)
+    assert(Bench.suspects(borderline.map { case (k, v) =>
+        k -> v.map(x => if (k == "slow") 1.45 else x) },
+      reminted, coresHist = Seq(14.0, 14.0),
+      baselineCores = 14.0).isEmpty)
+  }
+
+  test("round-close rule: a driver bench run at <0.8x the builder's recorded cores is acknowledged in NOTES") {
+    // r17 verdict item 8: the driver's post-close BENCH_rN can land in
+    // a worse window than the builder's recorded run (r17: 13.3 vs
+    // 17.9 effective cores) — the two committed records then disagree
+    // on wall times for reasons that are neither regression nor fix.
+    // When the skew exceeds 20%, NOTES must carry a "driver cores
+    // skew" reconciliation line so the artifacts stay honestly
+    // reconciled round over round.
+    val dir = java.nio.file.Paths.get(".")
+    val benchRs = java.nio.file.Files.list(dir).iterator()
+    val rs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    try benchRs.forEachRemaining { p =>
+      if (p.getFileName.toString.matches("BENCH_r\\d+\\.json")) rs += p
+    } finally () // Files.list stream closed by GC; bounded listing
+    assume(rs.nonEmpty, "no committed driver bench record")
+    val newest = rs.maxBy(p =>
+      p.getFileName.toString.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+    val driverTxt = new String(java.nio.file.Files.readAllBytes(newest),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the driver record embeds the summary line in its `tail` as a
+    // JSON-ESCAPED string (quotes arrive as \"), so match both forms;
+    // the LAST effective_cores occurrence is the summary's (the full
+    // record line's comes first)
+    val cores = "\\\\?\"effective_cores\\\\?\":([0-9.]+)".r
+      .findAllMatchIn(driverTxt).map(_.group(1).toDouble).toSeq
+    assume(cores.nonEmpty, "driver record carries no effective_cores")
+    val driverCores = cores.last
+    val full = java.nio.file.Paths.get("BENCH_FULL.json")
+    assume(java.nio.file.Files.exists(full), "no committed bench record")
+    val hist = Bench.parseRecordNums(new String(
+      java.nio.file.Files.readAllBytes(full),
+      java.nio.charset.StandardCharsets.UTF_8), "cores_hist")
+    // the driver's run appends its own entry when it rewrites the
+    // record — the builder's recorded run is the entry before it
+    val builderCores = (if (hist.lastOption.contains(driverCores))
+      hist.dropRight(1).lastOption else hist.lastOption).getOrElse(0.0)
+    if (builderCores > 0 && driverCores < 0.8 * builderCores) {
+      val notesPath = java.nio.file.Paths.get("NOTES.md")
+      assert(java.nio.file.Files.exists(notesPath),
+        f"driver ran at $driverCores%.1f cores vs the builder's " +
+        f"$builderCores%.1f (<0.8x) but NOTES.md is absent")
+      val notes = new String(java.nio.file.Files.readAllBytes(notesPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(notes.contains("driver cores skew"),
+        f"driver's ${newest.getFileName} ran at $driverCores%.1f effective " +
+        f"cores vs the builder's recorded $builderCores%.1f (<0.8x) — add " +
+        "the `driver cores skew` reconciliation line to NOTES.md")
+    }
+  }
+
   test("the committed BENCH_FULL.json round-trips through parseRecord (emitter/parser drift guard)") {
     // the emitter (Bench.main's record line) and parseRecord live ~150
     // lines apart; a field rename in one silently returns empty maps

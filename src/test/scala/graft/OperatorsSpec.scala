@@ -1815,6 +1815,72 @@ class OperatorsSpec extends SparkSpec {
     assert(msg(e3).contains("query dim"), s"got: ${msg(e3)}")
   }
 
+  test("frame codebook: duplicate centroid ids and ragged dims fail loud IN-PLAN, matching the literal path's contract") {
+    // r17 advice: the frame path (k > LiteralCodebookMax) used to skip
+    // the duplicate-id check the literal collect enforces, silently
+    // tie-breaking assignment over a corrupt codebook, and derived
+    // `dim` from an arbitrary probe row so a ragged set NULL-ranked
+    // instead of erroring. Both contracts now hold on BOTH sides of
+    // the auto-selection boundary — enforced in the frame's single
+    // aggregated row (no driver collect).
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 8)
+    def msg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null &&
+        (c.getMessage == null || !c.getMessage.contains("centroid"))) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    val dup = cents.union(cents.limit(2))
+    val e1 = intercept[Throwable] {
+      Similarity.centroidAssignWith(Similarity.frameCodebookOf(dup), emb).collect()
+    }
+    assert(msg(e1).contains("centroid ids are not distinct"), s"got: ${msg(e1)}")
+    val ragged = cents.union(emb.filter(col("vec_id") === 20)
+      .select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"),
+        col("label")))
+    val e2 = intercept[Throwable] {
+      Similarity.centroidAssignWith(Similarity.frameCodebookOf(ragged), emb).collect()
+    }
+    assert(msg(e2).contains("centroid dims are not uniform"), s"got: ${msg(e2)}")
+    // the checks ride every frame consumer (one centsFrame seam), and
+    // a well-formed codebook still builds — the gate costs one 1-row
+    // expression, not a plan change
+    assert(Similarity.centroidAssignWith(
+      Similarity.frameCodebookOf(cents), emb).count() > 0L)
+  }
+
+  test("IVF layout: multi-probe against the partition-by-cell layout is hash-identical to the unpartitioned path") {
+    // the scaladoc claim the r17 verdict named as the last unproven
+    // piece of the ANN-at-100TB story: the layout must change the
+    // WORK (partition pruning — PlanAuditSpec pins the dynamicpruning
+    // filter on s71's executed scan), never the ANSWER.
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100) // > LiteralCodebookMax: frame path
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    val layout = graft.operators.Similarity.buildIvfLayout(emb, cents, tmp)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val onLayout = canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+      layout, cents, qs, k = 5, nProbe = 3))
+    val plain = canon(Similarity.ivfMultiProbeTopKBatch(
+      emb, cents, qs, k = 5, nProbe = 3))
+    assert(onLayout == plain && onLayout.nonEmpty)
+    // a literal-path codebook probes the same stored layout identically
+    val centsSmall = emb.filter(col("vec_id") < 8)
+    val layoutSmall = graft.operators.Similarity.buildIvfLayout(emb, centsSmall,
+      java.nio.file.Files.createTempDirectory("graft_ivf_layout_s").toString)
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+        layoutSmall, centsSmall, qs, k = 5, nProbe = 2)) ==
+      canon(Similarity.ivfMultiProbeTopKBatch(
+        emb, centsSmall, qs, k = 5, nProbe = 2)))
+    // batch contract: empty centroid set ⇒ empty frame, no throw
+    assert(Similarity.ivfMultiProbeTopKBatchOnLayout(
+      layout, emb.filter(col("vec_id") < 0), qs, k = 5, nProbe = 3).count() == 0L)
+  }
+
   test("bpe encode: counts match the hand-trained merge table exactly") {
     // same fixture as the training test: after 4 merges "the" and
     // "cat" are single symbols — 4 words, 4 symbols, 12 chars

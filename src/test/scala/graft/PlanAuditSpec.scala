@@ -102,12 +102,72 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window in the round plan:\n$p")
   }
 
-  test("q76: dynamic partition pruning reaches the partitioned fact scan") {
+  test("q76: dynamic partition pruning reaches the partitioned fact scan AND actually prunes") {
     val df = SparkEntry.queries("q76_dpp_prune")(spark, sfDir)
     df.collect() // DPP is injected at execution — audit the EXECUTED plan
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("dynamicpruning"),
       s"expected a dynamicpruning partition filter in the fact scan:\n$p")
+    // r18: for three rounds this pin matched the plan TEXT — which a
+    // DEGRADED `dynamicpruningexpression(true)` also satisfies, and
+    // under AQE's default reuse-only DPP that is exactly what this
+    // shape produced (256/256 partitions read). The harness sessions
+    // now set dynamicPartitionPruning.reuseBroadcastOnly=false (see
+    // TestSpark), which lets the benefit-qualified dim subquery run
+    // independently; the pin is on the partitions-read metric.
+    val scans = unwrapPlan(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.partitionFilters.exists(_.toString.contains("dynamicpruning")) => s
+    }
+    assert(scans.nonEmpty, s"no dynamically-pruned fact scan found:\n$p")
+    val read = scans.head.metrics.get("numPartitions").map(_.value)
+    // the dim keeps only the heaviest flag(s): 1, at most 2 on a tie
+    assert(read.exists(n => n > 0 && n <= 2),
+      s"DPP present but did not prune: read=$read of the 3 flag partitions\n$p")
+  }
+
+  /** Expand AQE wrappers/stages so scan nodes (and their metrics) are
+    * reachable — QueryStageExec children hide behind `.plan`. */
+  private def unwrapPlan(x: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = x match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => unwrapPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: unwrapPlan(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: unwrapPlan(r.child)
+    case o => o +: o.children.flatMap(unwrapPlan)
+  }
+
+  test("s71: the probe's literal cell filter prunes the partitioned IVF layout scan at planning time") {
+    // the r17 verdict's last unproven ANN-at-100TB claim: with the
+    // corpus stored partitionBy(cell), unprobed cells' files must
+    // never be read. The operator hands the planner the probed cells
+    // as a STATIC literal IN (the q76 isLikelySelective lesson taken
+    // to its conclusion — under AQE the reuse-only DPP path degrades
+    // to an unpruned scan on this probe shape; see the operator's
+    // scaladoc), so the pin is on the executed scan's partition
+    // filter AND its partitions-read metric, not on plan-text
+    // presence (the r18 lesson: `dynamicpruningexpression(true)` —
+    // a DEGRADED filter — also "contains dynamicpruning").
+    val df = SparkEntry.queries("s71_ivf_partitioned")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // no cartesian anywhere; the only nest-loop broadcast allowed is
+    // the probe ranking's 1-row codebook frame (the s69/s70 shape) —
+    // the LAYOUT side must join hash-partitioned on the cell
+    assert(!p.contains("CartesianProduct"), s"cartesian in the layout plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the probed-cells broadcast hash join on the partition column:\n$p")
+    val scans = unwrapPlan(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.partitionFilters.exists(_.toString.contains("cell")) &&
+          s.partitionFilters.exists(_.toString.contains(" IN ")) => s
+    }
+    assert(scans.nonEmpty, s"no statically-pruned layout scan found:\n$p")
+    // the sparse probe set (1-2 queries at this sf × nProbe=2) must
+    // reduce the partitions actually read to a handful of the ~200
+    // cells on disk
+    val read = scans.head.metrics.get("numPartitions").map(_.value)
+    assert(read.exists(n => n > 0 && n <= 8),
+      s"expected the probe set to prune the layout scan to a few cells, " +
+        s"read=$read of the on-disk cells\n$p")
   }
 
   test("g02: both windows stay key-partitioned; transition counts aggregate map-side") {

@@ -53,6 +53,10 @@ class PlanLintAdvisorySpec extends SparkSpec {
       // driver-side collect
       "s69_centroid_assign_big",
       "s70_batch_knn_big"
+      // s71 runs the same frame-codebook aggregate, but its probe
+      // frame is PINNED and materialized at construction (the cells
+      // collect) — the returned plan carries only the pin scan, so
+      // membership lives in the construction-time driver-action set
     )
     assert(users == reviewed,
       s"object-agg set drifted.\n+ ${(users -- reviewed).toSeq.sorted.mkString(", ")}\n- ${(reviewed -- users).toSeq.sorted.mkString(", ")}")
@@ -136,6 +140,12 @@ object DriverActionReviewed {
     // whole PQ family shares
     "s64_pq_train",
     "q76_dpp_prune", "q69_staged_roundtrip", "q43_bloom_join",
+    // s71 = q69/q76's materializing-roundtrip class at the ANN-index
+    // level: buildIvfLayout writes the partitionBy(cell) layout at
+    // construction ("save at Similarity.scala") so the DPP-pruned
+    // READ leg is the audited query, plus the family's bounded
+    // limit(65) codebook strategy probe
+    "s71_ivf_partitioned",
     "t67_token_budget", "t70_pack_sequences",
     // d70 = d49's connected-components loop (checkpoint class) feeding
     // the hash split

@@ -21,6 +21,14 @@ object TestSpark {
     // harness opt-in for the nanos-generation events parquet
     // (see Tables.events — the library never sets this itself)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // under AQE, the default reuse-ONLY dynamic-partition-pruning
+    // path degrades to `dynamicpruningexpression(true)` — an UNPRUNED
+    // scan — whenever the exchange-reuse lookup misses (r18 finding:
+    // q76 read 3/3 partitions for three rounds while its text pin
+    // "passed"). Letting the benefit-qualified subquery run
+    // independently restores execution-time pruning; the recommended
+    // deployment conf, documented at Scale.q76DppPrune.
+    .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
     .getOrCreate()
 }
 

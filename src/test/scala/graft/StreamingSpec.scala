@@ -931,6 +931,64 @@ class StreamingSpec extends SparkSpec {
     assert(v11 == Map(11L -> Some(1L)))
   }
 
+  test("checkpoint recovery: a stream killed mid-corpus restarts from the same checkpoint exactly-once (no dup, no gap) vs the batch twin") {
+    // r17 verdict item 4: the AvailableNow test above pins the
+    // TRIGGER path; this pins RESTART — the production recovery
+    // surface. The corpus is staged TWICE (64-file copy + 65-file
+    // copy: every event appears exactly twice), streamed through
+    // dropDuplicates(event_id) into an exactly-once FILE sink. Run 1
+    // is KILLED right after its first committed micro-batch — mid-
+    // backlog at maxFilesPerTrigger=16 over 129 files, possibly mid-
+    // flight in batch 2. Run 2 resumes from the same checkpoint and
+    // self-terminates. Exactly-once across the kill then means three
+    // recoveries at once: ids emitted before the kill must NOT
+    // re-emit when their second copy arrives after the restart
+    // (dedup STATE restored), no id may be lost (OFFSETS restored),
+    // and any batch interrupted in flight must not double its rows
+    // (sink files commit through the _spark_metadata log, which a
+    // batch read honors — uncommitted files are invisible).
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_restart")
+    val src = base.resolve("events").toString
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    ev.repartition(64).write.mode("append").parquet(src)
+    ev.repartition(65).write.mode("append").parquet(src)
+    // the dedup-to-one contract below needs unique ids in the twin
+    assert(ev.count() == ev.select("event_id").distinct.count())
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+      StreamOps.readEventStream(spark, src)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(trigger)
+        .start()
+    val q1 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val deadline = System.currentTimeMillis + 300000
+    while (q1.recentProgress.map(_.numInputRows).sum == 0 &&
+      System.currentTimeMillis < deadline) Thread.sleep(20)
+    q1.stop()
+    val run1 = q1.recentProgress.map(_.numInputRows).sum
+    assert(run1 > 0, "run 1 committed nothing before the kill")
+    val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q2.awaitTermination(300000), "restarted query did not self-terminate")
+    assert(q2.recentProgress.map(_.numInputRows).sum > 0,
+      "restart read nothing — the kill landed after the whole 129-file backlog")
+    // exactly-once: the sink equals the batch twin — no dup, no gap
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("ts").cast("long"), col("user_id"),
+          col("event_type"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val got = canon(spark.read.parquet(out))
+    val want = canon(ev)
+    assert(got.size == want.size,
+      s"exactly-once violated: sink has ${got.size} rows, twin ${want.size}")
+    assert(got == want)
+  }
+
   test("a co-tenant's cached DataFrame survives a dedup micro-batch with its storage level intact") {
     // dedupBatch must clean up ONLY the dedup operators' own pins
     // (graft.Caches.releaseAll) — the earlier session-wide
