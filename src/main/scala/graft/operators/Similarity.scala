@@ -176,7 +176,13 @@ object Similarity {
     * the driver, and the corpus still pays exactly one scan with zero
     * shuffle. Both paths share the dot kernel, fold order and the
     * (score DESC, centroid id ASC) tie rule, so they are bit-identical
-    * (OperatorsSpec pins literal-vs-frame equality op by op). */
+    * (OperatorsSpec pins literal-vs-frame equality op by op).
+    *
+    * The threshold is MEASURED, not just argued from codegen limits
+    * (DevCrossover, sf0.1 assignment wall time under both forced
+    * strategies; NOTES r18): literal wins 0.73-0.87× at k ≤ 64, the
+    * curves cross between 64 and 128 (1.27×), and the frame path wins
+    * 11.6× at nlist = 2000 — 64 sits at the measured crossover. */
   val LiteralCodebookMax = 64
 
   private val CentsCol = "graft_cents"

@@ -10,25 +10,37 @@ NONZERO hamming (d69: 729 pairs), but nothing exercised the DECISION
 BOUNDARY in Multimodal/d69 (patch-hamming <= 3): every perturbed pair
 sat well inside it. This tool derives a documents table where the
 perturbation AMPLITUDE is controlled: the 13 lowest-id source docs
-with >= 400 chars (no sf0.01 doc reaches the full 768-char patch
-range — max 553; beyond a doc's length the chain reads rpad spaces,
-where a "flip" would be lost — so flip positions stay in [1, 400]) each
-appear as 9 replicas, re-keyed doc_id = base*9 + r (r = 0..8) so the
-WHOLE sweep lands inside d69's absolute `doc_id < 120` slice — the
-catalogue query runs UNMODIFIED over it. Replica r applies flips at
-the first r positions of a fixed per-doc position sequence (nested
-prefixes), so a pair of replicas (r1 < r2) differs at EXACTLY r2-r1
-payload chars: pair amplitude = r2 - r1 in 1..8, read back from the
-ids alone (same base iff a//9 == b//9; amplitude = b%9 - a%9).
+with >= 440 chars each appear as 9 replicas, re-keyed
+doc_id = base*9 + r (r = 0..8) so the WHOLE sweep lands inside d69's
+absolute `doc_id < 120` slice — the catalogue query runs UNMODIFIED
+over it. Replica r applies r flips inside EACH of the four 8x8
+patches (nested-prefix positions, chosen in guaranteed-in-text
+subranges: patch rows 0-7 for the top patches, row 8 for the bottom
+two — no sf0.01 doc reaches the full 768-char range, and a "flip" in
+the rpad tail would be lost), so a pair of replicas (r1 < r2) differs
+at EXACTLY r2-r1 chars PER PATCH: pair amplitude = b%9 - a%9, read
+back from the ids alone (same base iff a//9 == b//9). Touching every
+patch matters — d69 matches when ANY region is within hamming 3, so
+an untouched patch would match at every amplitude and the boundary
+would never be exercised (the first cut of this tool spread flips
+doc-wide and measured 0 hamming everywhere: weak +-16 luma nudges
+never crossed a patch mean, and identical patches guaranteed
+matches).
 
-Each flip XORs bit 4 (+-16) of one payload char — strong enough to
-move patch luma across the aHash mean (the low-bit +-1 of the organic
-corpus almost never flips a hash bit, which is WHY organic pairs
-cluster at tiny hamming), control-char-safe (ASCII [32,126] maps into
-[32,127] under xor 16 — never NUL/newline), and length-preserving, so
-token/char-count oracles stay consistent. All mutation happens HERE in
-the derivation — both engines read the same stored bytes, the
-differential stays exact.
+Each flip REFLECTS one whole pixel — the 3 chars of an (R,G,B)
+triple map c -> 158 - c, an involution closed over printable ASCII
+[32,126]. The BT.601-style weights the hash uses sum to 256, so the
+pixel's quantized luma reflects (almost) exactly through 79: a pixel
+on either side of its patch mean lands on the other side unless it
+sat within a unit of the mean, so per-patch hamming tracks amplitude
+across the <=3 decision boundary. (Two weaker designs measured first:
+single-char xor-16 and +47 rotations moved luma +-5..27 against the
+text raster's ~+-40 space-vs-letter contrast and flipped at most ONE
+hash bit at amplitude 8 — aHash shrugging off sub-contrast noise is
+the operator working as designed, but it exercises no boundary.)
+Length is preserved, so token/char-count oracles stay consistent; all
+mutation happens HERE in the derivation — both engines read the same
+stored bytes, the differential stays exact.
 
 Other tables copy through unchanged (the d69/m76 oracles reference
 only documents; the copies keep the dir a complete Verify corpus).
@@ -62,19 +74,46 @@ N_BASE = 13
 N_REP = 9  # replicas r = 0..8 -> pair amplitudes 1..8
 
 
-def flip_expr(base_expr, doc_col, r):
-    """Nested-prefix flips: replica r xors bit 4 of the chars at
-    positions pos(doc, 1)..pos(doc, r) inside the first 400 payload
-    chars (guaranteed in-text; see module doc). pos(doc, i) =
-    1 + (doc*37 + i*97) % 400 — distinct per i for i <= 8 (97*i
-    spans distinct residues mod 400)."""
-    e = base_expr
-    for i in range(1, r + 1):
-        pos = f"(1 + ({doc_col} * 37 + {i} * 97) % 400)"
-        e = (f"(substr({e}, 1, {pos} - 1) || "
-             f"chr(xor(ascii(substr({e}, {pos}, 1)), 16)) || "
-             f"substr({e}, {pos} + 1))")
-    return e
+def patch_pixel_starts(rn, i):
+    """One PIXEL start position (3 chars) per patch for flip index i
+    of base doc rn, pixel-aligned inside that patch's raster span
+    (docs are >= 440 chars; bottom patches use raster row 8 only, so
+    every touched char is in-text). Distinct across i = 1..8 within
+    each patch (distinct row for the top patches, distinct cols for
+    the bottom). Text position of pixel (row y, col x) = 3*(16y+x)+1."""
+    return [
+        # patch (0,0): rows 0-7, cols 0-7
+        3 * (16 * ((rn + i) % 8) + ((rn * 7 + i * 5) % 8)) + 1,
+        # patch (0,1): rows 0-7, cols 8-15
+        3 * (16 * ((rn + 3 + i) % 8) + 8 + ((rn * 11 + i * 7) % 8)) + 1,
+        # patch (1,0): row 8, cols 0-7
+        3 * (128 + ((rn * 13 + i * 5) % 8)) + 1,
+        # patch (1,1): row 8, cols 8-15
+        3 * (136 + ((rn * 17 + i * 11) % 8)) + 1,
+    ]
+
+
+def flip_expr(rn, r):
+    """Single-pass segment rebuild of b.text with the 3 chars of ONE
+    pixel per patch per flip index reflected (c -> 158 - c) — a
+    sorted-position concatenation, NOT nested rewrites (the first cut
+    nested substr wraps that referenced the whole previous expression
+    twice per flip: exponential SQL text, 2^32 by replica 8)."""
+    starts = sorted({p for i in range(1, r + 1)
+                     for p in patch_pixel_starts(rn, i)})
+    if not starts:
+        return "b.text"
+    parts = []
+    prev = 1
+    for pos in starts:
+        parts.append(f"substr(b.text, {prev}, {pos - prev})")
+        for c in range(3):
+            parts.append(f"chr(158 - ascii(substr(b.text, {pos + c}, 1)))")
+        prev = pos + 3
+    parts.append(f"substr(b.text, {prev})")
+    # variadic concat, not a || chain: 130+ nested binary concats
+    # exceed DuckDB's binder recursion depth at replica 8
+    return "concat(" + ", ".join(parts) + ")"
 
 
 def derive(src, dst):
@@ -86,15 +125,16 @@ def derive(src, dst):
             con.execute(f"""COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))
                             TO '{dst}/{t}.parquet' (FORMAT PARQUET)""")
             continue
-        # the 13 lowest-id docs spanning the full patch range, re-keyed
-        # b = 0..12; every flip position is guaranteed in-range
+        # one leg per (base doc, replica) — 13 x 9 = 117 small SELECTs
+        # with concrete positions, keyed doc_id = rn*9 + r
         legs = []
-        for r in range(N_REP):
-            legs.append(f"""
-              SELECT CAST(b.rn * {N_REP} + {r} AS BIGINT) AS doc_id,
-                     {flip_expr("b.text", "b.rn", r)} AS text,
+        for rn in range(N_BASE):
+            for r in range(N_REP):
+                legs.append(f"""
+              SELECT CAST({rn * N_REP + r} AS BIGINT) AS doc_id,
+                     {flip_expr(rn, r)} AS text,
                      b.n_chars, b.lang, b.source
-              FROM base b""")
+              FROM base b WHERE b.rn = {rn}""")
         # the untouched remainder re-keys PAST the sweep block so no id
         # collides and d69's < 120 slice is exactly the sweep
         con.execute(f"""
@@ -102,7 +142,7 @@ def derive(src, dst):
             WITH src AS (SELECT * FROM read_parquet('{src}/documents.parquet')),
             base AS (
               SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rn, *
-              FROM src WHERE length(text) >= 400
+              FROM src WHERE length(text) >= 440
               ORDER BY doc_id LIMIT {N_BASE}),
             sweep AS ({' UNION ALL '.join(legs)})
             SELECT doc_id, text, n_chars, lang, source FROM sweep
