@@ -179,8 +179,8 @@ object Similarity {
     * (OperatorsSpec pins literal-vs-frame equality op by op).
     *
     * The threshold is MEASURED, not just argued from codegen limits
-    * (DevCrossover, sf0.1 assignment wall time under both forced
-    * strategies; NOTES r18): literal wins 0.73-0.87× at k ≤ 64, the
+    * (DevCrossover, sf0.1 assignment wall time, 2k vectors, under both
+    * forced strategies; NOTES r18): literal wins 0.73-0.87× at k ≤ 64, the
     * curves cross between 64 and 128 (1.27×), and the frame path wins
     * 11.6× at nlist = 2000 — 64 sits at the measured crossover. */
   val LiteralCodebookMax = 64
