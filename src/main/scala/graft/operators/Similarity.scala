@@ -568,15 +568,37 @@ object Similarity {
     * rule: a production layout is never schema-inferred, and the
     * partition column must come back `long`, not a parsed guess). */
   def buildIvfLayout(corpus: DataFrame, centroids: DataFrame,
-      path: String): DataFrame = {
+      path: String): DataFrame =
+    writeIvfLayout(corpus, centroids, path, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** APPEND a new vector batch to an existing IVF layout — the index
+    * MAINTENANCE half of [[buildIvfLayout]]'s lifecycle (a production
+    * embedding index is never rebuilt per ingest batch): each new
+    * vector is assigned its cell through the same codebook seam and
+    * written into that cell's partition directory in hive append
+    * mode, so EXISTING cells' files are untouched — maintenance cost
+    * is proportional to the BATCH, never the corpus (OperatorsSpec
+    * pins both: probe-over-appended-layout equals probe-over-bulk-
+    * built, and an untouched cell directory's file set is byte-listed
+    * unchanged across the append). Same argmax, same tie rule, so an
+    * incrementally-grown layout is indistinguishable from a bulk
+    * build over the union. */
+  def appendToIvfLayout(newVectors: DataFrame, centroids: DataFrame,
+      path: String): DataFrame =
+    writeIvfLayout(newVectors, centroids, path, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIvfLayout(vectors: DataFrame, centroids: DataFrame,
+      path: String, mode: org.apache.spark.sql.SaveMode): DataFrame = {
     val cb = codebook(centroids)
-    val assigned = cb.attach(corpus)
+    val assigned = cb.attach(vectors)
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
     assigned.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    corpus.sparkSession.read.schema(
+      .write.mode(mode).partitionBy("cell").parquet(path)
+    // a FRESH read after the write — reusing a pre-append frame would
+    // serve the stale file listing its index snapshotted
+    vectors.sparkSession.read.schema(
       org.apache.spark.sql.types.StructType(assigned.schema.fields))
       .parquet(path)
   }

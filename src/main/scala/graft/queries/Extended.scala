@@ -738,6 +738,58 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s72 — INCREMENTAL IVF index maintenance (Similarity.
+    * appendToIvfLayout): the layout is built from the even half of
+    * the corpus, the odd half arrives as a later ingest batch and is
+    * APPENDED (same codebook, cells written in hive append mode —
+    * existing cells' files untouched, cost ∝ the batch), and the
+    * probe runs against the incrementally-grown layout. The oracle
+    * recomputes assignment + probe over the WHOLE corpus at once:
+    * an incrementally-built index must be indistinguishable from a
+    * bulk build — if append re-assigned, dropped or duplicated
+    * vectors, the per-query top-k would differ. 100 cells: still the
+    * frame-codebook regime (> LiteralCodebookMax), but the fixture
+    * writes 2×100 partition dirs, not 2×256 — the nlist-scale story
+    * is s69-s71's; this query's is the APPEND semantics. */
+  val s72IvfAppend: Q = Q(
+    "s72_ivf_append",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 100),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 977 = 3),
+       |cr AS (SELECT q.qid, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         JOIN q ON q.qid = p.qid
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
+       |rk AS (SELECT qid, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 4
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val path = graft.engine.WorkDirs.path("ivf_cells_inc", dir)
+    Similarity.buildIvfLayout(emb.filter(col("vec_id") % 2 === 0), cents, path)
+    val layout = Similarity.appendToIvfLayout(
+      emb.filter(col("vec_id") % 2 === 1), cents, path)
+    Similarity.ivfMultiProbeTopKBatchOnLayout(layout, cents,
+        emb.filter(col("vec_id") % 977 === 3), k = 4, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -3748,5 +3800,5 @@ object Extended {
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
     t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank,
-    s69CentroidAssignBig, s70BatchKnnBig, s71IvfPartitioned)
+    s69CentroidAssignBig, s70BatchKnnBig, s71IvfPartitioned, s72IvfAppend)
 }

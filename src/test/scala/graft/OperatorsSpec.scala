@@ -1881,6 +1881,43 @@ class OperatorsSpec extends SparkSpec {
       layout, emb.filter(col("vec_id") < 0), qs, k = 5, nProbe = 3).count() == 0L)
   }
 
+  test("IVF layout append: an incrementally-grown index is indistinguishable from a bulk build, and untouched cells' files stay untouched") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    // bulk build over the whole corpus
+    val bulkDir = java.nio.file.Files.createTempDirectory("graft_ivf_bulk").toString
+    val bulk = Similarity.buildIvfLayout(emb, cents, bulkDir)
+    // incremental: even half built, odd half appended later
+    val incDir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    Similarity.buildIvfLayout(emb.filter(col("vec_id") % 2 === 0), cents, incDir)
+    // the maintenance contract: appending a batch must not rewrite
+    // existing cells — snapshot one populated cell dir's file listing
+    val cellDir = {
+      val ds = new java.io.File(incDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(ds.nonEmpty, s"no cell dirs written under $incDir")
+      ds.minBy(_.getName)
+    }
+    def files(d: java.io.File): Set[(String, Long)] =
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val before = files(cellDir)
+    val inc = Similarity.appendToIvfLayout(
+      emb.filter(col("vec_id") % 2 === 1), cents, incDir)
+    val after = files(cellDir)
+    assert(before.subsetOf(after) && before.nonEmpty,
+      s"append rewrote or removed pre-existing files in ${cellDir.getName}: " +
+        s"before=$before after=$after")
+    // ...and the probe over the grown index equals the bulk build's
+    val a = canon(Similarity.ivfMultiProbeTopKBatchOnLayout(inc, cents, qs, k = 5, nProbe = 3))
+    val b = canon(Similarity.ivfMultiProbeTopKBatchOnLayout(bulk, cents, qs, k = 5, nProbe = 3))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bpe encode: counts match the hand-trained merge table exactly") {
     // same fixture as the training test: after 4 merges "the" and
     // "cat" are single symbols — 4 words, 4 symbols, 12 chars

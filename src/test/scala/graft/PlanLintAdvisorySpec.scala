@@ -146,6 +146,10 @@ object DriverActionReviewed {
     // READ leg is the audited query, plus the family's bounded
     // limit(65) codebook strategy probe
     "s71_ivf_partitioned",
+    // s72 = the same class, twice: the bulk build AND the append
+    // batch both materialize at construction; the probe leg is the
+    // audited query
+    "s72_ivf_append",
     "t67_token_budget", "t70_pack_sequences",
     // d70 = d49's connected-components loop (checkpoint class) feeding
     // the hash split
