@@ -82,7 +82,7 @@ object Bench {
   private[graft] final case class PriorRecord(sf: String,
       min2: Map[String, Double], min2Norm: Map[String, Double],
       normHist: Map[String, Seq[Double]], coresHist: Seq[Double],
-      baselineCores: Double)
+      baselineCores: Double, normFloor: Map[String, Double])
 
   /** Extract a `"field":{"k":v,...}` flat map from a record line.
     * Field names are matched exactly (`"min2":{` does not match
@@ -137,17 +137,53 @@ object Bench {
       .map(m => unJsonStr(m.group(1))).map { sf =>
       PriorRecord(sf, parseRecordMap(txt, "min2"), parseRecordMap(txt, "min2_norm"),
         parseRecordHist(txt, "norm_hist"), parseRecordNums(txt, "cores_hist"),
-        parseRecordNum(txt, "baseline_cores"))
+        parseRecordNum(txt, "baseline_cores"), parseRecordMap(txt, "norm_floor"))
     }
 
+  /** Queries under this wall time get the tighter contention-credit
+    * cap (and the re-mint floor): the parallel probe is a ~10-40 ms
+    * workload, so on a query of comparable scale its stretch is
+    * sampling noise, not a contention measurement — extrapolating it
+    * minted the r18/r19 false-floor class (q14 0.153 vs raw 0.239,
+    * t72 0.727 vs raw 1.283: ~the 0.5 cap claimed in one lucky
+    * moment, then frozen by the min ratchet and flagged against
+    * every ordinary session after). */
+  private[graft] val SmallQuerySec = 2.0
+  private[graft] val SmallQueryCreditFloor = 0.8
+  /** The documented healthy re-mint window (startup check + floor
+    * release): at ≥25 of 32 effective cores a session's minima are
+    * trustworthy baselines again. */
+  private[graft] val HealthyCores = 25.0
+
   /** Parallel-probe normalization factor, CAPPED at a 2× correction:
-    * t_norm = t × max(0.5, best/probe). Uncapped, a ~4× probe outlier
-    * (committed records show them) scales a genuinely-regressed query
-    * under the 3× rerun threshold, letting its inflated first run
-    * enter the record unchecked — the cap bounds how much contention
-    * credit any single measurement can claim. */
-  private[graft] def normFactor(best: Double, probe: Double): Double =
-    if (probe <= 0 || best <= 0) 1.0 else math.max(0.5, best / probe)
+    * t_norm = t × max(floor, best/probe). Uncapped, a ~4× probe
+    * outlier (committed records show them) scales a genuinely-
+    * regressed query under the 3× rerun threshold, letting its
+    * inflated first run enter the record unchecked — the cap bounds
+    * how much contention credit any single measurement can claim.
+    * The floor is 0.5 for real queries and [[SmallQueryCreditFloor]]
+    * (0.8, i.e. ≤20% credit) for sub-[[SmallQuerySec]] walls, whose
+    * probe-scale noise otherwise mints false norm floors (r18
+    * verdict item 1's "probe-overhead-aware normalization"). */
+  private[graft] def normFactor(best: Double, probe: Double,
+      wallSec: Double = Double.MaxValue): Double = {
+    val floor = if (wallSec < SmallQuerySec) SmallQueryCreditFloor else 0.5
+    if (probe <= 0 || best <= 0) 1.0 else math.max(floor, best / probe)
+  }
+
+  /** Heal already-poisoned stored norm baselines to the invariant the
+    * wall-aware [[normFactor]] now maintains: a sub-2s query's
+    * normalized time is never below 0.8 × its wall time, so
+    * min-of-norms ≥ 0.8 × min-of-walls — any stored norm below
+    * 0.8 × the merged raw min2 was minted by the uncapped credit and
+    * is raised to that bound. Queries ≥ 2 s are untouched (their 0.5
+    * cap stands). */
+  private[graft] def healSmallNorms(norm: Map[String, Double],
+      rawMin2: Map[String, Double]): Map[String, Double] =
+    norm.map { case (k, v) =>
+      k -> rawMin2.get(k).filter(_ < SmallQuerySec)
+        .fold(v)(r => math.max(v, SmallQueryCreditFloor * r))
+    }
 
   /** MERGE-don't-overwrite baseline update — the r12 defect: a full
     * bench run inside a contended window unconditionally rewrote
@@ -256,13 +292,48 @@ object Bench {
     * (that is the min-ratchet's job) and never credits more than the
     * worst plausible contention. */
   private[graft] def remintLift(prior: Map[String, Double],
-      session: Map[String, Double], failed: Set[String]): Double = {
+      session: Map[String, Double], failed: Set[String],
+      maxLift: Double = 3.0): Double = {
     val ratios = session.collect { case (k, v)
       if !failed.contains(k) && prior.get(k).exists(_ > 0) =>
       v / prior(k) }.toSeq.sorted
     if (ratios.size < 8) 1.0
-    else math.min(3.0, math.max(1.0, ratios((ratios.size - 1) / 2)))
+    else math.min(maxLift, math.max(1.0, ratios((ratios.size - 1) / 2)))
   }
+
+  /** Evidence bound on the re-mint lift (r18 advice, medium): a >5%
+    * sustained deficit alone must not license inflating every norm
+    * baseline up to the 3× clamp — a genuine catalogue-wide
+    * regression landing during a MILD throttle would be absorbed as
+    * ambient and persist until a healthy session. Lifts above 1.5×
+    * require the deficit itself to exceed 15% (the contention penalty
+    * is super-linear: the observed 10% deficit carried a 1.4× lift,
+    * inside the 1.5 allowance; the r18 engage was ×1.315 at a ~38%
+    * deficit, far inside the 3× tier). */
+  private[graft] def remintMaxLift(baselineCores: Double,
+      coresHist: Seq[Double]): Double = {
+    val med = coresHist.sorted.drop((coresHist.size - 1) / 2).headOption
+    val deficit = med.map(c =>
+      if (c > 0 && baselineCores > 0) baselineCores / c else 1.0).getOrElse(1.0)
+    if (deficit > 1.15) 3.0 else 1.5
+  }
+
+  /** The persisted sub-2s re-mint FLOOR (r18 verdict item 1): after a
+    * re-mint lifts the norm baselines into the current era, the
+    * ordinary min-merge could re-establish an over-normalized false
+    * minimum one lucky probe moment later — the exact cycle that made
+    * q14/q39/t71/t72/d40 need per-round adjudications. The re-mint
+    * therefore records each sub-[[SmallQuerySec]] query's re-minted
+    * value as its floor; [[floorNorms]] keeps the merged norm baseline
+    * at or above it. A HEALTHY (≥[[HealthyCores]]) session clears the
+    * floors: at era parity with healthy minting, low minima are
+    * trustworthy again and the ordinary ratchet resumes. */
+  private[graft] def mintFloors(reminted: Map[String, Double]): Map[String, Double] =
+    reminted.filter { case (_, v) => v > 0 && v < SmallQuerySec }
+
+  private[graft] def floorNorms(norm: Map[String, Double],
+      floor: Map[String, Double]): Map[String, Double] =
+    norm.map { case (k, v) => k -> math.max(v, floor.getOrElse(k, 0.0)) }
 
   /** `coresHist` pairs positionally with each query's last history
     * entries (both newest-last, appended once per session); a query
@@ -518,7 +589,7 @@ object Bench {
     // the 3× threshold
     def normalized(name: String, t: Double): Double =
       parProbes1.get(name)
-        .map(p => t * normFactor(parBest1, p)).getOrElse(t)
+        .map(p => t * normFactor(parBest1, p, t)).getOrElse(t)
     val top8 = results.sortBy { case (n, t) => -normalized(n, t) }
       .take(8).map(_._1).toSet
     val regressed = results.collect {
@@ -543,9 +614,9 @@ object Bench {
     // ITS OWN parallel probe (capped), then min across runs — the
     // within-session healthy-window estimate of the query's true time
     val sessionNorm: Map[String, Double] = results.map { case (name, t1) =>
-      val c1 = t1 * normFactor(parProbeBest, parProbes1.getOrElse(name, 0.0))
+      val c1 = t1 * normFactor(parProbeBest, parProbes1.getOrElse(name, 0.0), t1)
       val c2 = t2s.get(name).map(t2 =>
-        t2 * normFactor(parProbeBest, parProbes2.getOrElse(name, 0.0)))
+        t2 * normFactor(parProbeBest, parProbes2.getOrElse(name, 0.0), t2))
       name -> c2.fold(c1)(math.min(c1, _))
     }.toMap
     // merged baselines (see mergeBaseline): `min2` and `min2_norm` in
@@ -570,7 +641,8 @@ object Bench {
       prior.map(_.baselineCores).filter(_ > 0).getOrElse(healthyEraCores))
     val lift =
       if (sustainedDeficit(coresHist, priorBaselineCores))
-        remintLift(priorMin2, sessionNorm, failed.toSet)
+        remintLift(priorMin2, sessionNorm, failed.toSet,
+          remintMaxLift(priorBaselineCores, coresHist))
       else 1.0
     val reminted = lift > 1.05 // noise-level medians don't move baselines
     val normPrior =
@@ -578,10 +650,23 @@ object Bench {
       else priorMin2
     if (reminted) System.err.println(
       f"[bench] sustained core deficit (cores_hist ${coresHist.map(c => f"$c%.1f").mkString("/")} vs baseline era $priorBaselineCores%.1f) — re-minting norm baselines x$lift%.3f into the current era; baseline_cores := $health%.1f, suspect threshold returns to ~1.5x")
+    // sub-2s floor lifecycle (see mintFloors/floorNorms): a healthy
+    // session clears the floors, a re-mint mints fresh ones from the
+    // re-minted values, otherwise the prior floors carry (session
+    // keys drive, like every other persisted map)
+    val normFloor: Map[String, Double] =
+      if (health >= HealthyCores) Map.empty
+      else if (reminted) mintFloors(normPrior)
+      else prior.map(_.normFloor).getOrElse(Map.empty)
+        .filter { case (k, _) => sessionNorm.contains(k) }
     // priorMin2 IS the normalized prior (min2_norm preferred, min2
     // fallback) — one selection rule, used by both the trigger above
-    // and this merge
-    val mergedNorm = mergeBaseline(normPrior, sessionNorm, failed.toSet)
+    // and this merge. The merge is floored at the last re-mint's
+    // sub-2s values and healed to the wall-aware credit bound
+    // (norm ≥ 0.8 × raw for sub-2s queries).
+    val mergedNorm = healSmallNorms(
+      floorNorms(mergeBaseline(normPrior, sessionNorm, failed.toSet), normFloor),
+      mergedMin2)
     // persistent-elevation detection (see updateHistory/suspects): the
     // session-norm window accumulates across rounds in the record
     // itself; two consecutive elevated sessions flag, one does not
@@ -631,7 +716,7 @@ object Bench {
     val suspectJson = suspect.map(jsonKey).mkString("[", ",", "]")
     val coresHistJson = coresHist.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"norm_hist":$histJson,"suspect":$suspectJson,"cores_hist":$coresHistJson,"baseline_cores":$baselineCores,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"min2":$m2,"min2_session":$m2Session,"min2_norm":$m2Norm,"norm_floor":${mapJson(normFloor)},"norm_hist":$histJson,"suspect":$suspectJson,"cores_hist":$coresHistJson,"baseline_cores":$baselineCores,"total_min2":$totalMin2,"total_min2_session":$totalMin2Session,"failed":$failedJson,"rerun_regressed":$rerunJson,"effective_cores":$health,"probe_best_ms":$probeBest,"probe_ms":${probeJson(probes1)},"probe_ms_rerun":${probeJson(probes2)},"par_probe_best_ms":$parProbeBest,"par_probe_ms":${probeJson(parProbes1)},"par_probe_ms_rerun":${probeJson(parProbes2)},"sf":${jsonStr(sfDir)}}"""
     println(line)
     // the short summary tail — printed LAST so the driver's 2000-char
     // stdout tail always captures a parseable record (see summaryJson)

@@ -135,9 +135,7 @@ object WorkDirs {
     * deletion by another sweeping JVM (failures are swallowed — the
     * next generation retries); the catches are NonFatal because
     * Files.walk/list traversal surfaces vanished entries as
-    * UncheckedIOException (a RuntimeException). Legacy `_p<pid>` dirs
-    * from the retired pid scheme age out under the same rule (they
-    * match no live writer anymore). */
+    * UncheckedIOException (a RuntimeException). */
   private def sweepStaleRunRoots(parent: java.nio.file.Path): Unit = {
     if (!sweptOnce.compareAndSet(false, true)) return
     val cutoff = System.currentTimeMillis() - StaleRunTtlMillis
@@ -148,8 +146,12 @@ object WorkDirs {
     // files date the tree honestly — judging the root alone would let
     // a newly started JVM delete artifacts a >TTL-long differential
     // still needs (the r16 deletion class, reintroduced at day scale).
-    // Any unreadable entry mid-walk counts as fresh (skip, retry next
-    // generation) — deletion must never win a race by default.
+    // Any unreadable entry mid-walk counts as fresh — it VETOES
+    // deletion of the whole tree (r18 advice: merely skipping it
+    // contributed age 0, so a live run whose file vanished between the
+    // listing and the stat could still be judged stale by its older
+    // siblings). Deletion must never win a race by default; the next
+    // generation retries.
     def stale(p: java.nio.file.Path): Boolean =
       try {
         val walk = java.nio.file.Files.walk(p)
@@ -159,20 +161,18 @@ object WorkDirs {
             try {
               val t = java.nio.file.Files.getLastModifiedTime(f).toMillis
               if (t > newest) newest = t
-            } catch { case scala.util.control.NonFatal(_) => () }
+            } catch { case scala.util.control.NonFatal(_) => newest = Long.MaxValue }
           }
           newest < cutoff
         } finally walk.close()
       } catch { case scala.util.control.NonFatal(_) => false }
-    def legacyPidDir(name: String): Boolean =
-      name.matches(""".*_p\d+""")
     try {
       val entries = java.nio.file.Files.list(parent)
       try {
         entries.iterator().forEachRemaining { p =>
           val name = p.getFileName.toString
           val ours = name.endsWith(s"_n$runNonce")
-          if (!ours && (RunDir.matches(name) || legacyPidDir(name)) && stale(p)) {
+          if (!ours && RunDir.matches(name) && stale(p)) {
             try {
               val walk = java.nio.file.Files.walk(p)
               try walk.sorted(java.util.Comparator.reverseOrder())

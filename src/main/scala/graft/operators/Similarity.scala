@@ -587,15 +587,76 @@ object Similarity {
       path: String): DataFrame =
     writeIvfLayout(newVectors, centroids, path, org.apache.spark.sql.SaveMode.Append)
 
+  /** Sidecar filename for the layout's codebook fingerprint. */
+  private val CodebookSidecar = "_graft_codebook"
+
+  /** Order-insensitive fingerprint of a centroid set: count + the sum
+    * of per-row xxhash64(cid, embedding), as one bounded 1-row
+    * aggregate (no driver collect of the codebook itself — the frame
+    * path's no-collect contract holds at any nlist; the sum rides a
+    * decimal so ANSI overflow cannot throw). Two centroid sets that
+    * differ in ANY id or component fingerprint apart. */
+  private def codebookFingerprint(centroids: DataFrame): String = {
+    val r = centroids
+      .select(col("vec_id").cast("long").as("cid"), col("embedding"))
+      .agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("cid"), col("embedding")).cast("decimal(38,0)")).as("h"))
+      .head()
+    s"${r.getLong(0)}:${Option(r.get(1)).getOrElse(0)}"
+  }
+
+  private def hadoopFs(df: DataFrame, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+
+  private def writeSidecar(df: DataFrame, path: String, fp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, CodebookSidecar)
+    val out = hadoopFs(df, p).create(p, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSidecar(df: DataFrame, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, CodebookSidecar)
+    val fs = hadoopFs(df, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
   private def writeIvfLayout(vectors: DataFrame, centroids: DataFrame,
       path: String, mode: org.apache.spark.sql.SaveMode): DataFrame = {
     val cb = codebook(centroids)
+    // same-codebook guard (r18 advice): appending through a DIFFERENT
+    // centroid set than the layout was built with writes rows into
+    // cells inconsistent with the stored partitioning — rows become
+    // unreachable or surface in wrong cells, and every equal-codebook
+    // test still passes. The build records the codebook's fingerprint
+    // as a sidecar; append recomputes and must match, loudly.
+    val fp = codebookFingerprint(centroids)
+    if (mode == org.apache.spark.sql.SaveMode.Append) {
+      val stored = readSidecar(vectors, path)
+      require(stored.nonEmpty,
+        s"layout at $path has no codebook sidecar — build it with buildIvfLayout before appending")
+      require(stored.contains(fp),
+        s"append codebook fingerprint $fp does not match the layout's ${stored.get} — " +
+        "an IVF layout can only be grown through the centroid set it was built with")
+    }
     val assigned = cb.attach(vectors)
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
     assigned.repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(path)
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      writeSidecar(vectors, path, fp)
     // a FRESH read after the write — reusing a pre-append frame would
     // serve the stale file listing its index snapshotted
     vectors.sparkSession.read.schema(
@@ -630,7 +691,34 @@ object Similarity {
     * centroid set returns an empty frame (the batch-entry
     * contract). */
   def ivfMultiProbeTopKBatchOnLayout(layout: DataFrame, centroids: DataFrame,
-      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame =
+    probeLayoutImpl(layout, centroids, queries, k, nProbe, _ => None)
+
+  /** [[ivfMultiProbeTopKBatchOnLayout]] against a BUCKET-GROUPED
+    * layout ([[buildIvfLayoutBucketed]]'s shape): the planner prunes
+    * on the probed cells' BUCKETS (static literal partition filter —
+    * a bounded directory count at any nlist), and the per-cell filter
+    * is PUSHED into the parquet scan as a data predicate, where the
+    * build's within-file sort-by-cell makes it a row-group stats skip
+    * inside each bucket. `buckets` must be the build-time value (the
+    * bucket of a cell is derived, not stored per probe). */
+  def ivfMultiProbeTopKBatchOnBucketedLayout(layout: DataFrame,
+      centroids: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    probeLayoutImpl(layout, centroids, queries, k, nProbe, cells =>
+      Some(col("cell_bucket").isin(
+        cells.map(c => java.lang.Math.floorMod(c, buckets.toLong)).distinct: _*)))
+  }
+
+  /** Shared layout-probe tail: rank probe cells, collect the
+    * request-bounded distinct cell set, prune the layout scan with
+    * STATIC literals (plus the variant's extra partition predicate),
+    * broadcast-join the per-(query, cell) probe frame, exact-dot
+    * top-k. */
+  private def probeLayoutImpl(layout: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int,
+      extraFilter: Seq[Long] => Option[Column]): DataFrame = {
     require(nProbe >= 1, s"nProbe $nProbe must be >= 1")
     codebookOpt(centroids) match {
       case None => emptyResult(queries, "query_id" -> "long", "rank" -> "long",
@@ -642,13 +730,119 @@ object Similarity {
         // (≤ nlist) — never by the corpus; the pin keeps the probe
         // ranking computed once across this collect and the join
         val cells = probed.select(col("cell")).distinct()
-          .collect().map(_.getLong(0)).sorted
+          .collect().map(_.getLong(0)).toSeq.sorted
         if (cells.isEmpty) // an empty QUERY batch probes nothing
           emptyResult(queries, "query_id" -> "long", "rank" -> "long",
             "neighbor_id" -> "long", "cell" -> "long", "score" -> "double")
-        else rankCandidates(
-          layout.filter(col("cell").isin(cells: _*))
-            .join(broadcast(probed), Seq("cell")), k)
+        else {
+          val base = layout.filter(col("cell").isin(cells: _*))
+          val pruned = extraFilter(cells).map(base.filter).getOrElse(base)
+          rankCandidates(pruned.join(broadcast(probed), Seq("cell")), k)
+        }
+    }
+  }
+
+  /** How many hive cell DIRECTORIES a per-cell layout may reasonably
+    * carry — the storage analog of [[LiteralCodebookMax]]: above this,
+    * one-directory-per-cell is a filesystem/catalog pathology (file
+    * listing, tiny files, metastore partition count) and the
+    * bucket-grouped layout is the right shape. Measured (NOTES r19,
+    * the DevCrossover method): at nlist 2k the per-cell layout's
+    * build already writes 2000 directories for a corpus that fits in
+    * a handful of files, and listing cost grows linearly with nlist
+    * while the bucketed build's directory count stays `buckets`;
+    * probe-side pruning is equivalent (partition prune on bucket +
+    * pushed row-group filter on cell vs partition prune on cell). */
+  val LayoutCellDirMax = 1000
+
+  /** Bucket-grouped IVF layout — the large-nlist storage regime
+    * ([[LayoutCellDirMax]]'s other side). Rows are partitioned on
+    * `cell_bucket = cell % buckets` (a BOUNDED directory count at any
+    * nlist), keep their exact `cell` as a data column, and are sorted
+    * by (bucket, cell) before the write so each written file's rows
+    * are cell-clustered — parquet row-group stats then make the
+    * probe's cell filter a skip, not a scan, inside each bucket
+    * (FileFormatWriter keeps the task order because the sort prefix
+    * is the partition column). Probe through
+    * [[ivfMultiProbeTopKBatchOnBucketedLayout]] with the same
+    * `buckets`. */
+  def buildIvfLayoutBucketed(corpus: DataFrame, centroids: DataFrame,
+      path: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    val cb = codebook(centroids)
+    val assigned = cb.attach(corpus)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.ComputeOnce.once(
+          cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
+      .withColumn("cell_bucket", pmod(col("cell"), lit(buckets.toLong)))
+    assigned.repartition(col("cell_bucket"))
+      .sortWithinPartitions(col("cell_bucket"), col("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell_bucket").parquet(path)
+    writeSidecar(corpus, path, codebookFingerprint(centroids))
+    corpus.sparkSession.read.schema(
+      org.apache.spark.sql.types.StructType(assigned.schema.fields))
+      .parquet(path)
+  }
+
+  /** COMPACT over-fragmented cells of a per-cell IVF layout — the
+    * third lifecycle leg after [[buildIvfLayout]] (bulk) and
+    * [[appendToIvfLayout]] (grow): every append writes ≥1 new file
+    * per touched cell, so after N ingest batches a hot cell is N
+    * small files and the probe's pruned scan pays N file opens even
+    * though pruning still holds. Cells holding more than
+    * `maxFilesPerCell` data files are rewritten as one file each;
+    * every other cell's directory is BYTE-UNTOUCHED (cost ∝
+    * fragmentation, never the corpus). The rewrite stages into a temp
+    * sibling dir and swaps per-cell directories — reading and
+    * overwriting the same path in one job is both disallowed by Spark
+    * and unsafe on failure, while the swap keeps each fragmented
+    * cell's old files whole until its own rename. Single-writer
+    * maintenance op, like append; probe results are hash-identical
+    * across a compaction (OperatorsSpec pins it). Returns the fresh
+    * post-compaction read. */
+  def compactIvfLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerCell: Int = 4): DataFrame = {
+    require(maxFilesPerCell >= 1,
+      s"maxFilesPerCell $maxFilesPerCell must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFileCount(dir: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(dir).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val frag = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(st => dataFileCount(st.getPath) > maxFilesPerCell)
+      .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
+    // the layout's read schema: data fields as written, partition
+    // column pinned LONG (the buildIvfLayout read rule — never a
+    // parsed guess)
+    val inferred = spark.read.parquet(path).schema
+    val schema = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cell")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    def readLayout() = spark.read.schema(schema).parquet(path)
+    if (frag.isEmpty) readLayout()
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(
+        root.getParent, root.getName + "_compact_tmp")
+      fs.delete(tmp, true)
+      readLayout().filter(col("cell").isin(frag: _*))
+        .repartition(col("cell"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("cell").parquet(tmp.toString)
+      frag.foreach { c =>
+        val src = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
+        val dst = new org.apache.hadoop.fs.Path(root, s"cell=$c")
+        require(fs.exists(src), s"compaction staged no data for cell=$c")
+        fs.delete(dst, true)
+        require(fs.rename(src, dst), s"compaction swap failed for cell=$c")
+      }
+      fs.delete(tmp, true)
+      readLayout()
     }
   }
 

@@ -790,6 +790,108 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s73 — IVF layout COMPACTION, the third lifecycle leg
+    * (Similarity.compactIvfLayout): the layout is built from one third
+    * of the corpus and grown by TWO append batches — so every touched
+    * cell holds up to three small files — then compacted
+    * (maxFilesPerCell = 1: every fragmented cell is rewritten as one
+    * file, untouched cells' directories byte-identical), and probed.
+    * The oracle recomputes assignment + probe over the WHOLE corpus
+    * at once: compaction must change the FILES, never the answer —
+    * same contract as s72's append leg, inverted (OperatorsSpec pins
+    * the file-listing halves: fragmented collapse, untouched
+    * unchanged). */
+  val s73IvfCompact: Q = Q(
+    "s73_ivf_compact",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 100),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 977 = 5),
+       |cr AS (SELECT q.qid, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         JOIN q ON q.qid = p.qid
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
+       |rk AS (SELECT qid, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 4
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val path = graft.engine.WorkDirs.path("ivf_cells_cpt", dir)
+    Similarity.buildIvfLayout(emb.filter(col("vec_id") % 3 === 0), cents, path)
+    Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 3 === 1), cents, path)
+    Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 3 === 2), cents, path)
+    val layout = Similarity.compactIvfLayout(s, path, maxFilesPerCell = 1)
+    Similarity.ivfMultiProbeTopKBatchOnLayout(layout, cents,
+        emb.filter(col("vec_id") % 977 === 5), k = 4, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s74 — BUCKET-GROUPED IVF layout, the large-nlist storage regime
+    * (Similarity.buildIvfLayoutBucketed +
+    * ivfMultiProbeTopKBatchOnBucketedLayout): 256 cells grouped into
+    * 16 bucket directories (cell_bucket = cell % 16 as the hive
+    * partition column, exact cell kept as a sorted DATA column), so
+    * the directory count is bounded at any nlist while the probe
+    * still prunes — partition prune on the probed cells' buckets +
+    * the cell filter PUSHED into the parquet scan where the
+    * within-file sort makes it a row-group skip (PlanAuditSpec pins
+    * both the bucket partition-filter metric and the pushed cell
+    * filter; OperatorsSpec pins hash-identity to the unpartitioned
+    * path). Oracle recomputes from the unpartitioned original —
+    * layout changes the WORK, never the answer. */
+  val s74IvfBucketed: Q = Q(
+    "s74_ivf_bucketed",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 997 = 13),
+       |cr AS (SELECT q.qid, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 2),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         JOIN q ON q.qid = p.qid
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
+       |rk AS (SELECT qid, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 256)
+    val layout = Similarity.buildIvfLayoutBucketed(emb, cents,
+      graft.engine.WorkDirs.path("ivf_buckets", dir), buckets = 16)
+    Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(layout, cents,
+        emb.filter(col("vec_id") % 997 === 13), k = 5, nProbe = 2,
+        buckets = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -3800,5 +3902,6 @@ object Extended {
     m77FrameSample, d73KmvSetOps, m78Resize, s64PqTrainStep, t96TemperatureMix,
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
     t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank,
-    s69CentroidAssignBig, s70BatchKnnBig, s71IvfPartitioned, s72IvfAppend)
+    s69CentroidAssignBig, s70BatchKnnBig, s71IvfPartitioned, s72IvfAppend,
+    s73IvfCompact, s74IvfBucketed)
 }

@@ -70,6 +70,77 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(Bench.normFactor(0.0, 10.0) == 1.0)
   }
 
+  // the sub-2s false-floor class (r18 verdict item 1): the parallel
+  // probe is a ~10-40 ms workload — on a query of comparable scale its
+  // stretch is sampling noise, and extrapolating it minted baselines
+  // like q14's 0.153 vs raw 0.239 that every ordinary session then
+  // "exceeded" by 1.7x
+  test("normFactor: sub-2s walls get at most 20% contention credit") {
+    // a 0.24 s query with a 1.6x probe outlier: the old 0.64 factor
+    // minted the q14-class false floor
+    assert(Bench.normFactor(10.0, 16.0, 0.24) == 0.8)
+    assert(Bench.normFactor(10.0, 40.0, 1.9) == 0.8)
+    // at >= 2 s the ordinary 0.5 cap stands
+    assert(Bench.normFactor(10.0, 40.0, 2.5) == 0.5)
+    // mild credit under the floor passes through
+    assert(Bench.normFactor(10.0, 11.0, 0.24) == 10.0 / 11.0)
+    // the 2-arg form (trigger paths without a wall) keeps the 0.5 cap
+    assert(Bench.normFactor(10.0, 40.0) == 0.5)
+  }
+
+  test("healSmallNorms raises poisoned sub-2s norm baselines to 0.8x raw; >=2s queries untouched") {
+    val norm = Map("q14" -> 0.153, "t71" -> 1.0, "big" -> 3.0, "ok" -> 0.95)
+    val raw = Map("q14" -> 0.239, "t71" -> 1.622, "big" -> 9.0, "ok" -> 1.0)
+    val h = Bench.healSmallNorms(norm, raw)
+    assert(math.abs(h("q14") - 0.8 * 0.239) < 1e-9)
+    assert(math.abs(h("t71") - 0.8 * 1.622) < 1e-9)
+    assert(h("big") == 3.0) // >= 2 s: the 0.5 cap stands
+    assert(h("ok") == 0.95) // already above the bound: untouched
+    // the r19 incident values self-clear against the healed baseline:
+    // q14's ordinary 0.26 s sessions are 1.36x of 0.1912, under 1.5
+    assert(Bench.suspects(Map("q14" -> Seq(0.261, 0.259)),
+      Map("q14" -> h("q14"))) == Seq.empty)
+  }
+
+  test("the re-mint floor stops the false-re-floor cycle; a regression above it still flags") {
+    // re-mint lifted the d40-class baseline into the current era;
+    // floors recorded for sub-2s queries only
+    val reminted = Map("d40" -> 0.504, "big" -> 4.0)
+    val floors = Bench.mintFloors(reminted)
+    assert(floors == Map("d40" -> 0.504))
+    // one lucky probe moment the next session: a 0.41 session norm
+    // would re-establish the false floor through the min merge — the
+    // floor holds it at the re-mint value
+    val merged = Bench.mergeBaseline(reminted,
+      Map("d40" -> 0.41, "big" -> 4.2), Set.empty)
+    val floored = Bench.floorNorms(merged, floors)
+    assert(floored("d40") == 0.504)
+    assert(floored("big") == 4.0)
+    // ordinary sessions do NOT flag against the floored baseline...
+    assert(Bench.suspects(Map("d40" -> Seq(0.70, 0.72)), floored) == Seq.empty)
+    // ...but a genuine regression above the floor still does
+    assert(Bench.suspects(Map("d40" -> Seq(1.1, 1.15)), floored) == Seq("d40"))
+  }
+
+  test("remintMaxLift: lifts above 1.5x need >15% deficit evidence (r18 advice)") {
+    assert(Bench.remintMaxLift(19.9, Seq(12.3, 14.0, 12.5)) == 3.0) // ~38% deficit
+    assert(Bench.remintMaxLift(19.9, Seq(18.3, 18.5, 18.6)) == 1.5) // ~8% deficit
+    assert(Bench.remintMaxLift(0.0, Seq(18.3)) == 1.5) // degenerate
+    assert(Bench.remintMaxLift(19.9, Seq.empty) == 1.5)
+    // and remintLift honors the bound: a uniform 2x "lift" during a
+    // mild throttle is absorbed at most 1.5x, leaving the excess
+    // visible to the suspect channel
+    val prior = (1 to 20).map(i => s"q$i" -> 1.0).toMap
+    val sess = prior.map { case (k, _) => k -> 2.0 }
+    assert(Bench.remintLift(prior, sess, Set.empty, maxLift = 1.5) == 1.5)
+  }
+
+  test("parseRecord reads norm_floor; absent field parses empty") {
+    val txt = """{"metric":"total","min2":{"a":1.0},"norm_floor":{"a":0.5},"sf":"x"}"""
+    assert(Bench.parseRecord(txt).get.normFloor == Map("a" -> 0.5))
+    assert(Bench.parseRecord(healthy).get.normFloor.isEmpty)
+  }
+
   test("parseRecordHist reads the map-of-arrays shape; absent field parses empty") {
     val txt = """{"norm_hist":{"a":[1.2,1.3],"b":[0.5]},"suspect":[],"sf":"x"}"""
     assert(Bench.parseRecordHist(txt, "norm_hist") ==
@@ -414,11 +485,11 @@ class BenchMergeSpec extends AnyFunSuite {
     // skew" reconciliation line so the artifacts stay honestly
     // reconciled round over round.
     val dir = java.nio.file.Paths.get(".")
-    val benchRs = java.nio.file.Files.list(dir).iterator()
+    val stream = java.nio.file.Files.list(dir)
     val rs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-    try benchRs.forEachRemaining { p =>
+    try stream.iterator().forEachRemaining { p =>
       if (p.getFileName.toString.matches("BENCH_r\\d+\\.json")) rs += p
-    } finally () // Files.list stream closed by GC; bounded listing
+    } finally stream.close()
     assume(rs.nonEmpty, "no committed driver bench record")
     val newest = rs.maxBy(p =>
       p.getFileName.toString.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
@@ -438,8 +509,12 @@ class BenchMergeSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(full),
       java.nio.charset.StandardCharsets.UTF_8), "cores_hist")
     // the driver's run appends its own entry when it rewrites the
-    // record — the builder's recorded run is the entry before it
-    val builderCores = (if (hist.lastOption.contains(driverCores))
+    // record — the builder's recorded run is the entry before it.
+    // Tolerance compare (r18 advice): the two files format the same
+    // Double independently; exact equality would misattribute the
+    // builder entry on any precision drift
+    val builderCores = (if (hist.lastOption.exists(h =>
+        math.abs(h - driverCores) < 1e-9))
       hist.dropRight(1).lastOption else hist.lastOption).getOrElse(0.0)
     if (builderCores > 0 && driverCores < 0.8 * builderCores) {
       val notesPath = java.nio.file.Paths.get("NOTES.md")

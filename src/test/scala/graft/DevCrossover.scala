@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions.col
   * collect + expression build for the literal form) is included in
   * the cell — at large k that cost is part of why the literal form
   * loses. Usage:
-  *   SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.DevCrossover /root/testdata/sf0.1"
+  *   SPARK_GRAFT_CPUS=32 sbt "Test/runMain graft.DevCrossover /root/testdata/sf0.1 [--json <path>]"
+  * `--json` additionally writes the table as a machine-readable
+  * artifact (r18 verdict item 8: the LiteralCodebookMax evidence
+  * should regenerate mechanically, not live only in NOTES prose).
   */
 object DevCrossover {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val jsonPath = args.sliding(2).collectFirst { case Array("--json", p) => p }
+    val plain = args.filterNot(_.startsWith("--"))
+      .filterNot(a => jsonPath.contains(a))
+    val sfDir = plain.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +39,7 @@ object DevCrossover {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
     println("| k | literal s (min2) | frame s (min2) | ratio lit/frame |")
     println("|---|---|---|---|")
     for (k <- Seq(16, 64, 128, 512, 2000)) {
@@ -44,6 +51,12 @@ object DevCrossover {
       val lit = run(Similarity.literalCodebookOf(cents))
       val frm = run(Similarity.frameCodebookOf(cents))
       println(f"| $k | $lit%.2f | $frm%.2f | ${lit / frm}%.2f |")
+      rows += f"""{"k":$k,"literal_s":$lit%.3f,"frame_s":$frm%.3f,"ratio":${lit / frm}%.3f}"""
+    }
+    jsonPath.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        rows.mkString(s"""{"corpus":"$sfDir","literal_codebook_max":${Similarity.LiteralCodebookMax},"rows":[""", ",", "]}\n"))
+      println(s"json written to $p")
     }
     spark.stop()
   }

@@ -45,11 +45,12 @@ class EmptySweepSpec extends SparkSpec {
     "s52_centroid_assign", "s56_pq_adc", "s57_ivfpq_topk", "s58_pq_rerank",
     "s60_multiprobe", "s61_kmeans_step", "s64_pq_train",
     "s69_centroid_assign_big",
-    // s71/s72 build (or grow) the partition-by-cell LAYOUT before
+    // s71-s74 build (or grow/compact/bucket) the cell LAYOUT before
     // probing it — an IVF layout with zero cells is the same caller
     // error as s52's assignment (the batch PROBE against an existing
     // layout keeps the empty⇒empty contract, OperatorsSpec pins it)
-    "s71_ivf_partitioned", "s72_ivf_append")
+    "s71_ivf_partitioned", "s72_ivf_append", "s73_ivf_compact",
+    "s74_ivf_bucketed")
 
   /** The grouping-on-empty divergence class — Spark-side shape is
     * 0 rows; the SQL oracle's shape is a grand-total summary. Members

@@ -1918,6 +1918,115 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("IVF layout append: a different centroid set than the build's is rejected loudly") {
+    // the r18 advice defect: appending through the wrong codebook
+    // writes rows into cells inconsistent with the stored partitioning
+    // — unreachable or wrong-cell rows — while every same-codebook
+    // test stays green. The build records a codebook fingerprint
+    // sidecar; append must match it.
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_fp").toString
+    Similarity.buildIvfLayout(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") < 16), dir)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 2 === 1),
+        emb.filter(col("vec_id") < 24), dir) // DIFFERENT centroid set
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    // the SAME centroid content through a different (equal) frame is fine
+    Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 2 === 1),
+      emb.filter(col("vec_id") <= 15), dir)
+    // appending into a dir that was never built (no sidecar) is loud too
+    val bare = java.nio.file.Files.createTempDirectory("graft_ivf_bare").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfLayout(emb.limit(4), emb.filter(col("vec_id") < 8), bare)
+    }
+    assert(e2.getMessage.contains("sidecar"), e2.getMessage)
+  }
+
+  test("IVF layout compaction: fragmented cells collapse, untouched cells byte-untouched, probe hash-identical") {
+    // the third lifecycle leg: after N appends a hot cell is N small
+    // files — compaction rewrites ONLY over-fragmented cells (cost ∝
+    // fragmentation) and must change the files, never the answer
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cpt").toString
+    Similarity.buildIvfLayout(emb.filter(col("vec_id") % 3 === 0), cents, dir)
+    Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 3 === 1), cents, dir)
+    val grown = Similarity.appendToIvfLayout(
+      emb.filter(col("vec_id") % 3 === 2), cents, dir)
+    val before = canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+      grown, cents, qs, k = 5, nProbe = 3))
+    def cellFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val filesBefore = cellFiles()
+    val frag = filesBefore.filter(_._2.size > 1).keySet
+    val untouched = filesBefore.keySet -- frag
+    assert(frag.nonEmpty, s"fixture built no fragmented cells: $filesBefore")
+    assert(untouched.nonEmpty, s"fixture left no single-file cells: $filesBefore")
+    val compacted = Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
+    val filesAfter = cellFiles()
+    // fragmented cells now hold exactly one data file each
+    for (c <- frag)
+      assert(filesAfter(c).size == 1, s"$c not compacted: ${filesAfter(c)}")
+    // untouched cells' listings are byte-identical (name + mtime)
+    for (c <- untouched)
+      assert(filesAfter(c) == filesBefore(c),
+        s"compaction touched $c: before=${filesBefore(c)} after=${filesAfter(c)}")
+    // and the probe is indistinguishable from the pre-compaction index
+    val after = canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+      compacted, cents, qs, k = 5, nProbe = 3))
+    assert(after == before && after.nonEmpty)
+    // idempotent: a second compaction finds nothing fragmented and
+    // leaves every listing alone
+    Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
+    assert(cellFiles() == filesAfter)
+  }
+
+  test("bucketed IVF layout: probe is hash-identical to the unpartitioned path on both codebook strategies") {
+    // the large-nlist storage regime (LayoutCellDirMax's other side):
+    // grouping cells into bucket directories must change the file
+    // layout, never the answer
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    // frame-path codebook (100 > LiteralCodebookMax), 8 buckets
+    val cents = emb.filter(col("vec_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_bkt").toString
+    val layout = Similarity.buildIvfLayoutBucketed(emb, cents, dir, buckets = 8)
+    // directory count is the BUCKET count, not the cell count
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_bucket=")).toSeq
+    assert(dirs.size <= 8 && dirs.nonEmpty, s"got ${dirs.map(_.getName)}")
+    val bucketed = canon(Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+      layout, cents, qs, k = 5, nProbe = 3, buckets = 8))
+    val plain = canon(Similarity.ivfMultiProbeTopKBatch(
+      emb, cents, qs, k = 5, nProbe = 3))
+    assert(bucketed == plain && bucketed.nonEmpty)
+    // literal-path codebook over the same stored shape
+    val centsSmall = emb.filter(col("vec_id") < 8)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_ivf_bkt_s").toString
+    val layoutS = Similarity.buildIvfLayoutBucketed(emb, centsSmall, dirS, buckets = 4)
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+        layoutS, centsSmall, qs, k = 5, nProbe = 2, buckets = 4)) ==
+      canon(Similarity.ivfMultiProbeTopKBatch(
+        emb, centsSmall, qs, k = 5, nProbe = 2)))
+    // batch contract: empty centroid set ⇒ empty frame, no throw
+    assert(Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+      layout, emb.filter(col("vec_id") < 0), qs, k = 5, nProbe = 3,
+      buckets = 8).count() == 0L)
+  }
+
   test("bpe encode: counts match the hand-trained merge table exactly") {
     // same fixture as the training test: after 4 merges "the" and
     // "cat" are single symbols — 4 words, 4 symbols, 12 chars

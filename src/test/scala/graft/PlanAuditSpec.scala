@@ -170,6 +170,42 @@ class PlanAuditSpec extends SparkSpec {
         s"read=$read of the on-disk cells\n$p")
   }
 
+  test("s74: the bucketed layout scan prunes on the probed buckets AND pushes the cell filter into the scan") {
+    // the large-nlist storage regime: partition dirs are BUCKETS
+    // (bounded at any nlist), so planning-time pruning moves to the
+    // bucket filter while the exact-cell predicate is pushed into the
+    // parquet scan where the build's within-file sort-by-cell makes
+    // it a row-group skip. Pins: static IN partition filter on
+    // cell_bucket + partitions-read metric, AND the cell filter
+    // present as a pushed data filter (not a post-scan Filter only).
+    val df = SparkEntry.queries("s74_ivf_bucketed")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in the bucketed plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the probed-cells broadcast hash join:\n$p")
+    val scans = unwrapPlan(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.partitionFilters.exists(f => f.toString.contains("cell_bucket") &&
+          f.toString.contains(" IN ")) => s
+    }
+    assert(scans.nonEmpty, s"no bucket-pruned layout scan found:\n$p")
+    val scan = scans.head
+    // the probe is sparse (1-2 queries × nProbe=2 → ≤4 cells): far
+    // fewer buckets read than the 16 on disk
+    val read = scan.metrics.get("numPartitions").map(_.value)
+    assert(read.exists(n => n > 0 && n <= 8),
+      s"expected the probed buckets to prune the scan, read=$read of 16 buckets\n$p")
+    // the exact-cell predicate reaches the scan as a data filter — a
+    // plan that only filtered post-scan would re-read every row of
+    // every probed bucket at scale
+    assert(scan.dataFilters.exists(f => f.toString.contains("cell") &&
+        f.toString.contains(" IN ")),
+      s"cell filter not pushed into the bucketed scan: ${scan.dataFilters}\n$p")
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("In(cell")),
+      s"cell IN not in PushedFilters: ${scan.metadata.get("PushedFilters")}\n$p")
+  }
+
   test("g02: both windows stay key-partitioned; transition counts aggregate map-side") {
     // the lag window must partition by user (sessionization shape) and
     // the out-total window by prev_type (constant-sized matrix frame) —

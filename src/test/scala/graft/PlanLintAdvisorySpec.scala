@@ -150,6 +150,13 @@ object DriverActionReviewed {
     // batch both materialize at construction; the probe leg is the
     // audited query
     "s72_ivf_append",
+    // s73 = the full lifecycle at construction (build + two appends +
+    // the compaction rewrite, each with the bounded 1-row codebook
+    // fingerprint aggregate); the probe leg is the audited query
+    "s73_ivf_compact",
+    // s74 = the bucketed-layout build at construction; probed cells
+    // collect is request-bounded like s71's
+    "s74_ivf_bucketed",
     "t67_token_budget", "t70_pack_sequences",
     // d70 = d49's connected-components loop (checkpoint class) feeding
     // the hash split

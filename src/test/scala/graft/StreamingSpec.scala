@@ -947,6 +947,16 @@ class StreamingSpec extends SparkSpec {
     // and any batch interrupted in flight must not double its rows
     // (sink files commit through the _spark_metadata log, which a
     // batch read honors — uncommitted files are invisible).
+    //
+    // r18 advice: the kill is made DETERMINISTIC by running run 1 on
+    // a one-hour ProcessingTime trigger — batch 0 fires immediately,
+    // batch 1 is an hour away, so run 1 commits exactly one
+    // micro-batch (16 of 129 files) on every host speed; the old
+    // ProcessingTime(0) run could drain the whole backlog between
+    // the first progress report and stop() on a fast host, failing
+    // the restart-read-something assertion flakily. (Mid-flight
+    // batch interruption atomicity is pinned separately by the
+    // foreachBatch replay test above.)
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt_restart")
     val src = base.resolve("events").toString
     val ev = graft.engine.Tables.events(spark, sfDir)
@@ -965,13 +975,17 @@ class StreamingSpec extends SparkSpec {
         .outputMode(OutputMode.Append())
         .trigger(trigger)
         .start()
-    val q1 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val q1 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(3600000L))
     val deadline = System.currentTimeMillis + 300000
     while (q1.recentProgress.map(_.numInputRows).sum == 0 &&
       System.currentTimeMillis < deadline) Thread.sleep(20)
     q1.stop()
     val run1 = q1.recentProgress.map(_.numInputRows).sum
     assert(run1 > 0, "run 1 committed nothing before the kill")
+    // the kill landed mid-backlog by construction: one 16-file batch
+    // of 129 staged files
+    assert(run1 < ev.count() * 2,
+      s"run 1 unexpectedly drained the whole backlog ($run1 rows)")
     val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     assert(q2.awaitTermination(300000), "restarted query did not self-terminate")
     assert(q2.recentProgress.map(_.numInputRows).sum > 0,
@@ -987,6 +1001,91 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == want.size,
       s"exactly-once violated: sink has ${got.size} rows, twin ${want.size}")
     assert(got == want)
+  }
+
+  test("checkpoint recovery: a windowed aggregation killed mid-backlog restores partial window state AND the watermark (late data dropped across the kill)") {
+    // r18 verdict item 5: the dropDuplicates restart pin above proves
+    // dedup state + offsets + sink atomicity; a windowed aggregation
+    // carries a DIFFERENT state-store shape — partial per-window
+    // aggregates and the PERSISTED WATERMARK. A partial sum lost or
+    // double-applied is invisible to a dedup test, and a lost
+    // watermark silently ACCEPTS late data the pre-kill run already
+    // sealed away. Construction:
+    //   batch 0 (the only batch run 1 commits — one-hour trigger, the
+    //   deterministic-kill device): 40 events in the 10:00 window +
+    //   one "clock" event at 12:30, staged as 16 files = exactly one
+    //   16-file micro-batch; after its commit the PERSISTED watermark
+    //   is 12:20. Run 1 EMITS nothing (batch 0 executed at watermark
+    //   0 — no window sealed): every sink row is post-restart work.
+    //   Run 2 (restart, AvailableNow): a 13:30 batch lands — planned
+    //   at the RESTORED 12:20 watermark, it seals and emits the
+    //   10:00 windows from restored partial state and advances the
+    //   watermark to 13:20.
+    //   Run 3 (second restart): one LATE event at 10:15 + a 23:00
+    //   flush sentinel. The late row is behind the restored 13:20
+    //   watermark and must be DROPPED (the progress metric pins it:
+    //   numRowsDroppedByWatermark ≥ 1); the sentinel pushes the
+    //   watermark past every real window so append mode flushes the
+    //   rest. The late row sits two batches behind the clock event
+    //   deliberately: Spark's late filter runs at the PREVIOUS
+    //   batch's watermark (eviction at the current one), so a late
+    //   row arriving in the very first post-advance batch is
+    //   legitimately merged — that one-batch grace is engine
+    //   semantics, not state loss, and this pin targets state loss.
+    // The sink must then equal the hand twin WITHOUT the late event
+    // and WITHOUT the sentinel's own (never-sealed) window: a LOST
+    // watermark admits the late row (a spurious 10:00 click of
+    // 1/5.0 after its window already sealed), a lost offset log
+    // re-reads or skips the 10:00 partials, lost aggregation state
+    // drops them entirely.
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_window")
+    val src = base.resolve("events").toString
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)],
+        files: Int): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(files).write.mode("append").parquet(src)
+    val w10 = (1L to 40L).map(i => (i, ts("2026-01-01 10:00:30"), i,
+      if (i % 2 == 0) "click" else "view", 1.0))
+    stage(w10 :+ ((100L, ts("2026-01-01 12:30:00"), 1L, "click", 2.0)),
+      files = 16)
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+      StreamOps.windowedCounts(StreamOps.readEventStream(spark, src))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(trigger).start()
+    val q1 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(3600000L))
+    val deadline = System.currentTimeMillis + 300000
+    while (q1.recentProgress.map(_.numInputRows).sum == 0 &&
+      System.currentTimeMillis < deadline) Thread.sleep(20)
+    q1.stop()
+    assert(q1.recentProgress.map(_.numInputRows).sum == 41,
+      "run 1 must commit exactly the one 16-file batch (41 rows)")
+    stage((300L to 309L).map(i =>
+      (i, ts("2026-01-01 13:30:00"), i, "view", 1.0)), 2)
+    val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q2.awaitTermination(300000), "restart 1 did not self-terminate")
+    stage(Seq((200L, ts("2026-01-01 10:15:00"), 9L, "click", 5.0)), 1) // late
+    stage(Seq((400L, ts("2026-01-01 23:00:00"), 1L, "flush", 0.0)), 1) // sentinel
+    val q3 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q3.awaitTermination(300000), "restart 2 did not self-terminate")
+    // the late row was dropped BY THE RESTORED WATERMARK, visibly
+    assert(q3.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum >= 1,
+      "expected the 10:15 row to be dropped by the restored watermark")
+    val got = spark.read.parquet(out)
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    val want = Seq(
+      ("2026-01-01 10:00:00", "click", 20L, 20.0),
+      ("2026-01-01 10:00:00", "view", 20L, 20.0),
+      ("2026-01-01 12:00:00", "click", 1L, 2.0),
+      ("2026-01-01 13:00:00", "view", 10L, 10.0))
+    assert(got == want, s"windowed restart diverged from the twin: $got")
   }
 
   test("a co-tenant's cached DataFrame survives a dedup micro-batch with its storage level intact") {
