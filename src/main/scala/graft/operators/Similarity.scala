@@ -605,19 +605,22 @@ object Similarity {
     s"${r.getLong(0)}:${Option(r.get(1)).getOrElse(0)}"
   }
 
-  private def hadoopFs(df: DataFrame, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def writeSidecar(df: DataFrame, path: String, fp: String): Unit = {
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, fp: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, CodebookSidecar)
-    val out = hadoopFs(df, p).create(p, true)
+    val out = hadoopFs(spark, p).create(p, true)
     try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def readSidecar(df: DataFrame, path: String): Option[String] = {
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(path, CodebookSidecar)
-    val fs = hadoopFs(df, p)
+    val fs = hadoopFs(spark, p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -631,6 +634,33 @@ object Similarity {
     }
   }
 
+  /** Sidecar content: the layout's partitioning SCHEME + the codebook
+    * fingerprint — `cells:<fp>` for the per-cell layout,
+    * `buckets=<B>:<fp>` for the bucket-grouped one. The scheme is as
+    * load-bearing as the fingerprint: hive-appending `cell=` rows
+    * into a `cell_bucket=` layout (or vice versa, or with a different
+    * bucket modulus) corrupts the layout exactly as silently as a
+    * wrong codebook — the fingerprint alone would pass. */
+  private def sidecarTag(scheme: String, fp: String) = s"$scheme:$fp"
+
+  /** Require the stored sidecar to match the expected scheme + the
+    * codebook fingerprint, with a loud, specific message per failure
+    * mode. */
+  private def requireSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, scheme: String, fp: String, op: String): Unit = {
+    val stored = readSidecar(spark, path)
+    require(stored.nonEmpty,
+      s"layout at $path has no codebook sidecar — build it with buildIvfLayout/" +
+      s"buildIvfLayoutBucketed before $op")
+    val Array(storedScheme, storedFp) = stored.get.split(":", 2)
+    require(storedScheme == scheme,
+      s"layout at $path is partitioned as '$storedScheme' but $op expects '$scheme' — " +
+      "use the matching build/append/compact variant")
+    require(storedFp == fp,
+      s"$op codebook fingerprint $fp does not match the layout's $storedFp — " +
+      "an IVF layout can only be grown through the centroid set it was built with")
+  }
+
   private def writeIvfLayout(vectors: DataFrame, centroids: DataFrame,
       path: String, mode: org.apache.spark.sql.SaveMode): DataFrame = {
     val cb = codebook(centroids)
@@ -638,17 +668,11 @@ object Similarity {
     // centroid set than the layout was built with writes rows into
     // cells inconsistent with the stored partitioning — rows become
     // unreachable or surface in wrong cells, and every equal-codebook
-    // test still passes. The build records the codebook's fingerprint
-    // as a sidecar; append recomputes and must match, loudly.
+    // test still passes. The build records scheme + fingerprint as a
+    // sidecar; append recomputes and must match both, loudly.
     val fp = codebookFingerprint(centroids)
-    if (mode == org.apache.spark.sql.SaveMode.Append) {
-      val stored = readSidecar(vectors, path)
-      require(stored.nonEmpty,
-        s"layout at $path has no codebook sidecar — build it with buildIvfLayout before appending")
-      require(stored.contains(fp),
-        s"append codebook fingerprint $fp does not match the layout's ${stored.get} — " +
-        "an IVF layout can only be grown through the centroid set it was built with")
-    }
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      requireSidecar(vectors.sparkSession, path, "cells", fp, "append")
     val assigned = cb.attach(vectors)
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(
@@ -656,7 +680,7 @@ object Similarity {
     assigned.repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(path)
     if (mode != org.apache.spark.sql.SaveMode.Append)
-      writeSidecar(vectors, path, fp)
+      writeSidecar(vectors.sparkSession, path, sidecarTag("cells", fp))
     // a FRESH read after the write — reusing a pre-append frame would
     // serve the stale file listing its index snapshotted
     vectors.sparkSession.read.schema(
@@ -767,30 +791,54 @@ object Similarity {
     * [[ivfMultiProbeTopKBatchOnBucketedLayout]] with the same
     * `buckets`. */
   def buildIvfLayoutBucketed(corpus: DataFrame, centroids: DataFrame,
-      path: String, buckets: Int): DataFrame = {
+      path: String, buckets: Int): DataFrame =
+    writeIvfLayoutBucketed(corpus, centroids, path, buckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** [[appendToIvfLayout]] for the bucket-grouped layout: the batch is
+    * assigned, bucketed and hive-appended into its buckets' partition
+    * directories — untouched buckets' files stay untouched, cost ∝
+    * the batch. The sidecar must match BOTH the codebook fingerprint
+    * and `buckets=<B>` — appending with a different modulus (or into
+    * a per-cell layout) would write rows no probe ever prunes to. */
+  def appendToIvfLayoutBucketed(newVectors: DataFrame, centroids: DataFrame,
+      path: String, buckets: Int): DataFrame =
+    writeIvfLayoutBucketed(newVectors, centroids, path, buckets,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIvfLayoutBucketed(vectors: DataFrame, centroids: DataFrame,
+      path: String, buckets: Int,
+      mode: org.apache.spark.sql.SaveMode): DataFrame = {
     require(buckets >= 1, s"buckets $buckets must be >= 1")
     val cb = codebook(centroids)
-    val assigned = cb.attach(corpus)
+    val fp = codebookFingerprint(centroids)
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      requireSidecar(vectors.sparkSession, path, s"buckets=$buckets", fp, "append")
+    val assigned = cb.attach(vectors)
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
       .withColumn("cell_bucket", pmod(col("cell"), lit(buckets.toLong)))
     assigned.repartition(col("cell_bucket"))
       .sortWithinPartitions(col("cell_bucket"), col("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("cell_bucket").parquet(path)
-    writeSidecar(corpus, path, codebookFingerprint(centroids))
-    corpus.sparkSession.read.schema(
+      .write.mode(mode).partitionBy("cell_bucket").parquet(path)
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      writeSidecar(vectors.sparkSession, path, sidecarTag(s"buckets=$buckets", fp))
+    vectors.sparkSession.read.schema(
       org.apache.spark.sql.types.StructType(assigned.schema.fields))
       .parquet(path)
   }
 
-  /** COMPACT over-fragmented cells of a per-cell IVF layout — the
-    * third lifecycle leg after [[buildIvfLayout]] (bulk) and
-    * [[appendToIvfLayout]] (grow): every append writes ≥1 new file
-    * per touched cell, so after N ingest batches a hot cell is N
-    * small files and the probe's pruned scan pays N file opens even
-    * though pruning still holds. Cells holding more than
+  /** COMPACT over-fragmented partitions of an IVF layout — the third
+    * lifecycle leg after build (bulk) and append (grow): every append
+    * writes ≥1 new file per touched partition, so after N ingest
+    * batches a hot partition is N small files and the probe's pruned
+    * scan pays N file opens even though pruning still holds. The
+    * sidecar's scheme selects the directory shape: `cell=` dirs for
+    * [[buildIvfLayout]]'s layout, `cell_bucket=` dirs for
+    * [[buildIvfLayoutBucketed]]'s (where the rewrite also restores
+    * the within-file sort-by-cell the probe's row-group skipping
+    * rests on). Partitions holding more than
     * `maxFilesPerCell` data files are rewritten as one file each;
     * every other cell's directory is BYTE-UNTOUCHED (cost ∝
     * fragmentation, never the corpus). The rewrite stages into a temp
@@ -805,6 +853,16 @@ object Similarity {
       path: String, maxFilesPerCell: Int = 4): DataFrame = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell $maxFilesPerCell must be >= 1")
+    // scheme-aware: the sidecar says whether partitions are cells or
+    // buckets — compacting the wrong directory shape would silently
+    // no-op (or worse, drop the bucketed build's within-file
+    // cell-sort, degrading every future probe's row-group skipping)
+    val stored = readSidecar(spark, path)
+    require(stored.nonEmpty,
+      s"layout at $path has no codebook sidecar — build it with buildIvfLayout/" +
+      "buildIvfLayoutBucketed before compacting")
+    val bucketed = stored.get.startsWith("buckets=")
+    val partCol = if (bucketed) "cell_bucket" else "cell"
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def dataFileCount(dir: org.apache.hadoop.fs.Path): Int =
@@ -813,15 +871,15 @@ object Similarity {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
     val frag = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
       .filter(st => dataFileCount(st.getPath) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix("cell=").toLong).sorted
+      .map(_.getPath.getName.stripPrefix(s"$partCol=").toLong).sorted
     // the layout's read schema: data fields as written, partition
     // column pinned LONG (the buildIvfLayout read rule — never a
     // parsed guess)
     val inferred = spark.read.parquet(path).schema
     val schema = org.apache.spark.sql.types.StructType(inferred.map(f =>
-      if (f.name == "cell")
+      if (f.name == partCol)
         f.copy(dataType = org.apache.spark.sql.types.LongType)
       else f))
     def readLayout() = spark.read.schema(schema).parquet(path)
@@ -830,16 +888,22 @@ object Similarity {
       val tmp = new org.apache.hadoop.fs.Path(
         root.getParent, root.getName + "_compact_tmp")
       fs.delete(tmp, true)
-      readLayout().filter(col("cell").isin(frag: _*))
-        .repartition(col("cell"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cell").parquet(tmp.toString)
+      val fragRows = readLayout().filter(col(partCol).isin(frag: _*))
+        .repartition(col(partCol))
+      // the bucketed build's probe contract includes the within-file
+      // sort by cell (row-group stats skipping) — the rewrite must
+      // preserve it
+      val staged =
+        if (bucketed) fragRows.sortWithinPartitions(col(partCol), col("cell"))
+        else fragRows
+      staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(partCol).parquet(tmp.toString)
       frag.foreach { c =>
-        val src = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
-        val dst = new org.apache.hadoop.fs.Path(root, s"cell=$c")
-        require(fs.exists(src), s"compaction staged no data for cell=$c")
+        val src = new org.apache.hadoop.fs.Path(tmp, s"$partCol=$c")
+        val dst = new org.apache.hadoop.fs.Path(root, s"$partCol=$c")
+        require(fs.exists(src), s"compaction staged no data for $partCol=$c")
         fs.delete(dst, true)
-        require(fs.rename(src, dst), s"compaction swap failed for cell=$c")
+        require(fs.rename(src, dst), s"compaction swap failed for $partCol=$c")
       }
       fs.delete(tmp, true)
       readLayout()

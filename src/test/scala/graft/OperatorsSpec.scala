@@ -2027,6 +2027,73 @@ class OperatorsSpec extends SparkSpec {
       buckets = 8).count() == 0L)
   }
 
+  test("bucketed IVF layout lifecycle: scheme-guarded append + compaction, grown == bulk, untouched buckets untouched") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_bktlc").toString
+    Similarity.buildIvfLayoutBucketed(
+      emb.filter(col("vec_id") % 2 === 0), cents, dir, buckets = 8)
+    // the scheme is load-bearing, not just the fingerprint: a per-cell
+    // append into a bucketed layout would write cell= dirs no bucketed
+    // probe ever prunes to — rejected loudly even with the RIGHT
+    // codebook
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 2 === 1), cents, dir)
+    }
+    assert(e.getMessage.contains("partitioned as"), e.getMessage)
+    // ...as is a bucketed append with a different modulus
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfLayoutBucketed(
+        emb.filter(col("vec_id") % 2 === 1), cents, dir, buckets = 4)
+    }
+    assert(e2.getMessage.contains("partitioned as"), e2.getMessage)
+    // untouched buckets' files survive a matching append byte-identical:
+    // append ONE vector — exactly one bucket is touched
+    def bucketFiles(): Map[String, Set[(String, Long)]] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell_bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    val before = bucketFiles()
+    val one = emb.filter(col("vec_id") === 1)
+    Similarity.appendToIvfLayoutBucketed(one, cents, dir, buckets = 8)
+    val afterOne = bucketFiles()
+    val touched = afterOne.filter { case (k, v) => before.get(k) != Some(v) }.keySet
+    assert(touched.size == 1, s"one-vector append touched $touched")
+    for ((k, v) <- before if !touched(k))
+      assert(afterOne(k) == v, s"append rewrote untouched bucket $k")
+    // grow the rest; the grown index probes identically to a bulk build
+    val grown = Similarity.appendToIvfLayoutBucketed(
+      emb.filter(col("vec_id") % 2 === 1 && col("vec_id") =!= 1), cents, dir,
+      buckets = 8)
+    val bulkDir = java.nio.file.Files.createTempDirectory("graft_ivf_bktblk").toString
+    val bulk = Similarity.buildIvfLayoutBucketed(emb, cents, bulkDir, buckets = 8)
+    val a = canon(Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+      grown, cents, qs, k = 5, nProbe = 3, buckets = 8))
+    assert(a == canon(Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+      bulk, cents, qs, k = 5, nProbe = 3, buckets = 8)) && a.nonEmpty)
+    // compaction is scheme-aware: the fragmented buckets (3 appends)
+    // collapse to one file each, probe unchanged
+    val fragBefore = bucketFiles()
+    assert(fragBefore.values.exists(_.size > 1), s"fixture not fragmented: $fragBefore")
+    val compacted = Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
+    val fragAfter = bucketFiles()
+    assert(fragAfter.values.forall(_.size == 1), s"not compacted: $fragAfter")
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+      compacted, cents, qs, k = 5, nProbe = 3, buckets = 8)) == a)
+    // compacting an unbuilt dir is loud
+    val bare = java.nio.file.Files.createTempDirectory("graft_ivf_nosc").toString
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.compactIvfLayout(spark, bare)
+    }
+    assert(e3.getMessage.contains("sidecar"), e3.getMessage)
+  }
+
   test("bpe encode: counts match the hand-trained merge table exactly") {
     // same fixture as the training test: after 4 merges "the" and
     // "cat" are single symbols — 4 words, 4 symbols, 12 chars
