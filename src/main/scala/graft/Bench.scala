@@ -328,8 +328,15 @@ object Bench {
     * at or above it. A HEALTHY (≥[[HealthyCores]]) session clears the
     * floors: at era parity with healthy minting, low minima are
     * trustworthy again and the ordinary ratchet resumes. */
-  private[graft] def mintFloors(reminted: Map[String, Double]): Map[String, Double] =
-    reminted.filter { case (_, v) => v > 0 && v < SmallQuerySec }
+  private[graft] def mintFloors(reminted: Map[String, Double],
+      rawMin2: Map[String, Double]): Map[String, Double] =
+    // sub-2s classification is by WALL time (the raw min2 ratchet),
+    // consistent with normFactor/healSmallNorms — classifying by the
+    // norm value would floor a 3.9s-wall query whose 0.5-capped norm
+    // sits at 1.95, disabling the min ratchet for a class the floor
+    // was never meant to touch
+    reminted.filter { case (k, v) =>
+      v > 0 && rawMin2.get(k).exists(_ < SmallQuerySec) }
 
   private[graft] def floorNorms(norm: Map[String, Double],
       floor: Map[String, Double]): Map[String, Double] =
@@ -656,7 +663,7 @@ object Bench {
     // keys drive, like every other persisted map)
     val normFloor: Map[String, Double] =
       if (health >= HealthyCores) Map.empty
-      else if (reminted) mintFloors(normPrior)
+      else if (reminted) mintFloors(normPrior, mergedMin2)
       else prior.map(_.normFloor).getOrElse(Map.empty)
         .filter { case (k, _) => sessionNorm.contains(k) }
     // priorMin2 IS the normalized prior (min2_norm preferred, min2

@@ -652,7 +652,12 @@ object Similarity {
     require(stored.nonEmpty,
       s"layout at $path has no codebook sidecar — build it with buildIvfLayout/" +
       s"buildIvfLayoutBucketed before $op")
-    val Array(storedScheme, storedFp) = stored.get.split(":", 2)
+    val parts = stored.get.split(":", 2)
+    // a crash mid-sidecar-write (or external truncation) must fail
+    // with guidance, not a MatchError
+    require(parts.length == 2,
+      s"layout sidecar at $path is corrupt ('${stored.get}') — rebuild the layout")
+    val Array(storedScheme, storedFp) = parts
     require(storedScheme == scheme,
       s"layout at $path is partitioned as '$storedScheme' but $op expects '$scheme' — " +
       "use the matching build/append/compact variant")
@@ -679,8 +684,24 @@ object Similarity {
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
     assigned.repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(path)
-    if (mode != org.apache.spark.sql.SaveMode.Append)
+    if (mode != org.apache.spark.sql.SaveMode.Append) {
       writeSidecar(vectors.sparkSession, path, sidecarTag("cells", fp))
+      // the regime guard that makes LayoutCellDirMax live (measured,
+      // DevLayoutRegime/NOTES r19): one-directory-per-cell past ~1000
+      // cells is a filesystem/catalog pathology — warn with the
+      // remedy rather than silently writing it. A warning, not a
+      // require: the build is CORRECT, just the wrong storage regime.
+      val dirs = hadoopFs(vectors.sparkSession,
+          new org.apache.hadoop.fs.Path(path))
+        .listStatus(new org.apache.hadoop.fs.Path(path))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      if (dirs > LayoutCellDirMax)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"IVF layout at $path has $dirs cell directories " +
+            s"(> LayoutCellDirMax=$LayoutCellDirMax) — at this nlist use " +
+            "buildIvfLayoutBucketed (measured: equivalent probe pruning, " +
+            "bounded directory count; see DevLayoutRegime)")
+    }
     // a FRESH read after the write — reusing a pre-append frame would
     // serve the stale file listing its index snapshotted
     vectors.sparkSession.read.schema(
@@ -730,6 +751,24 @@ object Similarity {
       centroids: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
       buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets $buckets must be >= 1")
+    // the WRONG modulus here is a silent wrong-answer (probed cell 13
+    // at build B=16 lives in cell_bucket=13; probing with B=8 keeps
+    // only bucket 5 and drops every candidate) — when the layout
+    // frame's file index reaches back to a sidecar-tracked root,
+    // validate the claimed modulus against the stored one. Bounded:
+    // one already-snapshotted leaf path + one tiny sidecar read.
+    layout.inputFiles.headOption.foreach { f =>
+      val root = new org.apache.hadoop.fs.Path(f).getParent.getParent
+      readSidecar(layout.sparkSession, root.toString).foreach { tag =>
+        if (tag.startsWith("buckets=")) {
+          val stored = tag.stripPrefix("buckets=").takeWhile(_ != ':')
+          require(stored == buckets.toString,
+            s"layout at $root was built with buckets=$stored but the probe " +
+            s"claims buckets=$buckets — a mismatched modulus silently prunes " +
+            "away partitions holding probed cells")
+        }
+      }
+    }
     probeLayoutImpl(layout, centroids, queries, k, nProbe, cells =>
       Some(col("cell_bucket").isin(
         cells.map(c => java.lang.Math.floorMod(c, buckets.toLong)).distinct: _*)))
@@ -776,7 +815,9 @@ object Similarity {
     * a handful of files, and listing cost grows linearly with nlist
     * while the bucketed build's directory count stays `buckets`;
     * probe-side pruning is equivalent (partition prune on bucket +
-    * pushed row-group filter on cell vs partition prune on cell). */
+    * pushed row-group filter on cell vs partition prune on cell).
+    * [[buildIvfLayout]] warns (with the bucketed remedy) when a build
+    * lands more cell directories than this. */
   val LayoutCellDirMax = 1000
 
   /** Bucket-grouped IVF layout — the large-nlist storage regime
@@ -845,10 +886,14 @@ object Similarity {
     * sibling dir and swaps per-cell directories — reading and
     * overwriting the same path in one job is both disallowed by Spark
     * and unsafe on failure, while the swap keeps each fragmented
-    * cell's old files whole until its own rename. Single-writer
-    * maintenance op, like append; probe results are hash-identical
-    * across a compaction (OperatorsSpec pins it). Returns the fresh
-    * post-compaction read. */
+    * cell's old files whole until its own rename; a crash INSIDE a
+    * swap (after delete(dst), before rename) is recovered on the next
+    * call — a committed staging dir's partitions with missing dsts
+    * are renamed in before the staging area is cleared, so the staged
+    * copy is never the one destroyed (OperatorsSpec pins the
+    * recovery). Single-writer maintenance op, like append; probe
+    * results are hash-identical across a compaction (OperatorsSpec
+    * pins it). Returns the fresh post-compaction read. */
   def compactIvfLayout(spark: org.apache.spark.sql.SparkSession,
       path: String, maxFilesPerCell: Int = 4): DataFrame = {
     require(maxFilesPerCell >= 1,
@@ -864,7 +909,32 @@ object Similarity {
     val bucketed = stored.get.startsWith("buckets=")
     val partCol = if (bucketed) "cell_bucket" else "cell"
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = hadoopFs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "_compact_tmp")
+    // CRASH RECOVERY before anything else: a previous compaction may
+    // have died between its delete(dst) and rename(src, dst) — the
+    // cell's only surviving copy is then the staged one, and blindly
+    // clearing tmp here would erase it forever (nothing would flag:
+    // the fragment listing just stops seeing the cell). Staging is
+    // complete iff its _SUCCESS marker committed (deletes only start
+    // after the staging write), so: with _SUCCESS, finish the swap
+    // for any staged partition whose dst is MISSING (dst present ⇒
+    // dst is authoritative — either the old files intact or the swap
+    // already done); without _SUCCESS the staging never finished and
+    // no dst was touched — safe to discard.
+    if (fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        fs.listStatus(tmp).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith(s"$partCol=") &&
+              !fs.exists(new org.apache.hadoop.fs.Path(root, n)))
+            require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n)),
+              s"crash-recovery swap failed for $n")
+        }
+      }
+      fs.delete(tmp, true)
+    }
     def dataFileCount(dir: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(dir).count { st =>
         val n = st.getPath.getName
@@ -885,9 +955,6 @@ object Similarity {
     def readLayout() = spark.read.schema(schema).parquet(path)
     if (frag.isEmpty) readLayout()
     else {
-      val tmp = new org.apache.hadoop.fs.Path(
-        root.getParent, root.getName + "_compact_tmp")
-      fs.delete(tmp, true)
       val fragRows = readLayout().filter(col(partCol).isin(frag: _*))
         .repartition(col(partCol))
       // the bucketed build's probe contract includes the within-file

@@ -104,9 +104,12 @@ class BenchMergeSpec extends AnyFunSuite {
 
   test("the re-mint floor stops the false-re-floor cycle; a regression above it still flags") {
     // re-mint lifted the d40-class baseline into the current era;
-    // floors recorded for sub-2s queries only
-    val reminted = Map("d40" -> 0.504, "big" -> 4.0)
-    val floors = Bench.mintFloors(reminted)
+    // floors recorded for sub-2s-WALL queries only (classified by the
+    // raw min2 ratchet, never the norm value — a 3.9s-wall query's
+    // 0.5-capped 1.95 norm must NOT get a floor)
+    val reminted = Map("d40" -> 0.504, "big" -> 4.0, "capped39" -> 1.95)
+    val raw = Map("d40" -> 0.577, "big" -> 9.0, "capped39" -> 3.9)
+    val floors = Bench.mintFloors(reminted, raw)
     assert(floors == Map("d40" -> 0.504))
     // one lucky probe moment the next session: a 0.41 session norm
     // would re-establish the false floor through the min merge — the

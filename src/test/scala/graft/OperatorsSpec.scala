@@ -1850,6 +1850,12 @@ class OperatorsSpec extends SparkSpec {
       Similarity.frameCodebookOf(cents), emb).count() > 0L)
   }
 
+  /** Canonical probe-result rows (query_id, rank, neighbor_id, cell,
+    * score) — one comparator for every layout-vs-recompute pin. */
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+
   test("IVF layout: multi-probe against the partition-by-cell layout is hash-identical to the unpartitioned path") {
     // the scaladoc claim the r17 verdict named as the last unproven
     // piece of the ANN-at-100TB story: the layout must change the
@@ -1860,9 +1866,6 @@ class OperatorsSpec extends SparkSpec {
     val qs = emb.filter(col("vec_id") % 100 === 1)
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
     val layout = graft.operators.Similarity.buildIvfLayout(emb, cents, tmp)
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
     val onLayout = canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
       layout, cents, qs, k = 5, nProbe = 3))
     val plain = canon(Similarity.ivfMultiProbeTopKBatch(
@@ -1885,9 +1888,6 @@ class OperatorsSpec extends SparkSpec {
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
     val cents = emb.filter(col("vec_id") < 100)
     val qs = emb.filter(col("vec_id") % 100 === 1)
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
     // bulk build over the whole corpus
     val bulkDir = java.nio.file.Files.createTempDirectory("graft_ivf_bulk").toString
     val bulk = Similarity.buildIvfLayout(emb, cents, bulkDir)
@@ -1951,9 +1951,6 @@ class OperatorsSpec extends SparkSpec {
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
     val cents = emb.filter(col("vec_id") < 100)
     val qs = emb.filter(col("vec_id") % 100 === 1)
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cpt").toString
     Similarity.buildIvfLayout(emb.filter(col("vec_id") % 3 === 0), cents, dir)
     Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 3 === 1), cents, dir)
@@ -1997,9 +1994,6 @@ class OperatorsSpec extends SparkSpec {
     // layout, never the answer
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
     val qs = emb.filter(col("vec_id") % 100 === 1)
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
     // frame-path codebook (100 > LiteralCodebookMax), 8 buckets
     val cents = emb.filter(col("vec_id") < 100)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_bkt").toString
@@ -2031,9 +2025,6 @@ class OperatorsSpec extends SparkSpec {
     val emb = graft.engine.Tables.embeddings(spark, sfDir)
     val cents = emb.filter(col("vec_id") < 100)
     val qs = emb.filter(col("vec_id") % 100 === 1)
-    def canon(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_bktlc").toString
     Similarity.buildIvfLayoutBucketed(
       emb.filter(col("vec_id") % 2 === 0), cents, dir, buckets = 8)
@@ -2092,6 +2083,56 @@ class OperatorsSpec extends SparkSpec {
       Similarity.compactIvfLayout(spark, bare)
     }
     assert(e3.getMessage.contains("sidecar"), e3.getMessage)
+    // a probe with the WRONG modulus is a silent wrong answer
+    // (probed cell 13 lives in cell_bucket=13 at B=16; floorMod(13,8)
+    // keeps only bucket 5) — rejected against the sidecar
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+        compacted, cents, qs, k = 5, nProbe = 3, buckets = 4)
+    }
+    assert(e4.getMessage.contains("buckets=8"), e4.getMessage)
+  }
+
+  test("IVF compaction crash recovery: a staged cell whose swap was interrupted is restored, not destroyed") {
+    // the crash window: a previous compaction died AFTER delete(dst)
+    // and BEFORE rename(src, dst) — the cell's only copy lives in the
+    // committed staging dir. A naive rerun clears tmp first and the
+    // cell vanishes with nothing flagging (the fragment listing just
+    // stops seeing it). The recovery contract: a committed staging
+    // dir's partitions with missing dsts are renamed IN before the
+    // staging area is cleared.
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash").toString
+    val built = Similarity.buildIvfLayout(emb, cents, dir)
+    val expect = canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+      built, cents, qs, k = 5, nProbe = 3))
+    // simulate the mid-swap crash state: move one populated cell dir
+    // into a committed staging area (tmp with _SUCCESS), dst missing
+    val root = new java.io.File(dir)
+    val cell = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).minBy(_.getName)
+    val tmp = new java.io.File(root.getParent, root.getName + "_compact_tmp")
+    assert(tmp.mkdirs())
+    assert(new java.io.File(tmp, "_SUCCESS").createNewFile())
+    val staged = new java.io.File(tmp, cell.getName)
+    assert(cell.renameTo(staged), s"fixture move failed for ${cell.getName}")
+    // the rerun must recover the cell before doing anything else
+    val recovered = Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
+    assert(new java.io.File(root, cell.getName).exists(), "cell not restored")
+    assert(!tmp.exists(), "staging area not cleared after recovery")
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+      recovered, cents, qs, k = 5, nProbe = 3)) == expect)
+    // an UNcommitted staging dir (no _SUCCESS: the crash was mid-write,
+    // no dst was ever deleted) is discarded, never renamed in
+    val tmp2 = new java.io.File(root.getParent, root.getName + "_compact_tmp")
+    assert(tmp2.mkdirs())
+    val junk = new java.io.File(tmp2, "cell=999999")
+    assert(junk.mkdirs())
+    Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
+    assert(!tmp2.exists() && !new java.io.File(root, "cell=999999").exists(),
+      "uncommitted staging must be discarded, not swapped in")
   }
 
   test("bpe encode: counts match the hand-trained merge table exactly") {
