@@ -892,6 +892,58 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s75 — the BUCKETED layout's full maintenance lifecycle
+    * (build → append → compact → probe), the bucketed twin of s73:
+    * 256 cells (frame-codebook regime) grouped into 16 bucket
+    * directories, grown by appending the odd half
+    * (appendToIvfLayoutBucketed — scheme + modulus + fingerprint all
+    * sidecar-checked), compacted (the rewrite restores the
+    * within-file cell sort the probe's row-group skipping rests on),
+    * probed through the bucket-pruned path. Oracle recomputes
+    * assignment + probe over the whole corpus at once — grow and
+    * compact must change files, never answers. */
+  val s75IvfBucketedInc: Q = Q(
+    "s75_ivf_bucketed_inc",
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 991 = 9),
+       |cr AS (SELECT q.qid, c.centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
+       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
+       |         FROM embeddings e
+       |         JOIN asg a USING (vec_id)
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         JOIN q ON q.qid = p.qid
+       |         WHERE e.vec_id <> q.qid),
+       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
+       |rk AS (SELECT qid, vec_id, cell, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
+       |FROM rk WHERE rank <= 4
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 256)
+    val path = graft.engine.WorkDirs.path("ivf_buckets_inc", dir)
+    Similarity.buildIvfLayoutBucketed(
+      emb.filter(col("vec_id") % 2 === 0), cents, path, buckets = 16)
+    Similarity.appendToIvfLayoutBucketed(
+      emb.filter(col("vec_id") % 2 === 1), cents, path, buckets = 16)
+    val layout = Similarity.compactIvfLayout(s, path, maxFilesPerCell = 1)
+    Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(layout, cents,
+        emb.filter(col("vec_id") % 991 === 9), k = 4, nProbe = 3,
+        buckets = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def lexSql(lang: String): String =
     TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -3903,5 +3955,5 @@ object Extended {
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
     t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank,
     s69CentroidAssignBig, s70BatchKnnBig, s71IvfPartitioned, s72IvfAppend,
-    s73IvfCompact, s74IvfBucketed)
+    s73IvfCompact, s74IvfBucketed, s75IvfBucketedInc)
 }

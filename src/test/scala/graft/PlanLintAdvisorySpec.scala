@@ -157,6 +157,10 @@ object DriverActionReviewed {
     // s74 = the bucketed-layout build at construction; probed cells
     // collect is request-bounded like s71's
     "s74_ivf_bucketed",
+    // s75 = s73's lifecycle on the bucketed layout (build + append +
+    // compact at construction, incl. the bounded sidecar-validation
+    // reads); the probe leg is the audited query
+    "s75_ivf_bucketed_inc",
     "t67_token_budget", "t70_pack_sequences",
     // d70 = d49's connected-components loop (checkpoint class) feeding
     // the hash split

@@ -358,6 +358,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows(ts("2024-01-01 12:00:00")) == 1L)
   }
 
+  test("watermark grace is consumed by the no-data batch on a LIVE stream: lateness drops at the first real opportunity (non-restart control)") {
+    // The engine semantics the windowed checkpoint-restart pin rests
+    // on, frozen on a NON-restart run so the two can never be
+    // confused. Spark filters late rows at the watermark of the
+    // previous PLANNED batch (evicting at the current one), which
+    // leaves a one-batch grace after every advance — but on a LIVE
+    // stream the no-data batch that fires right after an advance
+    // (noDataMicroBatches, on by default) is itself a planned batch,
+    // so by the time the next DATA batch arrives the grace is gone
+    // and lateness drops immediately. Across a KILL that no-data
+    // batch never ran, so the first post-restart batch still carries
+    // the grace — which is exactly why the restart pin's late row
+    // sits TWO batches behind the clock (verified there: the 10:15
+    // row merged in restart batch 1, dropped in restart batch 3). If
+    // a Spark upgrade moved either half, the restart fixture's
+    // geometry would silently stop exercising the drop — this control
+    // fails loudly instead.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = StreamOps.windowedCounts(mem.toDF(), watermark = "10 minutes", window = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("grace_test")
+      .outputMode(OutputMode.Append()).start()
+    // the clock: watermark advances to 12:20; processAllAvailable
+    // also runs the post-advance no-data batch, consuming the grace
+    mem.addData(Event(1, ts("2024-01-01 12:30:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // the FIRST data batch after the advance: on a live stream this
+    // lateness is already dropped (post-restart, the same geometry
+    // merges — the restart pin exercises that leg)
+    mem.addData(Event(2, ts("2024-01-01 10:15:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    // flush every real window
+    mem.addData(Event(3, ts("2024-01-01 23:00:00"), 1, "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val dropped = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 1, s"expected the 10:15 row dropped on arrival, got $dropped")
+    val rows = spark.table("grace_test")
+      .select("window_start", "n_events").as[(Timestamp, Long)].collect().toMap
+    // no 10:00 window exists — the late row never entered state
+    assert(!rows.contains(ts("2024-01-01 10:00:00")), s"got $rows")
+    assert(rows(ts("2024-01-01 12:00:00")) == 1L)
+  }
+
   test("enforcement dead-letter split works unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.engine.Enforce
@@ -1027,11 +1072,13 @@ class StreamingSpec extends SparkSpec {
     //   numRowsDroppedByWatermark ≥ 1); the sentinel pushes the
     //   watermark past every real window so append mode flushes the
     //   rest. The late row sits two batches behind the clock event
-    //   deliberately: Spark's late filter runs at the PREVIOUS
-    //   batch's watermark (eviction at the current one), so a late
-    //   row arriving in the very first post-advance batch is
-    //   legitimately merged — that one-batch grace is engine
-    //   semantics, not state loss, and this pin targets state loss.
+    //   deliberately: Spark's late filter runs at the watermark of
+    //   the previous PLANNED batch (eviction at the current one), and
+    //   the kill prevented the no-data batch that normally consumes
+    //   that one-batch grace — so a late row in the FIRST
+    //   post-restart batch is legitimately merged (engine semantics,
+    //   not state loss; the non-restart control below freezes the
+    //   live-stream half), and this pin targets state loss.
     // The sink must then equal the hand twin WITHOUT the late event
     // and WITHOUT the sentinel's own (never-sealed) window: a LOST
     // watermark admits the late row (a spurious 10:00 click of
