@@ -110,6 +110,19 @@ object WorkDirs {
     root.toString
   }
 
+  /** [[runScoped]] keyed additionally by the sf directory — the
+    * per-(label, corpus) variant of [[path]] for queries that rebuild
+    * their fixture per construction but perform DESTRUCTIVE
+    * maintenance on it (the IVF layout lifecycle's compaction swaps
+    * delete + rename partition directories): the nonce isolates
+    * concurrent harness JVMs (the round-9 race class — a label-keyed
+    * shared dir would let one JVM's swap race another's fresh read),
+    * while the sfDir hash isolates corpora within one JVM (the
+    * in-process empty-sweep derives its own corpus next to the
+    * normal one). */
+  def runScoped(label: String, sfDir: String): String =
+    runScoped(s"${label}_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+
   /** Unique per JVM: pid alone recurs across container generations;
     * xor-folding the JVM start instant in makes two runs share a
     * nonce only if the same pid starts twice in the same millisecond. */

@@ -654,12 +654,28 @@ object Extended {
     * verdict-named 100-TB regime limit, driver-gated end to end. */
   val s70BatchKnnBig: Q = Q(
     "s70_batch_knn_big",
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 61 = 3),
+    ivfBatchProbeOracleSql(256, 61, 3, 3, 5)) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfMultiProbeTopKBatch(emb, emb.filter(col("vec_id") < 256),
+        emb.filter(col("vec_id") % 61 === 3), k = 5, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The shared batch-multi-probe ORACLE (s65/s70 recompute paths and
+    * the s71-s75 layout lifecycle): assignment argmax + per-query
+    * probe ranking + exact-dot top-k over the UNPARTITIONED corpus.
+    * One generator for all seven so the formulas cannot drift — the
+    * argmax spelling, probe ranking, self-exclusion and both
+    * (score DESC, id ASC) tie rules live here once; a layout/append/
+    * compact query's answer is by construction the plain recompute's. */
+  private def ivfBatchProbeOracleSql(centMax: Int, qMod: Int, qRem: Int,
+      nProbe: Int, k: Int): String =
+s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $centMax),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % $qMod = $qRem),
        |cr AS (SELECT q.qid, c.centroid_id,
        |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
        |       FROM c CROSS JOIN q),
-       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= $nProbe),
        |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
        |        FROM embeddings e CROSS JOIN c),
        |asg AS (SELECT vec_id, centroid_id FROM (
@@ -678,13 +694,8 @@ object Extended {
        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
        |       FROM sc)
        |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
-       |FROM rk WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-    Similarity.ivfMultiProbeTopKBatch(emb, emb.filter(col("vec_id") < 256),
-        emb.filter(col("vec_id") % 61 === 3), k = 5, nProbe = 3)
-      .orderBy(col("query_id"), col("rank"))
-  }
+       |FROM rk WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** s71 — multi-probe against the PARTITION-BY-CELL IVF layout
     * (Similarity.buildIvfLayout + ivfMultiProbeTopKBatchOnLayout): the
@@ -703,36 +714,11 @@ object Extended {
     * ANN-index level). */
   val s71IvfPartitioned: Q = Q(
     "s71_ivf_partitioned",
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 997 = 7),
-       |cr AS (SELECT q.qid, c.centroid_id,
-       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
-       |       FROM c CROSS JOIN q),
-       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 2),
-       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
-       |        FROM embeddings e CROSS JOIN c),
-       |asg AS (SELECT vec_id, centroid_id FROM (
-       |          SELECT vec_id, centroid_id,
-       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |          FROM sc0) r
-       |        WHERE rn = 1),
-       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
-       |         FROM embeddings e
-       |         JOIN asg a USING (vec_id)
-       |         JOIN probed p ON p.centroid_id = a.centroid_id
-       |         JOIN q ON q.qid = p.qid
-       |         WHERE e.vec_id <> q.qid),
-       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
-       |rk AS (SELECT qid, vec_id, cell, score,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-       |       FROM sc)
-       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
-       |FROM rk WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    ivfBatchProbeOracleSql(256, 997, 7, 2, 5)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 256)
     val layout = Similarity.buildIvfLayout(emb, cents,
-      graft.engine.WorkDirs.path("ivf_cells", dir))
+      graft.engine.WorkDirs.runScoped("ivf_cells", dir))
     Similarity.ivfMultiProbeTopKBatchOnLayout(layout, cents,
         emb.filter(col("vec_id") % 997 === 7), k = 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -753,35 +739,10 @@ object Extended {
     * is s69-s71's; this query's is the APPEND semantics. */
   val s72IvfAppend: Q = Q(
     "s72_ivf_append",
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 100),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 977 = 3),
-       |cr AS (SELECT q.qid, c.centroid_id,
-       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
-       |       FROM c CROSS JOIN q),
-       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
-       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
-       |        FROM embeddings e CROSS JOIN c),
-       |asg AS (SELECT vec_id, centroid_id FROM (
-       |          SELECT vec_id, centroid_id,
-       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |          FROM sc0) r
-       |        WHERE rn = 1),
-       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
-       |         FROM embeddings e
-       |         JOIN asg a USING (vec_id)
-       |         JOIN probed p ON p.centroid_id = a.centroid_id
-       |         JOIN q ON q.qid = p.qid
-       |         WHERE e.vec_id <> q.qid),
-       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
-       |rk AS (SELECT qid, vec_id, cell, score,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-       |       FROM sc)
-       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
-       |FROM rk WHERE rank <= 4
-       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    ivfBatchProbeOracleSql(100, 977, 3, 3, 4)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 100)
-    val path = graft.engine.WorkDirs.path("ivf_cells_inc", dir)
+    val path = graft.engine.WorkDirs.runScoped("ivf_cells_inc", dir)
     Similarity.buildIvfLayout(emb.filter(col("vec_id") % 2 === 0), cents, path)
     val layout = Similarity.appendToIvfLayout(
       emb.filter(col("vec_id") % 2 === 1), cents, path)
@@ -803,35 +764,10 @@ object Extended {
     * unchanged). */
   val s73IvfCompact: Q = Q(
     "s73_ivf_compact",
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 100),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 977 = 5),
-       |cr AS (SELECT q.qid, c.centroid_id,
-       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
-       |       FROM c CROSS JOIN q),
-       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
-       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
-       |        FROM embeddings e CROSS JOIN c),
-       |asg AS (SELECT vec_id, centroid_id FROM (
-       |          SELECT vec_id, centroid_id,
-       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |          FROM sc0) r
-       |        WHERE rn = 1),
-       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
-       |         FROM embeddings e
-       |         JOIN asg a USING (vec_id)
-       |         JOIN probed p ON p.centroid_id = a.centroid_id
-       |         JOIN q ON q.qid = p.qid
-       |         WHERE e.vec_id <> q.qid),
-       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
-       |rk AS (SELECT qid, vec_id, cell, score,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-       |       FROM sc)
-       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
-       |FROM rk WHERE rank <= 4
-       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    ivfBatchProbeOracleSql(100, 977, 5, 3, 4)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 100)
-    val path = graft.engine.WorkDirs.path("ivf_cells_cpt", dir)
+    val path = graft.engine.WorkDirs.runScoped("ivf_cells_cpt", dir)
     Similarity.buildIvfLayout(emb.filter(col("vec_id") % 3 === 0), cents, path)
     Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 3 === 1), cents, path)
     Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 3 === 2), cents, path)
@@ -856,36 +792,11 @@ object Extended {
     * layout changes the WORK, never the answer. */
   val s74IvfBucketed: Q = Q(
     "s74_ivf_bucketed",
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 997 = 13),
-       |cr AS (SELECT q.qid, c.centroid_id,
-       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
-       |       FROM c CROSS JOIN q),
-       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 2),
-       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
-       |        FROM embeddings e CROSS JOIN c),
-       |asg AS (SELECT vec_id, centroid_id FROM (
-       |          SELECT vec_id, centroid_id,
-       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |          FROM sc0) r
-       |        WHERE rn = 1),
-       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
-       |         FROM embeddings e
-       |         JOIN asg a USING (vec_id)
-       |         JOIN probed p ON p.centroid_id = a.centroid_id
-       |         JOIN q ON q.qid = p.qid
-       |         WHERE e.vec_id <> q.qid),
-       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
-       |rk AS (SELECT qid, vec_id, cell, score,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-       |       FROM sc)
-       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
-       |FROM rk WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    ivfBatchProbeOracleSql(256, 997, 13, 2, 5)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 256)
     val layout = Similarity.buildIvfLayoutBucketed(emb, cents,
-      graft.engine.WorkDirs.path("ivf_buckets", dir), buckets = 16)
+      graft.engine.WorkDirs.runScoped("ivf_buckets", dir), buckets = 16)
     Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(layout, cents,
         emb.filter(col("vec_id") % 997 === 13), k = 5, nProbe = 2,
         buckets = 16)
@@ -904,35 +815,10 @@ object Extended {
     * compact must change files, never answers. */
   val s75IvfBucketedInc: Q = Q(
     "s75_ivf_bucketed_inc",
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 256),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 991 = 9),
-       |cr AS (SELECT q.qid, c.centroid_id,
-       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
-       |       FROM c CROSS JOIN q),
-       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
-       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
-       |        FROM embeddings e CROSS JOIN c),
-       |asg AS (SELECT vec_id, centroid_id FROM (
-       |          SELECT vec_id, centroid_id,
-       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |          FROM sc0) r
-       |        WHERE rn = 1),
-       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
-       |         FROM embeddings e
-       |         JOIN asg a USING (vec_id)
-       |         JOIN probed p ON p.centroid_id = a.centroid_id
-       |         JOIN q ON q.qid = p.qid
-       |         WHERE e.vec_id <> q.qid),
-       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
-       |rk AS (SELECT qid, vec_id, cell, score,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-       |       FROM sc)
-       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
-       |FROM rk WHERE rank <= 4
-       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    ivfBatchProbeOracleSql(256, 991, 9, 3, 4)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 256)
-    val path = graft.engine.WorkDirs.path("ivf_buckets_inc", dir)
+    val path = graft.engine.WorkDirs.runScoped("ivf_buckets_inc", dir)
     Similarity.buildIvfLayoutBucketed(
       emb.filter(col("vec_id") % 2 === 0), cents, path, buckets = 16)
     Similarity.appendToIvfLayoutBucketed(
@@ -3012,32 +2898,7 @@ object Extended {
     * with every window re-partitioned by the query id. */
   val s65BatchKnn: Q = Q(
     "s65_batch_knn",
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 8),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 61 = 3),
-       |cr AS (SELECT q.qid, c.centroid_id,
-       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
-       |       FROM c CROSS JOIN q),
-       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= 3),
-       |sc0 AS (SELECT e.vec_id, c.centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
-       |        FROM embeddings e CROSS JOIN c),
-       |asg AS (SELECT vec_id, centroid_id FROM (
-       |          SELECT vec_id, centroid_id,
-       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
-       |          FROM sc0) r
-       |        WHERE rn = 1),
-       |cand AS (SELECT q.qid, q.qe, e.vec_id, e.embedding, a.centroid_id AS cell
-       |         FROM embeddings e
-       |         JOIN asg a USING (vec_id)
-       |         JOIN probed p ON p.centroid_id = a.centroid_id
-       |         JOIN q ON q.qid = p.qid
-       |         WHERE e.vec_id <> q.qid),
-       |sc AS (SELECT qid, vec_id, cell, ${dotSql("embedding", "qe")} AS score FROM cand),
-       |rk AS (SELECT qid, vec_id, cell, score,
-       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
-       |       FROM sc)
-       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
-       |FROM rk WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    ivfBatchProbeOracleSql(8, 61, 3, 3, 5)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfMultiProbeTopKBatch(emb, emb.filter(col("vec_id") < 8),
         emb.filter(col("vec_id") % 61 === 3), k = 5, nProbe = 3)
