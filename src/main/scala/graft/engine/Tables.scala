@@ -117,11 +117,20 @@ object WorkDirs {
     * delete + rename partition directories): the nonce isolates
     * concurrent harness JVMs (the round-9 race class — a label-keyed
     * shared dir would let one JVM's swap race another's fresh read),
-    * while the sfDir hash isolates corpora within one JVM (the
+    * while the sfDir key isolates corpora within one JVM (the
     * in-process empty-sweep derives its own corpus next to the
-    * normal one). */
-  def runScoped(label: String, sfDir: String): String =
-    runScoped(s"${label}_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+    * normal one). The corpus key is a sanitized BASENAME plus the
+    * 32-bit path hash (r19 advice): on the hash alone, two distinct
+    * corpora could collide and share a directory that undergoes
+    * destructive maintenance — exactly the race this overload
+    * exists to prevent; with the basename in the key a collision
+    * needs both the same directory name and the same hash. */
+  def runScoped(label: String, sfDir: String): String = {
+    val base = new java.io.File(sfDir).getName
+      .replaceAll("[^A-Za-z0-9._-]", "_").take(24)
+    runScoped(
+      s"${label}_${base}_${java.lang.Integer.toHexString(sfDir.hashCode)}")
+  }
 
   /** Unique per JVM: pid alone recurs across container generations;
     * xor-folding the JVM start instant in makes two runs share a

@@ -684,24 +684,25 @@ object Similarity {
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
     assigned.repartition(col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(path)
-    if (mode != org.apache.spark.sql.SaveMode.Append) {
+    if (mode != org.apache.spark.sql.SaveMode.Append)
       writeSidecar(vectors.sparkSession, path, sidecarTag("cells", fp))
-      // the regime guard that makes LayoutCellDirMax live (measured,
-      // DevLayoutRegime/NOTES r19): one-directory-per-cell past ~1000
-      // cells is a filesystem/catalog pathology — warn with the
-      // remedy rather than silently writing it. A warning, not a
-      // require: the build is CORRECT, just the wrong storage regime.
-      val dirs = hadoopFs(vectors.sparkSession,
-          new org.apache.hadoop.fs.Path(path))
-        .listStatus(new org.apache.hadoop.fs.Path(path))
-        .count(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-      if (dirs > LayoutCellDirMax)
-        org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"IVF layout at $path has $dirs cell directories " +
-            s"(> LayoutCellDirMax=$LayoutCellDirMax) — at this nlist use " +
-            "buildIvfLayoutBucketed (measured: equivalent probe pruning, " +
-            "bounded directory count; see DevLayoutRegime)")
-    }
+    // the regime guard that makes LayoutCellDirMax live (measured,
+    // DevLayoutRegime/NOTES r19): one-directory-per-cell past ~1000
+    // cells is a filesystem/catalog pathology — warn with the remedy
+    // rather than silently writing it. A warning, not a require: the
+    // build is CORRECT, just the wrong storage regime. Runs on APPEND
+    // too (r19 advice): a layout grown past the bound by appends that
+    // populate previously-empty cells is the same pathology.
+    val dirs = hadoopFs(vectors.sparkSession,
+        new org.apache.hadoop.fs.Path(path))
+      .listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+    if (dirs > LayoutCellDirMax)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"IVF layout at $path has $dirs cell directories " +
+          s"(> LayoutCellDirMax=$LayoutCellDirMax) — at this nlist use " +
+          "buildIvfLayoutBucketed (measured: equivalent probe pruning, " +
+          "bounded directory count; see DevLayoutRegime)")
     // a FRESH read after the write — reusing a pre-append frame would
     // serve the stale file listing its index snapshotted
     vectors.sparkSession.read.schema(
@@ -755,18 +756,17 @@ object Similarity {
     // at build B=16 lives in cell_bucket=13; probing with B=8 keeps
     // only bucket 5 and drops every candidate) — when the layout
     // frame's file index reaches back to a sidecar-tracked root,
-    // validate the claimed modulus against the stored one. Bounded:
-    // one already-snapshotted leaf path + one tiny sidecar read.
-    layout.inputFiles.headOption.foreach { f =>
-      val root = new org.apache.hadoop.fs.Path(f).getParent.getParent
-      readSidecar(layout.sparkSession, root.toString).foreach { tag =>
-        if (tag.startsWith("buckets=")) {
-          val stored = tag.stripPrefix("buckets=").takeWhile(_ != ':')
-          require(stored == buckets.toString,
-            s"layout at $root was built with buckets=$stored but the probe " +
-            s"claims buckets=$buckets — a mismatched modulus silently prunes " +
-            "away partitions holding probed cells")
-        }
+    // validate the claimed modulus against the stored one (and WARN
+    // when no sidecar is reachable — a skipped validation must be
+    // visible, not indistinguishable from a passed one). Bounded: one
+    // already-snapshotted leaf path + one tiny sidecar read.
+    layoutSidecarOf(layout).foreach { case (root, tag) =>
+      if (tag.startsWith("buckets=")) {
+        val stored = tag.stripPrefix("buckets=").takeWhile(_ != ':')
+        require(stored == buckets.toString,
+          s"layout at $root was built with buckets=$stored but the probe " +
+          s"claims buckets=$buckets — a mismatched modulus silently prunes " +
+          "away partitions holding probed cells")
       }
     }
     probeLayoutImpl(layout, centroids, queries, k, nProbe, cells =>
@@ -870,6 +870,223 @@ object Similarity {
       .parquet(path)
   }
 
+  /** Bucket-grouped IVF+PQ layout — [[buildIvfLayoutBucketed]] with
+    * each row's PQ code STORED as a data column (computed through the
+    * same codebook seam as [[pqEncode]], so a stored code is
+    * bit-identical to an on-the-fly one): the storage shape a
+    * production 100-TB ANN index actually probes, where the
+    * compressed-domain pass scans (vec_id, cell, code) — the parquet
+    * column pruning never touches the raw `embedding` bytes — and
+    * only the exact re-rank's shortlist pays for full vectors.
+    * Probe through [[ivfPqRerankBatchOnBucketedLayout]] with the same
+    * `buckets` AND `m`: both are sidecar-recorded
+    * (`buckets=<B>:pq=<m>:<fp>`), so a mismatched subspace count —
+    * which would silently look codes up in tables built for
+    * different slices — fails as loudly as a wrong modulus or
+    * codebook. [[compactIvfLayout]] works unchanged on this layout
+    * (the scheme prefix still reads `buckets=`; the code column
+    * rides the rewrite and the within-file cell sort is restored). */
+  def buildIvfPqLayoutBucketed(corpus: DataFrame, centroids: DataFrame,
+      path: String, buckets: Int, m: Int = 4): DataFrame =
+    writeIvfPqLayoutBucketed(corpus, centroids, path, buckets, m,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** [[appendToIvfLayoutBucketed]] for the PQ-coded layout: the batch
+    * is assigned, PQ-encoded and hive-appended; the sidecar must
+    * match scheme, bucket modulus, subspace count AND codebook
+    * fingerprint — append cost stays ∝ the batch. */
+  def appendToIvfPqLayoutBucketed(newVectors: DataFrame, centroids: DataFrame,
+      path: String, buckets: Int, m: Int = 4): DataFrame =
+    writeIvfPqLayoutBucketed(newVectors, centroids, path, buckets, m,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIvfPqLayoutBucketed(vectors: DataFrame, centroids: DataFrame,
+      path: String, buckets: Int, m: Int,
+      mode: org.apache.spark.sql.SaveMode): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    val cb = codebook(centroids)
+    val fpTag = s"pq=$m:${codebookFingerprint(centroids)}"
+    if (mode == org.apache.spark.sql.SaveMode.Append)
+      requireSidecar(vectors.sparkSession, path, s"buckets=$buckets", fpTag,
+        "append")
+    val assigned = cb.attach(vectors)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.ComputeOnce.once(
+          cb.bestStruct(col("embedding")).getField("cid")).as("cell"),
+        cb.pqCode(col("embedding"), m).as("code"))
+      .withColumn("cell_bucket", pmod(col("cell"), lit(buckets.toLong)))
+    assigned.repartition(col("cell_bucket"))
+      .sortWithinPartitions(col("cell_bucket"), col("cell"))
+      .write.mode(mode).partitionBy("cell_bucket").parquet(path)
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      writeSidecar(vectors.sparkSession, path,
+        sidecarTag(s"buckets=$buckets", fpTag))
+    vectors.sparkSession.read.schema(
+      org.apache.spark.sql.types.StructType(assigned.schema.fields))
+      .parquet(path)
+  }
+
+  /** Best-effort sidecar lookup for a layout FRAME: walk one leaf
+    * file's path up to the layout root and read the sidecar there.
+    * None when the frame has no files or no sidecar is reachable —
+    * in which case validation is SKIPPED and a warning logged (r19
+    * advice: a silently-skipped validation was indistinguishable
+    * from a passed one). */
+  private def layoutSidecarOf(layout: DataFrame): Option[(String, String)] =
+    layout.inputFiles.headOption match {
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "layout frame lists no files — sidecar validation skipped " +
+          "(an empty layout, or a frame not rooted at a built layout)")
+        None
+      case Some(f) =>
+        val root = new org.apache.hadoop.fs.Path(f).getParent.getParent
+        val tag = readSidecar(layout.sparkSession, root.toString)
+        if (tag.isEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"no layout sidecar at derived root $root — sidecar validation " +
+            "skipped (sidecar deleted, or the frame is not rooted two " +
+            "levels above its files)")
+        tag.map(t => (root.toString, t))
+    }
+
+  /** [[ivfPqRerankBatch]] against a PQ-coded BUCKETED layout
+    * ([[buildIvfPqLayoutBucketed]]'s shape) — the full production
+    * probe: bucket-pruned scan of the STORED codes (static literal
+    * partition filter on the probed cells' buckets + the cell filter
+    * pushed into the scan; the compressed pass reads (vec_id, cell,
+    * code) and never the `embedding` column — PlanAuditSpec pins the
+    * read schema), ADC-score each (query, candidate) by m map
+    * lookups against the broadcast per-query tables, keep the
+    * per-query `shortlist` by (adc DESC, neighbor ASC), then ONLY
+    * those rows pay an exact dot (a second, equally-pruned scan of
+    * (vec_id, embedding) broadcast-joined on the shortlist) and the
+    * top `k` re-rank by exact score. Candidate cells come from the
+    * probe ranking ([[probedCells]]'s argmax over the SAME codebook
+    * the layout stores), so results are hash-identical to
+    * [[ivfPqMultiProbeRerankBatch]] over the unpartitioned corpus
+    * (OperatorsSpec pins it; the CORRECTNESS oracle recomputes both
+    * stages from the raw table). Output: (query_id, rank,
+    * neighbor_id, adc, score). */
+  def ivfPqRerankBatchOnBucketedLayout(layout: DataFrame,
+      centroids: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      nProbe: Int, buckets: Int, m: Int = 4): DataFrame = {
+    require(buckets >= 1, s"buckets $buckets must be >= 1")
+    require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
+    // the sidecar records everything a probe can hold wrong: scheme,
+    // bucket modulus, subspace count, codebook — validate all four
+    // when the layout root is reachable (and say so when it is not)
+    layoutSidecarOf(layout).foreach { case (root, tag) =>
+      if (tag.startsWith("buckets=")) {
+        val stored = tag.stripPrefix("buckets=").takeWhile(_ != ':')
+        require(stored == buckets.toString,
+          s"layout at $root was built with buckets=$stored but the probe " +
+          s"claims buckets=$buckets — a mismatched modulus silently prunes " +
+          "away partitions holding probed cells")
+        val rest = tag.stripPrefix(s"buckets=$stored:")
+        require(rest.startsWith("pq="),
+          s"layout at $root stores no PQ codes (sidecar '$tag') — build it " +
+          "with buildIvfPqLayoutBucketed before a compressed-domain probe")
+        val storedM = rest.stripPrefix("pq=").takeWhile(_ != ':')
+        require(storedM == m.toString,
+          s"layout at $root stores m=$storedM PQ codes but the probe claims " +
+          s"m=$m — mismatched subspaces would look codes up in tables built " +
+          "for different slices, a silent wrong answer")
+      }
+    }
+    codebookOpt(centroids) match {
+      case None => emptyResult(queries, "query_id" -> "long", "rank" -> "long",
+        "neighbor_id" -> "long", "adc" -> "double", "score" -> "double")
+      case Some(cb) =>
+        val probed = probedCells(cb, queries, nProbe)
+          .transform(d => graft.Caches.pin(d))
+        val cells = probed.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (cells.isEmpty)
+          emptyResult(queries, "query_id" -> "long", "rank" -> "long",
+            "neighbor_id" -> "long", "adc" -> "double", "score" -> "double")
+        else {
+          val bucketSet = cells
+            .map(c => java.lang.Math.floorMod(c, buckets.toLong)).distinct
+          def pruned(d: DataFrame) = d
+            .filter(col("cell").isin(cells: _*) &&
+              col("cell_bucket").isin(bucketSet: _*))
+          pqShortlistRerank(cb,
+            pruned(layout).select(col("vec_id"), col("cell"), col("code")),
+            pruned(layout).select(col("vec_id").as("neighbor_id"),
+              col("embedding")),
+            probed, queries, k, shortlist, m)
+        }
+    }
+  }
+
+  /** [[ivfPqRerankBatch]] with the coarse probe generalized from
+    * own-cell to multi-probe — the UNPARTITIONED twin of
+    * [[ivfPqRerankBatchOnBucketedLayout]] (same probe ranking, same
+    * ADC tables, same shortlist and re-rank tie rules; codes computed
+    * in the scan stage instead of read from storage), completing the
+    * compressed-retrieval family: every composition of
+    * {own-cell, multi-probe} × {ADC, rerank} × {unpartitioned,
+    * layout} now exists. OperatorsSpec pins the layout path
+    * hash-identical to this one. */
+  def ivfPqMultiProbeRerankBatch(corpus: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, shortlist: Int, nProbe: Int,
+      m: Int = 4): DataFrame = {
+    require(shortlist >= 1, s"shortlist $shortlist must be >= 1")
+    codebookOpt(centroids) match {
+      case None => emptyResult(queries, "query_id" -> "long", "rank" -> "long",
+        "neighbor_id" -> "long", "adc" -> "double", "score" -> "double")
+      case Some(cb) =>
+        val probed = probedCells(cb, queries, nProbe)
+          .transform(d => graft.Caches.pin(d))
+        val coded = cb.attach(corpus)
+          .select(col("vec_id"),
+            graft.functions.ComputeOnce.once(
+              cb.bestStruct(col("embedding")).getField("cid")).as("cell"),
+            cb.pqCode(col("embedding"), m).as("code"))
+        pqShortlistRerank(cb, coded,
+          corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          probed, queries, k, shortlist, m)
+    }
+  }
+
+  /** Shared compressed-probe tail: ADC-score the coded candidates
+    * against the broadcast per-(query, cell) tables, per-query
+    * shortlist by (adc DESC, neighbor ASC), exact-dot re-rank of the
+    * shortlist (broadcast back against `vectors`), top-k by
+    * (score DESC, neighbor ASC). `coded` must expose (vec_id, cell,
+    * code); `vectors` (neighbor_id, embedding). */
+  private def pqShortlistRerank(cb: Codebook, coded: DataFrame,
+      vectors: DataFrame, probed: DataFrame, queries: DataFrame,
+      k: Int, shortlist: Int, m: Int): DataFrame = {
+    val qTbl = cb.attach(probed)
+      .select(col("query_id") +: col("cell") +:
+        (0 until m).map(j => cb.adcTable(col("q_emb"), j, m).as(s"tbl$j")): _*)
+    val adc = (0 until m).map { j =>
+      element_at(col(s"tbl$j"), element_at(col("code"), j + 1))
+    }.reduce(_ + _)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val short = coded.join(broadcast(qTbl), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+    val proposals = short.join(
+      queries.select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    vectors.join(broadcast(proposals), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        dot(col("embedding"), col("q_emb")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"),
+        col("score"))
+  }
+
   /** COMPACT over-fragmented partitions of an IVF layout — the third
     * lifecycle leg after build (bulk) and append (grow): every append
     * writes ≥1 new file per touched partition, so after N ingest
@@ -883,19 +1100,57 @@ object Similarity {
     * `maxFilesPerCell` data files are rewritten as one file each;
     * every other cell's directory is BYTE-UNTOUCHED (cost ∝
     * fragmentation, never the corpus). The rewrite stages into a temp
-    * sibling dir and swaps per-cell directories — reading and
-    * overwriting the same path in one job is both disallowed by Spark
-    * and unsafe on failure, while the swap keeps each fragmented
-    * cell's old files whole until its own rename; a crash INSIDE a
-    * swap (after delete(dst), before rename) is recovered on the next
-    * call — a committed staging dir's partitions with missing dsts
-    * are renamed in before the staging area is cleared, so the staged
-    * copy is never the one destroyed (OperatorsSpec pins the
-    * recovery). Single-writer maintenance op, like append; probe
-    * results are hash-identical across a compaction (OperatorsSpec
-    * pins it). Returns the fresh post-compaction read. */
+    * sibling dir — reading and overwriting the same path in one job
+    * is both disallowed by Spark and unsafe on failure — and swaps
+    * each fragmented partition via TWO atomic renames (dst →
+    * old-sibling, staged → dst), never a recursive delete of live
+    * data.
+    *
+    * Concurrent-APPEND safety is ENFORCED, not assumed: each
+    * partition's data-file listing is snapshotted when the rewrite's
+    * read plan lists files, and re-verified AFTER the dst dir is
+    * renamed aside — a file an interleaved [[appendToIvfLayout]] /
+    * [[appendToIvfLayoutBucketed]] landed since staging makes the
+    * listings differ, and that partition's swap is ABORTED (old dir
+    * renamed straight back, staged rewrite discarded, warning
+    * logged); the appended file always survives and the partition
+    * stays fragmented for the next compaction. An append that
+    * re-creates dst between the rename-aside and the staged rename
+    * is merged file-by-file instead of clobbered. A crash at ANY
+    * point is recovered on the next call from the two sibling dirs
+    * alone: an old-sibling partition whose staged copy is still
+    * present means its swap never completed — the OLD copy (which
+    * may carry post-staging appends) is restored and the staged
+    * rewrite discarded; one whose staged copy is gone means the swap
+    * completed and the old copy is redundant; a committed staging
+    * partition with neither old copy nor dst is renamed in (the
+    * pre-two-rename crash shape). No interleaving or crash loses
+    * bytes; the worst outcome is a partition left uncompacted
+    * (OperatorsSpec pins the interleave, all three crash shapes and
+    * the legacy one).
+    *
+    * Concurrent COMPACTIONS of one layout remain excluded (single
+    * MAINTAINER, like append-vs-append). Concurrent READERS: a probe
+    * whose DataFrame was created before the compaction holds a file
+    * listing whose old files the swap removes — start probes after
+    * the compaction returns, or re-read the layout on failure; a
+    * probe STARTED mid-swap can transiently miss a partition in the
+    * instant between the two renames (narrowed from the previous
+    * delete+rename window, not zero — quiesce readers for
+    * file-listing-exact results). Probe results across a COMPLETED
+    * compaction are hash-identical (OperatorsSpec pins it). Returns
+    * the fresh post-compaction read. */
   def compactIvfLayout(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxFilesPerCell: Int = 4): DataFrame = {
+      path: String, maxFilesPerCell: Int = 4): DataFrame =
+    compactIvfLayout(spark, path, maxFilesPerCell, _ => ())
+
+  /** Test seam: `beforeSwap(partitionValue)` runs immediately before
+    * each fragmented partition's verify+swap — the deterministic hook
+    * the interleaved-append enforcement test injects its append
+    * through. */
+  private[graft] def compactIvfLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerCell: Int,
+      beforeSwap: Long => Unit): DataFrame = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell $maxFilesPerCell must be >= 1")
     // scheme-aware: the sidecar says whether partitions are cells or
@@ -912,17 +1167,64 @@ object Similarity {
     val fs = hadoopFs(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(
       root.getParent, root.getName + "_compact_tmp")
-    // CRASH RECOVERY before anything else: a previous compaction may
-    // have died between its delete(dst) and rename(src, dst) — the
-    // cell's only surviving copy is then the staged one, and blindly
-    // clearing tmp here would erase it forever (nothing would flag:
-    // the fragment listing just stops seeing the cell). Staging is
-    // complete iff its _SUCCESS marker committed (deletes only start
-    // after the staging write), so: with _SUCCESS, finish the swap
-    // for any staged partition whose dst is MISSING (dst present ⇒
-    // dst is authoritative — either the old files intact or the swap
-    // already done); without _SUCCESS the staging never finished and
-    // no dst was touched — safe to discard.
+    val tmpOld = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + "_compact_old")
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Set[(String, Long)] =
+      fs.listStatus(dir).iterator.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(st => (st.getPath.getName, st.getLen)).toSet
+    /** dst missing ⇒ one atomic rename; dst present (a concurrent
+      * append re-created it, or a crash left it half-restored) ⇒ move
+      * src's data files in one by one — Spark part-file names carry a
+      * task UUID, so a collision means the SAME file already landed
+      * and would be silently double-counted: fail loud instead. */
+    def mergeOrRename(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit = {
+      if (!fs.exists(dst))
+        require(fs.rename(src, dst), s"compaction rename $src -> $dst failed")
+      else {
+        fs.listStatus(src).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+            val tgt = new org.apache.hadoop.fs.Path(dst, n)
+            require(!fs.exists(tgt),
+              s"compaction merge collision: $tgt already exists")
+            require(fs.rename(st.getPath, tgt),
+              s"compaction merge ${st.getPath} -> $tgt failed")
+          }
+        }
+        fs.delete(src, true)
+      }
+    }
+    // CRASH RECOVERY before anything else, driven by the two sibling
+    // dirs (scaladoc: the swap protocol is rename(dst, old) then
+    // rename(staged, dst)). An old-sibling partition whose STAGED
+    // copy still exists crashed between its two renames: the old copy
+    // is authoritative — it may hold files appended after staging
+    // that the staged rewrite never saw — so it is restored (merged,
+    // if an append re-created dst meanwhile) and the staged rewrite
+    // for it discarded; one whose staged copy is GONE completed its
+    // swap and the old copy is redundant. Never a byte lost; at worst
+    // a partition stays uncompacted for the next call.
+    if (fs.exists(tmpOld)) {
+      fs.listStatus(tmpOld).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith(s"$partCol=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(tmp, n))) {
+          log.warn(s"compaction crash recovery: restoring pre-swap $n at $root")
+          fs.delete(new org.apache.hadoop.fs.Path(tmp, n), true)
+          mergeOrRename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
+        }
+      }
+      fs.delete(tmpOld, true)
+    }
+    // the PRE-two-rename crash shape (and the old protocol's): a
+    // committed staging partition with no dst and no old-sibling copy
+    // is the partition's only surviving data — rename it in before
+    // the staging area is cleared. Without _SUCCESS the staging write
+    // never finished and no dst was touched — safe to discard.
     if (fs.exists(tmp)) {
       if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
         fs.listStatus(tmp).foreach { st =>
@@ -935,15 +1237,18 @@ object Similarity {
       }
       fs.delete(tmp, true)
     }
-    def dataFileCount(dir: org.apache.hadoop.fs.Path): Int =
-      fs.listStatus(dir).count { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    val frag = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-      .filter(st => dataFileCount(st.getPath) > maxFilesPerCell)
-      .map(_.getPath.getName.stripPrefix(s"$partCol=").toLong).sorted
+    // ONE listing pass yields both the fragmentation decision and the
+    // per-partition file SNAPSHOT the swap re-verifies against; the
+    // read plan below lists files immediately after, so anything it
+    // stages is a superset of the snapshot and an interleaved append
+    // in either gap surfaces as a listing mismatch at swap time.
+    val snapshot: Map[Long, Set[(String, Long)]] =
+      fs.listStatus(root).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+        .map(st => st.getPath.getName.stripPrefix(s"$partCol=").toLong ->
+          dataFiles(st.getPath))
+        .toMap
+    val frag = snapshot.filter(_._2.size > maxFilesPerCell).keys.toSeq.sorted
     // the layout's read schema: data fields as written, partition
     // column pinned LONG (the buildIvfLayout read rule — never a
     // parsed guess)
@@ -965,13 +1270,32 @@ object Similarity {
         else fragRows
       staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy(partCol).parquet(tmp.toString)
+      fs.mkdirs(tmpOld)
       frag.foreach { c =>
+        beforeSwap(c)
         val src = new org.apache.hadoop.fs.Path(tmp, s"$partCol=$c")
         val dst = new org.apache.hadoop.fs.Path(root, s"$partCol=$c")
+        val old = new org.apache.hadoop.fs.Path(tmpOld, s"$partCol=$c")
         require(fs.exists(src), s"compaction staged no data for $partCol=$c")
-        fs.delete(dst, true)
-        require(fs.rename(src, dst), s"compaction swap failed for $partCol=$c")
+        // two-rename swap: move the live dir ASIDE (atomic — a file
+        // an appender is landing moves with it), verify nothing
+        // changed since the staging snapshot, then rename the staged
+        // rewrite in. On mismatch the live dir goes straight back —
+        // the appended file survives and this partition's rewrite is
+        // abandoned (it predates the append).
+        require(fs.rename(dst, old),
+          s"compaction swap failed to move $partCol=$c aside")
+        if (dataFiles(old) != snapshot(c)) {
+          log.warn(s"compaction aborted for $partCol=$c at $root: files " +
+            "changed since staging (concurrent append?) — partition left " +
+            "uncompacted, re-run compaction once the writer quiesces")
+          mergeOrRename(old, dst)
+        } else {
+          mergeOrRename(src, dst)
+          fs.delete(old, true)
+        }
       }
+      fs.delete(tmpOld, true)
       fs.delete(tmp, true)
       readLayout()
     }

@@ -661,17 +661,47 @@ object Extended {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** GATE-CORPUS-CONDITIONAL query modulus for the layout-lifecycle
+    * family (r19 verdict item 3): the sparse moduli (977/991/997)
+    * that make partition pruning measurable at sf0.1+ yield only 1-2
+    * queries — 2-5 hash-checked rows — at the 500-vector gate
+    * corpora, so the per-round automatic gate barely exercised the
+    * family. Below [[DenseGateMax]] corpus vectors the query set
+    * densifies to `% [[DenseGateMod]]` (~13 queries, ≥20 gated rows
+    * per lifecycle query); at sf0.1 and above the sparse modulus is
+    * back and the probed fraction stays small. Both legs derive the
+    * modulus from the corpus row count alone — the engine from a
+    * metadata count, the oracle from the same CASE spelled in SQL —
+    * so they cannot disagree. (The PlanAuditSpec pruning pins probe
+    * the operators directly with sparse query sets: the FRACTION
+    * this densification deliberately raises at the gate corpus is a
+    * plan property, pinned where the probe is sparse by
+    * construction.) */
+  private val DenseGateMax = 1000L
+  private val DenseGateMod = 37L
+  private[graft] def lifecycleQueryMod(s: SparkSession, dir: String,
+      sparse: Long): Long =
+    if (Tables.embeddings(s, dir).count() < DenseGateMax) DenseGateMod
+    else sparse
+  private def condModSql(sparse: Int): String =
+    s"(CASE WHEN (SELECT count(*) FROM embeddings) < $DenseGateMax " +
+      s"THEN $DenseGateMod ELSE $sparse END)"
+
   /** The shared batch-multi-probe ORACLE (s65/s70 recompute paths and
     * the s71-s75 layout lifecycle): assignment argmax + per-query
     * probe ranking + exact-dot top-k over the UNPARTITIONED corpus.
     * One generator for all seven so the formulas cannot drift — the
     * argmax spelling, probe ranking, self-exclusion and both
     * (score DESC, id ASC) tie rules live here once; a layout/append/
-    * compact query's answer is by construction the plain recompute's. */
+    * compact query's answer is by construction the plain recompute's.
+    * `condMod` opts a lifecycle query into the gate-densified
+    * modulus; the fixed-corpus recompute paths (s65/s70) keep their
+    * literal one. */
   private def ivfBatchProbeOracleSql(centMax: Int, qMod: Int, qRem: Int,
-      nProbe: Int, k: Int): String =
+      nProbe: Int, k: Int, condMod: Boolean = false): String = {
+    val modExpr = if (condMod) condModSql(qMod) else qMod.toString
 s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < $centMax),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % $qMod = $qRem),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % $modExpr = $qRem),
        |cr AS (SELECT q.qid, c.centroid_id,
        |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.centroid_id) AS crk
        |       FROM c CROSS JOIN q),
@@ -696,6 +726,7 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
        |SELECT qid AS query_id, rank, vec_id AS neighbor_id, cell, score
        |FROM rk WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** s71 — multi-probe against the PARTITION-BY-CELL IVF layout
     * (Similarity.buildIvfLayout + ivfMultiProbeTopKBatchOnLayout): the
@@ -714,13 +745,14 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     * ANN-index level). */
   val s71IvfPartitioned: Q = Q(
     "s71_ivf_partitioned",
-    ivfBatchProbeOracleSql(256, 997, 7, 2, 5)) { (s, dir) =>
+    ivfBatchProbeOracleSql(256, 997, 7, 2, 5, condMod = true)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 256)
     val layout = Similarity.buildIvfLayout(emb, cents,
       graft.engine.WorkDirs.runScoped("ivf_cells", dir))
     Similarity.ivfMultiProbeTopKBatchOnLayout(layout, cents,
-        emb.filter(col("vec_id") % 997 === 7), k = 5, nProbe = 2)
+        emb.filter(col("vec_id") % lifecycleQueryMod(s, dir, 997) === 7),
+        k = 5, nProbe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -739,7 +771,7 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     * is s69-s71's; this query's is the APPEND semantics. */
   val s72IvfAppend: Q = Q(
     "s72_ivf_append",
-    ivfBatchProbeOracleSql(100, 977, 3, 3, 4)) { (s, dir) =>
+    ivfBatchProbeOracleSql(100, 977, 3, 3, 4, condMod = true)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 100)
     val path = graft.engine.WorkDirs.runScoped("ivf_cells_inc", dir)
@@ -747,7 +779,8 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     val layout = Similarity.appendToIvfLayout(
       emb.filter(col("vec_id") % 2 === 1), cents, path)
     Similarity.ivfMultiProbeTopKBatchOnLayout(layout, cents,
-        emb.filter(col("vec_id") % 977 === 3), k = 4, nProbe = 3)
+        emb.filter(col("vec_id") % lifecycleQueryMod(s, dir, 977) === 3),
+        k = 4, nProbe = 3)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -764,7 +797,7 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     * unchanged). */
   val s73IvfCompact: Q = Q(
     "s73_ivf_compact",
-    ivfBatchProbeOracleSql(100, 977, 5, 3, 4)) { (s, dir) =>
+    ivfBatchProbeOracleSql(100, 977, 5, 3, 4, condMod = true)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 100)
     val path = graft.engine.WorkDirs.runScoped("ivf_cells_cpt", dir)
@@ -773,7 +806,8 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     Similarity.appendToIvfLayout(emb.filter(col("vec_id") % 3 === 2), cents, path)
     val layout = Similarity.compactIvfLayout(s, path, maxFilesPerCell = 1)
     Similarity.ivfMultiProbeTopKBatchOnLayout(layout, cents,
-        emb.filter(col("vec_id") % 977 === 5), k = 4, nProbe = 3)
+        emb.filter(col("vec_id") % lifecycleQueryMod(s, dir, 977) === 5),
+        k = 4, nProbe = 3)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -792,14 +826,14 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     * layout changes the WORK, never the answer. */
   val s74IvfBucketed: Q = Q(
     "s74_ivf_bucketed",
-    ivfBatchProbeOracleSql(256, 997, 13, 2, 5)) { (s, dir) =>
+    ivfBatchProbeOracleSql(256, 997, 13, 2, 5, condMod = true)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 256)
     val layout = Similarity.buildIvfLayoutBucketed(emb, cents,
       graft.engine.WorkDirs.runScoped("ivf_buckets", dir), buckets = 16)
     Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(layout, cents,
-        emb.filter(col("vec_id") % 997 === 13), k = 5, nProbe = 2,
-        buckets = 16)
+        emb.filter(col("vec_id") % lifecycleQueryMod(s, dir, 997) === 13),
+        k = 5, nProbe = 2, buckets = 16)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -815,7 +849,7 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     * compact must change files, never answers. */
   val s75IvfBucketedInc: Q = Q(
     "s75_ivf_bucketed_inc",
-    ivfBatchProbeOracleSql(256, 991, 9, 3, 4)) { (s, dir) =>
+    ivfBatchProbeOracleSql(256, 991, 9, 3, 4, condMod = true)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 256)
     val path = graft.engine.WorkDirs.runScoped("ivf_buckets_inc", dir)
@@ -825,8 +859,87 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
       emb.filter(col("vec_id") % 2 === 1), cents, path, buckets = 16)
     val layout = Similarity.compactIvfLayout(s, path, maxFilesPerCell = 1)
     Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(layout, cents,
-        emb.filter(col("vec_id") % 991 === 9), k = 4, nProbe = 3,
-        buckets = 16)
+        emb.filter(col("vec_id") % lifecycleQueryMod(s, dir, 991) === 9),
+        k = 4, nProbe = 3, buckets = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The s76 ORACLE: the [[ivfBatchProbeOracleSql]] probe machinery
+    * (coarse argmax assignment + per-query probe ranking +
+    * self-exclusion) composed with the s56/s58 PQ machinery (subspace
+    * encode chain + pivoted 4-lookup ADC sum + exact-dot re-rank),
+    * all recomputed from the UNPARTITIONED raw table — the layout,
+    * its stored codes and its bucket pruning must change the WORK,
+    * never the answer. Tie rules: shortlist (adc DESC, vec_id ASC),
+    * final (score DESC, vec_id ASC) — the engine's `greatest(struct)`
+    * / row_number spellings. */
+  private def ivfPqLayoutOracleSql(centMax: Int, qMod: Int, qRem: Int,
+      nProbe: Int, k: Int, shortlist: Int): String =
+s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $centMax),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id % ${condModSql(qMod)} = $qRem),
+       |cr AS (SELECT q.qid, c.cid AS centroid_id,
+       |         row_number() OVER (PARTITION BY q.qid ORDER BY ${dotSql("q.qe", "c.ce")} DESC, c.cid) AS crk
+       |       FROM c CROSS JOIN q),
+       |probed AS (SELECT qid, centroid_id FROM cr WHERE crk <= $nProbe),
+       |sc0 AS (SELECT e.vec_id, c.cid AS centroid_id, ${dotSql("e.embedding", "c.ce")} AS score
+       |        FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, centroid_id) AS rn
+       |          FROM sc0) r
+       |        WHERE rn = 1),
+       |${PqSql.chain("embeddings")},
+       |cand AS (SELECT p.qid, cd0.vec_id, cd0.c0, cd0.c1, cd0.c2, cd0.c3
+       |         FROM codes cd0
+       |         JOIN asg a ON a.vec_id = cd0.vec_id
+       |         JOIN probed p ON p.centroid_id = a.centroid_id
+       |         WHERE cd0.vec_id <> p.qid),
+       |adcs AS (SELECT cd.qid, cd.vec_id, ${PqSql.adc} AS adc
+       |         FROM cand cd
+       |         ${PqSql.codeJoins}
+       |         JOIN q ON q.qid = cd.qid),
+       |srk AS (SELECT qid, vec_id, adc,
+       |          row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rk
+       |        FROM adcs),
+       |short AS (SELECT qid, vec_id, adc FROM srk WHERE rk <= $shortlist),
+       |ex AS (SELECT sh.qid, sh.vec_id, sh.adc, ${dotSql("e.embedding", "q.qe")} AS score
+       |       FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+       |       JOIN q ON q.qid = sh.qid),
+       |rk2 AS (SELECT qid, vec_id, adc, score,
+       |          CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+       |        FROM ex)
+       |SELECT qid AS query_id, rank, vec_id AS neighbor_id, adc, score
+       |FROM rk2 WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** s76 — IVF+PQ composed WITH the bucketed layout (the r19
+    * verdict's top item — the one composition of proven parts the
+    * 100-TB probe story was missing): the PQ code is STORED as a data
+    * column at build (Similarity.buildIvfPqLayoutBucketed, codes
+    * through the same codebook seam as s56-s58), and the probe is the
+    * full production shape — bucket-pruned scan of (vec_id, cell,
+    * code) with the raw embedding column never read in the
+    * compressed pass (PlanAuditSpec pins the read schema), ADC map
+    * lookups against the broadcast per-query tables, per-query
+    * shortlist, then ONLY the shortlist pays exact dots from an
+    * equally-pruned second scan and re-ranks by the true score
+    * (Similarity.ivfPqRerankBatchOnBucketedLayout). 256 cells (frame
+    * codebook), 16 bucket dirs. The oracle recomputes coarse probe,
+    * codes, ADC and re-rank from the unpartitioned raw table;
+    * OperatorsSpec additionally pins the layout path hash-identical
+    * to the unpartitioned twin (ivfPqMultiProbeRerankBatch). */
+  val s76IvfPqOnLayout: Q = Q(
+    "s76_ivfpq_on_layout",
+    ivfPqLayoutOracleSql(256, 997, 11, 2, 4, 10)) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 256)
+    val layout = Similarity.buildIvfPqLayoutBucketed(emb, cents,
+      graft.engine.WorkDirs.runScoped("ivfpq_buckets", dir),
+      buckets = 16, m = 4)
+    Similarity.ivfPqRerankBatchOnBucketedLayout(layout, cents,
+        emb.filter(col("vec_id") % lifecycleQueryMod(s, dir, 997) === 11),
+        k = 4, shortlist = 10, nProbe = 2, buckets = 16, m = 4)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -3816,5 +3929,5 @@ s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHE
     d75CanonicalDedup, t97NgramNovelty, t98RollingHll, t99RollingMedian,
     t100HostCap, s65BatchKnn, s66BatchAdc, s67BatchIvfPq, s68BatchRerank,
     s69CentroidAssignBig, s70BatchKnnBig, s71IvfPartitioned, s72IvfAppend,
-    s73IvfCompact, s74IvfBucketed, s75IvfBucketedInc)
+    s73IvfCompact, s74IvfBucketed, s75IvfBucketedInc, s76IvfPqOnLayout)
 }

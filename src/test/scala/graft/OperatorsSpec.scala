@@ -2093,6 +2093,103 @@ class OperatorsSpec extends SparkSpec {
     assert(e4.getMessage.contains("buckets=8"), e4.getMessage)
   }
 
+  test("IVFPQ bucketed layout: stored-code probe is hash-identical to the unpartitioned twin on both codebook strategies") {
+    // the s76 composition (r19 verdict item 1): codes STORED at build
+    // + bucket-pruned ADC scan + exact rerank must equal the
+    // unpartitioned recompute (ivfPqMultiProbeRerankBatch) bit for
+    // bit — the layout and its stored codes change the WORK, never
+    // the answer
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    def canon5(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    // frame-path codebook (100 > LiteralCodebookMax)
+    val cents = emb.filter(col("vec_id") < 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val layout = Similarity.buildIvfPqLayoutBucketed(emb, cents, dir,
+      buckets = 8, m = 4)
+    val onLayout = canon5(Similarity.ivfPqRerankBatchOnBucketedLayout(
+      layout, cents, qs, k = 5, shortlist = 12, nProbe = 3, buckets = 8, m = 4))
+    val plain = canon5(Similarity.ivfPqMultiProbeRerankBatch(
+      emb, cents, qs, k = 5, shortlist = 12, nProbe = 3, m = 4))
+    assert(onLayout == plain && onLayout.nonEmpty)
+    // literal-path codebook over the same stored shape
+    val centsSmall = emb.filter(col("vec_id") < 8)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_ivfpq_s").toString
+    val layoutS = Similarity.buildIvfPqLayoutBucketed(emb, centsSmall, dirS,
+      buckets = 4, m = 4)
+    assert(canon5(Similarity.ivfPqRerankBatchOnBucketedLayout(
+        layoutS, centsSmall, qs, k = 5, shortlist = 12, nProbe = 2,
+        buckets = 4, m = 4)) ==
+      canon5(Similarity.ivfPqMultiProbeRerankBatch(
+        emb, centsSmall, qs, k = 5, shortlist = 12, nProbe = 2, m = 4)))
+    // empty centroid set ⇒ empty frame (the batch-entry contract)
+    assert(Similarity.ivfPqRerankBatchOnBucketedLayout(
+      layout, emb.filter(col("vec_id") < 0), qs, k = 5, shortlist = 12,
+      nProbe = 3, buckets = 8, m = 4).count() == 0L)
+  }
+
+  test("IVFPQ bucketed layout lifecycle: append + compact preserve the probe; sidecar rejects every cross-regime misuse") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    def canon5(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_lc").toString
+    Similarity.buildIvfPqLayoutBucketed(
+      emb.filter(col("vec_id") % 2 === 0), cents, dir, buckets = 8, m = 4)
+    // wrong m on append: tables built for different slices — loud
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqLayoutBucketed(
+        emb.filter(col("vec_id") % 2 === 1), cents, dir, buckets = 8, m = 2)
+    }
+    assert(e1.getMessage.contains("pq=2"), e1.getMessage)
+    // wrong modulus on append — loud
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqLayoutBucketed(
+        emb.filter(col("vec_id") % 2 === 1), cents, dir, buckets = 4, m = 4)
+    }
+    assert(e2.getMessage.contains("partitioned as"), e2.getMessage)
+    // a CODE-LESS bucketed append into a PQ layout — loud (the codes
+    // column would silently go null for the appended rows)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfLayoutBucketed(
+        emb.filter(col("vec_id") % 2 === 1), cents, dir, buckets = 8)
+    }
+    assert(e3.getMessage.contains("fingerprint"), e3.getMessage)
+    // grow + compact; the result probes as a bulk build
+    val grown = Similarity.appendToIvfPqLayoutBucketed(
+      emb.filter(col("vec_id") % 2 === 1), cents, dir, buckets = 8, m = 4)
+    val a = canon5(Similarity.ivfPqRerankBatchOnBucketedLayout(
+      grown, cents, qs, k = 5, shortlist = 12, nProbe = 3, buckets = 8, m = 4))
+    val compacted = Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
+    assert(canon5(Similarity.ivfPqRerankBatchOnBucketedLayout(
+      compacted, cents, qs, k = 5, shortlist = 12, nProbe = 3,
+      buckets = 8, m = 4)) == a)
+    val bulkDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_blk").toString
+    val bulk = Similarity.buildIvfPqLayoutBucketed(emb, cents, bulkDir,
+      buckets = 8, m = 4)
+    assert(canon5(Similarity.ivfPqRerankBatchOnBucketedLayout(
+      bulk, cents, qs, k = 5, shortlist = 12, nProbe = 3,
+      buckets = 8, m = 4)) == a && a.nonEmpty)
+    // probing a code-less layout through the PQ probe — loud
+    val plainDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_pl").toString
+    val plain = Similarity.buildIvfLayoutBucketed(emb, cents, plainDir, buckets = 8)
+    val e4 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerankBatchOnBucketedLayout(
+        plain, cents, qs, k = 5, shortlist = 12, nProbe = 3, buckets = 8, m = 4)
+    }
+    assert(e4.getMessage.contains("no PQ codes"), e4.getMessage)
+    // probing a PQ layout with the wrong m — loud
+    val e5 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerankBatchOnBucketedLayout(
+        bulk, cents, qs, k = 5, shortlist = 12, nProbe = 3, buckets = 8, m = 2)
+    }
+    assert(e5.getMessage.contains("m=2"), e5.getMessage)
+  }
+
   test("IVF compaction crash recovery: a staged cell whose swap was interrupted is restored, not destroyed") {
     // the crash window: a previous compaction died AFTER delete(dst)
     // and BEFORE rename(src, dst) — the cell's only copy lives in the
@@ -2133,6 +2230,153 @@ class OperatorsSpec extends SparkSpec {
     Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
     assert(!tmp2.exists() && !new java.io.File(root, "cell=999999").exists(),
       "uncommitted staging must be discarded, not swapped in")
+  }
+
+  /** The biggest assignment cell and one member of it — the fixture
+    * both enforcement tests hold out so a deterministic append can
+    * target a cell known to exist (and, rebuilt without the holdout,
+    * known to be fragmented). */
+  private def bigCellHoldout(emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val asg = Similarity.centroidAssign(emb, cents)
+      .select(col("vec_id"), col("centroid_id"))
+    val big = asg.groupBy(col("centroid_id")).count()
+      .orderBy(desc("count"), col("centroid_id")).head().getLong(0)
+    val holdout = asg.filter(col("centroid_id") === big)
+      .agg(min(col("vec_id"))).head().getLong(0)
+    (big, holdout)
+  }
+
+  test("IVF compaction ENFORCES the append contract: an interleaved append survives, that partition's swap is aborted") {
+    // the r19-verdict loss window: an append landing a file into a
+    // fragmented cell between compaction's staging snapshot and that
+    // cell's swap was silently destroyed (the staged rewrite predates
+    // the appended file). The enforced contract: the swap re-lists the
+    // cell after moving it aside — a listing that differs from the
+    // staging snapshot aborts THAT cell's swap (old dir renamed
+    // straight back, appended file intact), every other fragmented
+    // cell still compacts, and nothing anywhere loses a byte.
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    val (bigCell, holdout) = bigCellHoldout(emb, cents)
+    val rest = emb.filter(col("vec_id") =!= holdout)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_ilv").toString
+    Similarity.buildIvfLayout(rest.filter(col("vec_id") % 3 === 0), cents, dir)
+    Similarity.appendToIvfLayout(rest.filter(col("vec_id") % 3 === 1), cents, dir)
+    Similarity.appendToIvfLayout(rest.filter(col("vec_id") % 3 === 2), cents, dir)
+    def cellFileNames(c: Long): Set[String] = {
+      val d = new java.io.File(dir, s"cell=$c")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    assert(cellFileNames(bigCell).size > 1,
+      s"fixture: cell=$bigCell not fragmented (${cellFileNames(bigCell)})")
+    // interleave: the hook fires immediately before each swap — when
+    // the fragmented big cell's turn comes, land a real append into it
+    var fired = false
+    val compacted = Similarity.compactIvfLayout(spark, dir, 1, { c =>
+      if (c == bigCell) {
+        Similarity.appendToIvfLayout(
+          emb.filter(col("vec_id") === holdout), cents, dir)
+        fired = true
+      }
+    })
+    assert(fired, "hook never fired for the fragmented big cell")
+    // the appended row SURVIVED (the r19 window destroyed it) ...
+    assert(compacted.filter(col("vec_id") === holdout).count() == 1L,
+      "interleaved append was destroyed by the swap")
+    // ... nothing else was lost ...
+    assert(compacted.count() == emb.count(), "compaction lost rows")
+    // ... the contested cell's swap was aborted (still fragmented) ...
+    assert(cellFileNames(bigCell).size > 1,
+      s"contested cell was swapped despite the interleaved append")
+    // ... other fragmented cells compacted, and the probe answers as
+    // a bulk build over the WHOLE corpus (holdout included)
+    val others = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=") &&
+        f.getName != s"cell=$bigCell")
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(others.forall(_ == 1), s"uncontested cells not compacted: ${others.toSeq}")
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+        compacted, cents, qs, k = 5, nProbe = 3)) ==
+      canon(Similarity.ivfMultiProbeTopKBatch(emb, cents, qs, k = 5, nProbe = 3)))
+    // once the writer quiesces, a re-run compacts the skipped cell too
+    val again = Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 1)
+    assert(cellFileNames(bigCell).size == 1, "quiesced re-run did not compact")
+    assert(again.count() == emb.count())
+  }
+
+  test("IVF compaction crash recovery, two-rename protocol: interrupted swaps restore the OLD copy, completed swaps discard it") {
+    // the three crash states the old-sibling dir distinguishes:
+    //  A  old present + staged present + dst missing  — crashed between
+    //     the two renames: the OLD copy is authoritative (it may carry
+    //     post-staging appends the staged rewrite never saw) → restored,
+    //     staged discarded
+    //  B  like A but an append re-created dst before recovery ran —
+    //     old files MERGE into dst alongside the appended file
+    //  C  old present + staged gone — the swap completed; old is
+    //     redundant → discarded, dst untouched
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    val (bigCell, holdout) = bigCellHoldout(emb, cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_crash2").toString
+    Similarity.buildIvfLayout(emb.filter(col("vec_id") =!= holdout), cents, dir)
+    val root = new java.io.File(dir)
+    def files(d: java.io.File): Set[String] =
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val cellY = s"cell=$bigCell" // state B: holdout's append re-creates it
+    val otherCells = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=") &&
+        f.getName != cellY)
+      .map(_.getName).sorted
+    val (cellX, cellZ) = (otherCells(0), otherCells(1))
+    val (xBefore, yBefore, zBefore) = (files(new java.io.File(root, cellX)),
+      files(new java.io.File(root, cellY)), files(new java.io.File(root, cellZ)))
+    val tmp = new java.io.File(root.getParent, root.getName + "_compact_tmp")
+    val tmpOld = new java.io.File(root.getParent, root.getName + "_compact_old")
+    assert(tmp.mkdirs() && tmpOld.mkdirs())
+    assert(new java.io.File(tmp, "_SUCCESS").createNewFile())
+    def junkStaged(cell: String): Unit = {
+      val d = new java.io.File(tmp, cell)
+      assert(d.mkdirs())
+      java.nio.file.Files.write(new java.io.File(d, "part-junk.parquet").toPath,
+        Array[Byte](1, 2, 3))
+    }
+    // state A: X moved aside, staged copy present, dst missing
+    assert(new java.io.File(root, cellX).renameTo(new java.io.File(tmpOld, cellX)))
+    junkStaged(cellX)
+    // state B: Y moved aside, staged present — then an append lands
+    // the holdout INTO Y, re-creating dst with one new file
+    assert(new java.io.File(root, cellY).renameTo(new java.io.File(tmpOld, cellY)))
+    junkStaged(cellY)
+    Similarity.appendToIvfLayout(
+      emb.filter(col("vec_id") === holdout), cents, dir)
+    val yAppended = files(new java.io.File(root, cellY))
+    assert(yAppended.nonEmpty && (yAppended & yBefore).isEmpty,
+      s"fixture: append did not re-create $cellY fresh")
+    // state C: Z's old copy lingers but its staged copy is gone
+    // (swap completed) — COPY so dst keeps the "rewrite"
+    val zOld = new java.io.File(tmpOld, cellZ)
+    assert(zOld.mkdirs())
+    for (f <- new java.io.File(root, cellZ).listFiles())
+      java.nio.file.Files.copy(f.toPath, new java.io.File(zOld, f.getName).toPath)
+    val recovered = Similarity.compactIvfLayout(spark, dir, maxFilesPerCell = 100)
+    assert(!tmp.exists() && !tmpOld.exists(), "sibling dirs not cleared")
+    // A: restored byte-for-byte, junk staged copy discarded
+    assert(files(new java.io.File(root, cellX)) == xBefore, "state A not restored")
+    // B: old files merged in ALONGSIDE the appended file
+    assert(files(new java.io.File(root, cellY)) == (yBefore ++ yAppended),
+      s"state B lost files: ${files(new java.io.File(root, cellY))}")
+    // C: dst untouched, redundant old copy gone
+    assert(files(new java.io.File(root, cellZ)) == zBefore, "state C dst touched")
+    // nothing lost anywhere: the recovered layout IS the full corpus
+    assert(recovered.count() == emb.count(), "recovery lost rows")
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+        recovered, cents, qs, k = 5, nProbe = 3)) ==
+      canon(Similarity.ivfMultiProbeTopKBatch(emb, cents, qs, k = 5, nProbe = 3)))
   }
 
   test("bpe encode: counts match the hand-trained merge table exactly") {
