@@ -847,6 +847,49 @@ object Similarity {
     writeIvfLayoutBucketed(newVectors, centroids, path, buckets,
       org.apache.spark.sql.SaveMode.Append)
 
+  /** Regime-choosing build — the last way to hold the layout
+    * lifecycle wrong, removed (r19 verdict item 8): callers no longer
+    * pick per-cell vs bucket-grouped by reading a warning log. ONE
+    * distributed aggregate counts the corpus's distinct ASSIGNED
+    * cells (argmax through the same codebook seam — no codebook
+    * collect, one bounded 1-row head), and the build lands per-cell
+    * at ≤ [[LayoutCellDirMax]] populated cells or bucket-grouped
+    * (with `buckets` dirs) above it — the measured crossover
+    * (DevLayoutRegime): equivalent probe pruning, bounded directory
+    * count. The extra cost is one assignment scan + agg, paid once
+    * per BUILD (never per probe). The sidecar records whichever
+    * scheme was chosen, so every downstream append/compact/probe is
+    * already guarded against holding it wrong; probe through the
+    * entry matching [[ivfLayoutScheme]]. */
+  def buildIvfLayoutAuto(corpus: DataFrame, centroids: DataFrame,
+      path: String, buckets: Int = 64): DataFrame =
+    buildIvfLayoutAuto(corpus, centroids, path, buckets, LayoutCellDirMax)
+
+  /** Test seam: the regime bound as a parameter (the public entry
+    * pins it to [[LayoutCellDirMax]], which a gate-sized corpus can
+    * never exceed — distinct cells ≤ corpus rows). */
+  private[graft] def buildIvfLayoutAuto(corpus: DataFrame,
+      centroids: DataFrame, path: String, buckets: Int,
+      dirMax: Int): DataFrame = {
+    val cb = codebook(centroids)
+    val nCells = cb.attach(corpus)
+      .select(graft.functions.ComputeOnce.once(
+        cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
+      .agg(count_distinct(col("cell"))).head().getLong(0)
+    if (nCells > dirMax)
+      buildIvfLayoutBucketed(corpus, centroids, path, buckets)
+    else
+      buildIvfLayout(corpus, centroids, path)
+  }
+
+  /** The scheme a built layout's sidecar records — `cells` or
+    * `buckets=<B>` — so an [[buildIvfLayoutAuto]] caller dispatches
+    * its probes/appends without parsing paths or logs. None when no
+    * sidecar exists at `path`. */
+  def ivfLayoutScheme(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[String] =
+    readSidecar(spark, path).map(_.split(":", 2).head)
+
   private def writeIvfLayoutBucketed(vectors: DataFrame, centroids: DataFrame,
       path: String, buckets: Int,
       mode: org.apache.spark.sql.SaveMode): DataFrame = {

@@ -88,7 +88,9 @@ object DevLayoutRegime {
     }
     jsonPath.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        rows.mkString(s"""{"corpus":"$sfDir","vectors":$n,"rows":[""", ",", "]}\n"))
+        rows.mkString(s"""{"corpus":"$sfDir","vectors":$n,""" +
+          s""""layout_cell_dir_max":${Similarity.LayoutCellDirMax},"rows":[""",
+          ",", "]}\n"))
       println(s"json written to $p")
     }
     spark.stop()

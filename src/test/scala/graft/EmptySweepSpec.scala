@@ -50,7 +50,7 @@ class EmptySweepSpec extends SparkSpec {
     // error as s52's assignment (the batch PROBE against an existing
     // layout keeps the empty⇒empty contract, OperatorsSpec pins it)
     "s71_ivf_partitioned", "s72_ivf_append", "s73_ivf_compact",
-    "s74_ivf_bucketed", "s75_ivf_bucketed_inc")
+    "s74_ivf_bucketed", "s75_ivf_bucketed_inc", "s76_ivfpq_on_layout")
 
   /** The grouping-on-empty divergence class — Spark-side shape is
     * 0 rows; the SQL oracle's shape is a grand-total summary. Members

@@ -2093,6 +2093,39 @@ class OperatorsSpec extends SparkSpec {
     assert(e4.getMessage.contains("buckets=8"), e4.getMessage)
   }
 
+  test("buildIvfLayoutAuto picks the regime from the measured bound: bucketed above, per-cell below, scheme readable") {
+    // the caller no longer chooses per-cell vs bucketed by reading a
+    // warning log: one distinct-assigned-cells aggregate picks the
+    // regime against the LayoutCellDirMax bound (parameterized here —
+    // a 500-vector corpus can never exceed the real 1000)
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cents = emb.filter(col("vec_id") < 100)
+    val qs = emb.filter(col("vec_id") % 100 === 1)
+    val plain = canon(Similarity.ivfMultiProbeTopKBatch(
+      emb, cents, qs, k = 5, nProbe = 3))
+    // ~100 populated cells > 50 ⇒ bucketed
+    val dirB = java.nio.file.Files.createTempDirectory("graft_auto_b").toString
+    val lb = Similarity.buildIvfLayoutAuto(emb, cents, dirB, buckets = 8,
+      dirMax = 50)
+    assert(Similarity.ivfLayoutScheme(spark, dirB).contains("buckets=8"))
+    assert(new java.io.File(dirB).listFiles()
+      .exists(_.getName.startsWith("cell_bucket=")))
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnBucketedLayout(
+      lb, cents, qs, k = 5, nProbe = 3, buckets = 8)) == plain)
+    // ~100 populated cells ≤ 500 ⇒ per-cell
+    val dirC = java.nio.file.Files.createTempDirectory("graft_auto_c").toString
+    val lc = Similarity.buildIvfLayoutAuto(emb, cents, dirC, buckets = 8,
+      dirMax = 500)
+    assert(Similarity.ivfLayoutScheme(spark, dirC).contains("cells"))
+    assert(new java.io.File(dirC).listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    assert(canon(Similarity.ivfMultiProbeTopKBatchOnLayout(
+      lc, cents, qs, k = 5, nProbe = 3)) == plain && plain.nonEmpty)
+    // no sidecar ⇒ no scheme
+    assert(Similarity.ivfLayoutScheme(spark,
+      java.nio.file.Files.createTempDirectory("graft_auto_n").toString).isEmpty)
+  }
+
   test("IVFPQ bucketed layout: stored-code probe is hash-identical to the unpartitioned twin on both codebook strategies") {
     // the s76 composition (r19 verdict item 1): codes STORED at build
     // + bucket-pruned ADC scan + exact rerank must equal the

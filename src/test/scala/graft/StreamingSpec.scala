@@ -1135,6 +1135,98 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, s"windowed restart diverged from the twin: $got")
   }
 
+  test("checkpoint recovery: a stream-stream interval join killed mid-backlog restores BOTH join buffers and drops both-sides-late rows") {
+    // r19 verdict item 4, the third state-store shape: a stream-stream
+    // join buffers BOTH inputs with side-specific eviction bounds
+    // (left evicts at the watermark, right at watermark − lookback) —
+    // a lost buffered row is invisible to the dedup and windowed-agg
+    // restart pins (no dup appears, no sum changes; a JOIN ROW just
+    // silently never exists). Construction (lookback 1800 s,
+    // watermark 30 min, deterministic one-hour-trigger kill):
+    //   batch 0 (run 1's only batch): left {L1 10:00 u1, L2 10:10 u2,
+    //   clock 10:20}, right {P1 09:50 u1, P3 10:15 u3, clock 10:20}.
+    //   (L1,P1) joins and emits pre-kill; L2 and P3 are BUFFERED,
+    //   unmatched; both watermarks land at 09:50.
+    //   Run 2 (restart, AvailableNow): left L3 10:30 u3 must join the
+    //   RESTORED right buffer's P3 (10:15 ∈ [10:00, 10:30]); right
+    //   P2 10:05 u2 must join the restored LEFT buffer's L2
+    //   (10:05 ∈ [09:40, 10:10]). A lost left buffer loses (L2,P2), a
+    //   lost right buffer loses (L3,P3). Watermarks advance to 10:00.
+    //   Run 3 (second restart): L9 09:00 u7 and P9 08:45 u7 — each
+    //   below its side's restored state watermark (left 10:00; right
+    //   10:00 − 1800 s = 09:30) — must BOTH be dropped, visibly
+    //   (numRowsDroppedByWatermark ≥ 2); had either been admitted
+    //   they would join each other (08:45 ∈ [08:30, 09:00]) and the
+    //   twin equality below would fail.
+    // The sink must equal the BATCH interval join (the q41 twin
+    // operator) over the staged events minus the two late rows.
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_ssj")
+    val srcL = base.resolve("left").toString
+    val srcR = base.resolve("right").toString
+    val ckpt = base.resolve("ckpt").toString
+    val out = base.resolve("out").toString
+    def stage(dir: String,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+    stage(srcL, Seq((1L, ts("2026-01-01 10:00:00"), 1L, "error", 1.0),
+      (2L, ts("2026-01-01 10:10:00"), 2L, "error", 1.0),
+      (50L, ts("2026-01-01 10:20:00"), 50L, "clock", 0.0)))
+    stage(srcR, Seq((101L, ts("2026-01-01 09:50:00"), 1L, "purchase", 1.0),
+      (103L, ts("2026-01-01 10:15:00"), 3L, "purchase", 1.0),
+      (151L, ts("2026-01-01 10:20:00"), 51L, "clock", 0.0)))
+    def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+      StreamOps.intervalJoinStream(
+          StreamOps.readEventStream(spark, srcL),
+          StreamOps.readEventStream(spark, srcR),
+          "error_id", "purchase_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(trigger).start()
+    val q1 = start(org.apache.spark.sql.streaming.Trigger.ProcessingTime(3600000L))
+    val deadline = System.currentTimeMillis + 300000
+    while (q1.recentProgress.map(_.numInputRows).sum == 0 &&
+      System.currentTimeMillis < deadline) Thread.sleep(20)
+    q1.stop()
+    assert(q1.recentProgress.map(_.numInputRows).sum == 6,
+      "run 1 must commit exactly the one batch-0 micro-batch (6 rows)")
+    // run 2: each side's new row must match the OTHER side's restored
+    // buffer; the right clock keeps both watermarks advancing together
+    stage(srcL, Seq((3L, ts("2026-01-01 10:30:00"), 3L, "error", 1.0)))
+    stage(srcR, Seq((102L, ts("2026-01-01 10:05:00"), 2L, "purchase", 1.0),
+      (152L, ts("2026-01-01 10:30:00"), 51L, "clock", 0.0)))
+    val q2 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q2.awaitTermination(300000), "restart 1 did not self-terminate")
+    // run 3: both-sides-late pair — dropped by the RESTORED watermark
+    stage(srcL, Seq((9L, ts("2026-01-01 09:00:00"), 7L, "error", 1.0)))
+    stage(srcR, Seq((109L, ts("2026-01-01 08:45:00"), 7L, "purchase", 1.0)))
+    val q3 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q3.awaitTermination(300000), "restart 2 did not self-terminate")
+    assert(q3.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum >= 2,
+      "expected BOTH late rows dropped by the restored join watermarks")
+    def canonJ(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("error_id"), col("purchase_id"),
+          col("lag_us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._2, t._3)).toSeq
+    val got = canonJ(spark.read.parquet(out))
+    // the batch twin over everything staged except the two late rows
+    val lb = spark.read.parquet(srcL).filter(col("event_id") =!= 9L)
+    val rb = spark.read.parquet(srcR).filter(col("event_id") =!= 109L)
+    val want = canonJ(graft.operators.Interval.joinLookback(
+        lb.select(col("event_id").as("error_id"), col("user_id"), col("ts")),
+        rb.select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("p_ts")),
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"),
+        leftCols = Seq("error_id"), rightCols = Seq("purchase_id"), w = 1800L)
+      .select(col("iv_key").as("user_id"), col("error_id"),
+        col("purchase_id"), col("lag_us")))
+    assert(got.size == 3 && got == want,
+      s"stream-stream join restart diverged: got=$got want=$want")
+  }
+
   test("a co-tenant's cached DataFrame survives a dedup micro-batch with its storage level intact") {
     // dedupBatch must clean up ONLY the dedup operators' own pins
     // (graft.Caches.releaseAll) — the earlier session-wide
