@@ -52,7 +52,12 @@ class PlanLintAdvisorySpec extends SparkSpec {
       // codebook does NOT become a k-term literal expression tree or a
       // driver-side collect
       "s69_centroid_assign_big",
-      "s70_batch_knn_big"
+      "s70_batch_knn_big",
+      // s76: the PQ-on-layout probe's returned plan carries the same
+      // frame-codebook 1-row aggregate as s69/s70 (256 centroids >
+      // LiteralCodebookMax) for the ADC tables and exact re-rank —
+      // codebook-bounded, never corpus-bounded
+      "s76_ivfpq_on_layout"
       // s71 runs the same frame-codebook aggregate, but its probe
       // frame is PINNED and materialized at construction (the cells
       // collect) — the returned plan carries only the pin scan, so
@@ -161,6 +166,13 @@ object DriverActionReviewed {
     // compact at construction, incl. the bounded sidecar-validation
     // reads); the probe leg is the audited query
     "s75_ivf_bucketed_inc",
+    // s76 = s74's build class with PQ codes stored (buildIvfPqLayout-
+    // Bucketed at construction) + the family's bounded limit(65)
+    // codebook strategy probe (Similarity.scala:348) and the
+    // request-bounded probed-cells collect (≤ min(N·nProbe, nlist),
+    // Similarity.scala:1046) — the compressed-scan + rerank probe leg
+    // is the audited query
+    "s76_ivfpq_on_layout",
     "t67_token_budget", "t70_pack_sequences",
     // d70 = d49's connected-components loop (checkpoint class) feeding
     // the hash split
