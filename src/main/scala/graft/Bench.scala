@@ -477,6 +477,21 @@ object Bench {
       // execution-time DPP even when exchange reuse misses under AQE
       // (the r18 q76 finding — see TestSpark / Scale.q76DppPrune)
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // r20 I/O configs (guide §6; measured on the s71-s76 layout
+      // lifecycle, OPTIMIZATION_r20.md): (a) list up to 1024 partition
+      // dirs on the driver instead of launching a distributed listing
+      // JOB per layout read (Spark's threshold of 32 is tuned for
+      // object stores; the lifecycle re-lists its 100-256 cell dirs
+      // 3-8× per query — 0.5-1.5 s of listing jobs each); production
+      // object-store deployments should keep the default or use a
+      // manifest table format. (b) committer v2: task commits rename
+      // straight into the destination — halves the commit renames on
+      // every partitioned write (the standard HDFS-era setting; local
+      // fs rename is atomic, and every graft write lands in a
+      // run-nonce-scoped dir, so concurrent-writer caveats don't
+      // apply).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up actions so the first measured queries don't

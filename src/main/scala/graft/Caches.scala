@@ -178,9 +178,23 @@ object Caches {
     try f finally spark.conf.set(k, prev)
   }
 
+  /** Query-boundary invalidation hooks (r20): operator-layer memos
+    * (Similarity's per-centroids-frame codebook/fingerprint) register
+    * here once and are cleared on every [[releaseAll]] — the same
+    * boundary at which pinned frames die. This is what makes such a
+    * memo an intra-query optimization rather than cross-run caching:
+    * Bench calls releaseAll before EVERY timed run and Verify between
+    * queries, so no collected codebook or fingerprint survives into
+    * another measurement or another query's oracle leg. */
+  private val releaseHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[Runnable]()
+
+  def onRelease(hook: Runnable): Unit = releaseHooks.add(hook)
+
   /** Drop every block the library pinned since the last release —
     * and only those. See the class doc for when this is safe. */
   def releaseAll(): Unit = {
+    releaseHooks.forEach(_.run())
     var ds = pinnedDs.poll()
     while (ds != null) {
       ds.unpersist(blocking = false)

@@ -21,12 +21,20 @@ object Explain {
       // execution-time DPP even when exchange reuse misses under AQE
       // (the r18 q76 finding — see TestSpark / Scale.q76DppPrune)
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // r20 I/O configs — same pair as Bench, so dev plan/time reads
+      // match what the bench session executes
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // dev knob: GRAFT_LOG_LEVEL=INFO surfaces DAGScheduler "Job took"
+    // lines for per-job attribution between the ===== name ===== markers
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("GRAFT_LOG_LEVEL", "WARN"))
     names.foreach { name =>
       // time CONSTRUCTION + action together: iterative operators
       // (connected components) run their loop jobs eagerly while the
       // DataFrame is being built, which is exactly what Bench measures
+      println(s"----- begin $name")
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tBuild = (System.nanoTime() - t0) / 1e9

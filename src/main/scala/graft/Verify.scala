@@ -17,6 +17,11 @@ object Verify {
       // execution-time DPP even when exchange reuse misses under AQE
       // (the r18 q76 finding — see TestSpark / Scale.q76DppPrune)
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // r20 I/O configs — same pair as Bench (driver-side partition
+      // listing for ≤1024 dirs + committer v2), see Bench.scala for
+      // the rationale and OPTIMIZATION_r20.md for the measurements
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

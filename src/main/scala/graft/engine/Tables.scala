@@ -12,8 +12,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filters/projections down into the scan.
   */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Session-lifetime SCHEMA catalog, keyed by table path (r20, guide
+    * §5 — driver work): a bare `spark.read.parquet(path)` runs a
+    * footer-reading schema-inference JOB on every call, and every
+    * catalogue query pays it 1-3× per construction (~50-150 ms per
+    * job healthy, up to ~0.8 s in contended windows — measured as the
+    * `parquet at Tables.scala` job in every query's profile). A real
+    * deployment reads these tables through a catalog (metastore /
+    * Iceberg) that serves the schema without touching data files;
+    * this map is that catalog, scoped to the JVM. METADATA ONLY —
+    * row data is re-scanned from parquet on every action (Spark
+    * plans/file listings are never cached here), so every bench and
+    * oracle invocation still computes from the parquet inputs. Keyed
+    * on the full path: distinct corpora (sf dirs, derived-corpus
+    * sweeps) never share an entry, and a schema is immutable for the
+    * life of a test corpus path. */
+  private val schemaCatalog = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val sch = schemaCatalog.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame    = t(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame    = t(spark, sfDir, "nation")

@@ -233,35 +233,44 @@ object Similarity {
     def attach(df: DataFrame): DataFrame = df
     private def ceCol(ce: Array[Float]): Column =
       array(ce.toSeq.map(v => lit(v.toDouble)): _*)
-    def bestStruct(emb: Column): Column = {
-      val scored = cents.map { case (cid, ce) =>
-        struct(dot(emb, ceCol(ce)).as("score"),
-          lit(-cid).as("neg_cid"), lit(cid).as("cid"))
-      }
-      if (scored.size == 1) scored.head else greatest(scored: _*)
+    /** The whole codebook as ONE constant array<struct<cid, ce>>
+      * literal (r20): the former per-centroid `greatest(struct(dot…))`
+      * chain inlined k×dim literal doubles into the expression tree —
+      * a multi-thousand-node plan whose whole-stage codegen source
+      * paid a per-query Janino compile in the hundreds of ms, growing
+      * with k·dim. The fused [[graft.functions.CodebookKernels]]
+      * argmax/PQ kernels consume this single literal instead: same
+      * left-fold dots against the same driver-side `toDouble`
+      * conversions (bit-identity pinned by CodebookKernelSpec and the
+      * literal-vs-frame OperatorsSpec pins), tiny generated code, one
+      * tight loop per row. */
+    private lazy val centsLit: Column = {
+      val tpe = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("ce",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false),
+            nullable = false))), containsNull = false)
+      val rows: Array[Any] = cents.map { case (cid, ce) =>
+        org.apache.spark.sql.catalyst.InternalRow(cid,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            ce.map(_.toDouble))): Any
+      }.toArray
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(rows), tpe))
     }
+    def bestStruct(emb: Column): Column =
+      graft.functions.CodebookKernels.codebookArgmax(emb, centsLit)
     def scoredAll(qEmb: Column): Column =
       array(cents.map { case (cid, ce) =>
         struct(dot(qEmb, ceCol(ce)).as("score"), lit(cid).as("cid"))
       }: _*)
-    def pqCode(emb: Column, m: Int): Column = {
-      val sub = subDim(m)
-      val codes = (0 until m).map { j =>
-        val xs = slice(emb, j * sub + 1, sub)
-        val scored = cents.map { case (cid, ce) =>
-          val cj = ce.slice(j * sub, (j + 1) * sub)
-          // ‖c_j‖²/2 by the same left fold the oracle's dotSql pins
-          var nrm = 0.0d
-          var i = 0
-          while (i < sub) { nrm += cj(i).toDouble * cj(i).toDouble; i += 1 }
-          struct((dot(xs, ceCol(cj)) - nrm / 2).as("score"),
-            lit(-cid).as("neg_cid"), lit(cid).as("cid"))
-        }
-        (if (scored.size == 1) scored.head else greatest(scored: _*))
-          .getField("cid")
-      }
-      array(codes: _*)
-    }
+    def pqCode(emb: Column, m: Int): Column =
+      graft.functions.CodebookKernels.codebookPqCodes(
+        emb, centsLit, m, subDim(m))
     def adcTable(qEmb: Column, j: Int, m: Int): Column = {
       val sub = subDim(m)
       map(cents.flatMap { case (cid, ce) =>
@@ -307,28 +316,25 @@ object Similarity {
             raise_error(lit("centroid dims are not uniform")))
           .otherwise(col(CentsCol)).as(CentsCol))
     def attach(df: DataFrame): DataFrame = df.crossJoin(broadcast(centsFrame))
+    // fused native kernel, not array_max(transform(...)): the HOF form
+    // is interpreted per element with a materialized k-struct array per
+    // row — on corpus-scale assignment that was the dominant task cost
+    // (see CodebookKernels' scaladoc; bit-identity pinned by
+    // CodebookKernelSpec and the literal-vs-frame OperatorsSpec pins)
     def bestStruct(emb: Column): Column =
-      array_max(transform(col(CentsCol), c =>
-        struct(dot(emb, c.getField("ce")).as("score"),
-          (-c.getField("cid")).as("neg_cid"), c.getField("cid").as("cid"))))
+      graft.functions.CodebookKernels.codebookArgmax(emb, col(CentsCol))
     def scoredAll(qEmb: Column): Column =
       transform(col(CentsCol), c =>
         struct(dot(qEmb, c.getField("ce")).as("score"),
           c.getField("cid").as("cid")))
-    def pqCode(emb: Column, m: Int): Column = {
-      val sub = subDim(m)
-      val codes = (0 until m).map { j =>
-        array_max(transform(col(CentsCol), c => {
-          val cj = slice(c.getField("ce"), j * sub + 1, sub)
-          // dot(cj, cj) is the same left fold as the literal form's
-          // driver-side ‖c_j‖² accumulation — identical doubles
-          struct((dot(slice(emb, j * sub + 1, sub), cj) - dot(cj, cj) / 2)
-              .as("score"),
-            (-c.getField("cid")).as("neg_cid"), c.getField("cid").as("cid"))
-        })).getField("cid")
-      }
-      array(codes: _*)
-    }
+    // fused native kernel over offset ranges — the HOF form paid two
+    // fresh slice() copies per (row, centroid, subspace) on top of the
+    // interpreted lambda evals (m·k per row); the kernel's dotRange /
+    // normRange fold the identical element sequences (CodebookKernelSpec
+    // pins slice-clamp and null semantics against the HOF spelling)
+    def pqCode(emb: Column, m: Int): Column =
+      graft.functions.CodebookKernels.codebookPqCodes(
+        emb, col(CentsCol), m, subDim(m))
     def adcTable(qEmb: Column, j: Int, m: Int): Column = {
       val sub = subDim(m)
       map_from_entries(transform(col(CentsCol), c =>
@@ -338,12 +344,43 @@ object Similarity {
     }
   }
 
+  /** Per-QUERY memo of the two bounded driver actions every codebook
+    * consumer pays (the strategy probe collect and the fingerprint
+    * aggregate), keyed on the centroids frame's object IDENTITY and
+    * cleared at every [[graft.Caches.releaseAll]] boundary (r20,
+    * guide §5 "the driver should do almost no data work"): a
+    * lifecycle query passes ONE `cents` frame through build → append
+    * → append → compact → probe, and each call re-ran the same
+    * collect + agg as separate Spark jobs — 5-7 redundant driver
+    * round-trips per query. Identity keys make cross-run reuse
+    * impossible by construction (each bench/verify run constructs
+    * fresh frames), and the releaseAll hook clears even same-object
+    * reuse across timed runs, so every measurement still computes
+    * its codebook from the parquet input. */
+  private val cbMemo = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, Option[Codebook]]())
+  private val fpMemo = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, String]())
+  graft.Caches.onRelease(() => { cbMemo.clear(); fpMemo.clear() })
+
   /** Pick the codebook strategy with ONE bounded driver action: a
     * limit(threshold+1) probe — if the probe fits, it IS the full set
     * (literal form, sorted + distinct-checked exactly as before); if
     * not, only the dim is taken from it and the codebook never lands
-    * on the driver (frame form). None = empty centroid set. */
+    * on the driver (frame form). None = empty centroid set.
+    * Memoized per centroids-frame instance within the query (see
+    * [[cbMemo]]). */
   private def codebookOpt(centroids: DataFrame): Option[Codebook] = {
+    val hit = cbMemo.get(centroids)
+    if (hit != null) hit
+    else {
+      val cb = codebookOptCompute(centroids)
+      cbMemo.put(centroids, cb)
+      cb
+    }
+  }
+
+  private def codebookOptCompute(centroids: DataFrame): Option[Codebook] = {
     val probe = centroids.select(col("vec_id").cast("long"), col("embedding"))
       .limit(LiteralCodebookMax + 1).collect()
     if (probe.isEmpty) None
@@ -597,6 +634,16 @@ object Similarity {
     * decimal so ANSI overflow cannot throw). Two centroid sets that
     * differ in ANY id or component fingerprint apart. */
   private def codebookFingerprint(centroids: DataFrame): String = {
+    val hit = fpMemo.get(centroids)
+    if (hit != null) hit
+    else {
+      val fp = codebookFingerprintCompute(centroids)
+      fpMemo.put(centroids, fp)
+      fp
+    }
+  }
+
+  private def codebookFingerprintCompute(centroids: DataFrame): String = {
     val r = centroids
       .select(col("vec_id").cast("long").as("cid"), col("embedding"))
       .agg(count(lit(1)).as("n"),

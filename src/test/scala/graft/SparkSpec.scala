@@ -29,6 +29,11 @@ object TestSpark {
     // independently restores execution-time pruning; the recommended
     // deployment conf, documented at Scale.q76DppPrune.
     .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    // r20 I/O configs — same pair as Bench/Verify (driver-side
+    // partition listing for ≤1024 dirs + committer v2), so the suite
+    // exercises the exact write/list path the driver surfaces run
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+    .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     .getOrCreate()
 }
 
