@@ -410,12 +410,22 @@ object TextAnalysis {
   def cmSketchFromCounts(cnts: DataFrame, d: Int = 4, w: Int = 64): DataFrame = {
     require(d >= 1 && d <= TextHash.A.size, s"d must be in [1, ${TextHash.A.size}]")
     require(w >= 1, s"w must be positive, got $w")
-    val hashed = cnts.select(polyHashFast(col("tok")).as("hh"), col("cnt"))
-    val rows = (0 until d).map { i =>
-      hashed.select(lit(i.toLong).as("row_idx"),
-        ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w).as("bucket"),
+    // ONE scan with the d rows exploded from an inline array, not a
+    // d-branch unionAll (r20, guide §2.4): the union spelled d map
+    // subtrees over the counts frame, each re-evaluating the token
+    // hash — same rows, d× the scan pipelines and hash evals. The
+    // ComputeOnce barrier keeps CollapseProject from inlining the
+    // costly hash into each of the d struct legs.
+    val hashed = cnts.select(
+      graft.functions.ComputeOnce.once(polyHashFast(col("tok"))).as("hh"),
+      col("cnt"))
+    val rows = hashed.select(explode(array((0 until d).map { i =>
+        struct(lit(i.toLong).as("row_idx"),
+          ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w)
+            .as("bucket"))
+      }: _*)).as("rb"), col("cnt"))
+      .select(col("rb.row_idx").as("row_idx"), col("rb.bucket").as("bucket"),
         col("cnt"))
-    }.reduce(_ unionAll _)
     rows.groupBy(col("row_idx"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
   }
@@ -428,11 +438,16 @@ object TextAnalysis {
     * count. Output: (tok, cm_est). */
   def cmEstimate(sketch: DataFrame, probes: DataFrame, d: Int = 4,
       w: Int = 64): DataFrame = {
-    val pr = probes.select(col("tok"), polyHashFast(col("tok")).as("hh"))
-    val keyed = (0 until d).map { i =>
-      pr.select(col("tok"), lit(i.toLong).as("row_idx"),
-        ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w).as("bucket"))
-    }.reduce(_ unionAll _)
+    // same union→explode fusion as cmSketchFromCounts (r20)
+    val pr = probes.select(col("tok"),
+      graft.functions.ComputeOnce.once(polyHashFast(col("tok"))).as("hh"))
+    val keyed = pr.select(col("tok"), explode(array((0 until d).map { i =>
+        struct(lit(i.toLong).as("row_idx"),
+          ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w)
+            .as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("tok"), col("rb.row_idx").as("row_idx"),
+        col("rb.bucket").as("bucket"))
     // LEFT join + coalesce-0: an EMPTY cell means count 0 in CM
     // semantics — an inner join would silently drop (or overestimate)
     // a probe the corpus never saw, instead of answering 0

@@ -377,11 +377,20 @@ object StreamOps {
     import graft.operators.TextHash
     require(d >= 1 && d <= TextHash.A.size, s"d must be in [1, ${TextHash.A.size}]")
     require(w >= 1, s"w must be positive, got $w")
-    val hashed = tokens.select(TextHash.polyHashFast(col("token")).as("hh"))
-    (0 until d).map { i =>
-      hashed.select(lit(i.toLong).as("row_idx"),
-        ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w).as("bucket"))
-    }.reduce(_ unionAll _)
+    // one micro-batch pass with the d rows exploded from an inline
+    // array, not a d-branch unionAll — the same fusion as the batch
+    // twin (TextAnalysis.cmSketchFromCounts, r20): the union scanned
+    // the batch d times and re-hashed per branch. ComputeOnce keeps
+    // the costly hash from being inlined into each struct leg.
+    val hashed = tokens.select(
+      graft.functions.ComputeOnce.once(
+        TextHash.polyHashFast(col("token"))).as("hh"))
+    hashed.select(explode(array((0 until d).map { i =>
+        struct(lit(i.toLong).as("row_idx"),
+          ((col("hh") * TextHash.A(i) + TextHash.B(i)) % TextHash.P % w)
+            .as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("rb.row_idx").as("row_idx"), col("rb.bucket").as("bucket"))
       .groupBy(col("row_idx"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
