@@ -713,6 +713,42 @@ object Similarity {
       "an IVF layout can only be grown through the centroid set it was built with")
   }
 
+  /** Scale-adaptive parallelism guard for the corpus-side ASSIGNMENT
+    * pass (guide §2.5, "input skew — repartition immediately after
+    * the read"): the codebook argmax/PQ kernels evaluate in the SCAN
+    * stage, so their parallelism is bounded by the input's split
+    * count, not by the cluster — a small corpus parquet (one file,
+    * one row group) pins the whole assignment to ONE task regardless
+    * of cores (measured r21: the s71 build's assign+write job ran
+    * 6.3 s in a single task at 32 cores). When the scan cannot fill
+    * the session's cores, spread the batch round-robin BEFORE the
+    * kernel; when it can (any production corpus: thousands of
+    * splits), this is the IDENTITY — no exchange is ever added at
+    * scale, and the bytes it can shuffle are bounded by
+    * cores × split size. Row order within a cell's file may differ;
+    * every probe ranks with explicit (score, id) tie rules, so
+    * results are unchanged (oracle-pinned). */
+  private def spreadIfStarved(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
+  /** Partition count for a layout write's cell/bucket exchange:
+    * enough tasks to spread the per-file commit cost (guide §6 —
+    * small-file writes are bounded by file-op latency, not bytes),
+    * never more than there are distinct partition values (extra
+    * tasks would sit empty) or session cores. An EXPLICIT count,
+    * because the bare `repartition(col)` form lets AQE coalesce the
+    * post-shuffle side by BYTE size — which collapses a ~256-cell
+    * layout write to one task writing ~256 files sequentially
+    * (measured r21; byte-sized coalescing is the wrong advisory for
+    * file-op-bound writes). File counts are unchanged: each cell
+    * still lands wholly in one task. */
+  private def writeParts(spark: org.apache.spark.sql.SparkSession,
+      distinctVals: Long): Int =
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      distinctVals)).toInt
+
   private def writeIvfLayout(vectors: DataFrame, centroids: DataFrame,
       path: String, mode: org.apache.spark.sql.SaveMode): DataFrame = {
     val cb = codebook(centroids)
@@ -725,11 +761,14 @@ object Similarity {
     val fp = codebookFingerprint(centroids)
     if (mode == org.apache.spark.sql.SaveMode.Append)
       requireSidecar(vectors.sparkSession, path, "cells", fp, "append")
-    val assigned = cb.attach(vectors)
+    val assigned = cb.attach(spreadIfStarved(vectors))
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
-    assigned.repartition(col("cell"))
+    // distinct cells ≤ nlist, and nlist is the fingerprint's count
+    // prefix — already computed, no extra job
+    val nlist = fp.split(":", 2).head.toLong
+    assigned.repartition(writeParts(vectors.sparkSession, nlist), col("cell"))
       .write.mode(mode).partitionBy("cell").parquet(path)
     if (mode != org.apache.spark.sql.SaveMode.Append)
       writeSidecar(vectors.sparkSession, path, sidecarTag("cells", fp))
@@ -919,7 +958,7 @@ object Similarity {
       centroids: DataFrame, path: String, buckets: Int,
       dirMax: Int): DataFrame = {
     val cb = codebook(centroids)
-    val nCells = cb.attach(corpus)
+    val nCells = cb.attach(spreadIfStarved(corpus))
       .select(graft.functions.ComputeOnce.once(
         cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
       .agg(count_distinct(col("cell"))).head().getLong(0)
@@ -945,12 +984,13 @@ object Similarity {
     val fp = codebookFingerprint(centroids)
     if (mode == org.apache.spark.sql.SaveMode.Append)
       requireSidecar(vectors.sparkSession, path, s"buckets=$buckets", fp, "append")
-    val assigned = cb.attach(vectors)
+    val assigned = cb.attach(spreadIfStarved(vectors))
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"))
       .withColumn("cell_bucket", pmod(col("cell"), lit(buckets.toLong)))
-    assigned.repartition(col("cell_bucket"))
+    assigned.repartition(writeParts(vectors.sparkSession, buckets.toLong),
+        col("cell_bucket"))
       .sortWithinPartitions(col("cell_bucket"), col("cell"))
       .write.mode(mode).partitionBy("cell_bucket").parquet(path)
     if (mode != org.apache.spark.sql.SaveMode.Append)
@@ -999,13 +1039,14 @@ object Similarity {
     if (mode == org.apache.spark.sql.SaveMode.Append)
       requireSidecar(vectors.sparkSession, path, s"buckets=$buckets", fpTag,
         "append")
-    val assigned = cb.attach(vectors)
+    val assigned = cb.attach(spreadIfStarved(vectors))
       .select(col("vec_id"), col("embedding"),
         graft.functions.ComputeOnce.once(
           cb.bestStruct(col("embedding")).getField("cid")).as("cell"),
         cb.pqCode(col("embedding"), m).as("code"))
       .withColumn("cell_bucket", pmod(col("cell"), lit(buckets.toLong)))
-    assigned.repartition(col("cell_bucket"))
+    assigned.repartition(writeParts(vectors.sparkSession, buckets.toLong),
+        col("cell_bucket"))
       .sortWithinPartitions(col("cell_bucket"), col("cell"))
       .write.mode(mode).partitionBy("cell_bucket").parquet(path)
     if (mode != org.apache.spark.sql.SaveMode.Append)
@@ -1234,6 +1275,39 @@ object Similarity {
       path: String, maxFilesPerCell: Int = 4): DataFrame =
     compactIvfLayout(spark, path, maxFilesPerCell, _ => ())
 
+  /** Bounded driver-side pool for per-partition filesystem work
+    * (compaction listings and swaps): the ops are independent across
+    * partition directories and each is a round-trip to the
+    * filesystem, so running them sequentially serializes ~100
+    * round-trips on the driver — milliseconds on a local fs, minutes
+    * on an object store (guide §5: the driver should do almost no
+    * [serial] work; §7.3's commit-protocol stall signature). All
+    * tasks run to completion before the first failure is rethrown
+    * (unwrapped), so a failing partition never leaves SIBLING
+    * partitions half-processed — each partition's own protocol is
+    * crash-safe regardless. */
+  private def parFs[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.size <= 1) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, xs.size))
+      try {
+        val futs = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = f(x)
+          })
+        }
+        val tried = futs.map(fut => scala.util.Try(fut.get()))
+        tried.collectFirst {
+          case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
+            throw e.getCause
+          case scala.util.Failure(e) => throw e
+        }
+        tried.map(_.get)
+      } finally pool.shutdown()
+    }
+  }
+
   /** Test seam: `beforeSwap(partitionValue)` runs immediately before
     * each fragmented partition's verify+swap — the deterministic hook
     * the interleaved-append enforcement test injects its append
@@ -1332,10 +1406,12 @@ object Similarity {
     // read plan below lists files immediately after, so anything it
     // stages is a superset of the snapshot and an interleaved append
     // in either gap surfaces as a listing mismatch at swap time.
+    val partDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+      .toSeq
     val snapshot: Map[Long, Set[(String, Long)]] =
-      fs.listStatus(root).iterator
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-        .map(st => st.getPath.getName.stripPrefix(s"$partCol=").toLong ->
+      parFs(partDirs)(st =>
+        st.getPath.getName.stripPrefix(s"$partCol=").toLong ->
           dataFiles(st.getPath))
         .toMap
     val frag = snapshot.filter(_._2.size > maxFilesPerCell).keys.toSeq.sorted
@@ -1351,7 +1427,7 @@ object Similarity {
     if (frag.isEmpty) readLayout()
     else {
       val fragRows = readLayout().filter(col(partCol).isin(frag: _*))
-        .repartition(col(partCol))
+        .repartition(writeParts(spark, frag.size.toLong), col(partCol))
       // the bucketed build's probe contract includes the within-file
       // sort by cell (row-group stats skipping) — the rewrite must
       // preserve it
@@ -1361,7 +1437,12 @@ object Similarity {
       staged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy(partCol).parquet(tmp.toString)
       fs.mkdirs(tmpOld)
-      frag.foreach { c =>
+      // per-partition swaps are independent (each touches only its own
+      // cell/bucket dir triplet) — run them on the bounded pool; the
+      // two-rename protocol, snapshot verify and abort path are
+      // UNCHANGED per partition (the crash-safety argument is
+      // per-partition and order-free)
+      parFs(frag) { c =>
         beforeSwap(c)
         val src = new org.apache.hadoop.fs.Path(tmp, s"$partCol=$c")
         val dst = new org.apache.hadoop.fs.Path(root, s"$partCol=$c")
