@@ -178,6 +178,32 @@ object Caches {
     try f finally spark.conf.set(k, prev)
   }
 
+  /** Scale-adaptive ROUND WIDTH for iterative loop operators (r21,
+    * guide §2.2 "size shuffle partitions to the data" / §2 "derive
+    * from input size, never a constant"): with [[staticLoopPlans]]
+    * disabling AQE inside loops, every round's join/aggregation runs
+    * at the session's full `spark.sql.shuffle.partitions` — for a
+    * loop whose per-round operand is `rows` rows of a few longs,
+    * that is hundreds of near-empty tasks per round whose scheduling
+    * overhead IS the round (measured r21: g01/g05 rounds at width 8
+    * beat width 32 by 35-45% on a 907k-edge graph; width 1 loses 2×
+    * by serializing the real join work). This scopes the session
+    * width to clamp(rows/65536, 1, session width) for the loop body
+    * — the SAME 64k-rows-per-partition rule the loop checkpoints
+    * already use — and restores it after. At production scale
+    * rows/65536 exceeds any session width, so this is the identity
+    * exactly when full width is right. Same set/restore concurrency
+    * contract as [[staticLoopPlans]] (one logical query per session
+    * at a time). Results are width-independent (the GRAFT_TEST_SHUFFLE
+    * sweep class pins that). */
+  def loopWidth[T](spark: org.apache.spark.sql.SparkSession, rows: Long)(f: => T): T = {
+    val k = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(k)
+    val w = math.max(1L, math.min(prev.toLong, rows / 65536L))
+    spark.conf.set(k, w.toString)
+    try f finally spark.conf.set(k, prev)
+  }
+
   /** Query-boundary invalidation hooks (r20): operator-layer memos
     * (Similarity's per-centroids-frame codebook/fingerprint) register
     * here once and are cleared on every [[releaseAll]] — the same

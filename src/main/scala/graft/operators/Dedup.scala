@@ -788,6 +788,11 @@ object Dedup {
       nodes.select(col("id"), col("id").as("cluster_id")).coalesce(parts))
     var changed = 1L
     var iter = 0
+    // round width from the larger loop operand — the symmetrized edge
+    // cache (materialized here; it would have been in round 1) or the
+    // node table (see Caches.loopWidth; the coalesce above bounds
+    // checkpoint BLOCKS, this bounds the join/agg stage widths)
+    graft.Caches.loopWidth(nodes.sparkSession, math.max(nNodes, sym.count())) {
     while (changed > 0 && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
@@ -805,6 +810,7 @@ object Dedup {
       labels = next.select(col("id"), col("cluster_id"))
       releaseLabels = releaseNext
       iter += 1
+    }
     }
     sym.unpersist()
     require(changed == 0,
@@ -861,6 +867,9 @@ object Dedup {
     cur = cur.coalesce(parts(nEdges))
     var converged = nEdges == 0L
     var iter = 0
+    // round width from the initial edge count (rewiring only shrinks
+    // the set past the first rounds; see Caches.loopWidth)
+    graft.Caches.loopWidth(nodes.sparkSession, nEdges) {
     while (!converged && iter < maxIter) {
       val sym = cur.select(col("hi").as("n"), col("lo").as("x"))
         .unionAll(cur.select(col("lo").as("n"), col("hi").as("x")))
@@ -887,6 +896,7 @@ object Dedup {
       releaseCur = releaseNext
       nEdges = nNext
       iter += 1
+    }
     }
     require(converged,
       s"starComponents did not converge in $maxIter rounds (edge set still moving) — raise maxIter")

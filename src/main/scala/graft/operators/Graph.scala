@@ -95,6 +95,32 @@ object Graph {
     else pairs.filter(col("src") =!= col("dst"))
   }
 
+  /** A loop's pre-shuffled pinned edge cache AT THE LOOP'S ROUND
+    * WIDTH (r21, guide §2.2): the per-round joins reuse the cache's
+    * hashpartitioning only when its partition count equals the
+    * session's `spark.sql.shuffle.partitions` at round-planning time
+    * — so the data-derived round width (see [[graft.Caches.loopWidth]])
+    * must be decided BEFORE the pin, and the cache laid out at that
+    * width, or every round silently re-exchanges the edge frame (the
+    * exact shuffle the pin exists to avoid; measured r21: rounds at a
+    * narrower width than the pin cost pageRank +0.8 s/query). The
+    * count doubles as the cache materializer. When the derived width
+    * equals the session width (any production graph), the re-layout
+    * branch never runs — zero extra work at scale. */
+  private def loopEdges(raw: DataFrame, key: String,
+      dedup: DataFrame => DataFrame): (DataFrame, Long) = {
+    val spark = raw.sparkSession
+    val sessW = spark.sessionState.conf.numShufflePartitions
+    val e0 = graft.Caches.pin(dedup(raw.repartition(col(key))))
+    val rows = e0.count()
+    val w = math.max(1L, math.min(sessW.toLong, rows / 65536L)).toInt
+    // both pins release at the session's Caches boundary; the narrow
+    // copy reads the wide one once, lazily, at the first round action
+    val e = if (w < sessW) graft.Caches.pin(e0.repartition(w, col(key)))
+            else e0
+    (e, rows)
+  }
+
   /** PageRank in exact fixed point. `edges` is a directed simple-graph
     * edge list (`src`, `dst` — both integral; duplicates and self-loops
     * are dropped here). Ranks are BIGINT multiples of 1/`unit` (default
@@ -133,12 +159,10 @@ object Graph {
     // edge-scale exchange — distinct-then-repartition paid two. The
     // exchange carries raw (pre-dedup) rows; inputs with extreme
     // duplication should pre-dedupe upstream.
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .repartition(col("src"))
-      .distinct()
-      .transform(d => graft.Caches.pin(d))
+    val (e, eRows) = loopEdges(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")), "src", _.distinct())
 
     // (id, outdeg) in ONE aggregation over the pinned edges — the
     // former nodes-distinct + outdeg-groupBy + left-join trio was
@@ -152,6 +176,11 @@ object Graph {
     // job does both, and n/base/the initial dangling total all fall
     // out of it (initial ranks are uniform, so dang₀ = nDang·base
     // exactly).
+    // state build, init aggregate and the probed rounds all run at
+    // the edge-derived loop width (r21, see Caches.loopWidth /
+    // loopEdges); the FINAL round is a pure plan the caller
+    // materializes after the width is restored
+    graft.Caches.loopWidth(edges.sparkSession, eRows) {
     var (state0, releaseState) = graft.Caches.checkpoint(
       e.select(col("src").as("id"), lit(1L).as("d"))
         .unionAll(e.select(col("dst").as("id"), lit(0L).as("d")))
@@ -219,6 +248,7 @@ object Graph {
     val out = if (lastRound != null) lastRound else state
     out.select(col("id"), col("rank_fp"))
     }
+    }
   }
 
   /** Weighted PageRank: same fixed-point arithmetic as [[pageRank]]
@@ -240,15 +270,16 @@ object Graph {
     // (src, dst) ON TOP of the src repartition — hashpartitioning(src)
     // satisfies the aggregate's distribution, so the build is one
     // exchange (see pageRank's e)
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .filter(col("src") =!= col("dst") && col("w") > 0)
-      .repartition(col("src"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .transform(d => graft.Caches.pin(d))
+    val (e, eRows) = loopEdges(
+      edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+        .filter(col("src") =!= col("dst") && col("w") > 0), "src",
+      _.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     // single-aggregation (id, out-weight) state build + one-job init
     // agg — see pageRank (w > 0 is enforced above, so sum(d) > 0 ⟺
-    // the id has an out-edge)
+    // the id has an out-edge); state build through the probed rounds
+    // run at the edge-derived loop width, as in pageRank
+    graft.Caches.loopWidth(edges.sparkSession, eRows) {
     var (state0, releaseState) = graft.Caches.checkpoint(
       e.select(col("src").as("id"), col("w").as("d"))
         .unionAll(e.select(col("dst").as("id"), lit(0L).as("d")))
@@ -293,6 +324,7 @@ object Graph {
     }
     val out = if (lastRound != null) lastRound else state
     out.select(col("id"), col("rank_fp"))
+    }
     }
   }
 
@@ -443,14 +475,12 @@ object Graph {
     require(rounds >= 1, "labelPropagate needs at least one round")
     // pre-shuffled pin on the per-round join key; distinct rides the
     // repartition's partitioning — one exchange (see pageRank's e)
-    val sym = edges.select(col("a").cast("long").as("na"),
-        col("b").cast("long").as("nb"))
-      .unionAll(edges.select(col("b").cast("long").as("na"),
-        col("a").cast("long").as("nb")))
-      .filter(col("na") =!= col("nb"))
-      .repartition(col("na"))
-      .distinct()
-      .transform(d => graft.Caches.pin(d))
+    val (sym, symRows) = loopEdges(
+      edges.select(col("a").cast("long").as("na"),
+          col("b").cast("long").as("nb"))
+        .unionAll(edges.select(col("b").cast("long").as("na"),
+          col("a").cast("long").as("nb")))
+        .filter(col("na") =!= col("nb")), "na", _.distinct())
     var (labels, releaseLabels) = graft.Caches.checkpoint(
       seeds.select(col("id").cast("long").as("id"),
         col("label").cast("long").as("label")).distinct(), eager = false)
@@ -466,6 +496,9 @@ object Graph {
     var round = 0
     var exhausted = false
     var lastRound: DataFrame = null
+    // vote joins stream the pinned symmetric edge cache, laid out at
+    // the edge-derived loop width (see loopEdges / Caches.loopWidth)
+    graft.Caches.loopWidth(edges.sparkSession, symRows) {
     while (round < rounds && !exhausted) {
       // vote join: shuffled-hash with the node-scale label frame as
       // build side, streaming the pinned edge frame unsorted — see
@@ -501,6 +534,7 @@ object Graph {
       }
       round += 1
     }
+    }
     if (lastRound != null) lastRound else labels
   }
 
@@ -526,11 +560,9 @@ object Graph {
     require(maxHops >= 0, "bfsDistances: maxHops must be non-negative")
     // pre-shuffled pin on the per-round join key; distinct rides the
     // repartition's partitioning — one exchange (see pageRank's e)
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .repartition(col("src"))
-      .distinct()
-      .transform(d => graft.Caches.pin(d))
+    val (e, eRows) = loopEdges(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")), "src", _.distinct())
     val spark = edges.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
     def parts(rows: Long): Int =
@@ -547,6 +579,9 @@ object Graph {
     var layers = List(frontier)
     var n = frontier.count()
     var hop = 1
+    // hop joins stream the pinned edge cache, laid out at the
+    // edge-derived loop width (see loopEdges / Caches.loopWidth)
+    graft.Caches.loopWidth(spark, eRows) {
     while (n > 0 && hop <= maxHops) {
       val dist = layers.reduce(_ unionAll _)
       // releasing a superseded frontier would orphan its layer in the
@@ -573,6 +608,7 @@ object Graph {
       frontier = next
       layers = layers :+ next
       hop += 1
+    }
     }
     layers.reduce(_ unionAll _)
   }
@@ -605,11 +641,9 @@ object Graph {
     require(maxHops >= 0, "nearestSeedLabels: maxHops must be non-negative")
     // pre-shuffled pin on the per-round join key; distinct rides the
     // repartition's partitioning — one exchange (see pageRank's e)
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .repartition(col("src"))
-      .distinct()
-      .transform(d => graft.Caches.pin(d))
+    val (e, eRows) = loopEdges(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")), "src", _.distinct())
     val spark = edges.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions.toLong
     def parts(rows: Long): Int =
@@ -625,6 +659,8 @@ object Graph {
     var layers = List(frontier)
     var n = frontier.count()
     var hop = 1
+    // edge-derived loop width, as in bfsDistances
+    graft.Caches.loopWidth(spark, eRows) {
     while (n > 0 && hop <= maxHops) {
       val known = layers.reduce(_ unionAll _).select(col("id"))
       // checkpoint at full parallelism, then narrow-coalesce sized by
@@ -643,6 +679,7 @@ object Graph {
       frontier = next
       layers = layers :+ next
       hop += 1
+    }
     }
     layers.reduce(_ unionAll _)
   }
@@ -704,6 +741,8 @@ object Graph {
     var prev = e.count()
     var r = 0
     var converged = prev == 0L
+    // width from the initial edge count (rounds only shrink it)
+    graft.Caches.loopWidth(edges.sparkSession, prev) {
     while (r < rounds && !converged) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("graft_deg"))
         .filter(col("graft_deg") >= k)
@@ -717,6 +756,7 @@ object Graph {
       prev = n
       e = next
       r += 1
+    }
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("id"), col("degree"))
