@@ -492,6 +492,18 @@ object Bench {
       // apply).
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // r21 engine config (guide §1.2 step 3, declared in
+      // OPTIMIZATION_r21.md): the default 100-entry whole-stage-
+      // codegen class cache thrashes on a 208-query catalogue — a
+      // single wide query (q86: ~155 generated classes) exceeds it
+      // alone, so the top-8 rerun leg recompiled essentially every
+      // class (measured: q86 rerun 107 recompiles / 4.7 s of Janino
+      // at 100 entries vs 24 / 0.7 s at 5000) and cross-query shared
+      // scan stages never hit. Capacity-bounded JVM infrastructure
+      // (compiled classes keyed on normalized source), NOT result
+      // caching: every run still computes from parquet. A production
+      // session serving hundreds of distinct plans wants the same.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up actions so the first measured queries don't

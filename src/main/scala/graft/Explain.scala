@@ -25,6 +25,13 @@ object Explain {
       // match what the bench session executes
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // r21: the default 100-entry codegen class cache thrashes on
+      // this catalogue (q86 alone compiles ~155 classes — its second
+      // run recompiled 107 of them; at 5000 entries: 24, and the
+      // rerun wall dropped 4.6 → 3.2 s). Same value in Bench/Verify/
+      // SparkSpec so dev plan/time reads match the bench session.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "5000"))
       .getOrCreate()
     // dev knob: GRAFT_LOG_LEVEL=INFO surfaces DAGScheduler "Job took"
     // lines for per-job attribution between the ===== name ===== markers

@@ -22,6 +22,9 @@ object Verify {
       // the rationale and OPTIMIZATION_r20.md for the measurements
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // r21: codegen class cache sized to the catalogue — see
+      // Bench.scala for the rationale and measurements
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -34,6 +34,9 @@ object TestSpark {
     // exercises the exact write/list path the driver surfaces run
     .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
     .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // r21: codegen class cache sized to the catalogue — see
+    // Bench.scala for the rationale and measurements
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     .getOrCreate()
 }
 
