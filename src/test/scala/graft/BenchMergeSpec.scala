@@ -562,4 +562,34 @@ class BenchMergeSpec extends AnyFunSuite {
     }
     assert(above.isEmpty, s"merged min2 above session time for: $above")
   }
+
+  test("summary record stays ONE parseable line with the driver-read fields (r20 verdict item 7)") {
+    // the driver tails ~2000 chars of stdout and parses the LAST
+    // {"metric":...} line it finds; r19's record was unparseable to it
+    // (prev_bench_ok false — the whole round-over-round guard went
+    // blind). Pin the summary emitter's side of that contract: single
+    // line, valid JSON, the scalar fields the driver reads, and a
+    // bounded length that fits any 2000-char tail — including a
+    // mass-flagging round (the suspect cap + explicit truncation
+    // marker) and an sf path needing escapes.
+    val many = (1 to 60).map(i => f"q$i%02d_very_long_query_name_here")
+    val s = Bench.summaryJson(250.19, 157.3, 215.7, 14.1, 2, many,
+      "/root/testdata/sf0.1\"weird\\path")
+    assert(!s.contains("\n") && !s.contains("\r"), "summary must be one line")
+    assert(s.length < 1900, s"summary too long for the driver tail: ${s.length}")
+    assert(s.startsWith("""{"metric":"summary","""))
+    // parse with an actual JSON parser (none in the main jar's deps —
+    // use the JDK's nashorn-free fallback: scala.util.parsing is not
+    // available either, so round-trip the fields the cheap way the
+    // driver does: regex field extraction must find every scalar)
+    Seq("\"total\":250.19", "\"total_min2\":157.3",
+        "\"total_min2_session\":215.7", "\"effective_cores\":14.1",
+        "\"n_failed\":2", "\"n_suspect\":60", "\"suspect_truncated\":true")
+      .foreach(f => assert(s.contains(f), s"summary missing $f"))
+    // balanced braces/brackets and no raw control chars — the cheap
+    // single-line-JSON well-formedness invariants
+    assert(s.count(_ == '{') == s.count(_ == '}'))
+    assert(s.count(_ == '[') == s.count(_ == ']'))
+    assert(s.forall(c => c >= ' '), "raw control char in summary")
+  }
 }
