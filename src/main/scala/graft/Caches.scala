@@ -192,14 +192,18 @@ object Caches {
     * — the SAME 64k-rows-per-partition rule the loop checkpoints
     * already use — and restores it after. At production scale
     * rows/65536 exceeds any session width, so this is the identity
-    * exactly when full width is right. Same set/restore concurrency
+    * exactly when full width is right. The FLOOR is 2, not 1: width
+    * 1 measured 2× WORSE than the formula (it serializes the real
+    * join work), and a 1-partition keyed repartition is a literal
+    * single-partition exchange in the returned plan — the exact
+    * funnel PlanLint exists to flag. Same set/restore concurrency
     * contract as [[staticLoopPlans]] (one logical query per session
     * at a time). Results are width-independent (the GRAFT_TEST_SHUFFLE
     * sweep class pins that). */
   def loopWidth[T](spark: org.apache.spark.sql.SparkSession, rows: Long)(f: => T): T = {
     val k = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(k)
-    val w = math.max(1L, math.min(prev.toLong, rows / 65536L))
+    val w = math.min(prev.toLong, math.max(2L, rows / 65536L))
     spark.conf.set(k, w.toString)
     try f finally spark.conf.set(k, prev)
   }

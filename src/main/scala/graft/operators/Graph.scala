@@ -113,7 +113,11 @@ object Graph {
     val sessW = spark.sessionState.conf.numShufflePartitions
     val e0 = graft.Caches.pin(dedup(raw.repartition(col(key))))
     val rows = e0.count()
-    val w = math.max(1L, math.min(sessW.toLong, rows / 65536L)).toInt
+    // floor 2, matching Caches.loopWidth: a repartition(1, key) is a
+    // literal single-partition exchange in every round plan AND the
+    // returned final-round plan — the funnel PlanLint flags — and
+    // width 1 measured 2× worse anyway (it serializes the join work)
+    val w = math.min(sessW.toLong, math.max(2L, rows / 65536L)).toInt
     // both pins release at the session's Caches boundary; the narrow
     // copy reads the wide one once, lazily, at the first round action
     val e = if (w < sessW) graft.Caches.pin(e0.repartition(w, col(key)))
