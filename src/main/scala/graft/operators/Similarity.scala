@@ -1285,28 +1285,11 @@ object Similarity {
     * tasks run to completion before the first failure is rethrown
     * (unwrapped), so a failing partition never leaves SIBLING
     * partitions half-processed — each partition's own protocol is
-    * crash-safe regardless. */
-  private def parFs[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
-    if (xs.size <= 1) xs.map(f)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(16, xs.size))
-      try {
-        val futs = xs.map { x =>
-          pool.submit(new java.util.concurrent.Callable[B] {
-            def call(): B = f(x)
-          })
-        }
-        val tried = futs.map(fut => scala.util.Try(fut.get()))
-        tried.collectFirst {
-          case scala.util.Failure(e: java.util.concurrent.ExecutionException) =>
-            throw e.getCause
-          case scala.util.Failure(e) => throw e
-        }
-        tried.map(_.get)
-      } finally pool.shutdown()
-    }
-  }
+    * crash-safe regardless. Shared implementation: [[graft.engine.ParFs]]
+    * (r21 — the staged-json connector's commit renames are the same
+    * driver-sequential-FS-loop shape). */
+  private def parFs[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    graft.engine.ParFs(xs)(f)
 
   /** Test seam: `beforeSwap(partitionValue)` runs immediately before
     * each fragmented partition's verify+swap — the deterministic hook

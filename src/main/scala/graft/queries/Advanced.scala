@@ -225,7 +225,7 @@ object Advanced {
     // an uncapped stage writes |documents| files — the cap keeps the
     // materialized tree sf-independent (the connector's own scaling is
     // measured in SourcesSpec; this query gates CORRECTNESS end-to-end)
-    Tables.documents(s, dir).filter(col("doc_id") < 150).select(
+    val staged = Tables.documents(s, dir).filter(col("doc_id") < 150).select(
         (col("doc_id") % 5 + 2020).as("season"),
         (col("doc_id") % 3 + 1).as("league"),
         when(col("doc_id") % 2 === 0, "teams").otherwise("standings").as("endpoint"),
@@ -233,6 +233,18 @@ object Advanced {
         // table schema includes the READ-derived path column; its
         // written value is ignored (the layout determines the path)
         lit("").as("path"))
+    // the connector writes ONE FILE PER ROW, so its write parallelism
+    // is the incoming partition count — and the bench corpus is one
+    // parquet split, so the whole 150-file write ran as a single task
+    // (measured r21: 2.34 s of the query's ~3 s). Spread to cluster
+    // width when the scan is starved (guide §2.5), identity at
+    // production split counts. File NAMES shift with the partitioning
+    // (part-<partition>-<seq>.json) but no queried value derives from
+    // them — the read maps season/league/endpoint from DIRECTORIES and
+    // the aggregate reads only body bytes (oracle-gated).
+    val cores = s.sparkContext.defaultParallelism
+    (if (staged.rdd.getNumPartitions < cores) staged.repartition(cores)
+     else staged)
       .write.format("staged-json").mode("overwrite").save(tmp)
     s.read.format("staged-json").load(tmp)
       .filter(col("season") === 2023) // planning-time file pruning
